@@ -53,6 +53,14 @@ def ctx_index(element: str, inc: int = 0) -> int:
     return CONTEXT_OFFSET[element] + inc
 
 
+import os
+
+TRACE = None  # set to a file object to trace every bin (debug tool)
+if os.environ.get("CABAC_TRACE_PY"):
+    import sys
+    TRACE = sys.stderr
+
+
 class CabacDecoder:
     """Arithmetic decoding engine (spec 9.3.4.3).
 
@@ -99,6 +107,14 @@ class CabacDecoder:
     def decode_decision(self, ctx_idx: int) -> int:
         states = self.ctx.states
         s = states[ctx_idx]
+        if TRACE:
+            from .tables import CONTEXT_ELEMENTS, CONTEXT_OFFSET
+            name, inc = "?", 0
+            for el in CONTEXT_ELEMENTS:
+                off = CONTEXT_OFFSET[el]
+                if off <= ctx_idx:
+                    name, inc = el, ctx_idx - off
+            TRACE.write(f"E {name} {inc} {s}\n")
         r = self.range
         lps = _RANGE_LPS[s >> 1][(r >> 6) & 3]
         r -= lps
@@ -118,16 +134,22 @@ class CabacDecoder:
             off = (off << n) | self._read_bits(n)
         self.range = r
         self.offset = off
+        if TRACE:
+            TRACE.write(f"D {bin_val} {r} {off}\n")
         return bin_val
 
     def decode_bypass(self) -> int:
         off = (self.offset << 1) | self._read_bits(1)
         r = self.range
         if off >= r:
-            self.offset = off - r
-            return 1
+            off -= r
+            bin_val = 1
+        else:
+            bin_val = 0
         self.offset = off
-        return 0
+        if TRACE:
+            TRACE.write(f"B {bin_val} {r} {off}\n")
+        return bin_val
 
     def decode_bypass_bits(self, n: int) -> int:
         """n consecutive bypass bins as an unsigned integer."""
@@ -141,12 +163,16 @@ class CabacDecoder:
         if self.offset >= r:
             # end of slice / pcm escape: range is not renormalized
             self.range = r
+            if TRACE:
+                TRACE.write(f"T 1 {r} {self.offset}\n")
             return 1
         if r < 256:
             n = 9 - r.bit_length()
             r <<= n
             self.offset = (self.offset << n) | self._read_bits(n)
         self.range = r
+        if TRACE:
+            TRACE.write(f"T 0 {r} {self.offset}\n")
         return 0
 
     # --- standard binarizations -------------------------------------------
