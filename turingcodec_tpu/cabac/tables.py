@@ -92,8 +92,8 @@ INIT_VALUES = {
     "merge_idx": [[], [122], [137]],
     "inter_pred_idc": [[], [95, 79, 63, 31, 31], [95, 79, 63, 31, 31]],
     "ref_idx": [[], [153, 153], [153, 153]],
-    "abs_mvd_greater0_flag": [[], [140], [198]],
-    "abs_mvd_greater1_flag": [[], [169], [198]],
+    "abs_mvd_greater0_flag": [[], [140], [169]],
+    "abs_mvd_greater1_flag": [[], [198], [198]],
     "mvp_flag": [[], [168], [168]],
     "rqt_root_cbf": [[], [79], [79]],
     "split_transform_flag": [[153, 138, 138], [124, 138, 94], [224, 167, 122]],

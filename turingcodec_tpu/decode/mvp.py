@@ -69,10 +69,25 @@ class InterDeriver:
             self.col_pic = None
 
     # ---- neighbour access ------------------------------------------------
-    def _nb_motion(self, x_cur, y_cur, x_nb, y_nb) -> Optional[MotionCand]:
-        """Motion of the min-block at (x_nb, y_nb) if available + inter."""
+    def _nb_motion(self, x_cur, y_cur, x_nb, y_nb,
+                   cb=None) -> Optional[MotionCand]:
+        """Motion of the min-block at (x_nb, y_nb) per prediction-block
+        availability (spec 6.4.2). cb = (x_cb, y_cb, n_cbs, n_pbw, n_pbh,
+        part_idx) enables the same-CB rule: PUs earlier in the same CB are
+        available regardless of z-scan order; the second-PU region is not.
+        """
         plan = self.plan
-        if not self.geom.available(plan.slice_idx, x_cur, y_cur, x_nb, y_nb):
+        same_cb = False
+        if cb is not None:
+            x_cb, y_cb, n_cbs, n_pbw, n_pbh, part_idx = cb
+            same_cb = (x_cb <= x_nb < x_cb + n_cbs
+                       and y_cb <= y_nb < y_cb + n_cbs)
+        if same_cb:
+            if ((n_pbw << 1) == n_cbs and (n_pbh << 1) == n_cbs
+                    and part_idx == 1
+                    and (y_cb + n_pbh <= y_nb or x_cb + n_pbw <= x_nb)):
+                return None
+        elif not self.geom.available(plan.slice_idx, x_cur, y_cur, x_nb, y_nb):
             return None
         bx, by = x_nb >> 2, y_nb >> 2
         if plan.cu_pred_mode[by, bx] == 1:  # intra
@@ -152,40 +167,43 @@ class InterDeriver:
             x_pb, y_pb, w, h, part_idx = x_cb, y_cb, cb_size, cb_size, 0
 
         cands: List[MotionCand] = []
+        cb = (x_cb, y_cb, cb_size, w, h, part_idx)
 
-        def spatial(x_nb, y_nb, exclude, compare):
+        def neighbour(x_nb, y_nb, exclude):
+            """Raw neighbour motion (None if excluded/unavailable/intra).
+
+            Kept separately from list insertion: B0/A0/B2 prune against the
+            B1/A1 *neighbour motion* even when that neighbour itself was
+            pruned from the list (spec 8.5.3.1.2; reference Mvp.h puDataA1/
+            puDataB1 usage).
+            """
             if exclude:
                 return None
             if self._same_merge_region(x_pb, y_pb, x_nb, y_nb):
                 return None
-            m = self._nb_motion(x_pb, y_pb, x_nb, y_nb)
-            if m is None:
-                return None
-            for c in compare:
-                if c is not None and m.motion_equal(c):
-                    return None
-            return m
+            return self._nb_motion(x_pb, y_pb, x_nb, y_nb, cb)
 
-        a1 = spatial(x_pb - 1, y_pb + h - 1,
-                     part_idx == 1 and part_mode in
-                     (T.PART_Nx2N, T.PART_nLx2N, T.PART_nRx2N), [])
-        if a1:
-            cands.append(a1)
-        b1 = spatial(x_pb + w - 1, y_pb - 1,
-                     part_idx == 1 and part_mode in
-                     (T.PART_2NxN, T.PART_2NxnU, T.PART_2NxnD), [a1])
-        if b1:
-            cands.append(b1)
-        b0 = spatial(x_pb + w, y_pb - 1, False, [b1])
-        if b0:
-            cands.append(b0)
-        a0 = spatial(x_pb - 1, y_pb + h, False, [a1])
-        if a0:
-            cands.append(a0)
+        a1_m = neighbour(x_pb - 1, y_pb + h - 1,
+                         part_idx == 1 and part_mode in
+                         (T.PART_Nx2N, T.PART_nLx2N, T.PART_nRx2N))
+        if a1_m:
+            cands.append(a1_m)
+        b1_m = neighbour(x_pb + w - 1, y_pb - 1,
+                         part_idx == 1 and part_mode in
+                         (T.PART_2NxN, T.PART_2NxnU, T.PART_2NxnD))
+        if b1_m and not (a1_m and b1_m.motion_equal(a1_m)):
+            cands.append(b1_m)
+        b0_m = neighbour(x_pb + w, y_pb - 1, False)
+        if b0_m and not (b1_m and b0_m.motion_equal(b1_m)):
+            cands.append(b0_m)
+        a0_m = neighbour(x_pb - 1, y_pb + h, False)
+        if a0_m and not (a1_m and a0_m.motion_equal(a1_m)):
+            cands.append(a0_m)
         if len(cands) < 4:
-            b2 = spatial(x_pb - 1, y_pb - 1, False, [a1, b1])
-            if b2:
-                cands.append(b2)
+            b2_m = neighbour(x_pb - 1, y_pb - 1, False)
+            if b2_m and not (a1_m and b2_m.motion_equal(a1_m)) \
+                    and not (b1_m and b2_m.motion_equal(b1_m)):
+                cands.append(b2_m)
 
         max_cand = sh.max_num_merge_cand
         # temporal
@@ -237,7 +255,7 @@ class InterDeriver:
         return cands
 
     # ---- AMVP ------------------------------------------------------------
-    def amvp(self, x_pb, y_pb, w, h, lx, ref_idx) -> List[tuple]:
+    def amvp(self, x_pb, y_pb, w, h, lx, ref_idx, cb=None) -> List[tuple]:
         """Two MVP candidates for list lx / ref_idx (spec 8.5.3.1.5/6)."""
         target_poc = self.ref_pocs[lx][ref_idx]
         target_lt = self.ref_lt[lx][ref_idx]
@@ -279,8 +297,8 @@ class InterDeriver:
                     return mv_scale(m.mv[l], tb, td)
             return None
 
-        a0 = self._nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h)
-        a1 = self._nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h - 1)
+        a0 = self._nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h, cb)
+        a1 = self._nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h - 1, cb)
         avail_a_any = a0 is not None or a1 is not None
         mv_a = None
         for m in (a0, a1):
@@ -293,9 +311,9 @@ class InterDeriver:
                 if mv_a is not None:
                     break
 
-        b0 = self._nb_motion(x_pb, y_pb, x_pb + w, y_pb - 1)
-        b1 = self._nb_motion(x_pb, y_pb, x_pb + w - 1, y_pb - 1)
-        b2 = self._nb_motion(x_pb, y_pb, x_pb - 1, y_pb - 1)
+        b0 = self._nb_motion(x_pb, y_pb, x_pb + w, y_pb - 1, cb)
+        b1 = self._nb_motion(x_pb, y_pb, x_pb + w - 1, y_pb - 1, cb)
+        b2 = self._nb_motion(x_pb, y_pb, x_pb - 1, y_pb - 1, cb)
         mv_b = None
         for m in (b0, b1, b2):
             mv_b = try_same(m)
@@ -348,12 +366,13 @@ class InterDeriver:
             pred_flags = [int(bool(ipi & 1)), int(bool(ipi & 2))]
             mv = [[0, 0], [0, 0]]
             ref_idx = [-1, -1]
+            cb = (cu.x0, cu.y0, 1 << cu.log2_size, w, h, part_idx)
             for l in (0, 1):
                 if not pred_flags[l]:
                     continue
                 r = pu_syntax["ref_idx"][l]
                 ref_idx[l] = r
-                mvps = self.amvp(x0, y0, w, h, l, r)
+                mvps = self.amvp(x0, y0, w, h, l, r, cb)
                 mvp = mvps[pu_syntax["mvp_flag"][l]]
                 mvd = pu_syntax["mvd"][l]
                 mv[l] = [clip3(-32768, 32767, mvp[0] + mvd[0]),
