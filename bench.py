@@ -1,0 +1,49 @@
+"""Benchmark entry point: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Round-1 metric: decode fps of the bundled caminandes stream (640x360, 120
+frames), bit-exactness asserted against the reference decoder's md5.
+vs_baseline = our fps / reference `turing decode` fps measured on this host
+(12.3 fps, g++ -O1 build without JIT SIMD — the Release+xbyak build
+segfaults under this glibc).
+
+Later rounds move the pixel pipeline onto TPU and add encode fps at 1080p.
+"""
+import hashlib
+import json
+import sys
+import time
+
+CAMINANDES = "/root/reference/test/excerpt_(CC)_caminandes.com_640x360.hevc"
+GOLDEN_MD5 = "05c8e88dd7a694829f34ad9486a0dd8e"
+REFERENCE_FPS = 12.3  # turing decode, this host, -O1 no-SIMD build
+
+
+def main():
+    import numpy as np
+
+    from turingcodec_tpu.decode.decoder import Decoder
+
+    data = open(CAMINANDES, "rb").read()
+    dec = Decoder()
+    md5 = hashlib.md5()
+    t0 = time.time()
+    n = 0
+    for f in dec.decode_stream(data):
+        md5.update(np.concatenate(
+            [p.astype(np.uint8).ravel() for p in f.planes]).tobytes())
+        n += 1
+    dt = time.time() - t0
+    ok = md5.hexdigest() == GOLDEN_MD5
+    fps = n / dt
+    print(json.dumps({
+        "metric": "decode_fps_640x360" + ("" if ok else "_NOT_BITEXACT"),
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 4),
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,11 +2,16 @@ import os
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh.
 # Real-TPU kernels are exercised by bench.py, not the unit suite.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# NOTE: this environment registers a TPU PJRT plugin at interpreter startup
+# (sitecustomize) and exports JAX_PLATFORMS; jax.config is the reliable
+# override, applied before any backend is initialized.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

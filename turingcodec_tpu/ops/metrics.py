@@ -23,8 +23,14 @@ def sad_batch(a: jax.Array, b: jax.Array) -> jax.Array:
 
 @jax.jit
 def ssd_batch(a: jax.Array, b: jax.Array) -> jax.Array:
-    d = a.astype(jnp.int64) - b.astype(jnp.int64)
-    return jnp.sum(d * d, axis=(-2, -1))
+    """(..., H, W) -> (...,) uint32 sum of squared differences.
+
+    int32 squares, uint32 accumulation: exact up to 64x64 10-bit blocks
+    (64*64*1023^2 < 2^32) without int64 (absent on TPU).
+    """
+    d = a.astype(jnp.int32) - b.astype(jnp.int32)
+    sq = (d * d).astype(jnp.uint32)
+    return jnp.sum(sq, axis=(-2, -1), dtype=jnp.uint32)
 
 
 def _hadamard_matrix(n: int) -> np.ndarray:

@@ -22,13 +22,19 @@ def dequant_batch(coeffs: jax.Array, qp: jax.Array, bit_depth: int,
                   log2_size: int) -> jax.Array:
     """(B, N, N) levels + (B,) qp -> (B, N, N) int32 dequantized (flat list).
 
-    Products can reach 2^15 * 51 * 2^8 > 2^31 for high QP, so accumulate in
-    int64 exactly as the oracle does, then clip to int16 range.
+    int32-exact restructuring (TPU has no native int64): fold qp//6 into the
+    shift instead of the scale — algebraically identical to the oracle's
+    int64 form because the rounding constant scales with the shift.
     """
     bd_shift = bit_depth + log2_size - 5
-    ls = (_LEVEL_SCALE[qp % 6] << (qp // 6)).astype(jnp.int64)
-    d = (coeffs.astype(jnp.int64) * ls[:, None, None] * 16
-         + (1 << (bd_shift - 1))) >> bd_shift
+    ls16 = _LEVEL_SCALE[qp % 6] * 16        # <= 1152: product fits int32
+    shift = bd_shift - (qp // 6)            # (B,), may go negative
+    sh_pos = jnp.maximum(shift, 0)
+    sh_neg = jnp.maximum(-shift, 0)
+    rnd = jnp.where(shift > 0, 1 << jnp.maximum(shift - 1, 0), 0)
+    p = coeffs.astype(jnp.int32) * ls16[:, None, None]
+    d = ((p + rnd[:, None, None]) >> sh_pos[:, None, None]) \
+        << sh_neg[:, None, None]
     return jnp.clip(d, -32768, 32767).astype(jnp.int32)
 
 
@@ -45,9 +51,11 @@ def quant_batch(coeffs: jax.Array, qp: jax.Array, bit_depth: int,
     """
     t_shift = 15 - bit_depth - log2_size
     q_shift = 14 + (qp // 6) + t_shift
-    f = _QUANT_SCALES[qp % 6].astype(jnp.int64)
-    a = jnp.abs(coeffs.astype(jnp.int64))
-    level = (a * f[:, None, None] + rounding_num[:, None, None].astype(jnp.int64)) >> q_shift[:, None, None]
+    f = _QUANT_SCALES[qp % 6]
+    a = jnp.abs(coeffs).astype(jnp.int32)
+    # |coeff| <= 2^15, f <= 26214: product < 2^30, +rounding stays in int32
+    level = (a * f[:, None, None]
+             + rounding_num[:, None, None]) >> q_shift[:, None, None]
     level = jnp.clip(level, 0, 32767)
     return jnp.where(coeffs < 0, -level, level).astype(jnp.int32)
 
