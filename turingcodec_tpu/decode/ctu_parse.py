@@ -264,6 +264,7 @@ def parse_coding_unit(ps: SliceParseContext, x0: int, y0: int,
     else:
         part_mode = _parse_inter_part_mode(ps, log2_size)
     cu.part_mode = part_mode
+    plan.part_mode[b] = part_mode
 
     if pred_intra:
         if (sps.pcm_enabled_flag and part_mode == 0

@@ -31,6 +31,7 @@ class PicturePlan:
     # --- per 4x4 min-block tensors (H4, W4) ---
     ct_depth: np.ndarray = None
     cu_pred_mode: np.ndarray = None    # 0 inter, 1 intra
+    part_mode: np.ndarray = None       # PartMode of the covering CU
     skip_flag: np.ndarray = None
     tq_bypass: np.ndarray = None
     pcm_flag: np.ndarray = None
@@ -74,6 +75,7 @@ class PicturePlan:
         z4 = lambda dt, shape=(h4, w4): np.zeros(shape, dt)
         self.ct_depth = z4(np.uint8)
         self.cu_pred_mode = z4(np.uint8)
+        self.part_mode = z4(np.uint8)
         self.skip_flag = z4(np.uint8)
         self.tq_bypass = z4(np.uint8)
         self.pcm_flag = z4(np.uint8)

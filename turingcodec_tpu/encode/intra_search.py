@@ -1,0 +1,280 @@
+"""All-intra mode decision: recursive CU split RDO with SATD candidate
+ranking + exact-CABAC-rate refinement.
+
+The analogue of Search<coding_quadtree>/searchIntraCu (turing/Search.hpp:374,
+709) recast plan-first: decisions are committed into PicturePlan tensors and
+a working reconstruction; the final picture is re-reconstructed from the plan
+by the decoder's own pipeline, guaranteeing encoder-recon == decoder-recon
+(the reference asserts the same invariant, signature.cpp:171-177).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+from turingcodec_tpu.cabac.engine import CabacEncoder, ContextPool
+from turingcodec_tpu.bitstream.writer import BitWriter
+from turingcodec_tpu.hevc.geometry import PictureGeometry
+from turingcodec_tpu.hevc.params import Pps, SliceSegmentHeader, Sps
+from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
+from turingcodec_tpu.decode.plan import PicturePlan
+from turingcodec_tpu.decode.reconstruct import (
+    ReferenceSampleBuilder,
+    dequant_block,
+    filter_reference_samples,
+    intra_predict,
+    inverse_transform,
+)
+from turingcodec_tpu.ops.transform import forward_transform_np
+from turingcodec_tpu.hevc.tables import QUANT_SCALES
+
+
+def quantize_np(coeffs: np.ndarray, qp: int, bit_depth: int, log2_size: int,
+                intra: bool) -> np.ndarray:
+    """HM-style RDO-free quantization with 1/3 (intra) rounding."""
+    t_shift = 15 - bit_depth - log2_size
+    q_shift = 14 + qp // 6 + t_shift
+    f = int(QUANT_SCALES[qp % 6])
+    rnd = (1 << q_shift) // (3 if intra else 6)
+    a = np.abs(coeffs.astype(np.int64))
+    level = (a * f + rnd) >> q_shift
+    level = np.clip(level, 0, 32767)
+    return np.where(coeffs < 0, -level, level).astype(np.int32)
+
+
+class IntraPictureEncoder:
+    """Encodes one picture, all-intra, fixed QP."""
+
+    def __init__(self, sps: Sps, pps: Pps, sh: SliceSegmentHeader,
+                 geom: PictureGeometry, rd_candidates: int = 3,
+                 max_cu_log2: int = 5):
+        self.sps, self.pps, self.sh, self.geom = sps, pps, sh, geom
+        self.qp = sh.slice_qp_y
+        self.qp_cb = chroma_qp_from_luma(
+            max(-sps.qp_bd_offset_c, min(57, self.qp + pps.pps_cb_qp_offset)))
+        self.qp_cr = chroma_qp_from_luma(
+            max(-sps.qp_bd_offset_c, min(57, self.qp + pps.pps_cr_qp_offset)))
+        self.bd = sps.bit_depth_y
+        self.max_cu_log2 = min(max_cu_log2, sps.ctb_log2_size_y,
+                               sps.max_tb_log2_size_y)
+        self.rd_candidates = rd_candidates
+        # HM-style lambda for intra, fixed QP
+        self.lam = 0.57 * (2.0 ** ((self.qp - 12) / 3.0))
+        self.lam_bits = self.lam
+
+    # ------------------------------------------------------------------
+    def encode_picture(self, orig: List[np.ndarray], slice_number: int = 0
+                       ) -> Tuple[PicturePlan, List[np.ndarray]]:
+        sps = self.sps
+        plan = PicturePlan(self.sps, self.pps)
+        plan.slice_headers.append(self.sh)
+        self.plan = plan
+        self.orig = orig
+        w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        self.recon = [np.zeros((h, w), np.int16),
+                      np.zeros((h // 2, w // 2), np.int16),
+                      np.zeros((h // 2, w // 2), np.int16)]
+        self.refs = ReferenceSampleBuilder(plan, self.geom)
+        self.next_id = [0, 0, 0]
+        plan.qp_y[:] = self.qp
+        ctb = sps.ctb_size_y
+        for ry in range(sps.pic_height_in_ctbs_y):
+            for rx in range(sps.pic_width_in_ctbs_y):
+                plan.slice_idx[ry, rx] = slice_number
+                self._decide_cqt(rx * ctb, ry * ctb, sps.ctb_log2_size_y, 0)
+        return plan, self.recon
+
+    # ------------------------------------------------------------------
+    def _decide_cqt(self, x0, y0, log2, depth) -> float:
+        """Recursive split decision; commits into plan/recon; returns cost."""
+        sps = self.sps
+        w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
+        size = 1 << log2
+        in_pic = x0 + size <= w and y0 + size <= h
+        if not in_pic:
+            if x0 >= w or y0 >= h:
+                return 0.0
+            cost = 0.0
+            half = size >> 1
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                if x0 + dx < w and y0 + dy < h:
+                    cost += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1,
+                                             depth + 1)
+            return cost
+        if log2 > self.max_cu_log2:
+            cost = 0.0
+            half = size >> 1
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                cost += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1, depth + 1)
+            return cost
+
+        # candidate: no-split at this size
+        state = self._snapshot(x0, y0, size)
+        cost_here = self._encode_cu(x0, y0, log2, depth) + self.lam_bits * 2
+        if log2 == sps.min_cb_log2_size_y:
+            return cost_here
+        here = self._snapshot(x0, y0, size)
+        self._restore(x0, y0, size, state)
+
+        half = size >> 1
+        cost_split = self.lam_bits * 2  # split flag proxy
+        for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+            cost_split += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1,
+                                           depth + 1)
+        if cost_here <= cost_split:
+            self._restore(x0, y0, size, here)
+            return cost_here
+        return cost_split
+
+    # ------------------------------------------------------------------
+    def _snapshot(self, x0, y0, size):
+        p = self.plan
+        sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
+        cl = (slice(y0 >> 1, (y0 + size) >> 1), slice(x0 >> 1, (x0 + size) >> 1))
+        ll = (slice(y0, y0 + size), slice(x0, x0 + size))
+        return (
+            [self.recon[0][ll].copy(), self.recon[1][cl].copy(),
+             self.recon[2][cl].copy()],
+            [p.ct_depth[sl].copy(), p.part_mode[sl].copy(),
+             p.cu_pred_mode[sl].copy(), p.intra_mode_y[sl].copy(),
+             p.intra_mode_c[sl].copy(), p.tu_log2[sl].copy(),
+             p.tu_id[sl].copy(), p.cu_id[sl].copy(), p.pu_id[sl].copy(),
+             p.cbf_y[sl].copy(), p.cbf_cb[sl].copy(), p.cbf_cr[sl].copy(),
+             p.cu_size_log2[sl].copy(),
+             p.coeff_y[ll].copy(), p.coeff_cb[cl].copy(),
+             p.coeff_cr[cl].copy()],
+            list(self.next_id),
+        )
+
+    def _restore(self, x0, y0, size, state):
+        p = self.plan
+        sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
+        cl = (slice(y0 >> 1, (y0 + size) >> 1), slice(x0 >> 1, (x0 + size) >> 1))
+        ll = (slice(y0, y0 + size), slice(x0, x0 + size))
+        rec, pl, ids = state
+        self.recon[0][ll], self.recon[1][cl], self.recon[2][cl] = \
+            rec[0].copy(), rec[1].copy(), rec[2].copy()
+        (p.ct_depth[sl], p.part_mode[sl], p.cu_pred_mode[sl],
+         p.intra_mode_y[sl], p.intra_mode_c[sl], p.tu_log2[sl],
+         p.tu_id[sl], p.cu_id[sl], p.pu_id[sl], p.cbf_y[sl], p.cbf_cb[sl],
+         p.cbf_cr[sl], p.cu_size_log2[sl], p.coeff_y[ll], p.coeff_cb[cl],
+         p.coeff_cr[cl]) = [a.copy() for a in pl]
+        self.next_id = list(ids)
+
+    # ------------------------------------------------------------------
+    def _encode_cu(self, x0, y0, log2, depth) -> float:
+        """Commit the best 2Nx2N intra CU at (x0, y0); returns RD cost."""
+        from turingcodec_tpu.decode.ctu_parse import _intra_mpm
+
+        plan, sps = self.plan, self.sps
+        size = 1 << log2
+        sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
+        plan.ct_depth[sl] = depth
+        plan.cu_pred_mode[sl] = 1
+        plan.part_mode[sl] = 0
+        plan.cu_size_log2[sl] = log2
+        plan.cu_id[sl] = self.next_id[0]
+        plan.pu_id[sl] = self.next_id[1]
+        self.next_id[0] += 1
+        self.next_id[1] += 1
+
+        orig_y = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
+
+        # SATD sweep over all 35 modes from current reconstruction
+        rt, rl, corner = self.refs.build(self.recon[0], x0, y0, size, 0, self.bd)
+        sat_costs = []
+
+        class _PS:
+            pass
+        ps = _PS()
+        ps.plan, ps.geom, ps.sps = plan, self.geom, sps
+        mpm = _intra_mpm(ps, x0, y0)
+        from turingcodec_tpu.ops.metrics import satd_np
+        for mode in range(35):
+            frt, frl, fc = filter_reference_samples(
+                rt, rl, corner, size, mode,
+                bool(sps.strong_intra_smoothing_enabled_flag), self.bd)
+            pred = intra_predict(mode, frt, frl, fc, size, 0, self.bd)
+            satd = satd_np(orig_y, pred, 8 if size >= 8 else 4)
+            mode_bits = 2 if mode in mpm else 6
+            sat_costs.append((satd + self.lam_bits * mode_bits, mode, pred))
+        sat_costs.sort(key=lambda t: t[0])
+        cands = [t[1] for t in sat_costs[: self.rd_candidates]]
+        if 0 not in cands and len(cands) >= 2:
+            cands[-1] = 0  # always try planar
+
+        best = None
+        for mode in cands:
+            frt, frl, fc = filter_reference_samples(
+                rt, rl, corner, size, mode,
+                bool(sps.strong_intra_smoothing_enabled_flag), self.bd)
+            pred = intra_predict(mode, frt, frl, fc, size, 0, self.bd)
+            res = orig_y - pred
+            use_dst = log2 == 2
+            coeffs = forward_transform_np(res, self.bd, use_dst)
+            levels = quantize_np(coeffs, self.qp, self.bd, log2, True)
+            if levels.any():
+                d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
+                                  self.bd, log2)
+                rec_res = inverse_transform(d, self.bd, use_dst)
+                rec = np.clip(pred + rec_res, 0, (1 << self.bd) - 1)
+            else:
+                rec = np.clip(pred, 0, (1 << self.bd) - 1)
+            dist = float(((rec - orig_y) ** 2).sum())
+            rate = self._coeff_rate(levels) + (2 if mode in mpm else 6)
+            cost = dist + self.lam * rate
+            if best is None or cost < best[0]:
+                best = (cost, mode, levels, rec)
+
+        cost, mode, levels, rec = best
+        plan.intra_mode_y[sl] = mode
+        plan.intra_mode_c[sl] = mode  # DM chroma
+        plan.tu_log2[sl] = log2
+        plan.tu_id[sl] = self.next_id[2]
+        self.next_id[2] += 1
+        plan.coeff_y[y0:y0 + size, x0:x0 + size] = levels
+        plan.cbf_y[sl] = int(levels.any())
+        self.recon[0][y0:y0 + size, x0:x0 + size] = rec
+
+        # chroma (DM mode, half res)
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        clog2 = log2 - 1
+        total_crate = 0.0
+        for c_idx, (plane_o, plane_r, coeffp, cbfp, qp) in enumerate((
+                (self.orig[1], self.recon[1], plan.coeff_cb, plan.cbf_cb,
+                 self.qp_cb),
+                (self.orig[2], self.recon[2], plan.coeff_cr, plan.cbf_cr,
+                 self.qp_cr))):
+            rt_c, rl_c, c_c = self.refs.build(plane_r, cx, cy, cs, 1,
+                                              sps.bit_depth_c)
+            pred = intra_predict(mode, rt_c, rl_c, c_c, cs, 1, sps.bit_depth_c)
+            res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
+            coeffs = forward_transform_np(res, sps.bit_depth_c, False)
+            levels = quantize_np(coeffs, qp, sps.bit_depth_c, clog2, True)
+            if levels.any():
+                d = dequant_block(levels, qp + sps.qp_bd_offset_c,
+                                  sps.bit_depth_c, clog2)
+                rec_res = inverse_transform(d, sps.bit_depth_c, False)
+                rec_c = np.clip(pred + rec_res, 0, (1 << sps.bit_depth_c) - 1)
+            else:
+                rec_c = np.clip(pred, 0, (1 << sps.bit_depth_c) - 1)
+            coeffp[cy:cy + cs, cx:cx + cs] = levels
+            cbfp[sl] = int(levels.any())
+            dist_c = float(((rec_c - plane_o[cy:cy + cs, cx:cx + cs]) ** 2).sum())
+            total_crate += self._coeff_rate(levels)
+            cost += dist_c + self.lam * self._coeff_rate(levels)
+            plane_r[cy:cy + cs, cx:cx + cs] = rec_c
+        return cost
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _coeff_rate(levels: np.ndarray) -> float:
+        """Cheap rate proxy in bits: per-coefficient Golomb-ish cost."""
+        a = np.abs(levels)
+        nz = a > 0
+        if not nz.any():
+            return 1.0
+        bits = 1.5 * nz.sum() + np.sum(2 * np.log2(a[nz] + 1)) + 8
+        return float(bits)

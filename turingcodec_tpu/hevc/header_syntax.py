@@ -349,6 +349,27 @@ def parse_vps(br: BitReader) -> Vps:
     return v
 
 
+def write_vps(bw: BitWriter, v: Vps):
+    bw.u(v.vps_video_parameter_set_id, 4)
+    bw.u(v.vps_base_layer_internal_flag, 1)
+    bw.u(v.vps_base_layer_available_flag, 1)
+    bw.u(v.vps_max_layers_minus1, 6)
+    bw.u(v.vps_max_sub_layers_minus1, 3)
+    bw.u(v.vps_temporal_id_nesting_flag, 1)
+    bw.u(0xFFFF, 16)
+    write_ptl(bw, v.ptl, v.vps_max_sub_layers_minus1)
+    bw.u(v.vps_sub_layer_ordering_info_present_flag, 1)
+    for i in range(len(v.vps_max_dec_pic_buffering_minus1)):
+        bw.ue(v.vps_max_dec_pic_buffering_minus1[i])
+        bw.ue(v.vps_max_num_reorder_pics[i])
+        bw.ue(v.vps_max_latency_increase_plus1[i])
+    bw.u(v.vps_max_layer_id, 6)
+    bw.ue(v.vps_num_layer_sets_minus1)
+    bw.u(0, 1)  # vps_timing_info_present_flag
+    bw.u(0, 1)  # vps_extension_flag
+    bw.rbsp_trailing_bits()
+
+
 def parse_sps(br: BitReader) -> Sps:
     s = Sps()
     s.sps_video_parameter_set_id = br.u(4)
