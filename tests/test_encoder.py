@@ -1,0 +1,98 @@
+"""Encoder round-trip oracle (SURVEY.md §4.2 analogue): the written stream
+must decode — in our own decoder — to exactly the encoder's reconstruction,
+and the writer must be the exact inverse of the parser."""
+import numpy as np
+import pytest
+
+from turingcodec_tpu.decode.decoder import Decoder
+from turingcodec_tpu.encode.encoder import Encoder, EncoderConfig
+
+
+def _synthetic_frame(w, h, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 64 * np.sin(xx / 17.0) * np.cos(yy / 11.0)
+         + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.int16)
+    cb = (128 + 32 * np.sin(xx[::2, ::2] / 23.0)).clip(0, 255).astype(np.int16)
+    cr = (128 + 32 * np.cos(yy[::2, ::2] / 19.0)).clip(0, 255).astype(np.int16)
+    return [y, cb, cr]
+
+
+@pytest.mark.parametrize("qp", [22, 32, 40])
+def test_intra_roundtrip(qp):
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=qp, rd_candidates=2)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    for i in range(2):
+        nal, recon = enc.encode_frame(_synthetic_frame(w, h, i))
+        stream += nal
+        recons.append(recon)
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 2
+    for f, recon in zip(frames, recons):
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_intra_quality():
+    """PSNR sanity: QP22 encode of smooth content is > 38 dB."""
+    w, h = 128, 64
+    frame = _synthetic_frame(w, h, 0)
+    cfg = EncoderConfig(width=w, height=h, qp=22, rd_candidates=2)
+    enc = Encoder(cfg)
+    _, recon = enc.encode_frame(frame)
+    mse = ((recon[0].astype(float) - frame[0].astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255 ** 2 / mse)
+    assert psnr > 38.0, psnr
+
+
+def test_writer_parser_inverse():
+    """parse(write(plan)) reproduces the plan's decision tensors."""
+    from turingcodec_tpu.bitstream.reader import BitReader, iter_nal_units
+    from turingcodec_tpu.hevc import types as T
+    from turingcodec_tpu.hevc.header_syntax import (
+        parse_pps, parse_slice_segment_header, parse_sps, parse_vps)
+    from turingcodec_tpu.hevc.params import ParamSets
+    from turingcodec_tpu.hevc.geometry import PictureGeometry
+    from turingcodec_tpu.decode.plan import PicturePlan
+    from turingcodec_tpu.decode.slice_data import parse_slice_segment_data
+
+    w, h = 64, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=2)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    frame = _synthetic_frame(w, h, 3)
+    nal, _ = enc.encode_frame(frame)
+    stream += nal
+
+    ps = ParamSets()
+    plan2 = None
+    for nal_u in iter_nal_units(stream):
+        br = BitReader(nal_u.rbsp)
+        if nal_u.nal_unit_type == T.NalUnitType.VPS_NUT:
+            parse_vps(br)
+        elif nal_u.nal_unit_type == T.NalUnitType.SPS_NUT:
+            s = parse_sps(br)
+            ps.sps[0] = s
+        elif nal_u.nal_unit_type == T.NalUnitType.PPS_NUT:
+            p = parse_pps(br)
+            ps.pps[0] = p
+        else:
+            sh = parse_slice_segment_header(
+                br, nal_u.nal_unit_type, 0, ps)
+            sps, pps = ps.activate(0)
+            geom = PictureGeometry(sps, pps)
+            plan2 = PicturePlan(sps, pps)
+            plan2.slice_headers.append(sh)
+            parse_slice_segment_data(plan2, geom, sh, nal_u.rbsp,
+                                     (br.pos + 7) & ~7, 0)
+    # compare decision tensors against the encoder's plan
+    plan1 = enc._last_plan
+    for name in ("ct_depth", "cu_pred_mode", "part_mode", "intra_mode_y",
+                 "intra_mode_c", "tu_log2", "cbf_y", "cbf_cb", "cbf_cr",
+                 "coeff_y", "coeff_cb", "coeff_cr"):
+        np.testing.assert_array_equal(
+            getattr(plan1, name), getattr(plan2, name), err_msg=name)

@@ -167,6 +167,7 @@ class Encoder:
         recon = [p.copy() for p in search_recon]
         deblock_picture(plan, self.geom, recon[0], recon[1], recon[2])
         self.frame_count += 1
+        self._last_plan = plan
         return nal, recon
 
 
