@@ -494,7 +494,13 @@ def prediction_unit(ps: SliceParseContext, x0: int, y0: int, w: int, h: int,
                     ctx_index("mvp_flag"))
     pu_id = ps.next_id[1]
     ps.next_id[1] += 1
-    plan.pu_id[y0 >> 2:(y0 + h) >> 2, x0 >> 2:(x0 + w) >> 2] = pu_id
+    reg = (slice(y0 >> 2, (y0 + h) >> 2), slice(x0 >> 2, (x0 + w) >> 2))
+    plan.pu_id[reg] = pu_id
+    plan.merge_flag[reg] = int(pu_syntax["merge"])
+    plan.merge_idx[reg] = pu_syntax["merge_idx"]
+    for lx in (0, 1):
+        plan.mvd[(lx,) + reg] = pu_syntax["mvd"][lx]
+        plan.mvp_flag[(lx,) + reg] = pu_syntax["mvp_flag"][lx]
     if ps.inter_hook is not None:
         ps.inter_hook(ps, x0, y0, w, h, part_idx, n_parts, pu_syntax)
 

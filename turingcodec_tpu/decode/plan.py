@@ -39,6 +39,11 @@ class PicturePlan:
     intra_mode_c: np.ndarray = None
     mv: np.ndarray = None              # (2, H4, W4, 2) int16 quarter-pel (x, y)
     ref_idx: np.ndarray = None         # (2, H4, W4) int8, -1 = not used
+    # PU syntax record (for encoder writing / plan round-trips)
+    merge_flag: np.ndarray = None
+    merge_idx: np.ndarray = None
+    mvd: np.ndarray = None             # (2, H4, W4, 2) int16
+    mvp_flag: np.ndarray = None        # (2, H4, W4)
     ref_poc: np.ndarray = None         # (2, H4, W4) int32 POC of the ref (for TMVP/deblock)
     ref_is_lt: np.ndarray = None       # (2, H4, W4) uint8 long-term flag
     qp_y: np.ndarray = None            # int8 per block
@@ -83,6 +88,10 @@ class PicturePlan:
         self.intra_mode_c = z4(np.uint8)
         self.mv = np.zeros((2, h4, w4, 2), np.int16)
         self.ref_idx = np.full((2, h4, w4), -1, np.int8)
+        self.merge_flag = z4(np.uint8)
+        self.merge_idx = z4(np.uint8)
+        self.mvd = np.zeros((2, h4, w4, 2), np.int16)
+        self.mvp_flag = np.zeros((2, h4, w4), np.uint8)
         self.ref_poc = np.zeros((2, h4, w4), np.int32)
         self.ref_is_lt = np.zeros((2, h4, w4), np.uint8)
         self.qp_y = z4(np.int8)

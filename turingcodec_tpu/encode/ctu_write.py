@@ -186,10 +186,27 @@ def write_coding_unit(ws: SliceWriteContext, x0, y0, log2_size, depth):
     if pps.transquant_bypass_enabled_flag:
         enc.encode_decision(ctx_index("cu_transquant_bypass_flag"),
                             int(cu.tq_bypass))
-    if not sh.is_i:
-        raise NotImplementedError("inter writing lands with the inter encoder")
 
-    # pred_mode implicit (intra) for I slices
+    if not sh.is_i:
+        skip = bool(plan.skip_flag[b])
+        inc = 0
+        if ws.geom.available(plan.slice_idx, x0, y0, x0 - 1, y0):
+            inc += int(plan.skip_flag[y0 >> 2, (x0 - 1) >> 2])
+        if ws.geom.available(plan.slice_idx, x0, y0, x0, y0 - 1):
+            inc += int(plan.skip_flag[(y0 - 1) >> 2, x0 >> 2])
+        enc.encode_decision(ctx_index("cu_skip_flag", inc), int(skip))
+        if skip:
+            cu.pred_mode = 0
+            if sh.max_num_merge_cand > 1:
+                _write_merge_idx(ws, x0, y0)
+            return
+        enc.encode_decision(ctx_index("pred_mode_flag"), int(cu.pred_mode))
+
+    if cu.pred_mode == 0:
+        _write_inter_cu(ws, cu)
+        return
+
+    # intra path
     cu.part_mode = int(plan.part_mode[b])
     part_nxn = cu.part_mode == T.PART_NxN
     cu.intra_split = 1 if part_nxn else 0
@@ -202,6 +219,106 @@ def write_coding_unit(ws: SliceWriteContext, x0, y0, log2_size, depth):
     _write_intra_modes(ws, cu)
     cu.max_trafo_depth = sps.max_transform_hierarchy_depth_intra + cu.intra_split
     write_transform_tree(ws, x0, y0, x0, y0, log2_size, 0, 0, 1, 1)
+
+
+def _write_merge_idx(ws: SliceWriteContext, x0, y0):
+    enc, sh = ws.enc, ws.sh
+    idx = int(ws.plan.merge_idx[y0 >> 2, x0 >> 2])
+    c_max = sh.max_num_merge_cand - 1
+    enc.encode_decision(ctx_index("merge_idx"), 1 if idx else 0)
+    if idx:
+        for _ in range(idx - 1):
+            enc.encode_bypass(1)
+        if idx < c_max:
+            enc.encode_bypass(0)
+
+
+def _write_inter_cu(ws: SliceWriteContext, cu):
+    """Inter CU: part_mode + per-PU syntax + transform tree.
+
+    Round-1 scope: PART_2Nx2N only (one PU)."""
+    enc, plan, sh, sps = ws.enc, ws.plan, ws.sh, ws.sps
+    x0, y0, log2 = cu.x0, cu.y0, cu.log2_size
+    b = (y0 >> 2, x0 >> 2)
+    cu.part_mode = int(plan.part_mode[b])
+    assert cu.part_mode == T.PART_2Nx2N, "inter partitions beyond 2Nx2N TODO"
+    enc.encode_decision(ctx_index("part_mode", 0), 1)
+
+    size = 1 << log2
+    merge = bool(plan.merge_flag[b])
+    enc.encode_decision(ctx_index("merge_flag"), int(merge))
+    if merge:
+        if sh.max_num_merge_cand > 1:
+            _write_merge_idx(ws, x0, y0)
+    else:
+        if sh.is_b:
+            r0 = int(plan.ref_idx[0, b[0], b[1]])
+            r1 = int(plan.ref_idx[1, b[0], b[1]])
+            ipi = (1 if r0 >= 0 else 0) | (2 if r1 >= 0 else 0)
+            if size + size != 12:
+                enc.encode_decision(
+                    ctx_index("inter_pred_idc", cu.ct_depth),
+                    1 if ipi == 3 else 0)
+            if ipi != 3:
+                enc.encode_decision(ctx_index("inter_pred_idc", 4),
+                                    1 if ipi == 2 else 0)
+        else:
+            ipi = 1
+        for lx in (0, 1):
+            if not (ipi & (1 << lx)):
+                continue
+            nref = (sh.num_ref_idx_l0_active_minus1 if lx == 0
+                    else sh.num_ref_idx_l1_active_minus1)
+            r = int(plan.ref_idx[lx, b[0], b[1]])
+            if nref > 0:
+                # TR: bins 0/1 context-coded (inc 0, 1), rest bypass
+                for k in range(r):
+                    if k < 2:
+                        enc.encode_decision(ctx_index("ref_idx", k), 1)
+                    else:
+                        enc.encode_bypass(1)
+                if r < nref:
+                    if r < 2:
+                        enc.encode_decision(ctx_index("ref_idx", r), 0)
+                    else:
+                        enc.encode_bypass(0)
+            if lx == 1 and sh.mvd_l1_zero_flag and ipi == 3:
+                pass
+            else:
+                _write_mvd(ws, int(plan.mvd[lx, b[0], b[1], 0]),
+                           int(plan.mvd[lx, b[0], b[1], 1]))
+            enc.encode_decision(ctx_index("mvp_flag"),
+                                int(plan.mvp_flag[lx, b[0], b[1]]))
+
+    # rqt_root_cbf
+    has_coeff = bool(
+        plan.coeff_y[y0:y0 + size, x0:x0 + size].any()
+        or plan.coeff_cb[y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1].any()
+        or plan.coeff_cr[y0 >> 1:(y0 + size) >> 1, x0 >> 1:(x0 + size) >> 1].any())
+    if not (cu.part_mode == T.PART_2Nx2N and merge):
+        enc.encode_decision(ctx_index("rqt_root_cbf"), int(has_coeff))
+    else:
+        assert has_coeff, "merge 2Nx2N without residual must be skip"
+    if has_coeff:
+        cu.intra_split = 0
+        cu.max_trafo_depth = sps.max_transform_hierarchy_depth_inter
+        write_transform_tree(ws, x0, y0, x0, y0, log2, 0, 0, 1, 1)
+
+
+def _write_mvd(ws: SliceWriteContext, mx, my):
+    enc = ws.enc
+    ax, ay = abs(mx), abs(my)
+    enc.encode_decision(ctx_index("abs_mvd_greater0_flag"), int(ax > 0))
+    enc.encode_decision(ctx_index("abs_mvd_greater0_flag"), int(ay > 0))
+    if ax > 0:
+        enc.encode_decision(ctx_index("abs_mvd_greater1_flag"), int(ax > 1))
+    if ay > 0:
+        enc.encode_decision(ctx_index("abs_mvd_greater1_flag"), int(ay > 1))
+    for v, a in ((mx, ax), (my, ay)):
+        if a > 0:
+            if a > 1:
+                enc.encode_egk_bypass(a - 2, 1)
+            enc.encode_bypass(1 if v < 0 else 0)
 
 
 def _write_intra_modes(ws: SliceWriteContext, cu):

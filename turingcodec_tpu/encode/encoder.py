@@ -43,6 +43,9 @@ class EncoderConfig:
     min_cb_log2: int = 3
     rd_candidates: int = 3
     max_cu_log2: int = 5
+    intra_period: int = 0   # 0 = only first frame is IDR (low-delay P)
+    all_intra: bool = False
+    search_range: int = 48
     verify_recon: bool = True  # assert search recon == plan-replay recon
 
 
@@ -56,6 +59,8 @@ class Encoder:
         self.vps = self._setup_vps()
         self.geom = PictureGeometry(self.sps, self.pps)
         self.frame_count = 0
+        self._poc = 0
+        self._prev_ref = None
 
     # ------------------------------------------------------------------
     def _setup_ptl(self) -> ProfileTierLevel:
@@ -94,6 +99,8 @@ class Encoder:
         s.long_term_ref_pics_present_flag = 0
         s.sps_temporal_mvp_enabled_flag = 0
         s.strong_intra_smoothing_enabled_flag = 1
+        if not self.cfg.all_intra:
+            s.sps_max_dec_pic_buffering_minus1 = [2]
         return s
 
     def _setup_pps(self) -> Pps:
@@ -129,26 +136,62 @@ class Encoder:
         out += wrap_nal(T.NalUnitType.PPS_NUT, bw.get_bytes())
         return out
 
-    def _slice_header(self) -> SliceSegmentHeader:
+    def _slice_header(self, is_idr: bool, poc: int) -> SliceSegmentHeader:
+        from turingcodec_tpu.hevc.params import ShortTermRefPicSet
+
         sh = SliceSegmentHeader()
-        sh.nal_unit_type = T.NalUnitType.IDR_W_RADL
-        sh.slice_type = 2
+        sh.first_slice_segment_in_pic_flag = 1
         sh.slice_qp_delta = 0
         sh.slice_qp_y = 26 + self.pps.init_qp_minus26
-        sh.first_slice_segment_in_pic_flag = 1
         sh.slice_sao_luma_flag = 0
         sh.slice_sao_chroma_flag = 0
         sh.slice_deblocking_filter_disabled_flag = 0
         sh.num_entry_point_offsets = 0
+        if is_idr:
+            sh.nal_unit_type = T.NalUnitType.IDR_W_RADL
+            sh.slice_type = 2
+        else:
+            sh.nal_unit_type = T.NalUnitType.TRAIL_R
+            sh.slice_type = 1  # P
+            sh.slice_pic_order_cnt_lsb = poc % self.sps.max_pic_order_cnt_lsb
+            sh.short_term_ref_pic_set_sps_flag = 0
+            sh.explicit_rps = ShortTermRefPicSet(
+                delta_poc_s0=[-1], used_s0=[1])
+            sh.num_ref_idx_l0_active_minus1 = \
+                self.pps.num_ref_idx_l0_default_active_minus1
+            sh.five_minus_max_num_merge_cand = 0
+            sh.max_num_merge_cand = 5
         return sh
 
     # ------------------------------------------------------------------
     def encode_frame(self, yuv: List[np.ndarray]) -> tuple:
         """Encode one frame; returns (nal_bytes, recon_planes)."""
-        sh = self._slice_header()
-        enc = IntraPictureEncoder(self.sps, self.pps, sh, self.geom,
-                                  rd_candidates=self.cfg.rd_candidates,
-                                  max_cu_log2=self.cfg.max_cu_log2)
+        from turingcodec_tpu.decode.dpb import DecodedPicture
+        from turingcodec_tpu.encode.inter_search import InterPictureEncoder
+
+        idx = self.frame_count
+        if self.cfg.all_intra:
+            is_idr = True
+        elif self.cfg.intra_period:
+            is_idr = (idx % self.cfg.intra_period) == 0
+        else:
+            is_idr = idx == 0
+        if is_idr:
+            self._poc = 0
+            self._prev_ref = None
+        poc = self._poc
+        sh = self._slice_header(is_idr, poc)
+        if is_idr or self._prev_ref is None:
+            enc = IntraPictureEncoder(self.sps, self.pps, sh, self.geom,
+                                      rd_candidates=self.cfg.rd_candidates,
+                                      max_cu_log2=self.cfg.max_cu_log2)
+        else:
+            enc = InterPictureEncoder(
+                self.sps, self.pps, sh, self.geom,
+                [[self._prev_ref], []], poc,
+                rd_candidates=self.cfg.rd_candidates,
+                max_cu_log2=self.cfg.max_cu_log2,
+                search_range=self.cfg.search_range)
         plan, search_recon = enc.encode_picture(yuv)
 
         # bitstream: slice header + CABAC slice data
@@ -164,8 +207,14 @@ class Encoder:
         # actual decode of the written bitstream is asserted by the
         # round-trip tests (the signature.cpp:171-177 invariant).
         from turingcodec_tpu.decode.deblock import deblock_picture
+        from turingcodec_tpu.decode.dpb import DecodedPicture
         recon = [p.copy() for p in search_recon]
         deblock_picture(plan, self.geom, recon[0], recon[1], recon[2])
+        ref = DecodedPicture(poc=poc)
+        ref.planes = recon
+        ref.plan = plan
+        self._prev_ref = ref
+        self._poc = poc + 1
         self.frame_count += 1
         self._last_plan = plan
         return nal, recon

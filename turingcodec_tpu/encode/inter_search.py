@@ -1,0 +1,346 @@
+"""Inter picture encoding: motion estimation + merge/skip/AMVP decision,
+built on top of the intra search (intra remains the fallback mode).
+
+Parity reference: turing/Search.hpp fullPelMotionEstimation (2064),
+subPelRefinement (2340), searchMerge2Nx2N (925) — recast as pattern search
+with explicit candidate cost λ·SAD + rate(mvd) (same cost model).
+Round-1 scope: P slices, 2Nx2N PUs, one reference.
+"""
+from __future__ import annotations
+
+import math
+from typing import List
+
+import numpy as np
+
+from turingcodec_tpu.hevc import types as T
+from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
+from turingcodec_tpu.decode.inter_pred import interp_chroma, interp_luma
+from turingcodec_tpu.decode.mvp import InterDeriver, MotionCand
+from turingcodec_tpu.decode.reconstruct import dequant_block, inverse_transform
+from turingcodec_tpu.encode.intra_search import (
+    IntraPictureEncoder,
+    quantize_np,
+)
+from turingcodec_tpu.ops.transform import forward_transform_np
+
+
+def _mv_bits(mvd_x: int, mvd_y: int) -> float:
+    """Approximate mvd rate in bits (EG1-ish)."""
+    def b(v):
+        a = abs(v)
+        if a == 0:
+            return 1.0
+        return 3.0 + 2.0 * math.floor(math.log2(a + 1))
+    return b(mvd_x) + b(mvd_y)
+
+
+class _DpbView:
+    """Adapter: the InterDeriver expects a dpb with ref_pic_list."""
+
+    def __init__(self, ref_lists):
+        self.ref_pic_list = ref_lists
+
+
+class InterPictureEncoder(IntraPictureEncoder):
+    def __init__(self, sps, pps, sh, geom, ref_lists, cur_poc,
+                 rd_candidates=2, max_cu_log2=5, search_range=48):
+        super().__init__(sps, pps, sh, geom, rd_candidates, max_cu_log2)
+        self.ref_lists = ref_lists
+        self.cur_poc = cur_poc
+        self.search_range = search_range
+        # HM P-frame lambda
+        self.lam = 0.85 * (2.0 ** ((self.qp - 12) / 3.0))
+        self.lam_bits = self.lam
+        self.lam_me = math.sqrt(self.lam)
+
+    def encode_picture(self, orig, slice_number=0):
+        self.deriver = None  # created lazily (needs plan)
+        return super().encode_picture(orig, slice_number)
+
+    # ------------------------------------------------------------------
+    def _get_deriver(self) -> InterDeriver:
+        if self.deriver is None:
+            self.deriver = InterDeriver(self.plan, self.geom, self.sh,
+                                        _DpbView(self.ref_lists), self.cur_poc)
+        return self.deriver
+
+    # ------------------------------------------------------------------
+    def _encode_cu(self, x0, y0, log2, depth) -> float:
+        """Try inter (skip/merge/AMVP) and intra; commit the best."""
+        if self.sh.is_i:
+            return super()._encode_cu(x0, y0, log2, depth)
+        size = 1 << log2
+        state = self._snapshot(x0, y0, size)
+        cost_inter = self._encode_inter_cu(x0, y0, log2, depth)
+        inter_state = self._snapshot(x0, y0, size)
+        self._restore(x0, y0, size, state)
+        cost_intra = super()._encode_cu(x0, y0, log2, depth) \
+            + self.lam_bits * 2  # pred_mode flag bits
+        if cost_inter <= cost_intra:
+            self._restore(x0, y0, size, inter_state)
+            return cost_inter
+        return cost_intra
+
+    def _snapshot(self, x0, y0, size):
+        base = super()._snapshot(x0, y0, size)
+        p = self.plan
+        sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
+        extra = [p.skip_flag[sl].copy(), p.merge_flag[sl].copy(),
+                 p.merge_idx[sl].copy(),
+                 p.mv[(slice(None),) + sl].copy(),
+                 p.ref_idx[(slice(None),) + sl].copy(),
+                 p.ref_poc[(slice(None),) + sl].copy(),
+                 p.mvd[(slice(None),) + sl].copy(),
+                 p.mvp_flag[(slice(None),) + sl].copy()]
+        return base + (extra,)
+
+    def _restore(self, x0, y0, size, state):
+        super()._restore(x0, y0, size, state[:3])
+        p = self.plan
+        sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
+        extra = state[3]
+        (p.skip_flag[sl], p.merge_flag[sl], p.merge_idx[sl],
+         p.mv[(slice(None),) + sl], p.ref_idx[(slice(None),) + sl],
+         p.ref_poc[(slice(None),) + sl], p.mvd[(slice(None),) + sl],
+         p.mvp_flag[(slice(None),) + sl]) = [a.copy() for a in extra]
+
+    # ------------------------------------------------------------------
+    def _mc(self, ref_pic, mv, x0, y0, w, h):
+        """Uni-directional motion compensation (final clipped samples)."""
+        sps = self.sps
+        mvx, mvy = int(mv[0]), int(mv[1])
+        ry, rcb, rcr = ref_pic.planes
+        py = interp_luma(ry, x0 + (mvx >> 2), y0 + (mvy >> 2), mvx & 3,
+                         mvy & 3, w, h, self.bd)
+        sh4 = 14 - self.bd
+        y = np.clip((py + (1 << (sh4 - 1))) >> sh4, 0, (1 << self.bd) - 1)
+        xc, yc = x0 >> 1, y0 >> 1
+        pcb = interp_chroma(rcb, xc + (mvx >> 3), yc + (mvy >> 3), mvx & 7,
+                            mvy & 7, w >> 1, h >> 1, sps.bit_depth_c)
+        pcr = interp_chroma(rcr, xc + (mvx >> 3), yc + (mvy >> 3), mvx & 7,
+                            mvy & 7, w >> 1, h >> 1, sps.bit_depth_c)
+        shc = 14 - sps.bit_depth_c
+        cb = np.clip((pcb + (1 << (shc - 1))) >> shc, 0,
+                     (1 << sps.bit_depth_c) - 1)
+        cr = np.clip((pcr + (1 << (shc - 1))) >> shc, 0,
+                     (1 << sps.bit_depth_c) - 1)
+        return y, cb, cr
+
+    # ------------------------------------------------------------------
+    def _full_pel_search(self, orig, ref_plane, x0, y0, size, mvp):
+        """Diamond/step pattern integer search; returns best int MV (in
+        full-pel units) minimizing SAD + lam_me * mvd bits."""
+        h, w = ref_plane.shape
+
+        def sad_at(ix, iy):
+            ys = np.clip(np.arange(y0 + iy, y0 + iy + size), 0, h - 1)
+            xs = np.clip(np.arange(x0 + ix, x0 + ix + size), 0, w - 1)
+            blk = ref_plane[np.ix_(ys, xs)].astype(np.int32)
+            return float(np.abs(orig - blk).sum())
+
+        def cost(ix, iy):
+            return sad_at(ix, iy) + self.lam_me * _mv_bits(
+                4 * ix - mvp[0], 4 * iy - mvp[1])
+
+        # seeds: zero and mvp
+        seeds = {(0, 0), (mvp[0] >> 2, mvp[1] >> 2)}
+        best = None
+        for s in seeds:
+            c = cost(*s)
+            if best is None or c < best[0]:
+                best = (c, s)
+        step = 16
+        sr = self.search_range
+        while step >= 1:
+            improved = True
+            while improved:
+                improved = False
+                bx, by = best[1]
+                for (dx, dy) in ((step, 0), (-step, 0), (0, step), (0, -step),
+                                 (step, step), (-step, -step),
+                                 (step, -step), (-step, step)):
+                    nx, ny = bx + dx, by + dy
+                    if abs(nx) > sr or abs(ny) > sr:
+                        continue
+                    c = cost(nx, ny)
+                    if c < best[0]:
+                        best = (c, (nx, ny))
+                        improved = True
+            step >>= 1
+        return best[1], best[0]
+
+    def _sub_pel_refine(self, orig, ref_pic, x0, y0, size, int_mv, mvp):
+        """Half then quarter pel 8-neighbour refinement on SATD."""
+        from turingcodec_tpu.ops.metrics import satd_np
+        best_mv = (int_mv[0] * 4, int_mv[1] * 4)
+
+        def cost(mv):
+            mvx, mvy = mv
+            p = interp_luma(ref_pic.planes[0], x0 + (mvx >> 2),
+                            y0 + (mvy >> 2), mvx & 3, mvy & 3,
+                            size, size, self.bd)
+            sh4 = 14 - self.bd
+            pred = np.clip((p + (1 << (sh4 - 1))) >> sh4, 0,
+                           (1 << self.bd) - 1)
+            return (satd_np(orig, pred, 8 if size >= 8 else 4)
+                    + self.lam_me * _mv_bits(mvx - mvp[0], mvy - mvp[1]))
+
+        best = (cost(best_mv), best_mv)
+        for step in (2, 1):
+            bx, by = best[1]
+            for (dx, dy) in ((step, 0), (-step, 0), (0, step), (0, -step),
+                             (step, step), (-step, -step), (step, -step),
+                             (-step, step)):
+                mv = (bx + dx, by + dy)
+                c = cost(mv)
+                if c < best[0]:
+                    best = (c, mv)
+        return best[1]
+
+    # ------------------------------------------------------------------
+    def _encode_inter_cu(self, x0, y0, log2, depth) -> float:
+        plan, sps, sh = self.plan, self.sps, self.sh
+        size = 1 << log2
+        sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
+        orig_y = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        orig_cb = self.orig[1][cy:cy + cs, cx:cx + cs].astype(np.int32)
+        orig_cr = self.orig[2][cy:cy + cs, cx:cx + cs].astype(np.int32)
+
+        # plan fields common to all inter choices
+        plan.ct_depth[sl] = depth
+        plan.cu_pred_mode[sl] = 0
+        plan.part_mode[sl] = T.PART_2Nx2N
+        plan.cu_size_log2[sl] = log2
+        plan.cu_id[sl] = self.next_id[0]
+        plan.pu_id[sl] = self.next_id[1]
+        self.next_id[0] += 1
+        self.next_id[1] += 1
+
+        deriver = self._get_deriver()
+        merge_cands = deriver.merge_candidates(
+            x0, y0, size, x0, y0, size, size, 0, T.PART_2Nx2N)
+
+        candidates = []  # (pred_cost_proxy, kind, info, pred_yuv)
+        seen = set()
+        for mi, c in enumerate(merge_cands):
+            key = (c.pred_flags, c.mv, c.ref_idx)
+            if key in seen:
+                continue
+            seen.add(key)
+            if not c.pred_flags[0]:
+                continue
+            ref = self.ref_lists[0][c.ref_idx[0]]
+            pred = self._mc(ref, c.mv[0], x0, y0, size, size)
+            candidates.append(("merge", mi, c, pred))
+
+        # motion estimation (AMVP)
+        mvps = deriver.amvp(x0, y0, size, size, 0, 0,
+                            (x0, y0, size, size, size, 0))
+        ref = self.ref_lists[0][0]
+        int_mv, _ = self._full_pel_search(orig_y, ref.planes[0], x0, y0,
+                                          size, mvps[0])
+        mv = self._sub_pel_refine(orig_y, ref, x0, y0, size, int_mv, mvps[0])
+        # choose mvp flag by mvd cost
+        bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
+        bits1 = _mv_bits(mv[0] - mvps[1][0], mv[1] - mvps[1][1])
+        mvp_flag = int(bits1 < bits0)
+        mvd = (mv[0] - mvps[mvp_flag][0], mv[1] - mvps[mvp_flag][1])
+        pred = self._mc(ref, mv, x0, y0, size, size)
+        candidates.append(("amvp", mvp_flag, (mv, mvd), pred))
+
+        best = None
+        for kind, idx, info, pred in candidates:
+            py, pcb, pcr = pred
+            # luma residual
+            res = orig_y - py
+            coeffs = forward_transform_np(res, self.bd, False)
+            levels = quantize_np(coeffs, self.qp, self.bd, log2, False)
+            if levels.any():
+                d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
+                                  self.bd, log2)
+                rec_y = np.clip(py + inverse_transform(d, self.bd, False),
+                                0, (1 << self.bd) - 1)
+            else:
+                rec_y = py
+            # chroma residual
+            recs_c = []
+            levels_c = []
+            for (o, p, qp) in ((orig_cb, pcb, self.qp_cb),
+                               (orig_cr, pcr, self.qp_cr)):
+                res_c = o - p
+                cf = forward_transform_np(res_c, sps.bit_depth_c, False)
+                lv = quantize_np(cf, qp, sps.bit_depth_c, log2 - 1, False)
+                if lv.any():
+                    dd = dequant_block(lv, qp + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, log2 - 1)
+                    rc = np.clip(p + inverse_transform(dd, sps.bit_depth_c,
+                                                       False),
+                                 0, (1 << sps.bit_depth_c) - 1)
+                else:
+                    rc = p
+                recs_c.append(rc)
+                levels_c.append(lv)
+
+            dist = float(((rec_y - orig_y) ** 2).sum()) \
+                + float(((recs_c[0] - orig_cb) ** 2).sum()) \
+                + float(((recs_c[1] - orig_cr) ** 2).sum())
+            rate = self._coeff_rate(levels) + self._coeff_rate(levels_c[0]) \
+                + self._coeff_rate(levels_c[1])
+            if kind == "merge":
+                rate += 1 + idx  # merge flag + idx proxy
+            else:
+                rate += 3 + _mv_bits(*info[1])
+            cost = dist + self.lam * rate
+            has_coeff = bool(levels.any() or levels_c[0].any()
+                             or levels_c[1].any())
+            if kind == "merge" and not has_coeff:
+                cost -= self.lam * (self._coeff_rate(levels) - 1)  # skip cheap
+            if best is None or cost < best[0]:
+                best = (cost, kind, idx, info, levels, levels_c,
+                        rec_y, recs_c, has_coeff)
+
+        (cost, kind, idx, info, levels, levels_c, rec_y, recs_c,
+         has_coeff) = best
+
+        # commit
+        if kind == "merge":
+            c = merge_cands[idx]
+            plan.merge_flag[sl] = 1
+            plan.merge_idx[sl] = idx
+            plan.skip_flag[sl] = int(not has_coeff)
+            pred_flags = c.pred_flags
+            for lx in (0, 1):
+                if pred_flags[lx]:
+                    plan.ref_idx[(lx,) + sl] = c.ref_idx[lx]
+                    plan.mv[(lx,) + sl] = c.mv[lx]
+                    plan.ref_poc[(lx,) + sl] = \
+                        self.ref_lists[lx][c.ref_idx[lx]].poc
+                else:
+                    plan.ref_idx[(lx,) + sl] = -1
+                    plan.mv[(lx,) + sl] = 0
+        else:
+            mv, mvd = info
+            plan.merge_flag[sl] = 0
+            plan.skip_flag[sl] = 0
+            plan.ref_idx[(0,) + sl] = 0
+            plan.mv[(0,) + sl] = mv
+            plan.ref_poc[(0,) + sl] = self.ref_lists[0][0].poc
+            plan.ref_idx[(1,) + sl] = -1
+            plan.mvd[(0,) + sl] = mvd
+            plan.mvp_flag[(0,) + sl] = mvp_flag
+
+        plan.tu_log2[sl] = min(log2, sps.max_tb_log2_size_y)
+        plan.tu_id[sl] = self.next_id[2]
+        self.next_id[2] += 1
+        plan.coeff_y[y0:y0 + size, x0:x0 + size] = levels
+        plan.coeff_cb[cy:cy + cs, cx:cx + cs] = levels_c[0]
+        plan.coeff_cr[cy:cy + cs, cx:cx + cs] = levels_c[1]
+        plan.cbf_y[sl] = int(levels.any())
+        plan.cbf_cb[sl] = int(levels_c[0].any())
+        plan.cbf_cr[sl] = int(levels_c[1].any())
+        self.recon[0][y0:y0 + size, x0:x0 + size] = rec_y
+        self.recon[1][cy:cy + cs, cx:cx + cs] = recs_c[0]
+        self.recon[2][cy:cy + cs, cx:cx + cs] = recs_c[1]
+        return cost

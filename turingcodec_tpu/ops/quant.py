@@ -13,8 +13,15 @@ import numpy as np
 
 from turingcodec_tpu.hevc.tables import LEVEL_SCALE, QUANT_SCALES
 
-_LEVEL_SCALE = jnp.asarray(np.asarray(LEVEL_SCALE))
-_QUANT_SCALES = jnp.asarray(np.asarray(QUANT_SCALES))
+def _select6(idx: jax.Array, values) -> jax.Array:
+    """6-way select chain: tiny-table gathers compile pathologically slowly
+    on the TPU backend in this environment (hundreds of seconds for a
+    6-entry lookup); a where-chain compiles instantly and vectorizes on
+    the VPU."""
+    out = jnp.full_like(idx, int(values[5]))
+    for k in range(4, -1, -1):
+        out = jnp.where(idx == k, int(values[k]), out)
+    return out.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "log2_size"))
@@ -27,7 +34,7 @@ def dequant_batch(coeffs: jax.Array, qp: jax.Array, bit_depth: int,
     int64 form because the rounding constant scales with the shift.
     """
     bd_shift = bit_depth + log2_size - 5
-    ls16 = _LEVEL_SCALE[qp % 6] * 16        # <= 1152: product fits int32
+    ls16 = _select6(qp % 6, LEVEL_SCALE) * 16   # <= 1152: fits int32
     shift = bd_shift - (qp // 6)            # (B,), may go negative
     sh_pos = jnp.maximum(shift, 0)
     sh_neg = jnp.maximum(-shift, 0)
@@ -51,7 +58,7 @@ def quant_batch(coeffs: jax.Array, qp: jax.Array, bit_depth: int,
     """
     t_shift = 15 - bit_depth - log2_size
     q_shift = 14 + (qp // 6) + t_shift
-    f = _QUANT_SCALES[qp % 6]
+    f = _select6(qp % 6, QUANT_SCALES)
     a = jnp.abs(coeffs).astype(jnp.int32)
     # |coeff| <= 2^15, f <= 26214: product < 2^30, +rounding stays in int32
     level = (a * f[:, None, None]
