@@ -37,6 +37,28 @@ def test_intra_roundtrip(qp):
             np.testing.assert_array_equal(a, b)
 
 
+def test_lowdelay_p_roundtrip():
+    """IDR + 2 P frames: decode must equal encoder recon bit-exactly."""
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=2,
+                        search_range=16)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    base = _synthetic_frame(w, h, 0)
+    for i in range(3):
+        # translate content to exercise motion estimation
+        f = [np.roll(p, i * 2, axis=1) for p in base]
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    frames = list(Decoder().decode_stream(stream))
+    assert len(frames) == 3
+    for f, recon in zip(frames, recons):
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_intra_quality():
     """PSNR sanity: QP22 encode of smooth content is > 38 dB."""
     w, h = 128, 64

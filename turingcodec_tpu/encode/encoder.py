@@ -43,8 +43,10 @@ class EncoderConfig:
     min_cb_log2: int = 3
     rd_candidates: int = 3
     max_cu_log2: int = 5
-    intra_period: int = 0   # 0 = only first frame is IDR (low-delay P)
+    intra_period: int = 0   # 0 = only first frame is IDR
     all_intra: bool = False
+    gop_m: int = 1          # 1 = low-delay P; 2/4/8 = hierarchical B
+    hierarchical_qp: bool = True
     search_range: int = 48
     verify_recon: bool = True  # assert search recon == plan-replay recon
 
@@ -59,8 +61,15 @@ class Encoder:
         self.vps = self._setup_vps()
         self.geom = PictureGeometry(self.sps, self.pps)
         self.frame_count = 0
-        self._poc = 0
-        self._prev_ref = None
+        from turingcodec_tpu.encode.gop import GopPlanner
+        from turingcodec_tpu.decode.dpb import Dpb
+        if cfg.all_intra:
+            self._planner = GopPlanner(1, intra_period=1, low_delay=True)
+        else:
+            self._planner = GopPlanner(cfg.gop_m, cfg.intra_period,
+                                       low_delay=cfg.gop_m == 1)
+        self._dpb = Dpb(self.sps)
+        self._inputs = {}
 
     # ------------------------------------------------------------------
     def _setup_ptl(self) -> ProfileTierLevel:
@@ -100,7 +109,10 @@ class Encoder:
         s.sps_temporal_mvp_enabled_flag = 0
         s.strong_intra_smoothing_enabled_flag = 1
         if not self.cfg.all_intra:
-            s.sps_max_dec_pic_buffering_minus1 = [2]
+            m = max(1, self.cfg.gop_m)
+            s.sps_max_dec_pic_buffering_minus1 = [m + 1]
+            s.sps_max_num_reorder_pics = [max(0, m - 1)]
+            s.sps_max_latency_increase_plus1 = [0]
         return s
 
     def _setup_pps(self) -> Pps:
@@ -136,93 +148,134 @@ class Encoder:
         out += wrap_nal(T.NalUnitType.PPS_NUT, bw.get_bytes())
         return out
 
-    def _slice_header(self, is_idr: bool, poc: int) -> SliceSegmentHeader:
+    def _slice_header(self, docket) -> SliceSegmentHeader:
         from turingcodec_tpu.hevc.params import ShortTermRefPicSet
 
         sh = SliceSegmentHeader()
         sh.first_slice_segment_in_pic_flag = 1
-        sh.slice_qp_delta = 0
-        sh.slice_qp_y = 26 + self.pps.init_qp_minus26
+        qp_off = docket.qp_offset if self.cfg.hierarchical_qp else 0
+        sh.slice_qp_delta = qp_off
+        sh.slice_qp_y = 26 + self.pps.init_qp_minus26 + qp_off
+        sh.temporal_id = 0  # written in NAL header separately if desired
         sh.slice_sao_luma_flag = 0
         sh.slice_sao_chroma_flag = 0
         sh.slice_deblocking_filter_disabled_flag = 0
         sh.num_entry_point_offsets = 0
-        if is_idr:
+        if docket.is_idr:
             sh.nal_unit_type = T.NalUnitType.IDR_W_RADL
             sh.slice_type = 2
-        else:
-            sh.nal_unit_type = T.NalUnitType.TRAIL_R
-            sh.slice_type = 1  # P
-            sh.slice_pic_order_cnt_lsb = poc % self.sps.max_pic_order_cnt_lsb
-            sh.short_term_ref_pic_set_sps_flag = 0
-            sh.explicit_rps = ShortTermRefPicSet(
-                delta_poc_s0=[-1], used_s0=[1])
-            sh.num_ref_idx_l0_active_minus1 = \
-                self.pps.num_ref_idx_l0_default_active_minus1
-            sh.five_minus_max_num_merge_cand = 0
-            sh.max_num_merge_cand = 5
+            return sh
+        sh.nal_unit_type = T.NalUnitType.TRAIL_R
+        sh.slice_type = docket.slice_type
+        poc = docket.poc
+        sh.slice_pic_order_cnt_lsb = poc % self.sps.max_pic_order_cnt_lsb
+        sh.short_term_ref_pic_set_sps_flag = 0
+        # RPS: exactly the pictures this or future dockets need — anything
+        # else is dropped from the DPB by the marking process
+        avail = {p.poc for p in self._dpb.pics if p.is_reference}
+        held = sorted((set(docket.retain) | set(docket.refs_before)
+                       | set(docket.refs_after)) & avail - {poc})
+        before = sorted([p for p in held if p < poc], reverse=True)
+        after = sorted([p for p in held if p > poc])
+        rps = ShortTermRefPicSet(
+            delta_poc_s0=[p - poc for p in before],
+            used_s0=[int(p in docket.refs_before) for p in before],
+            delta_poc_s1=[p - poc for p in after],
+            used_s1=[int(p in docket.refs_after) for p in after])
+        sh.explicit_rps = rps
+        sh.num_ref_idx_l0_active_minus1 = 0
+        sh.num_ref_idx_l1_active_minus1 = 0
+        sh.five_minus_max_num_merge_cand = 0
+        sh.max_num_merge_cand = 5
         return sh
 
     # ------------------------------------------------------------------
+    def push_frame(self, yuv: List[np.ndarray]) -> List[tuple]:
+        """Feed one input frame; returns [(input_index, nal_bytes, recon)]
+        for every picture that became encodable (encode order)."""
+        idx = self.frame_count
+        self.frame_count += 1
+        self._inputs[idx] = yuv
+        out = []
+        for docket in self._planner.push():
+            out.append(self._encode_docket(docket))
+        return out
+
+    def flush(self) -> List[tuple]:
+        return [self._encode_docket(d) for d in self._planner.flush()]
+
+    # back-compat single-frame API (valid for all-intra / low-delay m=1)
     def encode_frame(self, yuv: List[np.ndarray]) -> tuple:
-        """Encode one frame; returns (nal_bytes, recon_planes)."""
+        res = self.push_frame(yuv)
+        assert len(res) == 1, "encode_frame requires gop_m=1"
+        _, nal, recon = res[0]
+        return nal, recon
+
+    # ------------------------------------------------------------------
+    def _encode_docket(self, docket) -> tuple:
         from turingcodec_tpu.decode.dpb import DecodedPicture
         from turingcodec_tpu.encode.inter_search import InterPictureEncoder
 
-        idx = self.frame_count
-        if self.cfg.all_intra:
-            is_idr = True
-        elif self.cfg.intra_period:
-            is_idr = (idx % self.cfg.intra_period) == 0
-        else:
-            is_idr = idx == 0
-        if is_idr:
-            self._poc = 0
-            self._prev_ref = None
-        poc = self._poc
-        sh = self._slice_header(is_idr, poc)
-        if is_idr or self._prev_ref is None:
+        yuv = self._inputs.pop(docket.input_index)
+        sh = self._slice_header(docket)
+        poc = 0 if docket.is_idr else docket.poc
+        self._dpb.poc = poc
+        self._dpb.apply_rps(sh, poc)
+        self._dpb.build_ref_lists(sh)
+
+        if sh.is_i:
             enc = IntraPictureEncoder(self.sps, self.pps, sh, self.geom,
                                       rd_candidates=self.cfg.rd_candidates,
                                       max_cu_log2=self.cfg.max_cu_log2)
         else:
             enc = InterPictureEncoder(
                 self.sps, self.pps, sh, self.geom,
-                [[self._prev_ref], []], poc,
+                self._dpb.ref_pic_list, poc,
                 rd_candidates=self.cfg.rd_candidates,
                 max_cu_log2=self.cfg.max_cu_log2,
                 search_range=self.cfg.search_range)
         plan, search_recon = enc.encode_picture(yuv)
 
-        # bitstream: slice header + CABAC slice data
         bw = BitWriter()
         write_slice_segment_header(bw, sh, self.sps, self.pps)
         substreams = write_slice_data(plan, self.geom, sh, 0)
         assert len(substreams) == 1
         rbsp = bw.get_bytes() + substreams[0]
-        nal = wrap_nal(sh.nal_unit_type, rbsp)
+        nal = wrap_nal(sh.nal_unit_type, rbsp, temporal_id=docket.temporal_id)
 
-        # reconstruction: the search recon (pre-filter) + the decoder's own
-        # deblocking over the same plan tensors. Bit-exact agreement with an
-        # actual decode of the written bitstream is asserted by the
-        # round-trip tests (the signature.cpp:171-177 invariant).
+        # reconstruction: search recon + the decoder's own deblocking over
+        # the same plan (round-trip tests assert bit-exact decoder agreement,
+        # the signature.cpp:171-177 invariant)
         from turingcodec_tpu.decode.deblock import deblock_picture
-        from turingcodec_tpu.decode.dpb import DecodedPicture
         recon = [p.copy() for p in search_recon]
         deblock_picture(plan, self.geom, recon[0], recon[1], recon[2])
-        ref = DecodedPicture(poc=poc)
-        ref.planes = recon
-        ref.plan = plan
-        self._prev_ref = ref
-        self._poc = poc + 1
-        self.frame_count += 1
+        pic = DecodedPicture(poc=poc)
+        pic.planes = recon
+        pic.plan = plan
+        pic.is_reference = True
+        self._dpb.picture_done(pic, sh)
         self._last_plan = plan
-        return nal, recon
+        return docket.input_index, nal, recon
+
+
+def read_yuv_frame(yuv_bytes: bytes, i: int, w: int, h: int):
+    fsz = w * h * 3 // 2
+    off = i * fsz
+    y = np.frombuffer(yuv_bytes[off:off + w * h],
+                      np.uint8).reshape(h, w).astype(np.int16)
+    cb = np.frombuffer(yuv_bytes[off + w * h:off + w * h + w * h // 4],
+                       np.uint8).reshape(h // 2, w // 2).astype(np.int16)
+    cr = np.frombuffer(yuv_bytes[off + w * h + w * h // 4:off + fsz],
+                       np.uint8).reshape(h // 2, w // 2).astype(np.int16)
+    return [y, cb, cr]
 
 
 def encode_yuv_stream(yuv_bytes: bytes, cfg: EncoderConfig,
                       n_frames: Optional[int] = None) -> tuple:
-    """Encode raw 4:2:0 YUV; returns (bitstream bytes, recon md5 hex)."""
+    """Encode raw 4:2:0 YUV; returns (bitstream bytes, recon md5 hex).
+
+    Recon md5 is over *input-order* reconstructions.
+    """
     w, h = cfg.width, cfg.height
     fsz = w * h * 3 // 2
     total = len(yuv_bytes) // fsz
@@ -230,18 +283,16 @@ def encode_yuv_stream(yuv_bytes: bytes, cfg: EncoderConfig,
         total = min(total, n_frames)
     enc = Encoder(cfg)
     out = [enc.headers()]
+    recons = {}
+    for i in range(total):
+        for (idx, nal, recon) in enc.push_frame(read_yuv_frame(yuv_bytes, i, w, h)):
+            out.append(nal)
+            recons[idx] = recon
+    for (idx, nal, recon) in enc.flush():
+        out.append(nal)
+        recons[idx] = recon
     md5 = hashlib.md5()
     for i in range(total):
-        off = i * fsz
-        y = np.frombuffer(yuv_bytes[off:off + w * h],
-                          np.uint8).reshape(h, w).astype(np.int16)
-        cb = np.frombuffer(yuv_bytes[off + w * h:off + w * h + w * h // 4],
-                           np.uint8).reshape(h // 2, w // 2).astype(np.int16)
-        cr = np.frombuffer(
-            yuv_bytes[off + w * h + w * h // 4:off + fsz],
-            np.uint8).reshape(h // 2, w // 2).astype(np.int16)
-        nal, recon = enc.encode_frame([y, cb, cr])
-        out.append(nal)
-        for p in recon:
+        for p in recons[i]:
             md5.update(p.astype(np.uint8).tobytes())
     return b"".join(out), md5.hexdigest()

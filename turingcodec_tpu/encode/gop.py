@@ -1,0 +1,130 @@
+"""GOP/SOP planning: encode-order scheduling with hierarchical-B structure.
+
+The InputQueue analogue (turing/InputQueue.cpp:331-379 hard-codes SOP tables
+for gop sizes 2..8); here the standard random-access mini-GOP structures are
+expressed as data. Each entry: (poc_offset within SOP, temporal_id,
+qp_offset, refs as poc offsets relative to SOP base).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+# (poc_off, tid, qp_off, refs_before, refs_after) — encode order
+_SOP_TABLES = {
+    1: [(1, 0, 0, [1], [])],
+    2: [(2, 0, 1, [2], []),
+        (1, 1, 2, [1], [1])],
+    4: [(4, 0, 1, [4], []),
+        (2, 1, 2, [2], [2]),
+        (1, 2, 3, [1], [1, 3]),
+        (3, 2, 3, [1, 3], [1])],
+    8: [(8, 0, 1, [8], []),
+        (4, 1, 2, [4], [4]),
+        (2, 2, 3, [2], [2, 6]),
+        (1, 3, 4, [1], [1, 3, 7]),
+        (3, 3, 4, [1, 3], [1, 5]),
+        (6, 2, 3, [2, 6], [2]),
+        (5, 3, 4, [1, 5], [1, 3]),
+        (7, 3, 4, [1, 7], [1])],
+}
+
+
+@dataclass
+class Docket:
+    """One picture's encode order entry (InputQueue.h:61-83 analogue)."""
+    input_index: int
+    poc: int
+    is_idr: bool
+    slice_type: int          # 0 B, 1 P, 2 I
+    temporal_id: int = 0
+    qp_offset: int = 0
+    refs_before: List[int] = field(default_factory=list)  # POCs
+    refs_after: List[int] = field(default_factory=list)
+    retain: List[int] = field(default_factory=list)  # POCs future pics need
+
+
+class GopPlanner:
+    """Buffers input frames, emits dockets in encode order."""
+
+    def __init__(self, gop_m: int = 8, intra_period: int = 0,
+                 low_delay: bool = False):
+        assert gop_m in (1, 2, 4, 8)
+        self.m = 1 if low_delay else gop_m
+        self.low_delay = low_delay or gop_m == 1
+        self.intra_period = intra_period
+        self.pending: List[int] = []   # input indices not yet scheduled
+        self.n_in = 0
+        self.base_poc = 0              # POC of the last scheduled SOP end
+        self.idr_input = 0             # input index of the current IDR
+
+    def push(self) -> List[Docket]:
+        """Register one more input frame; returns any newly-ready dockets."""
+        idx = self.n_in
+        self.n_in += 1
+        out = []
+        if self._is_idr_input(idx):
+            out.append(Docket(input_index=idx, poc=0, is_idr=True,
+                              slice_type=2))
+            self.idr_input = idx
+            self.base_poc = 0
+            self.pending = []
+            return out
+        self.pending.append(idx)
+        if len(self.pending) == self.m:
+            out.extend(self._emit_sop())
+        return out
+
+    def flush(self) -> List[Docket]:
+        """Emit dockets for a final partial SOP (low-delay order)."""
+        out = []
+        while self.pending:
+            # encode remaining frames as a smaller SOP
+            m = 1
+            for cand in (8, 4, 2, 1):
+                if cand <= len(self.pending):
+                    m = cand
+                    break
+            out.extend(self._emit_sop(m))
+        return out
+
+    def _is_idr_input(self, idx: int) -> bool:
+        if idx == 0:
+            return True
+        if self.intra_period:
+            return (idx - self.idr_input) % self.intra_period == 0 and \
+                idx != self.idr_input
+        return False
+
+    def _emit_sop(self, m: Optional[int] = None) -> List[Docket]:
+        m = m or self.m
+        table = _SOP_TABLES[m]
+        base = self.base_poc
+        batch = self.pending[:m]
+        self.pending = self.pending[m:]
+        out = []
+        for (off, tid, qp_off, rb, ra) in table:
+            poc = base + off
+            slice_type = 1 if self.low_delay else 0  # P in LD, B otherwise
+            if not self.low_delay:
+                refs_before = [poc - d for d in rb if poc - d >= 0]
+                refs_after = [poc + d for d in ra if base + m >= poc + d]
+            else:
+                refs_before = [poc - 1]
+                refs_after = []
+            out.append(Docket(
+                input_index=batch[off - 1], poc=poc, is_idr=False,
+                slice_type=slice_type, temporal_id=tid, qp_offset=qp_off,
+                refs_before=sorted(set(refs_before), reverse=True),
+                refs_after=sorted(set(refs_after))))
+        # retention: each docket keeps what later dockets (and the next SOP
+        # anchor, which references base+m) still need
+        for k, d in enumerate(out):
+            need = {base + m}
+            for later in out[k + 1:]:
+                need.update(later.refs_before)
+                need.update(later.refs_after)
+            need.discard(d.poc)
+            d.retain = sorted(need)
+        self.base_poc = base + m
+        return out

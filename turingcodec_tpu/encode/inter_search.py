@@ -106,26 +106,51 @@ class InterPictureEncoder(IntraPictureEncoder):
          p.mvp_flag[(slice(None),) + sl]) = [a.copy() for a in extra]
 
     # ------------------------------------------------------------------
-    def _mc(self, ref_pic, mv, x0, y0, w, h):
-        """Uni-directional motion compensation (final clipped samples)."""
+    def _mc14(self, ref_pic, mv, x0, y0, w, h):
+        """14-bit intermediate prediction (luma + chroma)."""
         sps = self.sps
         mvx, mvy = int(mv[0]), int(mv[1])
         ry, rcb, rcr = ref_pic.planes
         py = interp_luma(ry, x0 + (mvx >> 2), y0 + (mvy >> 2), mvx & 3,
                          mvy & 3, w, h, self.bd)
-        sh4 = 14 - self.bd
-        y = np.clip((py + (1 << (sh4 - 1))) >> sh4, 0, (1 << self.bd) - 1)
         xc, yc = x0 >> 1, y0 >> 1
         pcb = interp_chroma(rcb, xc + (mvx >> 3), yc + (mvy >> 3), mvx & 7,
                             mvy & 7, w >> 1, h >> 1, sps.bit_depth_c)
         pcr = interp_chroma(rcr, xc + (mvx >> 3), yc + (mvy >> 3), mvx & 7,
                             mvy & 7, w >> 1, h >> 1, sps.bit_depth_c)
-        shc = 14 - sps.bit_depth_c
-        cb = np.clip((pcb + (1 << (shc - 1))) >> shc, 0,
-                     (1 << sps.bit_depth_c) - 1)
-        cr = np.clip((pcr + (1 << (shc - 1))) >> shc, 0,
-                     (1 << sps.bit_depth_c) - 1)
-        return y, cb, cr
+        return py, pcb, pcr
+
+    def _finalize_pred(self, p14s):
+        """Default weighted sample prediction (uni or bi) from 14-bit parts.
+
+        Matches decode.inter_pred.predict_pu exactly."""
+        sps = self.sps
+        out = []
+        for ci, bd in ((0, self.bd), (1, sps.bit_depth_c),
+                       (2, sps.bit_depth_c)):
+            shift = 14 - bd
+            ps = [p[ci] for p in p14s if p is not None]
+            if len(ps) == 2:
+                v = (ps[0].astype(np.int64) + ps[1] + (1 << shift)) \
+                    >> (shift + 1)
+            else:
+                v = (ps[0] + (1 << (shift - 1))) >> shift
+            out.append(np.clip(v, 0, (1 << bd) - 1).astype(np.int32))
+        return out
+
+    def _mc(self, ref_pic, mv, x0, y0, w, h):
+        """Uni-directional motion compensation (final clipped samples)."""
+        return self._finalize_pred([self._mc14(ref_pic, mv, x0, y0, w, h)])
+
+    def _pred_for_motion(self, pred_flags, mvs, ref_idxs, x0, y0, w, h):
+        p14s = []
+        for lx in (0, 1):
+            if pred_flags[lx]:
+                ref = self.ref_lists[lx][ref_idxs[lx]]
+                p14s.append(self._mc14(ref, mvs[lx], x0, y0, w, h))
+            else:
+                p14s.append(None)
+        return self._finalize_pred(p14s)
 
     # ------------------------------------------------------------------
     def _full_pel_search(self, orig, ref_plane, x0, y0, size, mvp):
@@ -222,33 +247,44 @@ class InterPictureEncoder(IntraPictureEncoder):
         merge_cands = deriver.merge_candidates(
             x0, y0, size, x0, y0, size, size, 0, T.PART_2Nx2N)
 
-        candidates = []  # (pred_cost_proxy, kind, info, pred_yuv)
+        candidates = []  # (kind, idx, info, pred_yuv)
         seen = set()
         for mi, c in enumerate(merge_cands):
             key = (c.pred_flags, c.mv, c.ref_idx)
             if key in seen:
                 continue
             seen.add(key)
-            if not c.pred_flags[0]:
+            if not (c.pred_flags[0] or c.pred_flags[1]):
                 continue
-            ref = self.ref_lists[0][c.ref_idx[0]]
-            pred = self._mc(ref, c.mv[0], x0, y0, size, size)
+            pred = self._pred_for_motion(c.pred_flags, c.mv, c.ref_idx,
+                                         x0, y0, size, size)
             candidates.append(("merge", mi, c, pred))
 
-        # motion estimation (AMVP)
-        mvps = deriver.amvp(x0, y0, size, size, 0, 0,
-                            (x0, y0, size, size, size, 0))
-        ref = self.ref_lists[0][0]
-        int_mv, _ = self._full_pel_search(orig_y, ref.planes[0], x0, y0,
-                                          size, mvps[0])
-        mv = self._sub_pel_refine(orig_y, ref, x0, y0, size, int_mv, mvps[0])
-        # choose mvp flag by mvd cost
-        bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
-        bits1 = _mv_bits(mv[0] - mvps[1][0], mv[1] - mvps[1][1])
-        mvp_flag = int(bits1 < bits0)
-        mvd = (mv[0] - mvps[mvp_flag][0], mv[1] - mvps[mvp_flag][1])
-        pred = self._mc(ref, mv, x0, y0, size, size)
-        candidates.append(("amvp", mvp_flag, (mv, mvd), pred))
+        # motion estimation (AMVP) per list
+        cb_info = (x0, y0, size, size, size, 0)
+        best_uni = {}  # lx -> (mv, mvd, mvp_flag, satd_cost)
+        n_lists = 2 if (self.sh.is_b and self.ref_lists[1]) else 1
+        for lx in range(n_lists):
+            mvps = deriver.amvp(x0, y0, size, size, lx, 0, cb_info)
+            ref = self.ref_lists[lx][0]
+            int_mv, _ = self._full_pel_search(orig_y, ref.planes[0], x0, y0,
+                                              size, mvps[0])
+            mv = self._sub_pel_refine(orig_y, ref, x0, y0, size, int_mv,
+                                      mvps[0])
+            bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
+            bits1 = _mv_bits(mv[0] - mvps[1][0], mv[1] - mvps[1][1])
+            mvp_flag = int(bits1 < bits0)
+            mvd = (mv[0] - mvps[mvp_flag][0], mv[1] - mvps[mvp_flag][1])
+            best_uni[lx] = (mv, mvd, mvp_flag)
+            pred = self._mc(ref, mv, x0, y0, size, size)
+            candidates.append(("amvp", lx, {lx: (mv, mvd, mvp_flag)}, pred))
+        if n_lists == 2:
+            # bi candidate: combine the two best uni motions
+            info = dict(best_uni)
+            pred = self._pred_for_motion(
+                (1, 1), (best_uni[0][0], best_uni[1][0]), (0, 0),
+                x0, y0, size, size)
+            candidates.append(("amvp", 2, info, pred))
 
         best = None
         for kind, idx, info, pred in candidates:
@@ -291,7 +327,9 @@ class InterPictureEncoder(IntraPictureEncoder):
             if kind == "merge":
                 rate += 1 + idx  # merge flag + idx proxy
             else:
-                rate += 3 + _mv_bits(*info[1])
+                rate += 3
+                for lx, (mv_l, mvd_l, _) in info.items():
+                    rate += _mv_bits(*mvd_l)
             cost = dist + self.lam * rate
             has_coeff = bool(levels.any() or levels_c[0].any()
                              or levels_c[1].any())
@@ -321,15 +359,19 @@ class InterPictureEncoder(IntraPictureEncoder):
                     plan.ref_idx[(lx,) + sl] = -1
                     plan.mv[(lx,) + sl] = 0
         else:
-            mv, mvd = info
             plan.merge_flag[sl] = 0
             plan.skip_flag[sl] = 0
-            plan.ref_idx[(0,) + sl] = 0
-            plan.mv[(0,) + sl] = mv
-            plan.ref_poc[(0,) + sl] = self.ref_lists[0][0].poc
-            plan.ref_idx[(1,) + sl] = -1
-            plan.mvd[(0,) + sl] = mvd
-            plan.mvp_flag[(0,) + sl] = mvp_flag
+            for lx in (0, 1):
+                if lx in info:
+                    mv_l, mvd_l, mvp_f = info[lx]
+                    plan.ref_idx[(lx,) + sl] = 0
+                    plan.mv[(lx,) + sl] = mv_l
+                    plan.ref_poc[(lx,) + sl] = self.ref_lists[lx][0].poc
+                    plan.mvd[(lx,) + sl] = mvd_l
+                    plan.mvp_flag[(lx,) + sl] = mvp_f
+                else:
+                    plan.ref_idx[(lx,) + sl] = -1
+                    plan.mv[(lx,) + sl] = 0
 
         plan.tu_log2[sl] = min(log2, sps.max_tb_log2_size_y)
         plan.tu_id[sl] = self.next_id[2]
