@@ -59,6 +59,31 @@ def test_lowdelay_p_roundtrip():
             np.testing.assert_array_equal(a, b)
 
 
+def test_hierarchical_b_roundtrip():
+    """IDR + GOP4 hierarchical B: decode equals encoder recon."""
+    w, h = 64, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, rd_candidates=2,
+                        search_range=8, gop_m=4)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    base = _synthetic_frame(w, h, 1)
+    recons = {}
+    for i in range(5):
+        f = [np.roll(p, i, axis=0) for p in base]
+        for (idx, nal, recon) in enc.push_frame(f):
+            stream += nal
+            recons[idx] = recon
+    for (idx, nal, recon) in enc.flush():
+        stream += nal
+        recons[idx] = recon
+    frames = list(Decoder().decode_stream(stream))
+    assert len(frames) == 5
+    assert [f.poc for f in frames] == [0, 1, 2, 3, 4]
+    for f in frames:
+        for a, b in zip(f.planes, recons[f.poc]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_intra_quality():
     """PSNR sanity: QP22 encode of smooth content is > 38 dB."""
     w, h = 128, 64

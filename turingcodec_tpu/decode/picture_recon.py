@@ -13,7 +13,7 @@ import numpy as np
 
 from turingcodec_tpu.hevc import types as T
 from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
-from turingcodec_tpu.decode.deblock import deblock_picture
+from turingcodec_tpu.decode.deblock_vec import deblock_picture_vec as deblock_picture
 from turingcodec_tpu.decode.inter_pred import predict_pu
 from turingcodec_tpu.decode.plan import PicturePlan
 from turingcodec_tpu.decode.reconstruct import (

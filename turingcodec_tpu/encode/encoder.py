@@ -246,9 +246,9 @@ class Encoder:
         # reconstruction: search recon + the decoder's own deblocking over
         # the same plan (round-trip tests assert bit-exact decoder agreement,
         # the signature.cpp:171-177 invariant)
-        from turingcodec_tpu.decode.deblock import deblock_picture
+        from turingcodec_tpu.decode.deblock_vec import deblock_picture_vec
         recon = [p.copy() for p in search_recon]
-        deblock_picture(plan, self.geom, recon[0], recon[1], recon[2])
+        deblock_picture_vec(plan, self.geom, recon[0], recon[1], recon[2])
         pic = DecodedPicture(poc=poc)
         pic.planes = recon
         pic.plan = plan
