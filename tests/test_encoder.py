@@ -127,7 +127,7 @@ def test_writer_parser_inverse():
         elif nal_u.nal_unit_type == T.NalUnitType.PPS_NUT:
             p = parse_pps(br)
             ps.pps[0] = p
-        else:
+        elif T.is_vcl(nal_u.nal_unit_type):
             sh = parse_slice_segment_header(
                 br, nal_u.nal_unit_type, 0, ps)
             sps, pps = ps.activate(0)

@@ -34,6 +34,7 @@ from turingcodec_tpu.decode.slice_data import parse_slice_segment_data
 class DecodedFrame:
     poc: int
     planes: list  # [y, cb, cr] int16
+    hash_ok: Optional[bool] = None  # decoded_picture_hash SEI verification
 
 
 class Decoder:
@@ -49,6 +50,8 @@ class Decoder:
         self.skip_rasl = False
         self.reconstructor_cls = reconstructor_cls
         self.frame_count = 0
+        self._pending_sei = []
+        self.hash_failures = 0
 
     def decode_stream(self, data: bytes, max_frames: Optional[int] = None):
         """Generator of DecodedFrame in output order."""
@@ -75,6 +78,13 @@ class Decoder:
                             return
                     cur_slices = []
                 cur_slices.append((sh, nal.rbsp, (br.pos + 7) & ~7))
+            elif nut in (T.NalUnitType.PREFIX_SEI_NUT,
+                         T.NalUnitType.SUFFIX_SEI_NUT):
+                from turingcodec_tpu.hevc.sei import parse_sei_rbsp
+                try:
+                    self._pending_sei.extend(parse_sei_rbsp(nal.rbsp))
+                except Exception:
+                    pass  # malformed SEI is non-fatal
             elif nut in (T.NalUnitType.EOS_NUT, T.NalUnitType.EOB_NUT):
                 if cur_slices:
                     for f in self._finish_picture(cur_slices):
@@ -83,7 +93,7 @@ class Decoder:
                     cur_slices = []
                 if self.dpb:
                     for p in self.dpb.flush():
-                        yield DecodedFrame(p.poc, p.planes)
+                        yield DecodedFrame(p.poc, p.planes, getattr(p, "hash_ok", None))
                         self.frame_count += 1
                 self.first_picture = True
         if cur_slices:
@@ -94,7 +104,7 @@ class Decoder:
                     return
         if self.dpb:
             for p in self.dpb.flush():
-                yield DecodedFrame(p.poc, p.planes)
+                yield DecodedFrame(p.poc, p.planes, getattr(p, "hash_ok", None))
                 self.frame_count += 1
                 if max_frames and self.frame_count >= max_frames:
                     return
@@ -147,13 +157,27 @@ class Decoder:
         # slice pictures; multi-slice pictures re-derive per slice)
         planes = self._reconstruct(plan, sh0, poc)
 
+        # decoded_picture_hash SEI verification (StateDecode.h:139-157 parity)
+        hash_ok = None
+        if self._pending_sei:
+            from turingcodec_tpu.hevc import sei as sei_mod
+            for m in self._pending_sei:
+                if m.payload_type == sei_mod.SEI_DECODED_PICTURE_HASH:
+                    hash_ok = sei_mod.verify_decoded_picture_hash(
+                        m, planes, sps.bit_depth_y)
+                    if not hash_ok:
+                        self.hash_failures += 1
+            self._pending_sei = []
+
         pic = DecodedPicture(poc=poc, temporal_id=sh0.temporal_id,
                              nal_unit_type=nut)
         pic.planes = planes
         pic.plan = plan
         pic.is_reference = True
+        pic.hash_ok = hash_ok
         out = self.dpb.picture_done(pic, sh0)
-        return [DecodedFrame(p.poc, p.planes) for p in out]
+        return [DecodedFrame(p.poc, p.planes, getattr(p, "hash_ok", None))
+                for p in out]
 
     def _reconstruct(self, plan, sh0, poc):
         # per-slice ref lists: rebuild for reconstruction (predict_pu pulls

@@ -47,6 +47,9 @@ class EncoderConfig:
     all_intra: bool = False
     gop_m: int = 1          # 1 = low-delay P; 2/4/8 = hierarchical B
     hierarchical_qp: bool = True
+    wpp: bool = True        # entropy_coding_sync (one substream per CTU row)
+    hash_type: Optional[int] = 0  # decoded_picture_hash SEI: 0 md5, 1 crc,
+                                  # 2 checksum, None = no hash SEI
     search_range: int = 48
     verify_recon: bool = True  # assert search recon == plan-replay recon
 
@@ -120,7 +123,7 @@ class Encoder:
         p = Pps()
         p.init_qp_minus26 = c.qp - 26
         p.sign_data_hiding_enabled_flag = 0
-        p.entropy_coding_sync_enabled_flag = 0
+        p.entropy_coding_sync_enabled_flag = int(c.wpp)
         p.cu_qp_delta_enabled_flag = 0
         p.transform_skip_enabled_flag = 0
         p.loop_filter_across_tiles_enabled_flag = 1
@@ -236,11 +239,22 @@ class Encoder:
                 search_range=self.cfg.search_range)
         plan, search_recon = enc.encode_picture(yuv)
 
+        # slice data first: WPP entry point offsets go into the header.
+        # Offsets count EBSP bytes; per-substream emulation prevention equals
+        # whole-buffer EP3 because every substream ends in a non-zero byte
+        # (the CABAC flush '1' lands in the final byte).
+        from turingcodec_tpu.bitstream.reader import insert_emulation_prevention
+        substreams = write_slice_data(plan, self.geom, sh, 0)
+        if len(substreams) > 1:
+            ep = [len(insert_emulation_prevention(s)) for s in substreams[:-1]]
+            sh.num_entry_point_offsets = len(ep)
+            sh.offset_len_minus1 = max(1, max(e - 1 for e in ep).bit_length()) - 1
+            sh.entry_point_offset_minus1 = [e - 1 for e in ep]
+        else:
+            sh.num_entry_point_offsets = 0
         bw = BitWriter()
         write_slice_segment_header(bw, sh, self.sps, self.pps)
-        substreams = write_slice_data(plan, self.geom, sh, 0)
-        assert len(substreams) == 1
-        rbsp = bw.get_bytes() + substreams[0]
+        rbsp = bw.get_bytes() + b"".join(substreams)
         nal = wrap_nal(sh.nal_unit_type, rbsp, temporal_id=docket.temporal_id)
 
         # reconstruction: search recon + the decoder's own deblocking over
@@ -249,6 +263,14 @@ class Encoder:
         from turingcodec_tpu.decode.deblock_vec import deblock_picture_vec
         recon = [p.copy() for p in search_recon]
         deblock_picture_vec(plan, self.geom, recon[0], recon[1], recon[2])
+        if self.cfg.hash_type is not None:
+            from turingcodec_tpu.hevc.sei import (
+                make_decoded_picture_hash, write_sei_nal)
+            msg = make_decoded_picture_hash(recon, self.cfg.hash_type,
+                                            self.cfg.bit_depth)
+            nal += write_sei_nal([msg], suffix=True,
+                                 temporal_id=docket.temporal_id)
+
         pic = DecodedPicture(poc=poc)
         pic.planes = recon
         pic.plan = plan

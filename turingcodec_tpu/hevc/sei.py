@@ -1,0 +1,159 @@
+"""SEI message framework (spec 7.3.5 / Annex D).
+
+Parity reference: turing/SyntaxSei.h (payload dispatch), turing/sei/
+decoded_picture_hash.h, TaskEncodeOutput.cpp:105-209 (encoder-side SEI).
+Implemented payloads: decoded_picture_hash (md5/crc/checksum),
+user_data_unregistered; unknown payloads are preserved as raw bytes.
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from turingcodec_tpu.bitstream.reader import BitReader
+from turingcodec_tpu.bitstream.writer import BitWriter, wrap_nal
+from turingcodec_tpu.hevc import types as T
+
+SEI_DECODED_PICTURE_HASH = 132
+SEI_USER_DATA_UNREGISTERED = 5
+SEI_ACTIVE_PARAMETER_SETS = 129
+SEI_PIC_TIMING = 1
+SEI_BUFFERING_PERIOD = 0
+
+
+@dataclass
+class SeiMessage:
+    payload_type: int
+    payload: bytes
+
+
+def parse_sei_rbsp(rbsp: bytes) -> List[SeiMessage]:
+    """sei_rbsp(): one or more sei_message()."""
+    out = []
+    br = BitReader(rbsp)
+    while br.bits_left() > 8:
+        ptype = 0
+        while True:
+            b = br.u(8)
+            ptype += b
+            if b != 0xFF:
+                break
+        psize = 0
+        while True:
+            b = br.u(8)
+            psize += b
+            if b != 0xFF:
+                break
+        payload = bytes(br.u(8) for _ in range(psize))
+        out.append(SeiMessage(ptype, payload))
+        if not br.more_rbsp_data():
+            break
+    return out
+
+
+def write_sei_nal(messages: List[SeiMessage], suffix: bool = False,
+                  temporal_id: int = 0) -> bytes:
+    bw = BitWriter()
+    for m in messages:
+        t = m.payload_type
+        while t >= 255:
+            bw.u(0xFF, 8)
+            t -= 255
+        bw.u(t, 8)
+        s = len(m.payload)
+        while s >= 255:
+            bw.u(0xFF, 8)
+            s -= 255
+        bw.u(s, 8)
+        bw.write_bytes(m.payload)
+    bw.rbsp_trailing_bits()
+    nut = (T.NalUnitType.SUFFIX_SEI_NUT if suffix
+           else T.NalUnitType.PREFIX_SEI_NUT)
+    return wrap_nal(nut, bw.get_bytes(), temporal_id=temporal_id)
+
+
+# ---------------------------------------------------------------- hashes
+
+def _plane_bytes(plane: np.ndarray, bit_depth: int) -> bytes:
+    if bit_depth <= 8:
+        return plane.astype(np.uint8).tobytes()
+    return plane.astype("<u2").tobytes()
+
+
+def picture_md5(planes, bit_depth: int = 8) -> List[bytes]:
+    return [hashlib.md5(_plane_bytes(p, bit_depth)).digest() for p in planes]
+
+
+_CRC_TABLE = None
+
+
+def _crc_table():
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        tab = np.zeros(256, np.uint32)
+        for b in range(256):
+            crc = b << 8
+            for _ in range(8):
+                crc = ((crc << 1) ^ (0x1021 if crc & 0x8000 else 0)) & 0xFFFF
+            tab[b] = crc
+        _CRC_TABLE = tab
+    return _CRC_TABLE
+
+
+def picture_crc(planes, bit_depth: int = 8) -> List[int]:
+    """Annex D.3.19 CRC-16 (x^16+x^12+x^5+1, init 0xFFFF).
+
+    The spec feeds data bits into the LSB while reducing at the MSB, then
+    shifts 16 trailing zero bits; per byte that is
+    crc' = tab[crc >> 8] ^ ((crc & 0xFF) << 8) ^ byte.
+    """
+    tab = _crc_table()
+    out = []
+    for p in planes:
+        data = np.frombuffer(_plane_bytes(p, bit_depth) + b"\x00\x00",
+                             np.uint8)
+        crc = 0xFFFF
+        for byte in data.tolist():
+            crc = (int(tab[crc >> 8]) ^ ((crc & 0xFF) << 8) ^ byte) & 0xFFFF
+        out.append(crc)
+    return out
+
+
+def picture_checksum(planes, bit_depth: int = 8) -> List[int]:
+    """Annex D.3.19 checksum (vectorized)."""
+    out = []
+    for p in planes:
+        h, w = p.shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        xor_mask = ((xx & 0xFF) ^ (yy & 0xFF) ^ (xx >> 8) ^ (yy >> 8)
+                    ).astype(np.uint32)
+        vals = p.astype(np.uint32)
+        s = int(((vals & 0xFF) ^ xor_mask).sum(dtype=np.uint64))
+        if bit_depth > 8:
+            s += int((((vals >> 8) & 0xFF) ^ xor_mask).sum(dtype=np.uint64))
+        out.append(s & 0xFFFFFFFF)
+    return out
+
+
+def make_decoded_picture_hash(planes, hash_type: int = 0,
+                              bit_depth: int = 8) -> SeiMessage:
+    bw = bytearray([hash_type])
+    if hash_type == 0:
+        for d in picture_md5(planes, bit_depth):
+            bw.extend(d)
+    elif hash_type == 1:
+        for c in picture_crc(planes, bit_depth):
+            bw.extend(c.to_bytes(2, "big"))
+    else:
+        for c in picture_checksum(planes, bit_depth):
+            bw.extend(c.to_bytes(4, "big"))
+    return SeiMessage(SEI_DECODED_PICTURE_HASH, bytes(bw))
+
+
+def verify_decoded_picture_hash(msg: SeiMessage, planes,
+                                bit_depth: int = 8) -> bool:
+    want = make_decoded_picture_hash(planes, msg.payload[0], bit_depth)
+    return want.payload == msg.payload
