@@ -205,63 +205,79 @@ def filter_reference_samples(ref_top, ref_left, corner, n, mode,
 
 
 class ReferenceSampleBuilder:
-    """Gathers + substitutes intra reference samples (spec 8.4.4.2.2)."""
+    """Gathers + substitutes intra reference samples (spec 8.4.4.2.2),
+    vectorized in one pass over the 4n+1 candidate positions."""
 
     def __init__(self, plan: PicturePlan, geom: PictureGeometry):
         self.plan = plan
         self.geom = geom
+        sps = plan.sps
+        self._w = sps.pic_width_in_luma_samples
+        self._h = sps.pic_height_in_luma_samples
+        self._cl2 = sps.ctb_log2_size_y
+        self._multi_slice_or_tile = None  # lazily determined
+
+    def _complex_bounds(self):
+        if self._multi_slice_or_tile is None:
+            plan, geom = self.plan, self.geom
+            smap = plan.slice_idx
+            self._multi_slice_or_tile = (
+                geom.num_tiles > 1
+                or (smap.size > 0 and (smap != smap.flat[0]).any())
+                or bool(plan.pps.constrained_intra_pred_flag))
+        return self._multi_slice_or_tile
 
     def build(self, recon: np.ndarray, x0: int, y0: int, n: int, c_idx: int,
               bit_depth: int):
         """Returns (ref_top[2n], ref_left[2n], corner) with substitution.
 
         x0/y0/n are in the plane's own sample units; availability checks use
-        luma coordinates.
+        luma coordinates. Scan order: left bottom-up, corner, top
+        left-to-right.
         """
         plan, geom = self.plan, self.geom
         sub = 1 if c_idx == 0 else 2  # 4:2:0
         xl, yl = x0 * sub, y0 * sub
-        cip = plan.pps.constrained_intra_pred_flag
         h_pic, w_pic = recon.shape
+        zs = geom.zscan
+        zcur = zs[yl >> 2, xl >> 2]
+        m = 4 * n + 1
 
-        def avail(dx_l, dy_l):
-            """availability of luma position (xl+dx_l, yl+dy_l)."""
-            xn, yn = xl + dx_l, yl + dy_l
-            if not geom.available(plan.slice_idx, xl, yl, xn, yn):
-                return False
-            if cip and plan.cu_pred_mode[yn >> 2, xn >> 2] != 1:
-                return False
-            return True
+        # plane-space candidate coordinates in scan order
+        px = np.empty(m, np.int32)
+        py = np.empty(m, np.int32)
+        px[:2 * n + 1] = x0 - 1
+        px[2 * n + 1:] = x0 + np.arange(2 * n)
+        py[:2 * n] = y0 + (2 * n - 1 - np.arange(2 * n))
+        py[2 * n:] = y0 - 1
 
-        # candidate positions in scan order: bottom-left up, corner, top right
-        vals = np.zeros(4 * n + 1, np.int64)
-        ok = np.zeros(4 * n + 1, bool)
-        # left column top-to-bottom is p[-1][0..2n-1]; scan order starts at
-        # p[-1][2n-1] (bottom) -> p[-1][-1] -> p[0..2n-1][-1]
-        for i in range(2 * n):  # left, from bottom: y = 2n-1-i
-            y = 2 * n - 1 - i
-            if x0 > 0 and y0 + y < h_pic and avail(-sub, y * sub):
-                vals[i] = recon[y0 + y, x0 - 1]
-                ok[i] = True
-        if x0 > 0 and y0 > 0 and avail(-sub, -sub):
-            vals[2 * n] = recon[y0 - 1, x0 - 1]
-            ok[2 * n] = True
-        for x in range(2 * n):
-            if y0 > 0 and x0 + x < w_pic and avail(x * sub, -sub):
-                vals[2 * n + 1 + x] = recon[y0 - 1, x0 + x]
-                ok[2 * n + 1 + x] = True
+        inb = (px >= 0) & (py >= 0) & (px < w_pic) & (py < h_pic)
+        pxc = np.clip(px, 0, w_pic - 1)
+        pyc = np.clip(py, 0, h_pic - 1)
+        lxc = pxc * sub
+        lyc = pyc * sub
+        ok = inb & (zs[lyc >> 2, lxc >> 2] <= zcur)
+        if self._complex_bounds():
+            cl2 = self._cl2
+            smap = plan.slice_idx
+            ok &= smap[lyc >> cl2, lxc >> cl2] == smap[yl >> cl2, xl >> cl2]
+            if geom.num_tiles > 1:
+                ok &= (geom.tile_id[lyc >> cl2, lxc >> cl2]
+                       == geom.tile_id[yl >> cl2, xl >> cl2])
+            if plan.pps.constrained_intra_pred_flag:
+                ok &= plan.cu_pred_mode[lyc >> 2, lxc >> 2] == 1
 
+        vals = recon[pyc, pxc].astype(np.int64)
         if not ok.any():
             vals[:] = 1 << (bit_depth - 1)
         else:
-            # substitution: first entry takes the next available going up
             if not ok[0]:
-                j = np.argmax(ok)  # first available
-                vals[0] = vals[j]
+                vals[0] = vals[np.argmax(ok)]
                 ok[0] = True
-            for i in range(1, 4 * n + 1):
-                if not ok[i]:
-                    vals[i] = vals[i - 1]
+            vals[~ok] = 0
+            src_idx = np.where(ok, np.arange(m), 0)
+            np.maximum.accumulate(src_idx, out=src_idx)
+            vals = vals[src_idx]
         ref_left = vals[:2 * n][::-1].copy()  # p[-1][0..2n-1]
         corner = int(vals[2 * n])
         ref_top = vals[2 * n + 1:].copy()
