@@ -479,6 +479,13 @@ def write_residual(ws: SliceWriteContext, x0, y0, log2_size, c_idx):
         elif 22 <= mode <= 30:
             scan_idx = 1
 
+    residual_core(enc, blk, log2_size, c_idx, scan_idx,
+                  pps.sign_data_hiding_enabled_flag and not cu.tq_bypass)
+
+
+def residual_core(enc, blk, log2_size, c_idx, scan_idx, sdh):
+    """Core residual_coding bin production from an explicit coefficient
+    block. `enc` is a CabacEncoder or cabac.rate.RateEstimator."""
     sub_scan = _scan(log2_size - 2, scan_idx)
     pos_scan = _scan(2, scan_idx)
     n_sub = 1 << (2 * (log2_size - 2))
@@ -552,7 +559,6 @@ def write_residual(ws: SliceWriteContext, x0, y0, log2_size, c_idx):
         xs, ys = int(sub_scan[i, 0]), int(sub_scan[i, 1])
         csbf[ys, xs] = int(blk[ys * 4:ys * 4 + 4, xs * 4:xs * 4 + 4].any())
 
-    sdh = pps.sign_data_hiding_enabled_flag and not cu.tq_bypass
     c1_chain_gt1 = 0
     sub_of_last = last_i
     pos_of_last = last_n

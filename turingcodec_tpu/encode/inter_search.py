@@ -83,7 +83,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         return cost_intra
 
     def _snapshot(self, x0, y0, size):
-        base = super()._snapshot(x0, y0, size)
+        base = super()._snapshot(x0, y0, size)  # 4-tuple
         p = self.plan
         sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
         extra = [p.skip_flag[sl].copy(), p.merge_flag[sl].copy(),
@@ -96,10 +96,10 @@ class InterPictureEncoder(IntraPictureEncoder):
         return base + (extra,)
 
     def _restore(self, x0, y0, size, state):
-        super()._restore(x0, y0, size, state[:3])
+        super()._restore(x0, y0, size, state[:4])
         p = self.plan
         sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
-        extra = state[3]
+        extra = state[4]
         (p.skip_flag[sl], p.merge_flag[sl], p.merge_idx[sl],
          p.mv[(slice(None),) + sl], p.ref_idx[(slice(None),) + sl],
          p.ref_poc[(slice(None),) + sl], p.mvd[(slice(None),) + sl],
@@ -322,8 +322,9 @@ class InterPictureEncoder(IntraPictureEncoder):
             dist = float(((rec_y - orig_y) ** 2).sum()) \
                 + float(((recs_c[0] - orig_cb) ** 2).sum()) \
                 + float(((recs_c[1] - orig_cr) ** 2).sum())
-            rate = self._coeff_rate(levels) + self._coeff_rate(levels_c[0]) \
-                + self._coeff_rate(levels_c[1])
+            rate = self._residual_bits(levels, log2, 0, 0, False) \
+                + self._residual_bits(levels_c[0], log2 - 1, 1, 0, False) \
+                + self._residual_bits(levels_c[1], log2 - 1, 2, 0, False)
             if kind == "merge":
                 rate += 1 + idx  # merge flag + idx proxy
             else:
@@ -376,6 +377,9 @@ class InterPictureEncoder(IntraPictureEncoder):
         plan.tu_log2[sl] = min(log2, sps.max_tb_log2_size_y)
         plan.tu_id[sl] = self.next_id[2]
         self.next_id[2] += 1
+        self._commit_residual_ctx(levels, log2, 0, 0, False)
+        self._commit_residual_ctx(levels_c[0], log2 - 1, 1, 0, False)
+        self._commit_residual_ctx(levels_c[1], log2 - 1, 2, 0, False)
         plan.coeff_y[y0:y0 + size, x0:x0 + size] = levels
         plan.coeff_cb[cy:cy + cs, cx:cx + cs] = levels_c[0]
         plan.coeff_cr[cy:cy + cs, cx:cx + cs] = levels_c[1]

@@ -63,6 +63,13 @@ class IntraPictureEncoder:
         # HM-style lambda for intra, fixed QP
         self.lam = 0.57 * (2.0 ** ((self.qp - 12) / 3.0))
         self.lam_bits = self.lam
+        # search-side context pool for exact CABAC rate estimation; tracks
+        # the real writer's residual-context states exactly (EstimateRate
+        # parity; checkRate invariant Write.h:820-826)
+        from turingcodec_tpu.cabac.engine import ContextPool
+        self.rd_ctx = ContextPool()
+        self.rd_ctx.initialize(sh.init_type(), sh.slice_qp_y)
+        self._rd_ctx_wpp = None
 
     # ------------------------------------------------------------------
     def encode_picture(self, orig: List[np.ndarray], slice_number: int = 0
@@ -80,10 +87,22 @@ class IntraPictureEncoder:
         self.next_id = [0, 0, 0]
         plan.qp_y[:] = self.qp
         ctb = sps.ctb_size_y
+        wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
+        wc = sps.pic_width_in_ctbs_y
+        snap_rx = 1 if wc > 1 else 0
         for ry in range(sps.pic_height_in_ctbs_y):
-            for rx in range(sps.pic_width_in_ctbs_y):
+            for rx in range(wc):
+                if wpp and rx == 0 and ry > 0:
+                    # mirror the writer's WPP context inheritance
+                    if self._rd_ctx_wpp is not None:
+                        self.rd_ctx.states = list(self._rd_ctx_wpp.states)
+                    else:
+                        self.rd_ctx.initialize(self.sh.init_type(),
+                                               self.sh.slice_qp_y)
                 plan.slice_idx[ry, rx] = slice_number
                 self._decide_cqt(rx * ctb, ry * ctb, sps.ctb_log2_size_y, 0)
+                if wpp and rx == snap_rx:
+                    self._rd_ctx_wpp = self.rd_ctx.copy()
         return plan, self.recon
 
     # ------------------------------------------------------------------
@@ -146,6 +165,7 @@ class IntraPictureEncoder:
              p.coeff_y[ll].copy(), p.coeff_cb[cl].copy(),
              p.coeff_cr[cl].copy()],
             list(self.next_id),
+            list(self.rd_ctx.states),
         )
 
     def _restore(self, x0, y0, size, state):
@@ -153,7 +173,7 @@ class IntraPictureEncoder:
         sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
         cl = (slice(y0 >> 1, (y0 + size) >> 1), slice(x0 >> 1, (x0 + size) >> 1))
         ll = (slice(y0, y0 + size), slice(x0, x0 + size))
-        rec, pl, ids = state
+        rec, pl, ids, ctx_states = state
         self.recon[0][ll], self.recon[1][cl], self.recon[2][cl] = \
             rec[0].copy(), rec[1].copy(), rec[2].copy()
         (p.ct_depth[sl], p.part_mode[sl], p.cu_pred_mode[sl],
@@ -223,12 +243,14 @@ class IntraPictureEncoder:
             else:
                 rec = np.clip(pred, 0, (1 << self.bd) - 1)
             dist = float(((rec - orig_y) ** 2).sum())
-            rate = self._coeff_rate(levels) + (2 if mode in mpm else 6)
+            rate = self._residual_bits(levels, log2, 0, mode, True) \
+                + (2 if mode in mpm else 6)
             cost = dist + self.lam * rate
             if best is None or cost < best[0]:
                 best = (cost, mode, levels, rec)
 
         cost, mode, levels, rec = best
+        self._commit_residual_ctx(levels, log2, 0, mode, True)
         plan.intra_mode_y[sl] = mode
         plan.intra_mode_c[sl] = mode  # DM chroma
         plan.tu_log2[sl] = log2
@@ -263,15 +285,48 @@ class IntraPictureEncoder:
             coeffp[cy:cy + cs, cx:cx + cs] = levels
             cbfp[sl] = int(levels.any())
             dist_c = float(((rec_c - plane_o[cy:cy + cs, cx:cx + cs]) ** 2).sum())
-            total_crate += self._coeff_rate(levels)
-            cost += dist_c + self.lam * self._coeff_rate(levels)
+            cbits = self._residual_bits(levels, clog2, c_idx + 1, mode, True)
+            self._commit_residual_ctx(levels, clog2, c_idx + 1, mode, True)
+            total_crate += cbits
+            cost += dist_c + self.lam * cbits
             plane_r[cy:cy + cs, cx:cx + cs] = rec_c
         return cost
 
     # ------------------------------------------------------------------
+    def _scan_for(self, log2: int, c_idx: int, mode: int, intra: bool) -> int:
+        if intra and (log2 == 2 or (log2 == 3 and c_idx == 0)):
+            if 6 <= mode <= 14:
+                return 2
+            if 22 <= mode <= 30:
+                return 1
+        return 0
+
+    def _residual_bits(self, levels: np.ndarray, log2: int, c_idx: int,
+                       mode: int, intra: bool) -> float:
+        """Exact CABAC fractional bits for this block given current ctx."""
+        if not levels.any():
+            return 1.0  # cbf bin
+        from turingcodec_tpu.cabac.rate import RateEstimator
+        from turingcodec_tpu.encode.ctu_write import residual_core
+        est = RateEstimator(self.rd_ctx.copy())
+        residual_core(est, levels, log2, c_idx,
+                      self._scan_for(log2, c_idx, mode, intra), False)
+        return est.bits + 1.0  # + cbf bin
+
+    def _commit_residual_ctx(self, levels, log2, c_idx, mode, intra):
+        """Apply the chosen block's context transitions to the search pool
+        (keeps rd_ctx in lockstep with the real writer)."""
+        if not levels.any():
+            return
+        from turingcodec_tpu.cabac.rate import RateEstimator
+        from turingcodec_tpu.encode.ctu_write import residual_core
+        est = RateEstimator(self.rd_ctx)
+        residual_core(est, levels, log2, c_idx,
+                      self._scan_for(log2, c_idx, mode, intra), False)
+
     @staticmethod
     def _coeff_rate(levels: np.ndarray) -> float:
-        """Cheap rate proxy in bits: per-coefficient Golomb-ish cost."""
+        """Cheap rate proxy in bits (used where exact rate is overkill)."""
         a = np.abs(levels)
         nz = a > 0
         if not nz.any():
