@@ -50,6 +50,8 @@ class EncoderConfig:
     wpp: bool = True        # entropy_coding_sync (one substream per CTU row)
     hash_type: Optional[int] = 0  # decoded_picture_hash SEI: 0 md5, 1 crc,
                                   # 2 checksum, None = no hash SEI
+    rdoq: bool = False      # RDOQ-lite level optimization (opt-in: its
+                            # simplified rate model trades slightly off-curve)
     search_range: int = 48
     verify_recon: bool = True  # assert search recon == plan-replay recon
 
@@ -229,14 +231,16 @@ class Encoder:
         if sh.is_i:
             enc = IntraPictureEncoder(self.sps, self.pps, sh, self.geom,
                                       rd_candidates=self.cfg.rd_candidates,
-                                      max_cu_log2=self.cfg.max_cu_log2)
+                                      max_cu_log2=self.cfg.max_cu_log2,
+                                      use_rdoq=self.cfg.rdoq)
         else:
             enc = InterPictureEncoder(
                 self.sps, self.pps, sh, self.geom,
                 self._dpb.ref_pic_list, poc,
                 rd_candidates=self.cfg.rd_candidates,
                 max_cu_log2=self.cfg.max_cu_log2,
-                search_range=self.cfg.search_range)
+                search_range=self.cfg.search_range,
+                use_rdoq=self.cfg.rdoq)
         plan, search_recon = enc.encode_picture(yuv)
 
         # slice data first: WPP entry point offsets go into the header.

@@ -44,8 +44,10 @@ class _DpbView:
 
 class InterPictureEncoder(IntraPictureEncoder):
     def __init__(self, sps, pps, sh, geom, ref_lists, cur_poc,
-                 rd_candidates=2, max_cu_log2=5, search_range=48):
-        super().__init__(sps, pps, sh, geom, rd_candidates, max_cu_log2)
+                 rd_candidates=2, max_cu_log2=5, search_range=48,
+                 use_rdoq=False):
+        super().__init__(sps, pps, sh, geom, rd_candidates, max_cu_log2,
+                         use_rdoq)
         self.ref_lists = ref_lists
         self.cur_poc = cur_poc
         self.search_range = search_range
@@ -293,6 +295,11 @@ class InterPictureEncoder(IntraPictureEncoder):
             res = orig_y - py
             coeffs = forward_transform_np(res, self.bd, False)
             levels = quantize_np(coeffs, self.qp, self.bd, log2, False)
+            if self.use_rdoq and levels.any():
+                from turingcodec_tpu.encode.rdoq import rdoq_levels
+                levels = rdoq_levels(coeffs, levels,
+                                     self.qp + sps.qp_bd_offset_y,
+                                     log2, self.bd, self.lam)
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2)
@@ -308,6 +315,10 @@ class InterPictureEncoder(IntraPictureEncoder):
                 res_c = o - p
                 cf = forward_transform_np(res_c, sps.bit_depth_c, False)
                 lv = quantize_np(cf, qp, sps.bit_depth_c, log2 - 1, False)
+                if self.use_rdoq and lv.any():
+                    from turingcodec_tpu.encode.rdoq import rdoq_levels
+                    lv = rdoq_levels(cf, lv, qp + sps.qp_bd_offset_c,
+                                     log2 - 1, sps.bit_depth_c, self.lam)
                 if lv.any():
                     dd = dequant_block(lv, qp + sps.qp_bd_offset_c,
                                        sps.bit_depth_c, log2 - 1)

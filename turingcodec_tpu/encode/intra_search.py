@@ -49,7 +49,7 @@ class IntraPictureEncoder:
 
     def __init__(self, sps: Sps, pps: Pps, sh: SliceSegmentHeader,
                  geom: PictureGeometry, rd_candidates: int = 3,
-                 max_cu_log2: int = 5):
+                 max_cu_log2: int = 5, use_rdoq: bool = False):
         self.sps, self.pps, self.sh, self.geom = sps, pps, sh, geom
         self.qp = sh.slice_qp_y
         self.qp_cb = chroma_qp_from_luma(
@@ -60,6 +60,7 @@ class IntraPictureEncoder:
         self.max_cu_log2 = min(max_cu_log2, sps.ctb_log2_size_y,
                                sps.max_tb_log2_size_y)
         self.rd_candidates = rd_candidates
+        self.use_rdoq = use_rdoq
         # HM-style lambda for intra, fixed QP
         self.lam = 0.57 * (2.0 ** ((self.qp - 12) / 3.0))
         self.lam_bits = self.lam
@@ -235,6 +236,11 @@ class IntraPictureEncoder:
             use_dst = log2 == 2
             coeffs = forward_transform_np(res, self.bd, use_dst)
             levels = quantize_np(coeffs, self.qp, self.bd, log2, True)
+            if self.use_rdoq and levels.any():
+                from turingcodec_tpu.encode.rdoq import rdoq_levels
+                levels = rdoq_levels(coeffs, levels,
+                                     self.qp + sps.qp_bd_offset_y,
+                                     log2, self.bd, self.lam)
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2)
@@ -275,6 +281,11 @@ class IntraPictureEncoder:
             res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
             coeffs = forward_transform_np(res, sps.bit_depth_c, False)
             levels = quantize_np(coeffs, qp, sps.bit_depth_c, clog2, True)
+            if self.use_rdoq and levels.any():
+                from turingcodec_tpu.encode.rdoq import rdoq_levels
+                levels = rdoq_levels(coeffs, levels,
+                                     qp + sps.qp_bd_offset_c,
+                                     clog2, sps.bit_depth_c, self.lam)
             if levels.any():
                 d = dequant_block(levels, qp + sps.qp_bd_offset_c,
                                   sps.bit_depth_c, clog2)
