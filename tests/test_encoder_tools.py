@@ -1,0 +1,72 @@
+"""Tests for rate control, AQ, and shot-change IDR placement."""
+import numpy as np
+import pytest
+
+from turingcodec_tpu.decode.decoder import Decoder
+from turingcodec_tpu.encode.encoder import Encoder, EncoderConfig
+from tests.test_encoder import _synthetic_frame
+
+
+def test_aq_roundtrip():
+    cfg = EncoderConfig(width=128, height=64, qp=32, rd_candidates=1,
+                        aq_strength=1.0, gop_m=1, search_range=8)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    for i in range(3):
+        f = [np.roll(p, i, axis=1) for p in _synthetic_frame(128, 64, 2)]
+        f[0][:, :40] //= 4   # non-uniform activity -> real dQPs
+        _, nal, recon = enc.push_frame(f)[0]
+        stream += nal
+        recons.append(recon)
+    frames = list(Decoder().decode_stream(stream))
+    for f, r in zip(frames, recons):
+        assert f.hash_ok
+        for a, b in zip(f.planes, r):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_rate_control_converges():
+    w, h = 128, 64
+    target = 200_000.0
+    cfg = EncoderConfig(width=w, height=h, qp=32, rd_candidates=1, gop_m=1,
+                        bitrate=target, frame_rate=24.0, hash_type=None,
+                        search_range=8)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(0)
+    bits = 0
+    n = 12
+    base = _synthetic_frame(w, h, 5)
+    for i in range(n):
+        f = [np.clip(p + rng.integers(-3, 4, p.shape), 0, 255).astype(np.int16)
+             for p in base]
+        for r in enc.push_frame(f):
+            bits += 8 * len(r[1])
+    achieved = bits * 24.0 / n
+    assert 0.5 * target < achieved < 2.0 * target, achieved
+
+
+def test_shot_change_places_idr():
+    from turingcodec_tpu.hevc import types as T
+    from turingcodec_tpu.bitstream.reader import iter_nal_units
+
+    cfg = EncoderConfig(width=64, height=64, qp=35, rd_candidates=1,
+                        gop_m=1, shot_change=True, search_range=8,
+                        hash_type=None)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        if i < 3:
+            f = _synthetic_frame(64, 64, 0)
+        else:
+            f = _synthetic_frame(64, 64, 99)  # abrupt content change
+            f[0][:] = 255 - f[0]
+        for r in enc.push_frame([np.roll(p, i, axis=0) for p in f]):
+            stream += r[1]
+    idr_count = sum(1 for nal in iter_nal_units(stream)
+                    if T.is_idr(nal.nal_unit_type))
+    assert idr_count >= 2, idr_count
+    # and the stream still decodes
+    frames = list(Decoder().decode_stream(stream))
+    assert len(frames) == 6

@@ -48,6 +48,7 @@ class SliceParseContext:
         self.dec: CabacDecoder = None
         self.qp_y_pred = sh.slice_qp_y
         self.qp_y = sh.slice_qp_y
+        self.last_cu_qp = sh.slice_qp_y  # QpY of the previous CU (qPY_PREV)
         self.is_cu_qp_delta_coded = False
         self.cu_qp_delta_val = 0
         self.wpp_saved_ctx: Optional[ContextPool] = None
@@ -190,6 +191,8 @@ def parse_coding_quadtree(ps: SliceParseContext, x0: int, y0: int,
             sps.ctb_log2_size_y - pps.diff_cu_qp_delta_depth):
         ps.is_cu_qp_delta_coded = False
         ps.cu_qp_delta_val = 0
+        # qPY_PREV = QpY of the last CU of the previous QG (spec 8.6.1)
+        ps.qp_y_pred = ps.last_cu_qp
     if split:
         half = 1 << (log2_size - 1)
         x1, y1 = x0 + half, y0 + half
@@ -202,6 +205,7 @@ def parse_coding_quadtree(ps: SliceParseContext, x0: int, y0: int,
             parse_coding_quadtree(ps, x1, y1, log2_size - 1, depth + 1)
     else:
         parse_coding_unit(ps, x0, y0, log2_size, depth)
+        ps.last_cu_qp = int(ps.plan.qp_y[y0 >> 2, x0 >> 2])
 
 
 def _set_block(arr: np.ndarray, x0: int, y0: int, size: int, w: int = None,
@@ -667,9 +671,13 @@ def parse_transform_unit(ps: SliceParseContext, x0, y0, x_base, y_base,
             ps.is_cu_qp_delta_coded = True
             ps.cu_qp_delta_val = val
         qp = _derive_qp(ps, cu.x0, cu.y0)
-        ps.qp_y_pred = qp
-        s = 1 << cu.log2_size
-        plan.qp_y[cu.y0 >> 2:(cu.y0 + s) >> 2, cu.x0 >> 2:(cu.x0 + s) >> 2] = qp
+        # QpY applies to the WHOLE quantization group, retroactively covering
+        # CUs parsed before the delta (deblock uses it; reference behaviour)
+        log2_qg = sps.ctb_log2_size_y - pps.diff_cu_qp_delta_depth
+        qg = 1 << log2_qg
+        x_qg, y_qg = cu.x0 & ~(qg - 1), cu.y0 & ~(qg - 1)
+        plan.qp_y[y_qg >> 2:(y_qg + qg) >> 2,
+                  x_qg >> 2:(x_qg + qg) >> 2] = qp
         if cbf_luma:
             parse_residual_coding(ps, x0, y0, log2_size, 0)
         if log2_size > 2:
@@ -682,10 +690,7 @@ def parse_transform_unit(ps: SliceParseContext, x0, y0, x_base, y_base,
                 parse_residual_coding(ps, x_base >> 1, y_base >> 1, log2_size, 1)
             if cbf_cr:
                 parse_residual_coding(ps, x_base >> 1, y_base >> 1, log2_size, 2)
-    else:
-        if pps.cu_qp_delta_enabled_flag:
-            qp = _derive_qp(ps, cu.x0, cu.y0)
-            ps.qp_y_pred = qp
+    # (qPY_PREV updates happen per CU via last_cu_qp)
 
 
 def parse_residual_coding(ps: SliceParseContext, x0: int, y0: int,

@@ -64,6 +64,7 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
             else:
                 ps.ctx.initialize(sh.init_type(), sh.slice_qp_y)
             ps.qp_y_pred = sh.slice_qp_y
+            ps.last_cu_qp = sh.slice_qp_y
 
         # tile start: re-init contexts
         if ctb_addr_ts > 0 and not (wpp and rx == 0):
@@ -72,6 +73,7 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
                     prev_rs // wc, prev_rs % wc]:
                 ps.ctx.initialize(sh.init_type(), sh.slice_qp_y)
                 ps.qp_y_pred = sh.slice_qp_y
+                ps.last_cu_qp = sh.slice_qp_y
 
         parse_ctu(ps, ctb_addr_rs)
 

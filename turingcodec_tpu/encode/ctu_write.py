@@ -36,6 +36,11 @@ class SliceWriteContext:
         self.enc = CabacEncoder(self.bw, self.ctx)
         self.wpp_saved_ctx: Optional[ContextPool] = None
         self.cu = None
+        # QP prediction chain (mirrors the parser's, spec 8.6.1)
+        self.qp_y_pred = sh.slice_qp_y
+        self.last_cu_qp = sh.slice_qp_y
+        self.is_cu_qp_delta_coded = False
+        self.cu_qp_delta_val = 0
 
 
 def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
@@ -64,6 +69,8 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
                 ws.ctx.states = list(ws.wpp_saved_ctx.states)
             else:
                 ws.ctx.initialize(sh.init_type(), sh.slice_qp_y)
+            ws.qp_y_pred = sh.slice_qp_y
+            ws.last_cu_qp = sh.slice_qp_y
 
         write_ctu(ws, ctb_addr_rs)
         if wpp and rx == snap_rx:
@@ -144,6 +151,11 @@ def write_coding_quadtree(ws: SliceWriteContext, x0, y0, log2_size, depth):
     sps, pps, enc, plan = ws.sps, ws.pps, ws.enc, ws.plan
     w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
     in_pic = x0 + (1 << log2_size) <= w and y0 + (1 << log2_size) <= h
+    if pps.cu_qp_delta_enabled_flag and log2_size >= (
+            sps.ctb_log2_size_y - pps.diff_cu_qp_delta_depth):
+        ws.is_cu_qp_delta_coded = False
+        ws.cu_qp_delta_val = 0
+        ws.qp_y_pred = ws.last_cu_qp
     actual_depth = int(plan.ct_depth[y0 >> 2, x0 >> 2])
     split = actual_depth > depth
     if in_pic and log2_size > sps.min_cb_log2_size_y:
@@ -167,6 +179,7 @@ def write_coding_quadtree(ws: SliceWriteContext, x0, y0, log2_size, depth):
             write_coding_quadtree(ws, x1, y1, log2_size - 1, depth + 1)
     else:
         write_coding_unit(ws, x0, y0, log2_size, depth)
+        ws.last_cu_qp = int(plan.qp_y[y0 >> 2, x0 >> 2])
 
 
 class _WriteCu:
@@ -428,7 +441,27 @@ def write_transform_tree(ws: SliceWriteContext, x0, y0, x_base, y_base,
     chroma_last = log2_size == 2 and blk_idx == 3
     any_chroma = (my_cb or my_cr) and (log2_size > 2 or chroma_last)
     if cbf_luma or any_chroma:
-        assert not pps.cu_qp_delta_enabled_flag
+        if pps.cu_qp_delta_enabled_flag and not ws.is_cu_qp_delta_coded:
+            # derive the predictor the same way the parser does, then write
+            # the delta that reproduces plan.qp_y
+            from turingcodec_tpu.decode.ctu_parse import _derive_qp
+            ws.cu_qp_delta_val = 0
+            pred = _derive_qp(ws, cu.x0, cu.y0)
+            val = int(plan.qp_y[cu.y0 >> 2, cu.x0 >> 2]) - pred
+            ws.cu_qp_delta_val = val
+            ws.is_cu_qp_delta_coded = True
+            a = abs(val)
+            # cu_qp_delta_abs: TR prefix (cMax 5, ctx [0,1,1,1,1]), EG0 tail
+            for k in range(min(a, 5)):
+                enc.encode_decision(
+                    ctx_index("cu_qp_delta_abs", 0 if k == 0 else 1), 1)
+            if a < 5:
+                enc.encode_decision(
+                    ctx_index("cu_qp_delta_abs", 0 if a == 0 else 1), 0)
+            else:
+                enc.encode_egk_bypass(a - 5, 0)
+            if a:
+                enc.encode_bypass(1 if val < 0 else 0)
         if cbf_luma:
             write_residual(ws, x0, y0, log2_size, 0)
         if log2_size > 2:

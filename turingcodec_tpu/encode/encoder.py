@@ -53,6 +53,10 @@ class EncoderConfig:
     rdoq: bool = False      # RDOQ-lite level optimization (opt-in: its
                             # simplified rate model trades slightly off-curve)
     search_range: int = 48
+    bitrate: Optional[float] = None  # bits/s: enables CBR rate control
+    frame_rate: float = 24.0
+    shot_change: bool = False  # shot-change-triggered IDR placement
+    aq_strength: float = 0.0   # adaptive quantization (0 = off)
     verify_recon: bool = True  # assert search recon == plan-replay recon
 
 
@@ -75,6 +79,21 @@ class Encoder:
                                        low_delay=cfg.gop_m == 1)
         self._dpb = Dpb(self.sps)
         self._inputs = {}
+        self._scd = None
+        if cfg.shot_change:
+            from turingcodec_tpu.encode.scd import ShotChangeDetector
+            self._scd = ShotChangeDetector()
+        self._rc = None
+        if cfg.bitrate:
+            from turingcodec_tpu.encode.rate_control import SequenceRateController
+            from turingcodec_tpu.encode.gop import _SOP_TABLES
+            mix = {}
+            m = 1 if (cfg.all_intra or cfg.gop_m == 1) else cfg.gop_m
+            for (_, tid, _, _, _) in _SOP_TABLES[m]:
+                mix[tid] = mix.get(tid, 0) + 1
+            self._rc = SequenceRateController(cfg.bitrate, cfg.frame_rate,
+                                              cfg.width, cfg.height, cfg.qp,
+                                              level_mix=mix)
 
     # ------------------------------------------------------------------
     def _setup_ptl(self) -> ProfileTierLevel:
@@ -126,7 +145,8 @@ class Encoder:
         p.init_qp_minus26 = c.qp - 26
         p.sign_data_hiding_enabled_flag = 0
         p.entropy_coding_sync_enabled_flag = int(c.wpp)
-        p.cu_qp_delta_enabled_flag = 0
+        p.cu_qp_delta_enabled_flag = int(c.aq_strength > 0)
+        p.diff_cu_qp_delta_depth = 0
         p.transform_skip_enabled_flag = 0
         p.loop_filter_across_tiles_enabled_flag = 1
         return p
@@ -158,7 +178,12 @@ class Encoder:
 
         sh = SliceSegmentHeader()
         sh.first_slice_segment_in_pic_flag = 1
-        qp_off = docket.qp_offset if self.cfg.hierarchical_qp else 0
+        if self._rc is not None:
+            qp, lam, _ = self._rc.pre_picture(docket.is_idr,
+                                              docket.temporal_id)
+            qp_off = qp - (26 + self.pps.init_qp_minus26)
+        else:
+            qp_off = docket.qp_offset if self.cfg.hierarchical_qp else 0
         sh.slice_qp_delta = qp_off
         sh.slice_qp_y = 26 + self.pps.init_qp_minus26 + qp_off
         sh.temporal_id = 0  # written in NAL header separately if desired
@@ -201,8 +226,11 @@ class Encoder:
         idx = self.frame_count
         self.frame_count += 1
         self._inputs[idx] = yuv
+        force_idr = False
+        if self._scd is not None:
+            force_idr = self._scd.push(yuv[0])
         out = []
-        for docket in self._planner.push():
+        for docket in self._planner.push(force_idr):
             out.append(self._encode_docket(docket))
         return out
 
@@ -215,6 +243,35 @@ class Encoder:
         assert len(res) == 1, "encode_frame requires gop_m=1"
         _, nal, recon = res[0]
         return nal, recon
+
+    # ------------------------------------------------------------------
+    def _reconcile_qp(self, plan, sh):
+        """Rewrite plan.qp_y to the decoder-derivable values: a QG (== CTB,
+        diff_cu_qp_delta_depth 0) with no coded coefficients signals no
+        delta, so its QpY is qPY_PREV (spec 8.6.1). With QG == CTB the
+        left/above QG predictors are never in the same CTB, so the
+        prediction chain is purely sequential."""
+        sps = self.sps
+        ctb = sps.ctb_size_y
+        wc, hc = sps.pic_width_in_ctbs_y, sps.pic_height_in_ctbs_y
+        wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
+        last = sh.slice_qp_y
+        for ry in range(hc):
+            for rx in range(wc):
+                if wpp and rx == 0:
+                    last = sh.slice_qp_y
+                y0, x0 = ry * ctb, rx * ctb
+                y1 = min(y0 + ctb, sps.pic_height_in_luma_samples)
+                x1 = min(x0 + ctb, sps.pic_width_in_luma_samples)
+                has_cbf = bool(
+                    plan.coeff_y[y0:y1, x0:x1].any()
+                    or plan.coeff_cb[y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].any()
+                    or plan.coeff_cr[y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].any())
+                bl = (slice(y0 >> 2, y1 >> 2), slice(x0 >> 2, x1 >> 2))
+                if has_cbf:
+                    last = int(plan.qp_y[y0 >> 2, x0 >> 2])
+                else:
+                    plan.qp_y[bl] = last
 
     # ------------------------------------------------------------------
     def _encode_docket(self, docket) -> tuple:
@@ -241,7 +298,15 @@ class Encoder:
                 max_cu_log2=self.cfg.max_cu_log2,
                 search_range=self.cfg.search_range,
                 use_rdoq=self.cfg.rdoq)
+        if self.cfg.aq_strength > 0:
+            from turingcodec_tpu.encode.aq import compute_aq_map
+            dqp = compute_aq_map(np.asarray(yuv[0]), self.sps.ctb_log2_size_y,
+                                 self.cfg.aq_strength)
+            qp_map = np.clip(sh.slice_qp_y + dqp, 1, 51)
+            enc.set_qp_map(qp_map)
         plan, search_recon = enc.encode_picture(yuv)
+        if self.cfg.aq_strength > 0:
+            self._reconcile_qp(plan, sh)
 
         # slice data first: WPP entry point offsets go into the header.
         # Offsets count EBSP bytes; per-substream emulation prevention equals
@@ -274,6 +339,9 @@ class Encoder:
                                             self.cfg.bit_depth)
             nal += write_sei_nal([msg], suffix=True,
                                  temporal_id=docket.temporal_id)
+
+        if self._rc is not None:
+            self._rc.post_picture(8 * len(nal))
 
         pic = DecodedPicture(poc=poc)
         pic.planes = recon

@@ -58,12 +58,17 @@ class GopPlanner:
         self.base_poc = 0              # POC of the last scheduled SOP end
         self.idr_input = 0             # input index of the current IDR
 
-    def push(self) -> List[Docket]:
-        """Register one more input frame; returns any newly-ready dockets."""
+    def push(self, force_idr: bool = False) -> List[Docket]:
+        """Register one more input frame; returns any newly-ready dockets.
+
+        force_idr: shot-change hook (InputQueue computeNextIdr analogue) —
+        pending frames are emitted as partial SOPs first.
+        """
         idx = self.n_in
         self.n_in += 1
         out = []
-        if self._is_idr_input(idx):
+        if self._is_idr_input(idx) or force_idr:
+            out.extend(self.flush())
             out.append(Docket(input_index=idx, poc=0, is_idr=True,
                               slice_type=2))
             self.idr_input = idx

@@ -71,6 +71,28 @@ class IntraPictureEncoder:
         self.rd_ctx = ContextPool()
         self.rd_ctx.initialize(sh.init_type(), sh.slice_qp_y)
         self._rd_ctx_wpp = None
+        self.qp_map = None  # per-CTB QP (adaptive quantization)
+        self._base_lam_qp = self.qp
+
+    def set_qp_map(self, qp_map):
+        self.qp_map = qp_map
+
+    def _set_ctb_qp(self, qp: int):
+        from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
+        sps, pps = self.sps, self.pps
+        scale = 2.0 ** ((qp - self._base_lam_qp) / 3.0)
+        if not hasattr(self, "_lam0"):
+            self._lam0 = self.lam
+        self.qp = qp
+        self.lam = self._lam0 * scale
+        self.lam_bits = self.lam
+        if hasattr(self, "lam_me"):
+            import math
+            self.lam_me = math.sqrt(self.lam)
+        self.qp_cb = chroma_qp_from_luma(
+            max(-sps.qp_bd_offset_c, min(57, qp + pps.pps_cb_qp_offset)))
+        self.qp_cr = chroma_qp_from_luma(
+            max(-sps.qp_bd_offset_c, min(57, qp + pps.pps_cr_qp_offset)))
 
     # ------------------------------------------------------------------
     def encode_picture(self, orig: List[np.ndarray], slice_number: int = 0
@@ -101,6 +123,11 @@ class IntraPictureEncoder:
                         self.rd_ctx.initialize(self.sh.init_type(),
                                                self.sh.slice_qp_y)
                 plan.slice_idx[ry, rx] = slice_number
+                if self.qp_map is not None:
+                    q = int(self.qp_map[ry, rx])
+                    self._set_ctb_qp(q)
+                    plan.qp_y[ry * ctb >> 2:(ry + 1) * ctb >> 2,
+                              rx * ctb >> 2:(rx + 1) * ctb >> 2] = q
                 self._decide_cqt(rx * ctb, ry * ctb, sps.ctb_log2_size_y, 0)
                 if wpp and rx == snap_rx:
                     self._rd_ctx_wpp = self.rd_ctx.copy()

@@ -22,7 +22,19 @@ def main(argv=None):
     ap.add_argument("--bit-depth", type=int, default=8)
     ap.add_argument("--dump-frames", default=None,
                     help="write reconstructed YUV here")
-    ap.add_argument("--rd-candidates", type=int, default=3)
+    ap.add_argument("--rd-candidates", type=int, default=None)
+    ap.add_argument("--speed", choices=["slow", "medium", "fast"],
+                    default="slow", help="preset (turing Speed.h analogue)")
+    ap.add_argument("--qpg", "--max-gop-m", dest="gop_m", type=int, default=1,
+                    help="mini-GOP size: 1 (low delay) / 2 / 4 / 8")
+    ap.add_argument("--intra-period", type=int, default=0)
+    ap.add_argument("--bitrate", type=float, default=None,
+                    help="target bits/s (enables CBR rate control)")
+    ap.add_argument("--frame-rate", type=float, default=24.0)
+    ap.add_argument("--shot-change", action="store_true")
+    ap.add_argument("--no-wpp", action="store_true")
+    ap.add_argument("--hash", type=int, default=0, choices=[0, 1, 2])
+    ap.add_argument("--rdoq", action="store_true")
     ap.add_argument("--no-progress", action="store_true")
     args = ap.parse_args(argv)
 
@@ -31,9 +43,19 @@ def main(argv=None):
     from turingcodec_tpu.encode.encoder import Encoder, EncoderConfig
 
     w, h = (int(x) for x in args.input_res.split("x"))
+    presets = {  # rd_candidates, search_range (Speed.h:31-211 analogue)
+        "slow": (3, 48), "medium": (2, 32), "fast": (1, 16)}
+    rd, sr = presets[args.speed]
+    if args.rd_candidates is not None:
+        rd = args.rd_candidates
     cfg = EncoderConfig(width=w, height=h, qp=args.qp,
                         bit_depth=args.bit_depth,
-                        rd_candidates=args.rd_candidates)
+                        rd_candidates=rd, search_range=sr,
+                        gop_m=args.gop_m, intra_period=args.intra_period,
+                        bitrate=args.bitrate, frame_rate=args.frame_rate,
+                        shot_change=args.shot_change,
+                        wpp=not args.no_wpp, hash_type=args.hash,
+                        rdoq=args.rdoq)
     enc = Encoder(cfg)
     data = open(args.input, "rb").read()
     fsz = w * h * 3 // 2
@@ -41,32 +63,35 @@ def main(argv=None):
     if args.frames is not None:
         total = min(total, args.frames)
 
+    from turingcodec_tpu.encode.encoder import read_yuv_frame
     out = open(args.output_file, "wb")
     out.write(enc.headers())
-    dump = open(args.dump_frames, "wb") if args.dump_frames else None
     t0 = time.time()
     nbytes = 0
+    recons = {}
+    done = 0
+
+    def handle(results):
+        nonlocal nbytes, done
+        for (idx, nal, recon) in results:
+            out.write(nal)
+            nbytes += len(nal)
+            recons[idx] = recon
+            done += 1
+            if not args.no_progress:
+                print(f"pic {idx}: {len(nal)} bytes "
+                      f"({done / (time.time() - t0):.2f} fps)",
+                      file=sys.stderr)
+
     for i in range(total):
-        off = i * fsz
-        y = np.frombuffer(data[off:off + w * h],
-                          np.uint8).reshape(h, w).astype(np.int16)
-        cb = np.frombuffer(data[off + w * h:off + w * h + fsz // 6 * 1],
-                           np.uint8)[: w * h // 4].reshape(h // 2, w // 2).astype(np.int16)
-        cr = np.frombuffer(data[off + w * h + w * h // 4:off + fsz],
-                           np.uint8).reshape(h // 2, w // 2).astype(np.int16)
-        nal, recon = enc.encode_frame([y, cb, cr])
-        out.write(nal)
-        nbytes += len(nal)
-        if dump:
-            for p in recon:
-                dump.write(p.astype(np.uint8).tobytes())
-        if not args.no_progress:
-            print(f"frame {i}: {len(nal)} bytes "
-                  f"({(i + 1) / (time.time() - t0):.2f} fps)",
-                  file=sys.stderr)
+        handle(enc.push_frame(read_yuv_frame(data, i, w, h)))
+    handle(enc.flush())
     out.close()
-    if dump:
-        dump.close()
+    if args.dump_frames:
+        with open(args.dump_frames, "wb") as dump:
+            for i in range(total):
+                for p in recons[i]:
+                    dump.write(p.astype(np.uint8).tobytes())
     if not args.no_progress:
         dt = time.time() - t0
         print(f"encoded {total} frames, {nbytes} bytes, {dt:.1f}s",
