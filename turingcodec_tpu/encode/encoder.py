@@ -57,6 +57,7 @@ class EncoderConfig:
     frame_rate: float = 24.0
     shot_change: bool = False  # shot-change-triggered IDR placement
     aq_strength: float = 0.0   # adaptive quantization (0 = off)
+    sao: bool = True           # SAO estimation + signalling
     verify_recon: bool = True  # assert search recon == plan-replay recon
 
 
@@ -126,7 +127,7 @@ class Encoder:
         s.max_transform_hierarchy_depth_intra = 0
         s.scaling_list_enabled_flag = 0
         s.amp_enabled_flag = 0
-        s.sample_adaptive_offset_enabled_flag = 0
+        s.sample_adaptive_offset_enabled_flag = int(c.sao)
         s.pcm_enabled_flag = 0
         s.short_term_rps = []
         s.long_term_ref_pics_present_flag = 0
@@ -187,8 +188,8 @@ class Encoder:
         sh.slice_qp_delta = qp_off
         sh.slice_qp_y = 26 + self.pps.init_qp_minus26 + qp_off
         sh.temporal_id = 0  # written in NAL header separately if desired
-        sh.slice_sao_luma_flag = 0
-        sh.slice_sao_chroma_flag = 0
+        sh.slice_sao_luma_flag = int(self.cfg.sao)
+        sh.slice_sao_chroma_flag = int(self.cfg.sao)
         sh.slice_deblocking_filter_disabled_flag = 0
         sh.num_entry_point_offsets = 0
         if docket.is_idr:
@@ -308,7 +309,23 @@ class Encoder:
         if self.cfg.aq_strength > 0:
             self._reconcile_qp(plan, sh)
 
-        # slice data first: WPP entry point offsets go into the header.
+        # reconstruction: search recon + the decoder's own deblocking over
+        # the same plan (round-trip tests assert bit-exact decoder agreement,
+        # the signature.cpp:171-177 invariant)
+        from turingcodec_tpu.decode.deblock_vec import deblock_picture_vec
+        recon = [p.copy() for p in search_recon]
+        deblock_picture_vec(plan, self.geom, recon[0], recon[1], recon[2])
+
+        if self.cfg.sao:
+            # SAO estimation needs the deblocked picture; its parameters go
+            # into the per-CTU syntax, so estimate before writing slice data
+            import math
+            from turingcodec_tpu.encode.sao_search import estimate_sao
+            from turingcodec_tpu.decode.sao import sao_picture
+            lam = 0.85 * (2.0 ** ((sh.slice_qp_y - 12) / 3.0))
+            estimate_sao(plan, self.geom, yuv, recon, lam)
+
+        # slice data: WPP entry point offsets go into the header.
         # Offsets count EBSP bytes; per-substream emulation prevention equals
         # whole-buffer EP3 because every substream ends in a non-zero byte
         # (the CABAC flush '1' lands in the final byte).
@@ -326,12 +343,9 @@ class Encoder:
         rbsp = bw.get_bytes() + b"".join(substreams)
         nal = wrap_nal(sh.nal_unit_type, rbsp, temporal_id=docket.temporal_id)
 
-        # reconstruction: search recon + the decoder's own deblocking over
-        # the same plan (round-trip tests assert bit-exact decoder agreement,
-        # the signature.cpp:171-177 invariant)
-        from turingcodec_tpu.decode.deblock_vec import deblock_picture_vec
-        recon = [p.copy() for p in search_recon]
-        deblock_picture_vec(plan, self.geom, recon[0], recon[1], recon[2])
+        if self.cfg.sao:
+            from turingcodec_tpu.decode.sao import sao_picture
+            recon = sao_picture(plan, self.geom, recon)
         if self.cfg.hash_type is not None:
             from turingcodec_tpu.hevc.sei import (
                 make_decoded_picture_hash, write_sei_nal)
