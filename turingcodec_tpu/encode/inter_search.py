@@ -294,7 +294,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             # luma residual
             res = orig_y - py
             coeffs = forward_transform_np(res, self.bd, False)
-            levels = quantize_np(coeffs, self.qp, self.bd, log2, False)
+            levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
+                                 self.bd, log2, False)
             if self.use_rdoq and levels.any():
                 from turingcodec_tpu.encode.rdoq import rdoq_levels
                 levels = rdoq_levels(coeffs, levels,
@@ -314,7 +315,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                                (orig_cr, pcr, self.qp_cr)):
                 res_c = o - p
                 cf = forward_transform_np(res_c, sps.bit_depth_c, False)
-                lv = quantize_np(cf, qp, sps.bit_depth_c, log2 - 1, False)
+                lv = quantize_np(cf, qp + sps.qp_bd_offset_c,
+                                 sps.bit_depth_c, log2 - 1, False)
                 if self.use_rdoq and lv.any():
                     from turingcodec_tpu.encode.rdoq import rdoq_levels
                     lv = rdoq_levels(cf, lv, qp + sps.qp_bd_offset_c,

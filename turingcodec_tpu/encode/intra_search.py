@@ -262,7 +262,8 @@ class IntraPictureEncoder:
             res = orig_y - pred
             use_dst = log2 == 2
             coeffs = forward_transform_np(res, self.bd, use_dst)
-            levels = quantize_np(coeffs, self.qp, self.bd, log2, True)
+            levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
+                                 self.bd, log2, True)
             if self.use_rdoq and levels.any():
                 from turingcodec_tpu.encode.rdoq import rdoq_levels
                 levels = rdoq_levels(coeffs, levels,
@@ -307,7 +308,8 @@ class IntraPictureEncoder:
             pred = intra_predict(mode, rt_c, rl_c, c_c, cs, 1, sps.bit_depth_c)
             res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
             coeffs = forward_transform_np(res, sps.bit_depth_c, False)
-            levels = quantize_np(coeffs, qp, sps.bit_depth_c, clog2, True)
+            levels = quantize_np(coeffs, qp + sps.qp_bd_offset_c,
+                                 sps.bit_depth_c, clog2, True)
             if self.use_rdoq and levels.any():
                 from turingcodec_tpu.encode.rdoq import rdoq_levels
                 levels = rdoq_levels(coeffs, levels,
