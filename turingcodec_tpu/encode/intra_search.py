@@ -161,6 +161,15 @@ class IntraPictureEncoder:
         state = self._snapshot(x0, y0, size)
         cost_here = self._encode_cu(x0, y0, log2, depth) + self.lam_bits * 2
         if log2 == sps.min_cb_log2_size_y:
+            # try NxN at min CU size (four 4x4 intra PUs, DST transforms)
+            if self.sh.is_i or self.plan.cu_pred_mode[y0 >> 2, x0 >> 2] == 1:
+                here = self._snapshot(x0, y0, size)
+                self._restore(x0, y0, size, state)
+                cost_nxn = self._encode_cu_nxn(x0, y0, log2, depth) \
+                    + self.lam_bits * 2
+                if cost_nxn < cost_here:
+                    return cost_nxn
+                self._restore(x0, y0, size, here)
             return cost_here
         here = self._snapshot(x0, y0, size)
         self._restore(x0, y0, size, state)
@@ -328,6 +337,118 @@ class IntraPictureEncoder:
             cbits = self._residual_bits(levels, clog2, c_idx + 1, mode, True)
             self._commit_residual_ctx(levels, clog2, c_idx + 1, mode, True)
             total_crate += cbits
+            cost += dist_c + self.lam * cbits
+            plane_r[cy:cy + cs, cx:cx + cs] = rec_c
+        return cost
+
+    # ------------------------------------------------------------------
+    def _encode_cu_nxn(self, x0, y0, log2, depth) -> float:
+        """Intra NxN at min CU size: four 4x4 PUs/TUs (DST) + 4x4 chroma."""
+        from turingcodec_tpu.decode.ctu_parse import _intra_mpm
+
+        plan, sps = self.plan, self.sps
+        size = 1 << log2
+        half = size >> 1
+        sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
+        plan.ct_depth[sl] = depth
+        plan.cu_pred_mode[sl] = 1
+        plan.part_mode[sl] = 3  # PART_NxN
+        plan.cu_size_log2[sl] = log2
+        plan.cu_id[sl] = self.next_id[0]
+        self.next_id[0] += 1
+        plan.ref_idx[(0,) + sl] = -1
+        plan.ref_idx[(1,) + sl] = -1
+
+        class _PS:
+            pass
+        ps = _PS()
+        ps.plan, ps.geom, ps.sps = plan, self.geom, sps
+
+        cost = 0.0
+        modes = []
+        lumas = []
+        for i in range(4):
+            xb = x0 + (i & 1) * half
+            yb = y0 + (i >> 1) * half
+            bl = (slice(yb >> 2, (yb + half) >> 2),
+                  slice(xb >> 2, (xb + half) >> 2))
+            plan.pu_id[bl] = self.next_id[1]
+            self.next_id[1] += 1
+            orig_b = self.orig[0][yb:yb + half, xb:xb + half].astype(np.int32)
+            rt, rl, corner = self.refs.build(self.recon[0], xb, yb, half, 0,
+                                             self.bd)
+            mpm = _intra_mpm(ps, xb, yb)
+            from turingcodec_tpu.ops.metrics import satd_np
+            cands = []
+            for mode in range(35):
+                pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
+                satd = satd_np(orig_b, pred, 4)
+                cands.append((satd + self.lam_bits * (2 if mode in mpm else 6),
+                              mode))
+            cands.sort()
+            best = None
+            for _, mode in cands[: max(2, self.rd_candidates)]:
+                pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
+                res = orig_b - pred
+                coeffs = forward_transform_np(res, self.bd, True)
+                levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
+                                     self.bd, 2, True)
+                if levels.any():
+                    d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
+                                      self.bd, 2)
+                    rec = np.clip(pred + inverse_transform(d, self.bd, True),
+                                  0, (1 << self.bd) - 1)
+                else:
+                    rec = np.clip(pred, 0, (1 << self.bd) - 1)
+                dist = float(((rec - orig_b) ** 2).sum())
+                rate = self._residual_bits(levels, 2, 0, mode, True) \
+                    + (2 if mode in mpm else 6)
+                c = dist + self.lam * rate
+                if best is None or c < best[0]:
+                    best = (c, mode, levels, rec)
+            c, mode, levels, rec = best
+            self._commit_residual_ctx(levels, 2, 0, mode, True)
+            cost += c
+            modes.append(mode)
+            plan.intra_mode_y[bl] = mode
+            plan.tu_log2[bl] = 2
+            plan.tu_id[bl] = self.next_id[2]
+            self.next_id[2] += 1
+            plan.coeff_y[yb:yb + half, xb:xb + half] = levels
+            plan.cbf_y[bl] = int(levels.any())
+            self.recon[0][yb:yb + half, xb:xb + half] = rec
+            lumas.append(rec)
+
+        # chroma: one 4x4 TB pair for the CU, DM mode from PU0
+        mode_c = modes[0]
+        plan.intra_mode_c[sl] = mode_c
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        for c_idx, (plane_o, plane_r, coeffp, cbfp, qp) in enumerate((
+                (self.orig[1], self.recon[1], plan.coeff_cb, plan.cbf_cb,
+                 self.qp_cb),
+                (self.orig[2], self.recon[2], plan.coeff_cr, plan.cbf_cr,
+                 self.qp_cr))):
+            rt, rl, corner = self.refs.build(plane_r, cx, cy, cs, 1,
+                                             sps.bit_depth_c)
+            pred = intra_predict(mode_c, rt, rl, corner, cs, 1,
+                                 sps.bit_depth_c)
+            res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
+            coeffs = forward_transform_np(res, sps.bit_depth_c, False)
+            levels = quantize_np(coeffs, qp + sps.qp_bd_offset_c,
+                                 sps.bit_depth_c, 2, True)
+            if levels.any():
+                d = dequant_block(levels, qp + sps.qp_bd_offset_c,
+                                  sps.bit_depth_c, 2)
+                rec_c = np.clip(pred + inverse_transform(d, sps.bit_depth_c,
+                                                         False),
+                                0, (1 << sps.bit_depth_c) - 1)
+            else:
+                rec_c = np.clip(pred, 0, (1 << sps.bit_depth_c) - 1)
+            coeffp[cy:cy + cs, cx:cx + cs] = levels
+            cbfp[sl] = int(levels.any())
+            cbits = self._residual_bits(levels, 2, c_idx + 1, mode_c, True)
+            self._commit_residual_ctx(levels, 2, c_idx + 1, mode_c, True)
+            dist_c = float(((rec_c - plane_o[cy:cy + cs, cx:cx + cs]) ** 2).sum())
             cost += dist_c + self.lam * cbits
             plane_r[cy:cy + cs, cx:cx + cs] = rec_c
         return cost
