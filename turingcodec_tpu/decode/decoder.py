@@ -52,24 +52,46 @@ class Decoder:
         self.frame_count = 0
         self._pending_sei = []
         self.hash_failures = 0
+        self.violations = []  # recoverable conformance errors (skipped NALs)
 
     def decode_stream(self, data: bytes, max_frames: Optional[int] = None):
         """Generator of DecodedFrame in output order."""
+        from turingcodec_tpu.decode.violations import Abort, Violation
         cur_slices = []  # (sh, rbsp, data_bit_pos)
         for nal in iter_nal_units(data):
             nut = nal.nal_unit_type
             br = BitReader(nal.rbsp)
-            if nut == T.NalUnitType.VPS_NUT:
-                v = parse_vps(br)
-                self.ps.vps[v.vps_video_parameter_set_id] = v
-            elif nut == T.NalUnitType.SPS_NUT:
-                s = parse_sps(br)
-                self.ps.sps[s.sps_seq_parameter_set_id] = s
-            elif nut == T.NalUnitType.PPS_NUT:
-                p = parse_pps(br)
-                self.ps.pps[p.pps_pic_parameter_set_id] = p
-            elif T.is_vcl(nut):
-                sh = parse_slice_segment_header(br, nut, nal.temporal_id, self.ps)
+            try:
+                if nut == T.NalUnitType.VPS_NUT:
+                    v = parse_vps(br)
+                    self.ps.vps[v.vps_video_parameter_set_id] = v
+                    continue
+                elif nut == T.NalUnitType.SPS_NUT:
+                    s = parse_sps(br)
+                    self.ps.sps[s.sps_seq_parameter_set_id] = s
+                    continue
+                elif nut == T.NalUnitType.PPS_NUT:
+                    p = parse_pps(br)
+                    self.ps.pps[p.pps_pic_parameter_set_id] = p
+                    continue
+            except Abort:
+                raise
+            except (Violation, EOFError, KeyError, ValueError) as e:
+                # malformed parameter set: record and skip (Violation.h
+                # robustness semantics)
+                self.violations.append(f"{T.NalUnitType(nut).name}: {e}")
+                continue
+            if T.is_vcl(nut):
+                try:
+                    sh = parse_slice_segment_header(
+                        br, nut, nal.temporal_id, self.ps)
+                except Abort:
+                    raise
+                except (Violation, EOFError, KeyError, ValueError,
+                        IndexError) as e:
+                    self.violations.append(
+                        f"slice({T.NalUnitType(nut).name}): {e}")
+                    continue
                 if sh.first_slice_segment_in_pic_flag and cur_slices:
                     for f in self._finish_picture(cur_slices):
                         yield f

@@ -12,6 +12,7 @@ from typing import List, Optional
 import numpy as np
 
 from turingcodec_tpu.bitstream.reader import BitReader
+from turingcodec_tpu.decode.violations import Violation, check_range
 from turingcodec_tpu.bitstream.writer import BitWriter
 from turingcodec_tpu.hevc import types as T
 from turingcodec_tpu.hevc.params import (
@@ -376,17 +377,24 @@ def parse_sps(br: BitReader) -> Sps:
     s.sps_max_sub_layers_minus1 = br.u(3)
     s.sps_temporal_id_nesting_flag = br.u(1)
     s.ptl = parse_ptl(br, s.sps_max_sub_layers_minus1)
-    s.sps_seq_parameter_set_id = br.ue()
-    s.chroma_format_idc = br.ue()
+    s.sps_seq_parameter_set_id = check_range(
+        "7.4.3.2", "sps_seq_parameter_set_id", br.ue(), 0, 15)
+    s.chroma_format_idc = check_range(
+        "7.4.3.2", "chroma_format_idc", br.ue(), 0, 3)
     if s.chroma_format_idc == 3:
         s.separate_colour_plane_flag = br.u(1)
-    s.pic_width_in_luma_samples = br.ue()
-    s.pic_height_in_luma_samples = br.ue()
+    s.pic_width_in_luma_samples = check_range(
+        "7.4.3.2", "pic_width_in_luma_samples", br.ue(), 8, 16888)
+    s.pic_height_in_luma_samples = check_range(
+        "7.4.3.2", "pic_height_in_luma_samples", br.ue(), 8, 16888)
     if br.u(1):  # conformance_window_flag
         s.conf_win = (br.ue(), br.ue(), br.ue(), br.ue())
-    s.bit_depth_luma_minus8 = br.ue()
-    s.bit_depth_chroma_minus8 = br.ue()
-    s.log2_max_pic_order_cnt_lsb_minus4 = br.ue()
+    s.bit_depth_luma_minus8 = check_range(
+        "7.4.3.2", "bit_depth_luma_minus8", br.ue(), 0, 8)
+    s.bit_depth_chroma_minus8 = check_range(
+        "7.4.3.2", "bit_depth_chroma_minus8", br.ue(), 0, 8)
+    s.log2_max_pic_order_cnt_lsb_minus4 = check_range(
+        "7.4.3.2", "log2_max_pic_order_cnt_lsb_minus4", br.ue(), 0, 12)
     s.sps_sub_layer_ordering_info_present_flag = br.u(1)
     s.sps_max_dec_pic_buffering_minus1 = []
     s.sps_max_num_reorder_pics = []
@@ -415,7 +423,8 @@ def parse_sps(br: BitReader) -> Sps:
         s.log2_min_pcm_luma_coding_block_size_minus3 = br.ue()
         s.log2_diff_max_min_pcm_luma_coding_block_size = br.ue()
         s.pcm_loop_filter_disabled_flag = br.u(1)
-    num_st = br.ue()
+    num_st = check_range("7.4.3.2", "num_short_term_ref_pic_sets",
+                         br.ue(), 0, 64)
     s.short_term_rps = []
     for i in range(num_st):
         s.short_term_rps.append(
@@ -496,8 +505,10 @@ def write_sps(bw: BitWriter, s: Sps):
 
 def parse_pps(br: BitReader) -> Pps:
     p = Pps()
-    p.pps_pic_parameter_set_id = br.ue()
-    p.pps_seq_parameter_set_id = br.ue()
+    p.pps_pic_parameter_set_id = check_range(
+        "7.4.3.3", "pps_pic_parameter_set_id", br.ue(), 0, 63)
+    p.pps_seq_parameter_set_id = check_range(
+        "7.4.3.3", "pps_seq_parameter_set_id", br.ue(), 0, 15)
     p.dependent_slice_segments_enabled_flag = br.u(1)
     p.output_flag_present_flag = br.u(1)
     p.num_extra_slice_header_bits = br.u(3)
