@@ -66,9 +66,21 @@ class PictureReconstructor:
             sld = plan.pps.scaling_list_data or sps.scaling_list_data
             self.scaling = build_scaling_factors(sld)
 
+    use_batched_inter = True  # grouped vector MC/IDCT (bit-exact w/ scalar)
+
     # ------------------------------------------------------------------
     def run(self):
         plan = self.plan
+        if self.use_batched_inter:
+            from turingcodec_tpu.decode.recon_vec import reconstruct_inter_batch
+            reconstruct_inter_batch(plan, self.geom, self.ref_lists,
+                                    [self.ry, self.rcb, self.rcr])
+            for cu in plan.cu_list:
+                if cu.pcm:
+                    self._recon_pcm(cu)
+                elif cu.pred_mode == 1:
+                    self._recon_intra_cu(cu)
+            return self._loop_filters()
         for cu in plan.cu_list:
             if cu.pcm:
                 self._recon_pcm(cu)
@@ -76,7 +88,10 @@ class PictureReconstructor:
                 self._recon_inter_cu(cu)
             else:
                 self._recon_intra_cu(cu)
-        pre_loopfilter = None
+        return self._loop_filters()
+
+    def _loop_filters(self):
+        plan = self.plan
         deblock_picture(plan, self.geom, self.ry, self.rcb, self.rcr)
         if any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
                for sh in plan.slice_headers):
