@@ -67,36 +67,43 @@ class CabacDecoder:
     Reads bits MSB-first from ``data`` starting at bit position ``pos``.
     """
 
-    __slots__ = ("data", "pos", "nbits", "range", "offset", "ctx")
+    __slots__ = ("data", "pos", "nbits", "range", "offset", "ctx",
+                 "_cache", "_cache_bits")
 
     def __init__(self, data: bytes, pos_bits: int, ctx: ContextPool):
         self.data = data
         self.pos = pos_bits
         self.nbits = 8 * len(data)
         self.ctx = ctx
+        # bit cache: up to 8 bytes prefetched; `pos` stays the semantic bit
+        # position (cache refills adjust nothing visible)
+        self._cache = 0
+        self._cache_bits = 0
         self.range = 510
         self.offset = self._read_bits(9)
 
     def _read_bits(self, n: int) -> int:
-        pos = self.pos
-        end = pos + n
-        data = self.data
-        if end > self.nbits:
-            # past-the-end bits read as 0 (decoder robustness; conformant
-            # streams never depend on them)
-            avail = self.nbits - pos
-            if avail <= 0:
-                self.pos = end
-                return 0
-            v = self._read_bits(avail)
-            self.pos = end
-            return v << (n - avail)
-        first = pos >> 3
-        last = (end + 7) >> 3
-        chunk = int.from_bytes(data[first:last], "big")
-        shift = (last - first) * 8 - (pos - first * 8) - n
-        self.pos = end
-        return (chunk >> shift) & ((1 << n) - 1)
+        cb = self._cache_bits
+        cache = self._cache
+        if cb < n:
+            # refill up to 8 bytes starting at bit position pos + cb
+            start_bit = self.pos + cb
+            chunk = self.data[start_bit >> 3:(start_bit >> 3) + 8]
+            got = len(chunk) * 8 - (start_bit & 7)
+            if got > 0:
+                cache = (cache << got) | (
+                    int.from_bytes(chunk, "big") & ((1 << got) - 1))
+                cb += got
+            if cb < n:
+                # past-the-end bits read as 0 (decoder robustness)
+                cache <<= n - cb
+                cb = n
+        out = (cache >> (cb - n)) & ((1 << n) - 1)
+        cb -= n
+        self._cache = cache & ((1 << cb) - 1)
+        self._cache_bits = cb
+        self.pos += n
+        return out
 
     def restart(self):
         """Re-init arithmetic state at current (byte-aligned) position —
