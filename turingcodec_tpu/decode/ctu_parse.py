@@ -10,6 +10,7 @@ pixel pipeline consumes the plan in batched form on device.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -810,13 +811,10 @@ def parse_residual_coding(ps: SliceParseContext, x0: int, y0: int,
             prev_csbf += 1
         if ys + 1 < csbf.shape[0] and csbf[ys + 1, xs]:
             prev_csbf += 2
+        sctx16 = _sig_ctx16(log2_size, c_idx, scan_idx, xs, ys, prev_csbf)
         for n in range(start_n, -1, -1):
-            xp, yp = int(pos_scan[n, 0]), int(pos_scan[n, 1])
             if n > 0 or not infer_sb_dc:
-                xc, yc = (xs << 2) + xp, (ys << 2) + yp
-                sig_ctx = _sig_ctx(log2_size, c_idx, scan_idx, xc, yc,
-                                   xp, yp, xs, ys, prev_csbf)
-                b = dec.decode_decision(ctx_index("sig_coeff_flag", sig_ctx))
+                b = dec.decode_decision(sctx16[n])
                 sig[n] = b
                 if b:
                     infer_sb_dc = 0
@@ -904,6 +902,23 @@ def parse_residual_coding(ps: SliceParseContext, x0: int, y0: int,
             else:
                 neg = signs.get(n, 0)
             coeff_plane[yc, xc] = -lv if neg else lv
+
+
+@functools.lru_cache(maxsize=None)
+def _sig_ctx16(log2_size, c_idx, scan_idx, xs, ys, prev_csbf):
+    """Full sig_coeff_flag context indices (CONTEXT_OFFSET included) for all
+    16 scan positions of subblock (xs, ys) — the per-coefficient ctx is fully
+    determined by these keys, so both parser and writer share one cached
+    table per subblock instead of recomputing per coefficient."""
+    pos_scan = _scan(2, scan_idx)
+    out = []
+    for nn in range(16):
+        xp, yp = int(pos_scan[nn, 0]), int(pos_scan[nn, 1])
+        xc, yc = (xs << 2) + xp, (ys << 2) + yp
+        out.append(ctx_index("sig_coeff_flag",
+                             _sig_ctx(log2_size, c_idx, scan_idx, xc, yc,
+                                      xp, yp, xs, ys, prev_csbf)))
+    return tuple(out)
 
 
 def _sig_ctx(log2_size, c_idx, scan_idx, xc, yc, xp, yp, xs, ys, prev_csbf):

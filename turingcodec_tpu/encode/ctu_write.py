@@ -15,7 +15,7 @@ from turingcodec_tpu.cabac.engine import CabacEncoder, ContextPool, ctx_index
 from turingcodec_tpu.hevc import types as T
 from turingcodec_tpu.hevc.geometry import PictureGeometry
 from turingcodec_tpu.hevc.params import SliceSegmentHeader
-from turingcodec_tpu.decode.ctu_parse import _scan, _sig_ctx
+from turingcodec_tpu.decode.ctu_parse import _scan, _sig_ctx16
 from turingcodec_tpu.decode.plan import PicturePlan
 
 
@@ -522,24 +522,29 @@ def residual_core(enc, blk, log2_size, c_idx, scan_idx, sdh):
     sub_scan = _scan(log2_size - 2, scan_idx)
     pos_scan = _scan(2, scan_idx)
     n_sub = 1 << (2 * (log2_size - 2))
+    nsb = 1 << (log2_size - 2)
+
+    # subblock-major scan view: coefs[ys][xs][nn] = value at scan pos nn
+    v4 = np.asarray(blk).reshape(nsb, 4, nsb, 4).transpose(0, 2, 1, 3)
+    coef = v4[:, :, pos_scan[:, 1], pos_scan[:, 0]]        # (nsb, nsb, 16)
+    coefs = coef.tolist()
+    sub_xy = sub_scan[:, :2].tolist()
 
     # locate last significant coefficient in scan order: the highest-scan
     # position of the highest non-empty subblock
     last_i = -1
     last_n = -1
     for i in range(n_sub - 1, -1, -1):
-        xs, ys = int(sub_scan[i, 0]), int(sub_scan[i, 1])
-        sb = blk[ys * 4:ys * 4 + 4, xs * 4:xs * 4 + 4]
-        if not sb.any():
-            continue
+        xs, ys = sub_xy[i]
+        row = coefs[ys][xs]
         for nn in range(15, -1, -1):
-            xp, yp = int(pos_scan[nn, 0]), int(pos_scan[nn, 1])
-            if sb[yp, xp]:
+            if row[nn]:
                 last_i, last_n = i, nn
                 break
-        break
+        if last_i >= 0:
+            break
     assert last_i >= 0
-    xs, ys = int(sub_scan[last_i, 0]), int(sub_scan[last_i, 1])
+    xs, ys = sub_xy[last_i]
     last_x = (xs << 2) + int(pos_scan[last_n, 0])
     last_y = (ys << 2) + int(pos_scan[last_n, 1])
 
@@ -587,23 +592,19 @@ def residual_core(enc, blk, log2_size, c_idx, scan_idx, sdh):
         nbits = (py >> 1) - 1
         enc.encode_bypass_bits(wy - ((2 + (py & 1)) << nbits), nbits)
 
-    csbf = np.zeros((1 << (log2_size - 2), 1 << (log2_size - 2)), np.uint8)
-    for i in range(n_sub):
-        xs, ys = int(sub_scan[i, 0]), int(sub_scan[i, 1])
-        csbf[ys, xs] = int(blk[ys * 4:ys * 4 + 4, xs * 4:xs * 4 + 4].any())
+    csbf = (coef != 0).any(axis=2).astype(np.uint8)    # [ys, xs]
 
     c1_chain_gt1 = 0
     sub_of_last = last_i
     pos_of_last = last_n
 
     for i in range(sub_of_last, -1, -1):
-        xs, ys = int(sub_scan[i, 0]), int(sub_scan[i, 1])
-        sb = blk[ys * 4:ys * 4 + 4, xs * 4:xs * 4 + 4]
+        xs, ys = sub_xy[i]
         sb_coded = int(csbf[ys, xs])
         infer_sb_dc = 0
         if i < sub_of_last and i > 0:
-            inc = int(bool((xs + 1 < csbf.shape[1] and csbf[ys, xs + 1])
-                           or (ys + 1 < csbf.shape[0] and csbf[ys + 1, xs])))
+            inc = int(bool((xs + 1 < nsb and csbf[ys, xs + 1])
+                           or (ys + 1 < nsb and csbf[ys + 1, xs])))
             enc.encode_decision(
                 ctx_index("coded_sub_block_flag", inc + (2 if c_idx else 0)),
                 sb_coded)
@@ -616,24 +617,18 @@ def residual_core(enc, blk, log2_size, c_idx, scan_idx, sdh):
         if not sb_coded:
             continue
 
-        sig = np.zeros(16, np.uint8)
-        for nn in range(16):
-            xp, yp = int(pos_scan[nn, 0]), int(pos_scan[nn, 1])
-            sig[nn] = int(sb[yp, xp] != 0)
+        levels = coefs[ys][xs]
+        sig = [1 if v else 0 for v in levels]
         start_n = pos_of_last - 1 if i == sub_of_last else 15
         prev_csbf = 0
-        if xs + 1 < csbf.shape[1] and csbf[ys, xs + 1]:
+        if xs + 1 < nsb and csbf[ys, xs + 1]:
             prev_csbf += 1
-        if ys + 1 < csbf.shape[0] and csbf[ys + 1, xs]:
+        if ys + 1 < nsb and csbf[ys + 1, xs]:
             prev_csbf += 2
+        sctx16 = _sig_ctx16(log2_size, c_idx, scan_idx, xs, ys, prev_csbf)
         for nn in range(start_n, -1, -1):
-            xp, yp = int(pos_scan[nn, 0]), int(pos_scan[nn, 1])
             if nn > 0 or not infer_sb_dc:
-                xc, yc = (xs << 2) + xp, (ys << 2) + yp
-                sctx = _sig_ctx(log2_size, c_idx, scan_idx, xc, yc,
-                                xp, yp, xs, ys, prev_csbf)
-                enc.encode_decision(ctx_index("sig_coeff_flag", sctx),
-                                    int(sig[nn]))
+                enc.encode_decision(sctx16[nn], sig[nn])
                 if sig[nn]:
                     infer_sb_dc = 0
             else:
@@ -642,10 +637,6 @@ def residual_core(enc, blk, log2_size, c_idx, scan_idx, sdh):
         sig_pos = [nn for nn in range(15, -1, -1) if sig[nn]]
         if not sig_pos:
             continue
-        levels = {}
-        for nn in sig_pos:
-            xp, yp = int(pos_scan[nn, 0]), int(pos_scan[nn, 1])
-            levels[nn] = int(sb[yp, xp])
 
         ctx_set = (0 if (i == 0 or c_idx > 0) else 2) + (1 if c1_chain_gt1 else 0)
         c1 = 1
@@ -677,7 +668,7 @@ def residual_core(enc, blk, log2_size, c_idx, scan_idx, sdh):
         last_sig_scan = sig_pos[0]
         sign_hidden = sdh and (last_sig_scan - first_sig_scan > 3)
         if sign_hidden:
-            total = sum(abs(v) for v in levels.values())
+            total = sum(abs(levels[nn]) for nn in sig_pos)
             assert (total & 1) == (1 if levels[first_sig_scan] < 0 else 0), \
                 "encoder must enforce SDH parity before writing"
         for nn in sig_pos:

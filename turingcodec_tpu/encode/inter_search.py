@@ -158,25 +158,23 @@ class InterPictureEncoder(IntraPictureEncoder):
     def _full_pel_search(self, orig, ref_plane, x0, y0, size, mvp):
         """Diamond/step pattern integer search; returns best int MV (in
         full-pel units) minimizing SAD + lam_me * mvd bits."""
-        h, w = ref_plane.shape
+        from turingcodec_tpu.encode.sweep import sad_many
+        seen = {}
 
-        def sad_at(ix, iy):
-            ys = np.clip(np.arange(y0 + iy, y0 + iy + size), 0, h - 1)
-            xs = np.clip(np.arange(x0 + ix, x0 + ix + size), 0, w - 1)
-            blk = ref_plane[np.ix_(ys, xs)].astype(np.int32)
-            return float(np.abs(orig - blk).sum())
-
-        def cost(ix, iy):
-            return sad_at(ix, iy) + self.lam_me * _mv_bits(
-                4 * ix - mvp[0], 4 * iy - mvp[1])
+        def costs_at(cands):
+            """Batched SAD + lambda*mvd-bits for a list of (ix, iy)."""
+            fresh = [c for c in cands if c not in seen]
+            if fresh:
+                xs = np.array([x0 + ix for ix, _ in fresh])
+                ys = np.array([y0 + iy for _, iy in fresh])
+                sads = sad_many(orig, ref_plane, xs, ys, size)
+                for (ix, iy), s in zip(fresh, sads):
+                    seen[(ix, iy)] = float(s) + self.lam_me * _mv_bits(
+                        4 * ix - mvp[0], 4 * iy - mvp[1])
+            return [(seen[c], c) for c in cands]
 
         # seeds: zero and mvp
-        seeds = {(0, 0), (mvp[0] >> 2, mvp[1] >> 2)}
-        best = None
-        for s in seeds:
-            c = cost(*s)
-            if best is None or c < best[0]:
-                best = (c, s)
+        best = min(costs_at(sorted({(0, 0), (mvp[0] >> 2, mvp[1] >> 2)})))
         step = 16
         sr = self.search_range
         while step >= 1:
@@ -184,15 +182,16 @@ class InterPictureEncoder(IntraPictureEncoder):
             while improved:
                 improved = False
                 bx, by = best[1]
-                for (dx, dy) in ((step, 0), (-step, 0), (0, step), (0, -step),
-                                 (step, step), (-step, -step),
-                                 (step, -step), (-step, step)):
-                    nx, ny = bx + dx, by + dy
-                    if abs(nx) > sr or abs(ny) > sr:
-                        continue
-                    c = cost(nx, ny)
-                    if c < best[0]:
-                        best = (c, (nx, ny))
+                probes = [(bx + dx, by + dy)
+                          for (dx, dy) in ((step, 0), (-step, 0),
+                                           (0, step), (0, -step),
+                                           (step, step), (-step, -step),
+                                           (step, -step), (-step, step))
+                          if abs(bx + dx) <= sr and abs(by + dy) <= sr]
+                if probes:
+                    c = min(costs_at(probes))
+                    if c[0] < best[0]:
+                        best = c
                         improved = True
             step >>= 1
         return best[1], best[0]

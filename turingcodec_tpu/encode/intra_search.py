@@ -239,28 +239,15 @@ class IntraPictureEncoder:
 
         orig_y = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
 
-        # SATD sweep over all 35 modes from current reconstruction
+        # SATD sweep over all 35 modes, batched (encode/sweep.py)
         rt, rl, corner = self.refs.build(self.recon[0], x0, y0, size, 0, self.bd)
-        sat_costs = []
 
         class _PS:
             pass
         ps = _PS()
         ps.plan, ps.geom, ps.sps = plan, self.geom, sps
         mpm = _intra_mpm(ps, x0, y0)
-        from turingcodec_tpu.ops.metrics import satd_np
-        for mode in range(35):
-            frt, frl, fc = filter_reference_samples(
-                rt, rl, corner, size, mode,
-                bool(sps.strong_intra_smoothing_enabled_flag), self.bd)
-            pred = intra_predict(mode, frt, frl, fc, size, 0, self.bd)
-            satd = satd_np(orig_y, pred, 8 if size >= 8 else 4)
-            mode_bits = 2 if mode in mpm else 6
-            sat_costs.append((satd + self.lam_bits * mode_bits, mode, pred))
-        sat_costs.sort(key=lambda t: t[0])
-        cands = [t[1] for t in sat_costs[: self.rd_candidates]]
-        if 0 not in cands and len(cands) >= 2:
-            cands[-1] = 0  # always try planar
+        cands = self._rank_modes(orig_y, rt, rl, corner, size, mpm)
 
         best = None
         for mode in cands:
@@ -342,6 +329,38 @@ class IntraPictureEncoder:
         return cost
 
     # ------------------------------------------------------------------
+    def _rank_modes(self, orig_b, rt, rl, corner, n, mpm, count=None):
+        """SATD-rank all 35 modes with one batched prediction+SATD pass.
+
+        Per-mode reference filtering follows spec 8.4.4.2.3 (the RD
+        refinement recomputes exact predictions, edge filters included)."""
+        from turingcodec_tpu.encode.sweep import intra_all_modes_np, satd_many
+        from turingcodec_tpu.decode.reconstruct import _HVD_THRES
+
+        sps = self.sps
+        preds = intra_all_modes_np(rt, rl, corner, n, self.bd)
+        if n > 4:
+            frt, frl, fc = filter_reference_samples(
+                rt, rl, corner, n, 0,
+                bool(sps.strong_intra_smoothing_enabled_flag), self.bd)
+            preds_f = intra_all_modes_np(frt, frl, fc, n, self.bd)
+            thres = _HVD_THRES[n]
+            for mode in range(35):
+                if mode == 1:
+                    continue
+                if mode != 0 and min(abs(mode - 26), abs(mode - 10)) <= thres:
+                    continue
+                preds[mode] = preds_f[mode]
+        satds = satd_many(orig_b, preds, 8 if n >= 8 else 4)
+        mode_bits = np.array([2 if m in mpm else 6 for m in range(35)])
+        costs = satds + self.lam_bits * mode_bits
+        order = np.argsort(costs, kind="stable")
+        cands = [int(m) for m in order[: count or self.rd_candidates]]
+        if 0 not in cands and len(cands) >= 2:
+            cands[-1] = 0  # always try planar
+        return cands
+
+    # ------------------------------------------------------------------
     def _encode_cu_nxn(self, x0, y0, log2, depth) -> float:
         """Intra NxN at min CU size: four 4x4 PUs/TUs (DST) + 4x4 chroma."""
         from turingcodec_tpu.decode.ctu_parse import _intra_mpm
@@ -378,16 +397,10 @@ class IntraPictureEncoder:
             rt, rl, corner = self.refs.build(self.recon[0], xb, yb, half, 0,
                                              self.bd)
             mpm = _intra_mpm(ps, xb, yb)
-            from turingcodec_tpu.ops.metrics import satd_np
-            cands = []
-            for mode in range(35):
-                pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
-                satd = satd_np(orig_b, pred, 4)
-                cands.append((satd + self.lam_bits * (2 if mode in mpm else 6),
-                              mode))
-            cands.sort()
+            cands = self._rank_modes(orig_b, rt, rl, corner, half, mpm,
+                                     count=max(2, self.rd_candidates))
             best = None
-            for _, mode in cands[: max(2, self.rd_candidates)]:
+            for mode in cands:
                 pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
                 res = orig_b - pred
                 coeffs = forward_transform_np(res, self.bd, True)
