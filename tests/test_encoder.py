@@ -143,3 +143,29 @@ def test_writer_parser_inverse():
                  "coeff_y", "coeff_cb", "coeff_cr"):
         np.testing.assert_array_equal(
             getattr(plan1, name), getattr(plan2, name), err_msg=name)
+
+
+def test_weighted_prediction_roundtrip():
+    """Explicit WP (luma+chroma weights) on a fading sequence: decode must
+    equal encoder recon bit-exactly (spec 8.5.3.3.4.3 / 7.4.7.3)."""
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=2,
+                        search_range=8, wp_luma=(59, 6, 2),
+                        wp_chroma=(-4, 3))
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    base = _synthetic_frame(w, h, 3)
+    for i in range(3):
+        g = 1.0 - 0.07 * i
+        f = [np.clip(p * g, 0, 255).astype(np.int16) for p in base]
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 3 and not dec.violations
+    for f, recon in zip(frames, recons):
+        assert f.hash_ok
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)

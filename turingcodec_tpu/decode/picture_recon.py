@@ -14,7 +14,7 @@ import numpy as np
 from turingcodec_tpu.hevc import types as T
 from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
 from turingcodec_tpu.decode.deblock_vec import deblock_picture_vec as deblock_picture
-from turingcodec_tpu.decode.inter_pred import predict_pu
+from turingcodec_tpu.decode.inter_pred import derive_wp_tables, predict_pu
 from turingcodec_tpu.decode.plan import PicturePlan
 from turingcodec_tpu.decode.reconstruct import (
     ReferenceSampleBuilder,
@@ -71,6 +71,18 @@ class PictureReconstructor:
     # ------------------------------------------------------------------
     def run(self):
         plan = self.plan
+        self.wp_tables = [derive_wp_tables(sh, plan.sps)
+                          for sh in plan.slice_headers]
+        if any(w is not None for w in self.wp_tables):
+            # weighted prediction: scalar per-PU path (spec 8.5.3.3.4.3)
+            for cu in plan.cu_list:
+                if cu.pcm:
+                    self._recon_pcm(cu)
+                elif cu.pred_mode == 0:
+                    self._recon_inter_cu(cu)
+                else:
+                    self._recon_intra_cu(cu)
+            return self._loop_filters()
         if self.use_batched_inter:
             from turingcodec_tpu.decode.recon_vec import reconstruct_inter_batch
             reconstruct_inter_batch(plan, self.geom, self.ref_lists,
@@ -147,9 +159,13 @@ class PictureReconstructor:
     def _recon_inter_cu(self, cu):
         plan = self.plan
         max_y = (1 << self.bd_y) - 1
+        cl2 = plan.sps.ctb_log2_size_y
+        wp = self.wp_tables[int(plan.slice_idx[cu.y0 >> cl2, cu.x0 >> cl2])] \
+            if getattr(self, "wp_tables", None) else None
         for (px, py, pw, ph) in _pu_geometry(cu, cu.part_mode):
             pred_y, pred_cb, pred_cr = predict_pu(
-                plan, self.ref_lists, px, py, pw, ph, self.bd_y, self.bd_c)
+                plan, self.ref_lists, px, py, pw, ph, self.bd_y, self.bd_c,
+                wp=wp)
             self.ry[py:py + ph, px:px + pw] = pred_y
             self.rcb[py >> 1:(py + ph) >> 1, px >> 1:(px + pw) >> 1] = pred_cb
             self.rcr[py >> 1:(py + ph) >> 1, px >> 1:(px + pw) >> 1] = pred_cr

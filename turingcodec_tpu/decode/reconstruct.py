@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import functools
+
 import numpy as np
 
 from turingcodec_tpu.hevc import types as T
@@ -204,6 +206,20 @@ def filter_reference_samples(ref_top, ref_left, corner, n, mode,
     return ft, fl, fc
 
 
+@functools.lru_cache(maxsize=None)
+def _scan_templates(n):
+    """(dx, dy) offsets of the 4n+1 candidate reference positions relative
+    to (x0, y0), in scan order: left bottom-up, corner, top left-to-right."""
+    m = 4 * n + 1
+    tx = np.empty(m, np.int32)
+    ty = np.empty(m, np.int32)
+    tx[:2 * n + 1] = -1
+    tx[2 * n + 1:] = np.arange(2 * n)
+    ty[:2 * n] = 2 * n - 1 - np.arange(2 * n)
+    ty[2 * n:] = -1
+    return tx, ty
+
+
 class ReferenceSampleBuilder:
     """Gathers + substitutes intra reference samples (spec 8.4.4.2.2),
     vectorized in one pass over the 4n+1 candidate positions."""
@@ -243,13 +259,10 @@ class ReferenceSampleBuilder:
         zcur = zs[yl >> 2, xl >> 2]
         m = 4 * n + 1
 
-        # plane-space candidate coordinates in scan order
-        px = np.empty(m, np.int32)
-        py = np.empty(m, np.int32)
-        px[:2 * n + 1] = x0 - 1
-        px[2 * n + 1:] = x0 + np.arange(2 * n)
-        py[:2 * n] = y0 + (2 * n - 1 - np.arange(2 * n))
-        py[2 * n:] = y0 - 1
+        # plane-space candidate coordinates in scan order (cached templates)
+        tx, ty = _scan_templates(n)
+        px = x0 + tx
+        py = y0 + ty
 
         inb = (px >= 0) & (py >= 0) & (px < w_pic) & (py < h_pic)
         pxc = np.clip(px, 0, w_pic - 1)
@@ -267,7 +280,7 @@ class ReferenceSampleBuilder:
             if plan.pps.constrained_intra_pred_flag:
                 ok &= plan.cu_pred_mode[lyc >> 2, lxc >> 2] == 1
 
-        vals = recon[pyc, pxc].astype(np.int64)
+        vals = recon[pyc, pxc].astype(np.int32)
         if not ok.any():
             vals[:] = 1 << (bit_depth - 1)
         else:

@@ -59,6 +59,10 @@ class EncoderConfig:
     aq_strength: float = 0.0   # adaptive quantization (0 = off)
     sao: bool = True           # SAO estimation + signalling
     verify_recon: bool = True  # assert search recon == plan-replay recon
+    wp_luma: Optional[tuple] = None  # explicit weighted prediction for P
+                                     # slices: (weight, log2_denom, offset)
+    wp_chroma: Optional[tuple] = None  # (delta_weight, delta_offset) for
+                                       # both chroma planes (needs wp_luma)
 
 
 class Encoder:
@@ -150,6 +154,7 @@ class Encoder:
         p.diff_cu_qp_delta_depth = 0
         p.transform_skip_enabled_flag = 0
         p.loop_filter_across_tiles_enabled_flag = 1
+        p.weighted_pred_flag = int(c.wp_luma is not None)
         return p
 
     def _setup_vps(self) -> Vps:
@@ -218,6 +223,20 @@ class Encoder:
         sh.num_ref_idx_l1_active_minus1 = 0
         sh.five_minus_max_num_merge_cand = 0
         sh.max_num_merge_cand = 5
+        if self.cfg.wp_luma is not None and sh.is_p:
+            w, d, o = self.cfg.wp_luma
+            entry = {"delta_luma_weight": w - (1 << d), "luma_offset": o}
+            cflag = 0
+            if self.cfg.wp_chroma is not None:
+                cflag = 1
+                dw, do = self.cfg.wp_chroma
+                entry["chroma"] = [(dw, do), (dw, do)]
+            sh.pred_weight_table = {
+                "luma_log2_weight_denom": d,
+                "delta_chroma_log2_weight_denom": 0,
+                "l0": {"luma_flags": [1], "chroma_flags": [cflag],
+                       "entries": [entry]},
+            }
         return sh
 
     # ------------------------------------------------------------------

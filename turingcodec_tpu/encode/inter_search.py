@@ -51,6 +51,8 @@ class InterPictureEncoder(IntraPictureEncoder):
         self.ref_lists = ref_lists
         self.cur_poc = cur_poc
         self.search_range = search_range
+        from turingcodec_tpu.decode.inter_pred import derive_wp_tables
+        self.wp = derive_wp_tables(sh, sps)  # explicit weighted prediction
         # HM P-frame lambda
         self.lam = 0.85 * (2.0 ** ((self.qp - 12) / 3.0))
         self.lam_bits = self.lam
@@ -123,10 +125,26 @@ class InterPictureEncoder(IntraPictureEncoder):
         return py, pcb, pcr
 
     def _finalize_pred(self, p14s):
-        """Default weighted sample prediction (uni or bi) from 14-bit parts.
+        """Default or explicit weighted sample prediction (uni or bi) from
+        14-bit parts. Matches decode.inter_pred.predict_pu exactly.
 
-        Matches decode.inter_pred.predict_pu exactly."""
+        With explicit WP configured (P slices, one shared L0 weight), every
+        uni prediction here is L0 so entry 0's weight applies."""
         sps = self.sps
+        if getattr(self, "wp", None) is not None:
+            from turingcodec_tpu.decode.inter_pred import weighted_combine
+            wp = self.wp
+            out = []
+            for ci, bd in ((0, self.bd), (1, sps.bit_depth_c),
+                           (2, sps.bit_depth_c)):
+                ps = [p[ci] for p in p14s if p is not None]
+                assert len(ps) == 1, "encoder WP supports uni-pred (P) only"
+                e = wp[0][0]
+                wo = (e["wy"], e["oy"]) if ci == 0 else \
+                    (e["wc"][ci - 1], e["oc"][ci - 1])
+                log2d = wp["log2d_y"] if ci == 0 else wp["log2d_c"]
+                out.append(weighted_combine(ps[0], None, bd, log2d, wo, None))
+            return out
         out = []
         for ci, bd in ((0, self.bd), (1, sps.bit_depth_c),
                        (2, sps.bit_depth_c)):

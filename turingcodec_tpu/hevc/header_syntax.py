@@ -649,6 +649,35 @@ def parse_pred_weight_table(br: BitReader, sh: SliceSegmentHeader, sps: Sps) -> 
     return pwt
 
 
+def write_pred_weight_table(bw: BitWriter, sh: SliceSegmentHeader, sps: Sps):
+    """Exact inverse of parse_pred_weight_table."""
+    pwt = sh.pred_weight_table
+    assert pwt is not None, "weighted slice needs sh.pred_weight_table"
+    bw.ue(pwt["luma_log2_weight_denom"])
+    chroma = sps.chroma_array_type != 0
+    if chroma:
+        bw.se(pwt.get("delta_chroma_log2_weight_denom", 0))
+    for lx in ("l0", "l1") if sh.is_b else ("l0",):
+        t = pwt[lx]
+        n = (sh.num_ref_idx_l0_active_minus1 if lx == "l0"
+             else sh.num_ref_idx_l1_active_minus1) + 1
+        assert len(t["entries"]) == n
+        for i in range(n):
+            bw.u(t["luma_flags"][i], 1)
+        if chroma:
+            for i in range(n):
+                bw.u(t["chroma_flags"][i], 1)
+        for i in range(n):
+            e = t["entries"][i]
+            if t["luma_flags"][i]:
+                bw.se(e["delta_luma_weight"])
+                bw.se(e["luma_offset"])
+            if t["chroma_flags"][i]:
+                for dw, do in e["chroma"]:
+                    bw.se(dw)
+                    bw.se(do)
+
+
 def parse_slice_segment_header(br: BitReader, nal_unit_type: int,
                                temporal_id: int, ps: ParamSets) -> SliceSegmentHeader:
     sh = SliceSegmentHeader()
@@ -848,9 +877,9 @@ def write_slice_segment_header(bw: BitWriter, sh: SliceSegmentHeader,
                     or (not sh.collocated_from_l0_flag
                         and sh.num_ref_idx_l1_active_minus1 > 0)):
                 bw.ue(sh.collocated_ref_idx)
-        assert not ((pps.weighted_pred_flag and sh.is_p)
-                    or (pps.weighted_bipred_flag and sh.is_b)), \
-            "pred_weight_table writing not implemented"
+        if ((pps.weighted_pred_flag and sh.is_p)
+                or (pps.weighted_bipred_flag and sh.is_b)):
+            write_pred_weight_table(bw, sh, sps)
         bw.ue(sh.five_minus_max_num_merge_cand)
     bw.se(sh.slice_qp_delta)
     if pps.pps_slice_chroma_qp_offsets_present_flag:

@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--no-wpp", action="store_true")
     ap.add_argument("--hash", type=int, default=0, choices=[0, 1, 2])
     ap.add_argument("--rdoq", action="store_true")
+    ap.add_argument("--wp-luma", default=None, metavar="W:D:O",
+                    help="explicit weighted prediction for P slices: "
+                         "weight:log2_denom:offset (e.g. 59:6:0)")
+    ap.add_argument("--wp-chroma", default=None, metavar="DW:DO",
+                    help="chroma WP deltas (requires --wp-luma)")
     ap.add_argument("--no-progress", action="store_true")
     args = ap.parse_args(argv)
 
@@ -55,7 +60,12 @@ def main(argv=None):
                         bitrate=args.bitrate, frame_rate=args.frame_rate,
                         shot_change=args.shot_change,
                         wpp=not args.no_wpp, hash_type=args.hash,
-                        rdoq=args.rdoq)
+                        rdoq=args.rdoq,
+                        wp_luma=tuple(int(x) for x in args.wp_luma.split(":"))
+                        if args.wp_luma else None,
+                        wp_chroma=tuple(
+                            int(x) for x in args.wp_chroma.split(":"))
+                        if args.wp_chroma else None)
     enc = Encoder(cfg)
     data = open(args.input, "rb").read()
     fsz = w * h * 3 // 2
