@@ -169,3 +169,37 @@ def test_weighted_prediction_roundtrip():
         assert f.hash_ok
         for a, b in zip(f.planes, recon):
             np.testing.assert_array_equal(a, b)
+
+
+def test_prefix_sei_and_vui():
+    """APS/user-data/mastering-display/ATC/pic-timing SEIs + VUI survive the
+    encode->decode round trip with structured parse (Annex D / E)."""
+    w, h = 64, 64
+    md = ([(35400, 14600), (8500, 39850), (6550, 2300)], (15635, 16450),
+          10000000, 50)
+    cfg = EncoderConfig(width=w, height=h, qp=32, all_intra=True,
+                        rd_candidates=1, sei_pic_timing=True,
+                        mastering_display=md, alt_transfer=18,
+                        frame_rate=25.0)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    for i in range(2):
+        nal, _ = enc.encode_frame(_synthetic_frame(w, h, i))
+        stream += nal
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 2 and not dec.violations
+    types = [t for t, _ in dec.sei_log]
+    from turingcodec_tpu.hevc import sei as S
+    assert types.count(S.SEI_PIC_TIMING) == 2
+    assert S.SEI_ACTIVE_PARAMETER_SETS in types
+    assert S.SEI_USER_DATA_UNREGISTERED in types
+    got_md = dict(dec.sei_log)[S.SEI_MASTERING_DISPLAY]
+    assert got_md["primaries"] == md[0] and got_md["white_point"] == md[1]
+    assert got_md["max_luminance"] == md[2] and got_md["min_luminance"] == md[3]
+    assert dict(dec.sei_log)[S.SEI_ALTERNATIVE_TRANSFER][
+        "preferred_transfer_characteristics"] == 18
+    # VUI round trip through the parsed SPS
+    sps = list(dec.ps.sps.values())[0]
+    assert sps.vui is not None and sps.vui.timing_info == (1000, 25000)
+    assert sps.vui.frame_field_info_present_flag == 1

@@ -51,6 +51,7 @@ class Decoder:
         self.reconstructor_cls = reconstructor_cls
         self.frame_count = 0
         self._pending_sei = []
+        self.sei_log = []  # (payload_type, structured dict) of known SEIs
         self.hash_failures = 0
         self.violations = []  # recoverable conformance errors (skipped NALs)
 
@@ -102,9 +103,15 @@ class Decoder:
                 cur_slices.append((sh, nal.rbsp, (br.pos + 7) & ~7))
             elif nut in (T.NalUnitType.PREFIX_SEI_NUT,
                          T.NalUnitType.SUFFIX_SEI_NUT):
-                from turingcodec_tpu.hevc.sei import parse_sei_rbsp
+                from turingcodec_tpu.hevc.sei import (parse_sei_rbsp,
+                                                      parse_structured)
                 try:
-                    self._pending_sei.extend(parse_sei_rbsp(nal.rbsp))
+                    msgs = parse_sei_rbsp(nal.rbsp)
+                    self._pending_sei.extend(msgs)
+                    for m in msgs:
+                        s = parse_structured(m)
+                        if s is not None:
+                            self.sei_log.append((m.payload_type, s))
                 except Exception:
                     pass  # malformed SEI is non-fatal
             elif nut in (T.NalUnitType.EOS_NUT, T.NalUnitType.EOB_NUT):

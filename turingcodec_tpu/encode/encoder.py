@@ -63,6 +63,13 @@ class EncoderConfig:
                                      # slices: (weight, log2_denom, offset)
     wp_chroma: Optional[tuple] = None  # (delta_weight, delta_offset) for
                                        # both chroma planes (needs wp_luma)
+    # prefix SEI set (TaskEncodeOutput.cpp:105-209 analogue)
+    sei_active_parameter_sets: bool = True   # on IRAP pictures
+    sei_user_data: Optional[str] = "turingcodec-tpu"  # once, at stream start
+    sei_pic_timing: bool = False   # per picture; enables VUI frame-field info
+    mastering_display: Optional[tuple] = None  # (primaries 3x(x,y), (wx,wy),
+                                               #  max_lum, min_lum) on IRAP
+    alt_transfer: Optional[int] = None  # preferred_transfer_characteristics
 
 
 class Encoder:
@@ -75,6 +82,7 @@ class Encoder:
         self.vps = self._setup_vps()
         self.geom = PictureGeometry(self.sps, self.pps)
         self.frame_count = 0
+        self._user_data_sent = False
         from turingcodec_tpu.encode.gop import GopPlanner
         from turingcodec_tpu.decode.dpb import Dpb
         if cfg.all_intra:
@@ -137,6 +145,11 @@ class Encoder:
         s.long_term_ref_pics_present_flag = 0
         s.sps_temporal_mvp_enabled_flag = 0
         s.strong_intra_smoothing_enabled_flag = 1
+        from turingcodec_tpu.hevc.params import VuiParameters
+        s.vui = VuiParameters()
+        fr = c.frame_rate
+        s.vui.timing_info = (1000, round(fr * 1000))
+        s.vui.frame_field_info_present_flag = int(c.sei_pic_timing)
         if not self.cfg.all_intra:
             m = max(1, self.cfg.gop_m)
             s.sps_max_dec_pic_buffering_minus1 = [m + 1]
@@ -238,6 +251,34 @@ class Encoder:
                        "entries": [entry]},
             }
         return sh
+
+    # ------------------------------------------------------------------
+    def _prefix_sei(self, docket) -> bytes:
+        """Prefix SEI messages for this access unit (the set the reference
+        emits in TaskEncodeOutput.cpp:105-209)."""
+        from turingcodec_tpu.hevc import sei as S
+        msgs = []
+        c = self.cfg
+        if docket.is_idr:
+            if c.sei_active_parameter_sets:
+                msgs.append(S.make_active_parameter_sets(0, 0))
+            if c.sei_user_data is not None and not self._user_data_sent:
+                self._user_data_sent = True
+                uuid = hashlib.md5(b"turingcodec-tpu").digest()
+                msgs.append(S.make_user_data_unregistered(
+                    uuid, c.sei_user_data.encode()))
+            if c.mastering_display is not None:
+                prim, wp, mx, mn = c.mastering_display
+                msgs.append(S.make_mastering_display(prim, wp, mx, mn))
+            if c.alt_transfer is not None:
+                msgs.append(S.make_alternative_transfer_characteristics(
+                    c.alt_transfer))
+        if c.sei_pic_timing:
+            msgs.append(S.make_pic_timing(pic_struct=0, source_scan_type=1))
+        if not msgs:
+            return b""
+        return S.write_sei_nal(msgs, suffix=False,
+                               temporal_id=docket.temporal_id)
 
     # ------------------------------------------------------------------
     def push_frame(self, yuv: List[np.ndarray]) -> List[tuple]:
@@ -360,7 +401,8 @@ class Encoder:
         bw = BitWriter()
         write_slice_segment_header(bw, sh, self.sps, self.pps)
         rbsp = bw.get_bytes() + b"".join(substreams)
-        nal = wrap_nal(sh.nal_unit_type, rbsp, temporal_id=docket.temporal_id)
+        nal = self._prefix_sei(docket) + wrap_nal(
+            sh.nal_unit_type, rbsp, temporal_id=docket.temporal_id)
 
         if self.cfg.sao:
             from turingcodec_tpu.decode.sao import sao_picture

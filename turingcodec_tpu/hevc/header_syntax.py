@@ -498,9 +498,77 @@ def write_sps(bw: BitWriter, s: Sps):
             bw.u(used, 1)
     bw.u(s.sps_temporal_mvp_enabled_flag, 1)
     bw.u(s.strong_intra_smoothing_enabled_flag, 1)
-    bw.u(0, 1)  # vui_parameters_present_flag (encoder: none for now)
+    bw.u(int(s.vui is not None), 1)  # vui_parameters_present_flag
+    if s.vui is not None:
+        write_vui(bw, s.vui)
     bw.u(0, 1)  # sps_extension_present_flag
     bw.rbsp_trailing_bits()
+
+
+def write_vui(bw: BitWriter, v) -> None:
+    """Exact inverse of parse_vui (HRD writing not supported)."""
+    if v.aspect_ratio_idc is not None:
+        bw.u(1, 1)
+        bw.u(v.aspect_ratio_idc, 8)
+        if v.aspect_ratio_idc == 255:
+            bw.u(v.sar_width, 16)
+            bw.u(v.sar_height, 16)
+    else:
+        bw.u(0, 1)
+    bw.u(int(v.overscan_appropriate_flag is not None), 1)
+    if v.overscan_appropriate_flag is not None:
+        bw.u(v.overscan_appropriate_flag, 1)
+    if v.video_format is not None:
+        bw.u(1, 1)
+        bw.u(v.video_format, 3)
+        bw.u(v.video_full_range_flag, 1)
+        cd = v.colour_primaries is not None
+        bw.u(int(cd), 1)
+        if cd:
+            bw.u(v.colour_primaries, 8)
+            bw.u(v.transfer_characteristics, 8)
+            bw.u(v.matrix_coeffs, 8)
+    else:
+        bw.u(0, 1)
+    if v.chroma_sample_loc_type_top_field is not None:
+        bw.u(1, 1)
+        bw.ue(v.chroma_sample_loc_type_top_field)
+        bw.ue(v.chroma_sample_loc_type_bottom_field)
+    else:
+        bw.u(0, 1)
+    bw.u(v.neutral_chroma_indication_flag, 1)
+    bw.u(v.field_seq_flag, 1)
+    bw.u(v.frame_field_info_present_flag, 1)
+    if v.default_display_window is not None:
+        bw.u(1, 1)
+        for x in v.default_display_window:
+            bw.ue(x)
+    else:
+        bw.u(0, 1)
+    if v.timing_info is not None:
+        bw.u(1, 1)
+        bw.u(v.timing_info[0], 32)
+        bw.u(v.timing_info[1], 32)
+        bw.u(v.poc_proportional_to_timing_flag, 1)
+        if v.poc_proportional_to_timing_flag:
+            bw.ue(v.num_ticks_poc_diff_one_minus1)
+        assert v.hrd is None, "HRD parameter writing not implemented"
+        bw.u(0, 1)  # vui_hrd_parameters_present_flag
+    else:
+        bw.u(0, 1)
+    if v.bitstream_restriction is not None:
+        bw.u(1, 1)
+        b = v.bitstream_restriction
+        bw.u(b["tiles_fixed_structure_flag"], 1)
+        bw.u(b["motion_vectors_over_pic_boundaries_flag"], 1)
+        bw.u(b["restricted_ref_pic_lists_flag"], 1)
+        bw.ue(b["min_spatial_segmentation_idc"])
+        bw.ue(b["max_bytes_per_pic_denom"])
+        bw.ue(b["max_bits_per_min_cu_denom"])
+        bw.ue(b["log2_max_mv_length_horizontal"])
+        bw.ue(b["log2_max_mv_length_vertical"])
+    else:
+        bw.u(0, 1)
 
 
 def parse_pps(br: BitReader) -> Pps:

@@ -157,3 +157,120 @@ def verify_decoded_picture_hash(msg: SeiMessage, planes,
                                 bit_depth: int = 8) -> bool:
     want = make_decoded_picture_hash(planes, msg.payload[0], bit_depth)
     return want.payload == msg.payload
+
+
+# ------------------------------------------------- structured payloads
+# The payload set the reference encoder actively writes
+# (TaskEncodeOutput.cpp:105-209): active_parameter_sets, pic_timing,
+# user_data_unregistered, mastering_display_colour_volume,
+# alternative_transfer_characteristics (+ decoded_picture_hash above).
+
+SEI_MASTERING_DISPLAY = 137
+SEI_ALTERNATIVE_TRANSFER = 147
+
+
+def _finish_payload(bw: BitWriter) -> bytes:
+    """SEI payload trailing bits (D.1): align with a 1 then 0s."""
+    if bw.nbits:
+        bw.u(1, 1)
+        if bw.nbits:
+            bw.u(0, 8 - bw.nbits)
+    return bw.get_bytes()
+
+
+def make_active_parameter_sets(vps_id: int = 0, sps_id: int = 0,
+                               self_contained: int = 0,
+                               no_update: int = 0) -> SeiMessage:
+    """active_parameter_sets (D.2.21 / sei/active_parameter_sets.h)."""
+    bw = BitWriter()
+    bw.u(vps_id, 4)
+    bw.u(self_contained, 1)
+    bw.u(no_update, 1)
+    bw.ue(0)  # num_sps_ids_minus1
+    bw.ue(sps_id)
+    return SeiMessage(SEI_ACTIVE_PARAMETER_SETS, _finish_payload(bw))
+
+
+def parse_active_parameter_sets(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"vps_id": br.u(4), "self_contained_cvs_flag": br.u(1),
+            "no_parameter_set_update_flag": br.u(1),
+            "sps_ids": [br.ue() for _ in range(br.ue() + 1)]}
+
+
+def make_pic_timing(pic_struct: int = 0, source_scan_type: int = 1,
+                    duplicate_flag: int = 0) -> SeiMessage:
+    """pic_timing (D.2.3), frame_field_info part only — requires SPS VUI
+    frame_field_info_present_flag=1 and no HRD (sei/pic_timing.h)."""
+    bw = BitWriter()
+    bw.u(pic_struct, 4)
+    bw.u(source_scan_type, 2)
+    bw.u(duplicate_flag, 1)
+    return SeiMessage(SEI_PIC_TIMING, _finish_payload(bw))
+
+
+def parse_pic_timing(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"pic_struct": br.u(4), "source_scan_type": br.u(2),
+            "duplicate_flag": br.u(1)}
+
+
+def make_user_data_unregistered(uuid: bytes, data: bytes) -> SeiMessage:
+    """user_data_unregistered (D.2.7): 16-byte UUID + payload bytes."""
+    assert len(uuid) == 16
+    return SeiMessage(SEI_USER_DATA_UNREGISTERED, uuid + data)
+
+
+def parse_user_data_unregistered(payload: bytes) -> dict:
+    return {"uuid": payload[:16], "data": payload[16:]}
+
+
+def make_mastering_display(primaries, white_point, max_luminance: int,
+                           min_luminance: int) -> SeiMessage:
+    """mastering_display_colour_volume (D.2.28): primaries/white point in
+    0.00002 units, luminance in 0.0001 cd/m2 units."""
+    bw = BitWriter()
+    for (x, y) in primaries:
+        bw.u(x, 16)
+        bw.u(y, 16)
+    bw.u(white_point[0], 16)
+    bw.u(white_point[1], 16)
+    bw.u(max_luminance, 32)
+    bw.u(min_luminance, 32)
+    return SeiMessage(SEI_MASTERING_DISPLAY, _finish_payload(bw))
+
+
+def parse_mastering_display(payload: bytes) -> dict:
+    br = BitReader(payload)
+    prim = [(br.u(16), br.u(16)) for _ in range(3)]
+    return {"primaries": prim, "white_point": (br.u(16), br.u(16)),
+            "max_luminance": br.u(32), "min_luminance": br.u(32)}
+
+
+def make_alternative_transfer_characteristics(tc: int) -> SeiMessage:
+    """alternative_transfer_characteristics (D.2.38)."""
+    bw = BitWriter()
+    bw.u(tc, 8)
+    return SeiMessage(SEI_ALTERNATIVE_TRANSFER, _finish_payload(bw))
+
+
+def parse_alternative_transfer_characteristics(payload: bytes) -> dict:
+    return {"preferred_transfer_characteristics": payload[0]}
+
+
+_STRUCTURED_PARSERS = {
+    SEI_ACTIVE_PARAMETER_SETS: parse_active_parameter_sets,
+    SEI_PIC_TIMING: parse_pic_timing,
+    SEI_USER_DATA_UNREGISTERED: parse_user_data_unregistered,
+    SEI_MASTERING_DISPLAY: parse_mastering_display,
+    SEI_ALTERNATIVE_TRANSFER: parse_alternative_transfer_characteristics,
+}
+
+
+def parse_structured(msg: SeiMessage):
+    """Structured view of a known payload, or None."""
+    fn = _STRUCTURED_PARSERS.get(msg.payload_type)
+    try:
+        return fn(msg.payload) if fn else None
+    except (EOFError, IndexError):
+        return None
