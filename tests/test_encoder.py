@@ -203,3 +203,52 @@ def test_prefix_sei_and_vui():
     sps = list(dec.ps.sps.values())[0]
     assert sps.vui is not None and sps.vui.timing_info == (1000, 25000)
     assert sps.vui.frame_field_info_present_flag == 1
+
+
+def test_multislice_roundtrip():
+    """3 independent slices per picture (CTU-row aligned): decode must equal
+    encoder recon; cross-slice prediction is broken at slice boundaries."""
+    w, h = 128, 192  # 3 CTU rows of 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=1,
+                        search_range=8, wpp=False, slices=3)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    base = _synthetic_frame(w, h, 5)
+    for i in range(2):
+        f = [np.roll(p, i * 2, axis=1) for p in base]
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 2 and not dec.violations
+    for f, recon in zip(frames, recons):
+        assert f.hash_ok
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_dependent_slices_roundtrip():
+    """Dependent slice segments: CABAC contexts continue across segments,
+    in-picture prediction crosses segment boundaries (spec 7.4.7.1/9.3.1)."""
+    w, h = 128, 192
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=1,
+                        search_range=8, wpp=False, slices=3,
+                        dependent_slices=True)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    base = _synthetic_frame(w, h, 6)
+    for i in range(2):
+        f = [np.roll(p, i * 2, axis=1) for p in base]
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 2 and not dec.violations
+    for f, recon in zip(frames, recons):
+        assert f.hash_ok
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)

@@ -53,7 +53,13 @@ class SliceParseContext:
         self.is_cu_qp_delta_coded = False
         self.cu_qp_delta_val = 0
         self.wpp_saved_ctx: Optional[ContextPool] = None
-        self.next_id = [0, 0, 0]  # cu, pu, tu counters
+        # cu/pu/tu counters: shared picture-wide via the plan so ids stay
+        # unique across slice segments (deblock edge detection compares
+        # neighbouring ids; a per-segment reset could collide at segment
+        # boundaries and hide a real TU/PU edge)
+        if not hasattr(plan, "id_counters"):
+            plan.id_counters = [0, 0, 0]
+        self.next_id = plan.id_counters
         # inter_hook(ctx, x0, y0, nPbW, nPbH, part_idx, cu_info, pu_syntax)
         # -> fills plan.mv/ref_idx for the PU (mvp/merge derivation lives in
         # decode.mvp to keep this file purely syntactic)

@@ -37,6 +37,24 @@ class DecodedFrame:
     hash_ok: Optional[bool] = None  # decoded_picture_hash SEI verification
 
 
+_SEGMENT_FIELDS = {
+    # per-segment syntax NOT inherited by dependent slice segments (7.4.7.1)
+    "first_slice_segment_in_pic_flag", "dependent_slice_segment_flag",
+    "slice_segment_address", "num_entry_point_offsets", "offset_len_minus1",
+    "entry_point_offset_minus1", "nal_unit_type", "temporal_id",
+    "no_output_of_prior_pics_flag", "slice_pic_parameter_set_id",
+}
+
+
+def _inherit_slice_header(dep, prev):
+    """Copy inherited slice-header values into a dependent segment header
+    (spec 7.4.7.1: dependent segments share the independent header)."""
+    import dataclasses
+    for f in dataclasses.fields(type(dep)):
+        if f.name not in _SEGMENT_FIELDS:
+            setattr(dep, f.name, getattr(prev, f.name))
+
+
 class Decoder:
     """Streaming HEVC decoder. Feed an Annex-B byte stream; yields frames in
     output order."""
@@ -169,18 +187,23 @@ class Decoder:
         self.dpb.apply_rps(sh0, poc)
 
         plan = PicturePlan(sps, pps)
-        dss_ctx: Optional[ContextPool] = None
+        dss_state = None  # (ContextPool, last_cu_qp) across dependent segs
         slice_number = -1
+        prev_indep = None
         for (sh, rbsp, bitpos) in slices:
             if not sh.dependent_slice_segment_flag:
                 slice_number += 1
                 plan.slice_headers.append(sh)
+                prev_indep = sh
+            elif prev_indep is not None:
+                _inherit_slice_header(sh, prev_indep)
             self.dpb.build_ref_lists(sh)
             hook = None
             if not sh.is_i:
                 hook = InterDeriver(plan, self.geom, sh, self.dpb, poc)
-            dss_ctx = parse_slice_segment_data(
-                plan, self.geom, sh, rbsp, bitpos, slice_number, hook)
+            dss_state = parse_slice_segment_data(
+                plan, self.geom, sh, rbsp, bitpos, slice_number, hook,
+                dss_state=dss_state)
 
         # reconstruction (ref lists of the last slice are fine for single-
         # slice pictures; multi-slice pictures re-derive per slice)

@@ -20,22 +20,24 @@ from turingcodec_tpu.hevc.params import SliceSegmentHeader
 def parse_slice_segment_data(plan, geom: PictureGeometry,
                              sh: SliceSegmentHeader, rbsp: bytes,
                              data_bit_pos: int, slice_number: int,
-                             inter_hook=None,
-                             dss_ctx: Optional[ContextPool] = None):
+                             inter_hook=None, dss_state=None):
     """Parse all CTUs of one slice segment into the plan.
 
     data_bit_pos: bit offset in rbsp where slice data starts (byte aligned).
-    dss_ctx: stored contexts for a dependent slice segment.
-    Returns the context pool at the end of the segment (for a possible
-    following dependent slice segment).
+    dss_state: (ContextPool, last_cu_qp) saved at the end of the previous
+    segment — applied when this is a dependent slice segment (spec 9.3.1
+    context continuation; qPY_PREV carries across segment boundaries).
+    Returns the same pair for a possible following dependent segment.
     """
     sps, pps = plan.sps, plan.pps
     wc = sps.pic_width_in_ctbs_y
     wpp = bool(pps.entropy_coding_sync_enabled_flag)
 
     ps = SliceParseContext(plan, geom, sh, slice_number, inter_hook)
-    if dss_ctx is not None and sh.dependent_slice_segment_flag:
-        ps.ctx.states = list(dss_ctx.states)
+    if dss_state is not None and sh.dependent_slice_segment_flag:
+        ps.ctx.states = list(dss_state[0].states)
+        ps.last_cu_qp = dss_state[1]
+        ps.qp_y_pred = dss_state[1]
     else:
         ps.ctx.initialize(sh.init_type(), sh.slice_qp_y)
 
@@ -100,4 +102,4 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
             br.byte_alignment()
             ps.dec = CabacDecoder(rbsp, br.pos, ps.ctx)
 
-    return ps.ctx
+    return ps.ctx.copy(), ps.last_cu_qp

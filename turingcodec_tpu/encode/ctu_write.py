@@ -44,14 +44,26 @@ class SliceWriteContext:
 
 
 def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
-                     sh: SliceSegmentHeader, slice_number: int) -> list:
-    """Write all CTUs of a slice; returns list of per-substream byte strings
-    (one element unless WPP). The caller concatenates and computes entry
-    points."""
+                     sh: SliceSegmentHeader, slice_number: int,
+                     init_state=None, end_ts=None):
+    """Write all CTUs of a slice segment; returns (substreams, end_state).
+
+    substreams: per-substream byte strings (one element unless WPP); the
+    caller concatenates and computes entry points.
+    init_state: (ContextPool, last_cu_qp) continuation for a dependent
+    slice segment (spec 9.3.1: contexts carry over from the previous
+    segment); end_ts: stop before this tile-scan address (dependent-segment
+    boundaries are not visible in plan.slice_idx).
+    end_state mirrors init_state for the next dependent segment."""
     sps, pps = plan.sps, plan.pps
     wc = sps.pic_width_in_ctbs_y
     wpp = bool(pps.entropy_coding_sync_enabled_flag)
     ws = SliceWriteContext(plan, geom, sh, slice_number)
+    if init_state is not None:
+        ctx0, last_qp = init_state
+        ws.ctx.states = list(ctx0.states)
+        ws.last_cu_qp = last_qp
+        ws.qp_y_pred = last_qp
     substreams = []
     snap_rx = 1 if wc > 1 else 0
 
@@ -77,6 +89,11 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
             ws.wpp_saved_ctx = ws.ctx.copy()
 
         last = ctb_addr_ts == n_ctus - 1
+        if not last and end_ts is not None:
+            last = ctb_addr_ts + 1 >= end_ts
+        elif not last:
+            nxt = geom.tile_scan_ctus[ctb_addr_ts + 1]
+            last = plan.slice_idx[nxt // wc, nxt % wc] != slice_number
         ws.enc.encode_terminate(1 if last else 0)
         if last:
             # encode_terminate(1) flushed; align the substream
@@ -91,7 +108,7 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
             substreams.append(ws.bw.get_bytes())
             ws.bw = BitWriter()
             ws.enc = CabacEncoder(ws.bw, ws.ctx)
-    return substreams
+    return substreams, (ws.ctx.copy(), ws.last_cu_qp)
 
 
 def write_ctu(ws: SliceWriteContext, ctb_addr_rs: int):

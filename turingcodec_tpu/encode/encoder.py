@@ -63,6 +63,10 @@ class EncoderConfig:
                                      # slices: (weight, log2_denom, offset)
     wp_chroma: Optional[tuple] = None  # (delta_weight, delta_offset) for
                                        # both chroma planes (needs wp_luma)
+    slices: int = 1            # independent slices per picture (CTU-row
+                               # aligned; requires wpp=False when > 1)
+    dependent_slices: bool = False  # emit slices 2..N as dependent slice
+                                    # segments of the first
     # prefix SEI set (TaskEncodeOutput.cpp:105-209 analogue)
     sei_active_parameter_sets: bool = True   # on IRAP pictures
     sei_user_data: Optional[str] = "turingcodec-tpu"  # once, at stream start
@@ -168,6 +172,8 @@ class Encoder:
         p.transform_skip_enabled_flag = 0
         p.loop_filter_across_tiles_enabled_flag = 1
         p.weighted_pred_flag = int(c.wp_luma is not None)
+        p.dependent_slice_segments_enabled_flag = int(
+            c.dependent_slices and c.slices > 1)
         return p
 
     def _setup_vps(self) -> Vps:
@@ -365,6 +371,20 @@ class Encoder:
                                  self.cfg.aq_strength)
             qp_map = np.clip(sh.slice_qp_y + dqp, 1, 51)
             enc.set_qp_map(qp_map)
+        n_slices = max(1, self.cfg.slices)
+        if n_slices > 1:
+            assert not self.cfg.wpp and self.cfg.aq_strength == 0, \
+                "multi-slice encoding requires wpp=False and no AQ"
+            hc = self.geom.hc
+            n_slices = min(n_slices, hc)
+            bounds = [round(i * hc / n_slices) for i in range(n_slices + 1)]
+            rows = np.zeros(hc, np.int32)
+            dep = self.cfg.dependent_slices
+            for i in range(n_slices):
+                # dependent segments share slice number 0: in-picture
+                # prediction continues across segment boundaries
+                rows[bounds[i]:bounds[i + 1]] = 0 if dep else i
+            enc.slice_row_map = rows
         plan, search_recon = enc.encode_picture(yuv)
         if self.cfg.aq_strength > 0:
             self._reconcile_qp(plan, sh)
@@ -390,19 +410,45 @@ class Encoder:
         # whole-buffer EP3 because every substream ends in a non-zero byte
         # (the CABAC flush '1' lands in the final byte).
         from turingcodec_tpu.bitstream.reader import insert_emulation_prevention
-        substreams = write_slice_data(plan, self.geom, sh, 0)
-        if len(substreams) > 1:
-            ep = [len(insert_emulation_prevention(s)) for s in substreams[:-1]]
-            sh.num_entry_point_offsets = len(ep)
-            sh.offset_len_minus1 = max(1, max(e - 1 for e in ep).bit_length()) - 1
-            sh.entry_point_offset_minus1 = [e - 1 for e in ep]
+        nal = self._prefix_sei(docket)
+        if n_slices == 1:
+            seg_shs = [sh]
         else:
-            sh.num_entry_point_offsets = 0
-        bw = BitWriter()
-        write_slice_segment_header(bw, sh, self.sps, self.pps)
-        rbsp = bw.get_bytes() + b"".join(substreams)
-        nal = self._prefix_sei(docket) + wrap_nal(
-            sh.nal_unit_type, rbsp, temporal_id=docket.temporal_id)
+            import copy
+            dep = self.cfg.dependent_slices
+            seg_shs = []
+            for si in range(n_slices):
+                shi = sh if si == 0 else copy.copy(sh)
+                if si > 0:
+                    shi.first_slice_segment_in_pic_flag = 0
+                    shi.slice_segment_address = bounds[si] * self.geom.wc
+                    shi.dependent_slice_segment_flag = int(dep)
+                seg_shs.append(shi)
+            plan.slice_headers = [s for s in seg_shs
+                                  if not s.dependent_slice_segment_flag]
+        seg_state = None
+        for si, shi in enumerate(seg_shs):
+            dep_seg = bool(shi.dependent_slice_segment_flag)
+            end_ts = None
+            if n_slices > 1 and self.cfg.dependent_slices:
+                end_ts = bounds[si + 1] * self.geom.wc
+            substreams, seg_state = write_slice_data(
+                plan, self.geom, shi, 0 if dep_seg or n_slices == 1 else si,
+                init_state=seg_state if dep_seg else None, end_ts=end_ts)
+            if len(substreams) > 1:
+                ep = [len(insert_emulation_prevention(s))
+                      for s in substreams[:-1]]
+                shi.num_entry_point_offsets = len(ep)
+                shi.offset_len_minus1 = max(
+                    1, max(e - 1 for e in ep).bit_length()) - 1
+                shi.entry_point_offset_minus1 = [e - 1 for e in ep]
+            else:
+                shi.num_entry_point_offsets = 0
+            bw = BitWriter()
+            write_slice_segment_header(bw, shi, self.sps, self.pps)
+            rbsp = bw.get_bytes() + b"".join(substreams)
+            nal += wrap_nal(shi.nal_unit_type, rbsp,
+                            temporal_id=docket.temporal_id)
 
         if self.cfg.sao:
             from turingcodec_tpu.decode.sao import sao_picture

@@ -113,6 +113,7 @@ class IntraPictureEncoder:
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
         wc = sps.pic_width_in_ctbs_y
         snap_rx = 1 if wc > 1 else 0
+        row_slice = getattr(self, "slice_row_map", None)  # (hc,) slice of row
         for ry in range(sps.pic_height_in_ctbs_y):
             for rx in range(wc):
                 if wpp and rx == 0 and ry > 0:
@@ -122,7 +123,15 @@ class IntraPictureEncoder:
                     else:
                         self.rd_ctx.initialize(self.sh.init_type(),
                                                self.sh.slice_qp_y)
-                plan.slice_idx[ry, rx] = slice_number
+                elif (row_slice is not None and rx == 0 and ry > 0
+                        and row_slice[ry] != row_slice[ry - 1]):
+                    # mirror the writer's fresh CABAC at an independent
+                    # slice boundary (rate-estimation accuracy only)
+                    self.rd_ctx.initialize(self.sh.init_type(),
+                                           self.sh.slice_qp_y)
+                plan.slice_idx[ry, rx] = (int(row_slice[ry])
+                                          if row_slice is not None
+                                          else slice_number)
                 if self.qp_map is not None:
                     q = int(self.qp_map[ry, rx])
                     self._set_ctb_qp(q)

@@ -883,8 +883,12 @@ def write_slice_segment_header(bw: BitWriter, sh: SliceSegmentHeader,
         bw.u(sh.no_output_of_prior_pics_flag, 1)
     bw.ue(sh.slice_pic_parameter_set_id)
     if not sh.first_slice_segment_in_pic_flag:
-        assert not pps.dependent_slice_segments_enabled_flag
+        if pps.dependent_slice_segments_enabled_flag:
+            bw.u(sh.dependent_slice_segment_flag, 1)
         bw.u(sh.slice_segment_address, sps.ctb_addr_bits)
+    if sh.dependent_slice_segment_flag:
+        _write_slice_header_tail(bw, sh, pps)
+        return
     for _ in range(pps.num_extra_slice_header_bits):
         bw.u(0, 1)
     bw.ue(sh.slice_type)
@@ -965,6 +969,12 @@ def write_slice_segment_header(bw: BitWriter, sh: SliceSegmentHeader,
             and (sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
                  or not sh.slice_deblocking_filter_disabled_flag)):
         bw.u(sh.slice_loop_filter_across_slices_enabled_flag, 1)
+    _write_slice_header_tail(bw, sh, pps)
+
+
+def _write_slice_header_tail(bw: BitWriter, sh: SliceSegmentHeader, pps: Pps):
+    """Entry points + byte alignment — common to dependent and independent
+    slice segment headers."""
     if pps.tiles_enabled_flag or pps.entropy_coding_sync_enabled_flag:
         bw.ue(sh.num_entry_point_offsets)
         if sh.num_entry_point_offsets > 0:

@@ -40,6 +40,10 @@ def main(argv=None):
                          "weight:log2_denom:offset (e.g. 59:6:0)")
     ap.add_argument("--wp-chroma", default=None, metavar="DW:DO",
                     help="chroma WP deltas (requires --wp-luma)")
+    ap.add_argument("--slices", type=int, default=1,
+                    help="independent slices per picture (needs --no-wpp)")
+    ap.add_argument("--dependent-slices", action="store_true",
+                    help="emit slices 2..N as dependent slice segments")
     ap.add_argument("--no-progress", action="store_true")
     args = ap.parse_args(argv)
 
@@ -60,7 +64,8 @@ def main(argv=None):
                         bitrate=args.bitrate, frame_rate=args.frame_rate,
                         shot_change=args.shot_change,
                         wpp=not args.no_wpp, hash_type=args.hash,
-                        rdoq=args.rdoq,
+                        rdoq=args.rdoq, slices=args.slices,
+                        dependent_slices=args.dependent_slices,
                         wp_luma=tuple(int(x) for x in args.wp_luma.split(":"))
                         if args.wp_luma else None,
                         wp_chroma=tuple(
