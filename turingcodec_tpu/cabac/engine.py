@@ -35,15 +35,16 @@ class ContextPool:
 
     def __init__(self, states=None):
         if states is None:
-            states = [0] * NUM_CONTEXTS
+            states = bytearray(NUM_CONTEXTS)
         self.states = states
 
     def initialize(self, init_type: int, slice_qp_y: int):
         qp = min(max(slice_qp_y, 0), 51)
-        self.states = [int(x) for x in INIT_TABLE[init_type, qp]]
+        self.states = bytearray(
+            np.asarray(INIT_TABLE[init_type, qp], np.uint8).tobytes())
 
     def copy(self) -> "ContextPool":
-        return ContextPool(list(self.states))
+        return ContextPool(bytearray(self.states))
 
     def __eq__(self, other):
         return self.states == other.states

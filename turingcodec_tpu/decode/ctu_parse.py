@@ -733,6 +733,22 @@ def parse_residual_coding(ps: SliceParseContext, x0: int, y0: int,
         elif 22 <= mode <= 30:
             scan_idx = 1  # horizontal
 
+    if c_idx == 0:
+        coeff_plane = plan.coeff_y
+    elif c_idx == 1:
+        coeff_plane = plan.coeff_cb
+    else:
+        coeff_plane = plan.coeff_cr
+    sdh = (pps.sign_data_hiding_enabled_flag and not cu.tq_bypass)
+
+    # native (C++) hot path for everything from the last-position syntax down
+    from turingcodec_tpu import native
+    blk = native.residual_decode(dec, log2_size, c_idx, scan_idx, sdh)
+    if blk is not None:
+        n = 1 << log2_size
+        coeff_plane[y0:y0 + n, x0:x0 + n] = blk
+        return
+
     # last position
     def last_prefix(element):
         c_max = (log2_size << 1) - 1
@@ -781,15 +797,7 @@ def parse_residual_coding(ps: SliceParseContext, x0: int, y0: int,
             pos_of_last = i
             break
 
-    if c_idx == 0:
-        coeff_plane = plan.coeff_y
-    elif c_idx == 1:
-        coeff_plane = plan.coeff_cb
-    else:
-        coeff_plane = plan.coeff_cr
-
     csbf = np.zeros((1 << (log2_size - 2), 1 << (log2_size - 2)), np.uint8)
-    sdh = (pps.sign_data_hiding_enabled_flag and not cu.tq_bypass)
     c1_chain_gt1 = 0  # previous subblock had a greater1
 
     for i in range(sub_of_last, -1, -1):

@@ -35,7 +35,7 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
 
     ps = SliceParseContext(plan, geom, sh, slice_number, inter_hook)
     if dss_state is not None and sh.dependent_slice_segment_flag:
-        ps.ctx.states = list(dss_state[0].states)
+        ps.ctx.states = bytearray(dss_state[0].states)
         ps.last_cu_qp = dss_state[1]
         ps.qp_y_pred = dss_state[1]
     else:
@@ -62,7 +62,7 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
                 and plan.slice_idx[ry - 1, min(1, wc - 1)] == slice_number
                 and geom.tile_id[ry - 1, min(1, wc - 1)] == geom.tile_id[ry, rx])
             if up_right_ok:
-                ps.ctx.states = list(ps.wpp_saved_ctx.states)
+                ps.ctx.states = bytearray(ps.wpp_saved_ctx.states)
             else:
                 ps.ctx.initialize(sh.init_type(), sh.slice_qp_y)
             ps.qp_y_pred = sh.slice_qp_y

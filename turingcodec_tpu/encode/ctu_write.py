@@ -61,7 +61,7 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
     ws = SliceWriteContext(plan, geom, sh, slice_number)
     if init_state is not None:
         ctx0, last_qp = init_state
-        ws.ctx.states = list(ctx0.states)
+        ws.ctx.states = bytearray(ctx0.states)
         ws.last_cu_qp = last_qp
         ws.qp_y_pred = last_qp
     substreams = []
@@ -78,7 +78,7 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
             up_ok = (ws.wpp_saved_ctx is not None
                      and plan.slice_idx[ry - 1, min(1, wc - 1)] == slice_number)
             if up_ok:
-                ws.ctx.states = list(ws.wpp_saved_ctx.states)
+                ws.ctx.states = bytearray(ws.wpp_saved_ctx.states)
             else:
                 ws.ctx.initialize(sh.init_type(), sh.slice_qp_y)
             ws.qp_y_pred = sh.slice_qp_y

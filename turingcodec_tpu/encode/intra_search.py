@@ -119,7 +119,7 @@ class IntraPictureEncoder:
                 if wpp and rx == 0 and ry > 0:
                     # mirror the writer's WPP context inheritance
                     if self._rd_ctx_wpp is not None:
-                        self.rd_ctx.states = list(self._rd_ctx_wpp.states)
+                        self.rd_ctx.states = bytearray(self._rd_ctx_wpp.states)
                     else:
                         self.rd_ctx.initialize(self.sh.init_type(),
                                                self.sh.slice_qp_y)
@@ -211,7 +211,7 @@ class IntraPictureEncoder:
              p.coeff_y[ll].copy(), p.coeff_cb[cl].copy(),
              p.coeff_cr[cl].copy()],
             list(self.next_id),
-            list(self.rd_ctx.states),
+            bytearray(self.rd_ctx.states),
         )
 
     def _restore(self, x0, y0, size, state):
@@ -489,11 +489,16 @@ class IntraPictureEncoder:
         """Exact CABAC fractional bits for this block given current ctx."""
         if not levels.any():
             return 1.0  # cbf bin
+        from turingcodec_tpu import native
+        scan = self._scan_for(log2, c_idx, mode, intra)
+        bits = native.residual_bits(self.rd_ctx.copy(), log2, c_idx, scan,
+                                    False, levels)
+        if bits is not None:
+            return bits + 1.0  # + cbf bin
         from turingcodec_tpu.cabac.rate import RateEstimator
         from turingcodec_tpu.encode.ctu_write import residual_core
         est = RateEstimator(self.rd_ctx.copy())
-        residual_core(est, levels, log2, c_idx,
-                      self._scan_for(log2, c_idx, mode, intra), False)
+        residual_core(est, levels, log2, c_idx, scan, False)
         return est.bits + 1.0  # + cbf bin
 
     def _commit_residual_ctx(self, levels, log2, c_idx, mode, intra):
@@ -501,11 +506,15 @@ class IntraPictureEncoder:
         (keeps rd_ctx in lockstep with the real writer)."""
         if not levels.any():
             return
+        from turingcodec_tpu import native
+        scan = self._scan_for(log2, c_idx, mode, intra)
+        if native.residual_bits(self.rd_ctx, log2, c_idx, scan,
+                                False, levels) is not None:
+            return
         from turingcodec_tpu.cabac.rate import RateEstimator
         from turingcodec_tpu.encode.ctu_write import residual_core
         est = RateEstimator(self.rd_ctx)
-        residual_core(est, levels, log2, c_idx,
-                      self._scan_for(log2, c_idx, mode, intra), False)
+        residual_core(est, levels, log2, c_idx, scan, False)
 
     @staticmethod
     def _coeff_rate(levels: np.ndarray) -> float:

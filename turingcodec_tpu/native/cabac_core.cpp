@@ -1,0 +1,585 @@
+// Native CABAC decode core: arithmetic engine + residual_coding hot loop.
+//
+// The serial-host half of the codec (the turing/Read.h:462-676 engine and the
+// Read<residual_coding> hot loop at Read.h:1124) implemented in C++ — the
+// TPU-native analogue of the reference's native entropy path.  The Python
+// engine (cabac/engine.py) hands its exact state (bit position, ivlCurrRange,
+// ivlOffset, context pool) across this boundary per residual block and
+// resumes afterwards; bit-exactness vs the Python oracle is asserted by the
+// unit suite (tests/test_native.py).
+//
+// Spec references: decode engine 9.3.4.3; residual_coding 7.3.8.11; context
+// derivations 9.3.4.2.5-9.3.4.2.7; coeff_abs_level_remaining 9.3.3.13.
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+uint8_t g_range_lps[64][4];
+uint8_t g_next_mps[128];
+uint8_t g_next_lps[128];
+uint8_t g_sig4x4[16];
+
+// context pool offsets: [sig, csbf, last_x, last_y, gt1, gt2]
+int32_t g_off_sig, g_off_csbf, g_off_lastx, g_off_lasty, g_off_gt1, g_off_gt2;
+
+// scan tables: scan[s][idx] for subblock-grid log2 s in 0..3, scan idx 0..2;
+// entries are (x, y) pairs in scan order, (1 << 2s) of them.
+int8_t g_scan[4][3][2 * 64];
+
+struct Engine {
+    const uint8_t* data;
+    int64_t nbits;
+    int64_t pos;
+    uint32_t range;
+    uint32_t offset;
+
+    inline uint32_t read_bits(int n) {
+        uint32_t out = 0;
+        for (int i = 0; i < n; i++) {
+            uint32_t b = 0;
+            if (pos < nbits)
+                b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+            out = (out << 1) | b;
+            pos++;
+        }
+        return out;
+    }
+
+    inline int decode_decision(uint8_t* ctx, int idx) {
+        uint32_t s = ctx[idx];
+        uint32_t lps = g_range_lps[s >> 1][(range >> 6) & 3];
+        range -= lps;
+        int bin;
+        if (offset >= range) {
+            bin = 1 - (s & 1);
+            offset -= range;
+            range = lps;
+            ctx[idx] = g_next_lps[s];
+        } else {
+            bin = s & 1;
+            ctx[idx] = g_next_mps[s];
+        }
+        if (range < 256) {
+            int n = __builtin_clz(range) - 23;  // 9 - bit_length(range)
+            range <<= n;
+            offset = (offset << n) | read_bits(n);
+        }
+        return bin;
+    }
+
+    inline int decode_bypass() {
+        offset = (offset << 1) | read_bits(1);
+        if (offset >= range) {
+            offset -= range;
+            return 1;
+        }
+        return 0;
+    }
+
+    inline uint32_t decode_bypass_bits(int n) {
+        uint32_t v = 0;
+        for (int i = 0; i < n; i++)
+            v = (v << 1) | decode_bypass();
+        return v;
+    }
+
+    inline int decode_remaining(int rice) {
+        int prefix = 0;
+        while (prefix < 32 && decode_bypass())
+            prefix++;
+        if (prefix <= 3)
+            return (prefix << rice) + (rice ? decode_bypass_bits(rice) : 0);
+        int n = prefix - 3 + rice;
+        return decode_bypass_bits(n) + (((1 << (prefix - 3)) + 2) << rice);
+    }
+};
+
+// sig_coeff_flag ctxInc (spec 9.3.4.2.5) — mirrors ctu_parse._sig_ctx
+inline int sig_ctx(int log2_size, int c_idx, int scan_idx, int xc, int yc,
+                   int xp, int yp, int xs, int ys, int prev_csbf) {
+    int sig;
+    if (log2_size == 2) {
+        sig = g_sig4x4[(yp << 2) + xp];
+    } else if (xc == 0 && yc == 0) {
+        sig = 0;
+    } else {
+        if (prev_csbf == 0) {
+            int s = xp + yp;
+            sig = s == 0 ? 2 : (s < 3 ? 1 : 0);
+        } else if (prev_csbf == 1) {
+            sig = yp == 0 ? 2 : (yp == 1 ? 1 : 0);
+        } else if (prev_csbf == 2) {
+            sig = xp == 0 ? 2 : (xp == 1 ? 1 : 0);
+        } else {
+            sig = 2;
+        }
+        if (c_idx == 0) {
+            if (xs || ys)
+                sig += 3;
+            sig += (log2_size == 3 && scan_idx == 0) ? 9
+                 : (log2_size == 3 ? 15 : 21);
+        } else {
+            sig += log2_size == 3 ? 9 : 12;
+        }
+    }
+    return sig + (c_idx ? 27 : 0);
+}
+
+}  // namespace
+
+extern "C" {
+
+void tc_init_tables(const uint8_t* range_tab_lps, const uint8_t* next_mps,
+                    const uint8_t* next_lps, const uint8_t* sig4x4,
+                    const int32_t* ctx_offsets, const int8_t* scans) {
+    std::memcpy(g_range_lps, range_tab_lps, 64 * 4);
+    std::memcpy(g_next_mps, next_mps, 128);
+    std::memcpy(g_next_lps, next_lps, 128);
+    std::memcpy(g_sig4x4, sig4x4, 16);
+    g_off_sig = ctx_offsets[0];
+    g_off_csbf = ctx_offsets[1];
+    g_off_lastx = ctx_offsets[2];
+    g_off_lasty = ctx_offsets[3];
+    g_off_gt1 = ctx_offsets[4];
+    g_off_gt2 = ctx_offsets[5];
+    const int8_t* p = scans;
+    for (int s = 0; s < 4; s++)
+        for (int idx = 0; idx < 3; idx++) {
+            int n = 1 << (2 * s);
+            std::memcpy(g_scan[s][idx], p, 2 * n);
+            p += 2 * n;
+        }
+}
+
+// Decode residual_coding() from the last-position syntax down.
+// state: int64[1] pos + int32 range/offset passed separately for simplicity.
+// out: int16[(1<<log2)^2] row-major coefficient block (pre-zeroed by caller).
+// Returns 0 on success.
+int tc_residual_decode(const uint8_t* data, int64_t nbits, int64_t* io_pos,
+                       int32_t* io_range, int32_t* io_offset, uint8_t* ctx,
+                       int log2_size, int c_idx, int scan_idx, int sdh,
+                       int16_t* out) {
+    Engine e{data, nbits, *io_pos, (uint32_t)*io_range, (uint32_t)*io_offset};
+    const int n = 1 << log2_size;
+    const int nsb = 1 << (log2_size - 2);
+    const int n_sub = nsb * nsb;
+
+    // last_sig_coeff prefix/suffix (spec 9.3.4.2.3 contexts)
+    int c_max = (log2_size << 1) - 1;
+    int ctx_off, ctx_shift;
+    if (c_idx == 0) {
+        ctx_off = 3 * (log2_size - 2) + ((log2_size - 1) >> 2);
+        ctx_shift = (log2_size + 1) >> 2;
+    } else {
+        ctx_off = 15;
+        ctx_shift = log2_size - 2;
+    }
+    int px = 0, py = 0;
+    while (px < c_max &&
+           e.decode_decision(ctx, g_off_lastx + (px >> ctx_shift) + ctx_off))
+        px++;
+    while (py < c_max &&
+           e.decode_decision(ctx, g_off_lasty + (py >> ctx_shift) + ctx_off))
+        py++;
+    int last_x = px, last_y = py;
+    if (px > 3) {
+        int nb = (px >> 1) - 1;
+        last_x = ((2 + (px & 1)) << nb) + e.decode_bypass_bits(nb);
+    }
+    if (py > 3) {
+        int nb = (py >> 1) - 1;
+        last_y = ((2 + (py & 1)) << nb) + e.decode_bypass_bits(nb);
+    }
+    if (scan_idx == 2) {
+        int t = last_x; last_x = last_y; last_y = t;
+    }
+
+    // g_scan[k] is the scan of a (1<<k)x(1<<k) grid; within-subblock = k==2
+    const int8_t* sub_scan = g_scan[log2_size - 2][scan_idx];
+    const int8_t* pos_scan = g_scan[2][scan_idx];
+
+    int sub_of_last = -1, pos_of_last = -1;
+    int lx_s = last_x >> 2, ly_s = last_y >> 2;
+    for (int i = 0; i < n_sub; i++)
+        if (sub_scan[2 * i] == lx_s && sub_scan[2 * i + 1] == ly_s) {
+            sub_of_last = i;
+            break;
+        }
+    int lx_p = last_x & 3, ly_p = last_y & 3;
+    for (int i = 0; i < 16; i++)
+        if (pos_scan[2 * i] == lx_p && pos_scan[2 * i + 1] == ly_p) {
+            pos_of_last = i;
+            break;
+        }
+    if (sub_of_last < 0 || pos_of_last < 0)
+        return 1;
+
+    uint8_t csbf[8][8];
+    std::memset(csbf, 0, sizeof(csbf));
+    int c1_chain_gt1 = 0;
+
+    for (int i = sub_of_last; i >= 0; i--) {
+        int xs = sub_scan[2 * i], ys = sub_scan[2 * i + 1];
+        int infer_sb_dc = 0;
+        int sb_coded = 1;
+        if (i < sub_of_last && i > 0) {
+            int inc = ((xs + 1 < nsb && csbf[ys][xs + 1]) ||
+                       (ys + 1 < nsb && csbf[ys + 1][xs])) ? 1 : 0;
+            sb_coded = e.decode_decision(
+                ctx, g_off_csbf + inc + (c_idx ? 2 : 0));
+            infer_sb_dc = 1;
+        }
+        csbf[ys][xs] = (uint8_t)sb_coded;
+        if (!sb_coded)
+            continue;
+
+        uint8_t sig[16];
+        std::memset(sig, 0, 16);
+        if (i == sub_of_last)
+            sig[pos_of_last] = 1;
+        int start_n = (i == sub_of_last) ? pos_of_last - 1 : 15;
+        int prev_csbf = 0;
+        if (xs + 1 < nsb && csbf[ys][xs + 1]) prev_csbf += 1;
+        if (ys + 1 < nsb && csbf[ys + 1][xs]) prev_csbf += 2;
+        for (int nn = start_n; nn >= 0; nn--) {
+            if (nn > 0 || !infer_sb_dc) {
+                int xp = pos_scan[2 * nn], yp = pos_scan[2 * nn + 1];
+                int xc = (xs << 2) + xp, yc = (ys << 2) + yp;
+                int sc = sig_ctx(log2_size, c_idx, scan_idx, xc, yc, xp, yp,
+                                 xs, ys, prev_csbf);
+                int b = e.decode_decision(ctx, g_off_sig + sc);
+                sig[nn] = (uint8_t)b;
+                if (b)
+                    infer_sb_dc = 0;
+            } else {
+                sig[nn] = 1;
+            }
+        }
+
+        int sig_pos[16], n_sig = 0;
+        for (int nn = 15; nn >= 0; nn--)
+            if (sig[nn])
+                sig_pos[n_sig++] = nn;
+        if (!n_sig)
+            continue;
+
+        int ctx_set = ((i == 0 || c_idx > 0) ? 0 : 2) + (c1_chain_gt1 ? 1 : 0);
+        int c1 = 1;
+        c1_chain_gt1 = 0;
+        uint8_t gt1[16];
+        std::memset(gt1, 0, 16);
+        int first_gt1_pos = -1;
+        int n_g1 = n_sig < 8 ? n_sig : 8;
+        for (int k = 0; k < n_g1; k++) {
+            int nn = sig_pos[k];
+            int b = e.decode_decision(
+                ctx, g_off_gt1 + ctx_set * 4 + c1 + (c_idx ? 16 : 0));
+            gt1[nn] = (uint8_t)b;
+            if (b) {
+                c1 = 0;
+                c1_chain_gt1 = 1;
+                if (first_gt1_pos < 0)
+                    first_gt1_pos = nn;
+            } else if (c1 > 0 && c1 < 3) {
+                c1++;
+            }
+        }
+        int gt2_val = 0;
+        if (first_gt1_pos >= 0)
+            gt2_val = e.decode_decision(
+                ctx, g_off_gt2 + ctx_set + (c_idx ? 4 : 0));
+
+        int first_sig_scan = sig_pos[n_sig - 1];
+        int last_sig_scan = sig_pos[0];
+        int sign_hidden = sdh && (last_sig_scan - first_sig_scan > 3);
+        uint8_t signs[16];
+        std::memset(signs, 0, 16);
+        for (int k = 0; k < n_sig; k++) {
+            int nn = sig_pos[k];
+            if (sign_hidden && nn == first_sig_scan)
+                continue;
+            signs[nn] = (uint8_t)e.decode_bypass();
+        }
+
+        int rice = 0;
+        int levels[16];
+        int sum_abs = 0;
+        for (int k = 0; k < n_sig; k++) {
+            int nn = sig_pos[k];
+            int base = 1;
+            bool need_rem;
+            if (k < 8) {
+                base += gt1[nn];
+                if (nn == first_gt1_pos)
+                    base += gt2_val;
+                need_rem = (nn == first_gt1_pos && gt2_val) ||
+                           (gt1[nn] && nn != first_gt1_pos);
+            } else {
+                need_rem = true;
+            }
+            int level = base;
+            if (need_rem) {
+                level = base + e.decode_remaining(rice);
+                if (level > (3 << rice) && rice < 4)
+                    rice++;
+            }
+            levels[k] = level;
+            sum_abs += level;
+        }
+
+        for (int k = 0; k < n_sig; k++) {
+            int nn = sig_pos[k];
+            int xc = (xs << 2) + pos_scan[2 * nn];
+            int yc = (ys << 2) + pos_scan[2 * nn + 1];
+            int neg = (sign_hidden && nn == first_sig_scan) ? (sum_abs & 1)
+                                                            : signs[nn];
+            out[yc * n + xc] = (int16_t)(neg ? -levels[k] : levels[k]);
+        }
+    }
+
+    *io_pos = e.pos;
+    *io_range = (int32_t)e.range;
+    *io_offset = (int32_t)e.offset;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- encoder
+// Exact CABAC rate estimation for residual_coding (the EstimateRate.h:33-96
+// analogue): accumulates fractional bits (1/256 units) while applying the
+// same context transitions as the writer — the C++ twin of
+// encode/ctu_write.residual_core driven by cabac/rate.RateEstimator.
+
+namespace {
+int32_t g_rate_bits[128][2];
+
+struct RateEst {
+    uint8_t* ctx;
+    int64_t frac = 0;
+    inline void decision(int idx, int bin) {
+        uint32_t s = ctx[idx];
+        frac += g_rate_bits[s][bin];
+        ctx[idx] = (bin == (int)(s & 1)) ? g_next_mps[s] : g_next_lps[s];
+    }
+    inline void bypass(int n) { frac += (int64_t)n << 8; }
+};
+}  // namespace
+
+extern "C" {
+
+void tc_init_rate(const int32_t* bits) {
+    std::memcpy(g_rate_bits, bits, sizeof(g_rate_bits));
+}
+
+// Fractional bits (1/256) of residual_coding for `blk`, mutating `ctx`
+// exactly like the writer would. Returns -1 on an all-zero block.
+int64_t tc_residual_bits(uint8_t* ctx, int log2_size, int c_idx,
+                         int scan_idx, int sdh, const int16_t* blk) {
+    RateEst e{ctx};
+    const int n = 1 << log2_size;
+    const int nsb = 1 << (log2_size - 2);
+    const int n_sub = nsb * nsb;
+    const int8_t* sub_scan = g_scan[log2_size - 2][scan_idx];
+    const int8_t* pos_scan = g_scan[2][scan_idx];
+
+    // coefficient fetch in subblock scan order
+    auto coef = [&](int xs, int ys, int nn) -> int {
+        int xc = (xs << 2) + pos_scan[2 * nn];
+        int yc = (ys << 2) + pos_scan[2 * nn + 1];
+        return blk[yc * n + xc];
+    };
+
+    // last significant coefficient
+    int last_i = -1, last_n = -1;
+    for (int i = n_sub - 1; i >= 0 && last_i < 0; i--) {
+        int xs = sub_scan[2 * i], ys = sub_scan[2 * i + 1];
+        for (int nn = 15; nn >= 0; nn--)
+            if (coef(xs, ys, nn)) {
+                last_i = i;
+                last_n = nn;
+                break;
+            }
+    }
+    if (last_i < 0)
+        return -1;
+    int lxs = sub_scan[2 * last_i], lys = sub_scan[2 * last_i + 1];
+    int last_x = (lxs << 2) + pos_scan[2 * last_n];
+    int last_y = (lys << 2) + pos_scan[2 * last_n + 1];
+    int wx = last_x, wy = last_y;
+    if (scan_idx == 2) {
+        wx = last_y;
+        wy = last_x;
+    }
+
+    int c_max = (log2_size << 1) - 1;
+    int ctx_off, ctx_shift;
+    if (c_idx == 0) {
+        ctx_off = 3 * (log2_size - 2) + ((log2_size - 1) >> 2);
+        ctx_shift = (log2_size + 1) >> 2;
+    } else {
+        ctx_off = 15;
+        ctx_shift = log2_size - 2;
+    }
+    auto last_prefix = [&](int base_off, int v) -> int {
+        int prefix = v;
+        if (v > 3) {
+            int p = 0;
+            while (p < c_max) {
+                int lo, hi;
+                if (p <= 3) {
+                    lo = hi = p;
+                } else {
+                    int k = (p >> 1) - 1;
+                    lo = (2 + (p & 1)) << k;
+                    hi = lo + (1 << k) - 1;
+                }
+                if (lo <= v && v <= hi)
+                    break;
+                p++;
+            }
+            prefix = p;
+        }
+        for (int k = 0; k < prefix; k++)
+            e.decision(base_off + (k >> ctx_shift) + ctx_off, 1);
+        if (prefix < c_max)
+            e.decision(base_off + (prefix >> ctx_shift) + ctx_off, 0);
+        return prefix;
+    };
+    int px = last_prefix(g_off_lastx, wx);
+    int py = last_prefix(g_off_lasty, wy);
+    if (px > 3)
+        e.bypass((px >> 1) - 1);
+    if (py > 3)
+        e.bypass((py >> 1) - 1);
+
+    uint8_t csbf[8][8];
+    for (int ys = 0; ys < nsb; ys++)
+        for (int xs = 0; xs < nsb; xs++) {
+            uint8_t any = 0;
+            for (int nn = 0; nn < 16 && !any; nn++)
+                any = coef(xs, ys, nn) != 0;
+            csbf[ys][xs] = any;
+        }
+
+    int c1_chain_gt1 = 0;
+    for (int i = last_i; i >= 0; i--) {
+        int xs = sub_scan[2 * i], ys = sub_scan[2 * i + 1];
+        int sb_coded = csbf[ys][xs];
+        int infer_sb_dc = 0;
+        if (i < last_i && i > 0) {
+            int inc = ((xs + 1 < nsb && csbf[ys][xs + 1]) ||
+                       (ys + 1 < nsb && csbf[ys + 1][xs])) ? 1 : 0;
+            e.decision(g_off_csbf + inc + (c_idx ? 2 : 0), sb_coded);
+            infer_sb_dc = 1;
+        } else {
+            sb_coded = 1;
+            csbf[ys][xs] = 1;
+        }
+        if (!sb_coded)
+            continue;
+
+        int levels[16];
+        uint8_t sig[16];
+        for (int nn = 0; nn < 16; nn++) {
+            levels[nn] = coef(xs, ys, nn);
+            sig[nn] = levels[nn] != 0;
+        }
+        int start_n = (i == last_i) ? last_n - 1 : 15;
+        int prev_csbf = 0;
+        if (xs + 1 < nsb && csbf[ys][xs + 1]) prev_csbf += 1;
+        if (ys + 1 < nsb && csbf[ys + 1][xs]) prev_csbf += 2;
+        for (int nn = start_n; nn >= 0; nn--) {
+            if (nn > 0 || !infer_sb_dc) {
+                int xp = pos_scan[2 * nn], yp = pos_scan[2 * nn + 1];
+                int sc = sig_ctx(log2_size, c_idx, scan_idx,
+                                 (xs << 2) + xp, (ys << 2) + yp, xp, yp,
+                                 xs, ys, prev_csbf);
+                e.decision(g_off_sig + sc, sig[nn]);
+                if (sig[nn])
+                    infer_sb_dc = 0;
+            }
+        }
+
+        int sig_pos[16], n_sig = 0;
+        for (int nn = 15; nn >= 0; nn--)
+            if (sig[nn])
+                sig_pos[n_sig++] = nn;
+        if (!n_sig)
+            continue;
+
+        int ctx_set = ((i == 0 || c_idx > 0) ? 0 : 2) + (c1_chain_gt1 ? 1 : 0);
+        int c1 = 1;
+        c1_chain_gt1 = 0;
+        uint8_t gt1[16];
+        std::memset(gt1, 0, 16);
+        int first_gt1_pos = -1;
+        int n_g1 = n_sig < 8 ? n_sig : 8;
+        for (int k = 0; k < n_g1; k++) {
+            int nn = sig_pos[k];
+            int g = (levels[nn] < 0 ? -levels[nn] : levels[nn]) > 1;
+            e.decision(g_off_gt1 + ctx_set * 4 + c1 + (c_idx ? 16 : 0), g);
+            gt1[nn] = (uint8_t)g;
+            if (g) {
+                c1 = 0;
+                c1_chain_gt1 = 1;
+                if (first_gt1_pos < 0)
+                    first_gt1_pos = nn;
+            } else if (c1 > 0 && c1 < 3) {
+                c1++;
+            }
+        }
+        int gt2_val = 0;
+        if (first_gt1_pos >= 0) {
+            int a = levels[first_gt1_pos] < 0 ? -levels[first_gt1_pos]
+                                              : levels[first_gt1_pos];
+            gt2_val = a > 2;
+            e.decision(g_off_gt2 + ctx_set + (c_idx ? 4 : 0), gt2_val);
+        }
+
+        int first_sig_scan = sig_pos[n_sig - 1];
+        int last_sig_scan = sig_pos[0];
+        int sign_hidden = sdh && (last_sig_scan - first_sig_scan > 3);
+        e.bypass(n_sig - (sign_hidden ? 1 : 0));  // sign bins
+
+        int rice = 0;
+        for (int k = 0; k < n_sig; k++) {
+            int nn = sig_pos[k];
+            int a = levels[nn] < 0 ? -levels[nn] : levels[nn];
+            int base = 1;
+            bool need_rem;
+            if (k < 8) {
+                base += gt1[nn];
+                if (nn == first_gt1_pos)
+                    base += gt2_val;
+                need_rem = (nn == first_gt1_pos && gt2_val) ||
+                           (gt1[nn] && nn != first_gt1_pos);
+            } else {
+                need_rem = true;
+            }
+            if (need_rem) {
+                int value = a - base;
+                // coeff_abs_level_remaining binarization cost
+                if ((value >> rice) <= 3) {
+                    e.bypass((value >> rice) + 1 + rice);
+                } else {
+                    int prefix = 4;
+                    while (true) {
+                        int b = ((1 << (prefix - 3)) + 2) << rice;
+                        int nb = prefix - 3 + rice;
+                        if (value < b + (1 << nb))
+                            break;
+                        prefix++;
+                    }
+                    e.bypass(prefix + 1 + (prefix - 3 + rice));
+                }
+                if (a > (3 << rice) && rice < 4)
+                    rice++;
+            }
+        }
+    }
+    return e.frac;
+}
+
+}  // extern "C"
