@@ -34,7 +34,7 @@ def test_sad_many():
     orig = rng.integers(0, 256, (16, 16)).astype(np.int32)
     xs = np.array([-4, 0, 30, 70, 85])
     ys = np.array([0, -8, 20, 50, 52])
-    got = sad_many(orig, ref, xs, ys, 16)
+    got = sad_many(orig, ref, xs, ys, 16, 16)
     for i in range(5):
         ry = np.clip(np.arange(ys[i], ys[i] + 16), 0, 63)
         rx = np.clip(np.arange(xs[i], xs[i] + 16), 0, 95)

@@ -263,62 +263,105 @@ def _write_merge_idx(ws: SliceWriteContext, x0, y0):
             enc.encode_bypass(0)
 
 
-def _write_inter_cu(ws: SliceWriteContext, cu):
-    """Inter CU: part_mode + per-PU syntax + transform tree.
+def _write_inter_part_mode(ws: SliceWriteContext, part_mode, log2_size):
+    """part_mode binarization for inter CUs — inverse of
+    ctu_parse._parse_inter_part_mode (spec 9.3.3.7; AMP unsupported)."""
+    enc, sps = ws.enc, ws.sps
+    assert not sps.amp_enabled_flag, "AMP part modes not written yet"
+    if part_mode == T.PART_2Nx2N:
+        enc.encode_decision(ctx_index("part_mode", 0), 1)
+        return
+    enc.encode_decision(ctx_index("part_mode", 0), 0)
+    at_min = log2_size == sps.min_cb_log2_size_y
+    if not at_min:
+        enc.encode_decision(ctx_index("part_mode", 1),
+                            1 if part_mode == T.PART_2NxN else 0)
+        assert part_mode in (T.PART_2NxN, T.PART_Nx2N)
+        return
+    enc.encode_decision(ctx_index("part_mode", 1),
+                        1 if part_mode == T.PART_2NxN else 0)
+    if part_mode == T.PART_2NxN:
+        return
+    if log2_size == 3:
+        assert part_mode == T.PART_Nx2N
+        return
+    enc.encode_decision(ctx_index("part_mode", 2),
+                        1 if part_mode == T.PART_Nx2N else 0)
 
-    Round-1 scope: PART_2Nx2N only (one PU)."""
-    enc, plan, sh, sps = ws.enc, ws.plan, ws.sh, ws.sps
-    x0, y0, log2 = cu.x0, cu.y0, cu.log2_size
-    b = (y0 >> 2, x0 >> 2)
-    cu.part_mode = int(plan.part_mode[b])
-    assert cu.part_mode == T.PART_2Nx2N, "inter partitions beyond 2Nx2N TODO"
-    enc.encode_decision(ctx_index("part_mode", 0), 1)
 
-    size = 1 << log2
+def _pu_rects(x0, y0, size, part_mode):
+    h = size >> 1
+    if part_mode == T.PART_2Nx2N:
+        return [(x0, y0, size, size)]
+    if part_mode == T.PART_2NxN:
+        return [(x0, y0, size, h), (x0, y0 + h, size, h)]
+    if part_mode == T.PART_Nx2N:
+        return [(x0, y0, h, size), (x0 + h, y0, h, size)]
+    raise AssertionError(part_mode)
+
+
+def _write_prediction_unit(ws: SliceWriteContext, cu, px, py, pw, ph):
+    """prediction_unit() syntax for one PU (spec 7.3.8.6)."""
+    enc, plan, sh = ws.enc, ws.plan, ws.sh
+    b = (py >> 2, px >> 2)
     merge = bool(plan.merge_flag[b])
     enc.encode_decision(ctx_index("merge_flag"), int(merge))
     if merge:
         if sh.max_num_merge_cand > 1:
-            _write_merge_idx(ws, x0, y0)
+            _write_merge_idx(ws, px, py)
+        return
+    if sh.is_b:
+        r0 = int(plan.ref_idx[0, b[0], b[1]])
+        r1 = int(plan.ref_idx[1, b[0], b[1]])
+        ipi = (1 if r0 >= 0 else 0) | (2 if r1 >= 0 else 0)
+        if pw + ph != 12:
+            enc.encode_decision(
+                ctx_index("inter_pred_idc", cu.ct_depth),
+                1 if ipi == 3 else 0)
+        if ipi != 3:
+            enc.encode_decision(ctx_index("inter_pred_idc", 4),
+                                1 if ipi == 2 else 0)
     else:
-        if sh.is_b:
-            r0 = int(plan.ref_idx[0, b[0], b[1]])
-            r1 = int(plan.ref_idx[1, b[0], b[1]])
-            ipi = (1 if r0 >= 0 else 0) | (2 if r1 >= 0 else 0)
-            if size + size != 12:
-                enc.encode_decision(
-                    ctx_index("inter_pred_idc", cu.ct_depth),
-                    1 if ipi == 3 else 0)
-            if ipi != 3:
-                enc.encode_decision(ctx_index("inter_pred_idc", 4),
-                                    1 if ipi == 2 else 0)
+        ipi = 1
+    for lx in (0, 1):
+        if not (ipi & (1 << lx)):
+            continue
+        nref = (sh.num_ref_idx_l0_active_minus1 if lx == 0
+                else sh.num_ref_idx_l1_active_minus1)
+        r = int(plan.ref_idx[lx, b[0], b[1]])
+        if nref > 0:
+            # TR: bins 0/1 context-coded (inc 0, 1), rest bypass
+            for k in range(r):
+                if k < 2:
+                    enc.encode_decision(ctx_index("ref_idx", k), 1)
+                else:
+                    enc.encode_bypass(1)
+            if r < nref:
+                if r < 2:
+                    enc.encode_decision(ctx_index("ref_idx", r), 0)
+                else:
+                    enc.encode_bypass(0)
+        if lx == 1 and sh.mvd_l1_zero_flag and ipi == 3:
+            pass
         else:
-            ipi = 1
-        for lx in (0, 1):
-            if not (ipi & (1 << lx)):
-                continue
-            nref = (sh.num_ref_idx_l0_active_minus1 if lx == 0
-                    else sh.num_ref_idx_l1_active_minus1)
-            r = int(plan.ref_idx[lx, b[0], b[1]])
-            if nref > 0:
-                # TR: bins 0/1 context-coded (inc 0, 1), rest bypass
-                for k in range(r):
-                    if k < 2:
-                        enc.encode_decision(ctx_index("ref_idx", k), 1)
-                    else:
-                        enc.encode_bypass(1)
-                if r < nref:
-                    if r < 2:
-                        enc.encode_decision(ctx_index("ref_idx", r), 0)
-                    else:
-                        enc.encode_bypass(0)
-            if lx == 1 and sh.mvd_l1_zero_flag and ipi == 3:
-                pass
-            else:
-                _write_mvd(ws, int(plan.mvd[lx, b[0], b[1], 0]),
-                           int(plan.mvd[lx, b[0], b[1], 1]))
-            enc.encode_decision(ctx_index("mvp_flag"),
-                                int(plan.mvp_flag[lx, b[0], b[1]]))
+            _write_mvd(ws, int(plan.mvd[lx, b[0], b[1], 0]),
+                       int(plan.mvd[lx, b[0], b[1], 1]))
+        enc.encode_decision(ctx_index("mvp_flag"),
+                            int(plan.mvp_flag[lx, b[0], b[1]]))
+
+
+def _write_inter_cu(ws: SliceWriteContext, cu):
+    """Inter CU: part_mode + per-PU syntax + transform tree."""
+    enc, plan, sh, sps = ws.enc, ws.plan, ws.sh, ws.sps
+    x0, y0, log2 = cu.x0, cu.y0, cu.log2_size
+    b = (y0 >> 2, x0 >> 2)
+    cu.part_mode = int(plan.part_mode[b])
+    _write_inter_part_mode(ws, cu.part_mode, log2)
+
+    size = 1 << log2
+    for (px, py, pw, ph) in _pu_rects(x0, y0, size, cu.part_mode):
+        _write_prediction_unit(ws, cu, px, py, pw, ph)
+    merge = bool(plan.merge_flag[b])
 
     # rqt_root_cbf
     has_coeff = bool(

@@ -76,14 +76,23 @@ class InterPictureEncoder(IntraPictureEncoder):
             return super()._encode_cu(x0, y0, log2, depth)
         size = 1 << log2
         state = self._snapshot(x0, y0, size)
-        cost_inter = self._encode_inter_cu(x0, y0, log2, depth)
-        inter_state = self._snapshot(x0, y0, size)
+        cost_best = self._encode_inter_cu(x0, y0, log2, depth)
+        best_state = self._snapshot(x0, y0, size)
+        # SMP partitions (2NxN / Nx2N), Search<prediction_unit> analogue —
+        # gated to 16x16+ CUs at medium+ effort (Speed.h smp gating)
+        if self.rd_candidates >= 2 and log2 >= 4:
+            for part in (T.PART_2NxN, T.PART_Nx2N):
+                self._restore(x0, y0, size, state)
+                c = self._encode_inter_smp(x0, y0, log2, depth, part)
+                if c < cost_best:
+                    cost_best = c
+                    best_state = self._snapshot(x0, y0, size)
         self._restore(x0, y0, size, state)
         cost_intra = super()._encode_cu(x0, y0, log2, depth) \
             + self.lam_bits * 2  # pred_mode flag bits
-        if cost_inter <= cost_intra:
-            self._restore(x0, y0, size, inter_state)
-            return cost_inter
+        if cost_best <= cost_intra:
+            self._restore(x0, y0, size, best_state)
+            return cost_best
         return cost_intra
 
     def _snapshot(self, x0, y0, size):
@@ -173,7 +182,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         return self._finalize_pred(p14s)
 
     # ------------------------------------------------------------------
-    def _full_pel_search(self, orig, ref_plane, x0, y0, size, mvp):
+    def _full_pel_search(self, orig, ref_plane, x0, y0, w, h, mvp):
         """Diamond/step pattern integer search; returns best int MV (in
         full-pel units) minimizing SAD + lam_me * mvd bits."""
         from turingcodec_tpu.encode.sweep import sad_many
@@ -185,7 +194,7 @@ class InterPictureEncoder(IntraPictureEncoder):
             if fresh:
                 xs = np.array([x0 + ix for ix, _ in fresh])
                 ys = np.array([y0 + iy for _, iy in fresh])
-                sads = sad_many(orig, ref_plane, xs, ys, size)
+                sads = sad_many(orig, ref_plane, xs, ys, w, h)
                 for (ix, iy), s in zip(fresh, sads):
                     seen[(ix, iy)] = float(s) + self.lam_me * _mv_bits(
                         4 * ix - mvp[0], 4 * iy - mvp[1])
@@ -214,7 +223,7 @@ class InterPictureEncoder(IntraPictureEncoder):
             step >>= 1
         return best[1], best[0]
 
-    def _sub_pel_refine(self, orig, ref_pic, x0, y0, size, int_mv, mvp):
+    def _sub_pel_refine(self, orig, ref_pic, x0, y0, w, h, int_mv, mvp):
         """Half then quarter pel 8-neighbour refinement on SATD."""
         from turingcodec_tpu.ops.metrics import satd_np
         best_mv = (int_mv[0] * 4, int_mv[1] * 4)
@@ -223,11 +232,11 @@ class InterPictureEncoder(IntraPictureEncoder):
             mvx, mvy = mv
             p = interp_luma(ref_pic.planes[0], x0 + (mvx >> 2),
                             y0 + (mvy >> 2), mvx & 3, mvy & 3,
-                            size, size, self.bd)
+                            w, h, self.bd)
             sh4 = 14 - self.bd
             pred = np.clip((p + (1 << (sh4 - 1))) >> sh4, 0,
                            (1 << self.bd) - 1)
-            return (satd_np(orig, pred, 8 if size >= 8 else 4)
+            return (satd_np(orig, pred, 8 if min(w, h) >= 8 else 4)
                     + self.lam_me * _mv_bits(mvx - mvp[0], mvy - mvp[1]))
 
         best = (cost(best_mv), best_mv)
@@ -241,6 +250,211 @@ class InterPictureEncoder(IntraPictureEncoder):
                 if c < best[0]:
                     best = (c, mv)
         return best[1]
+
+    # ------------------------------------------------------------------
+    def _search_pu(self, px, py, pw, ph, cb_info, part_idx, part_mode):
+        """Pick motion for one PU by SATD + lambda_me * bits over the merge
+        list and uni-directional AMVP (Search<prediction_unit> analogue).
+        Returns ("merge", idx, cand) or ("amvp", info) with info as in
+        _encode_inter_cu."""
+        from turingcodec_tpu.ops.metrics import satd_np
+        x0, y0, size = cb_info[0], cb_info[1], cb_info[2]
+        orig = self.orig[0][py:py + ph, px:px + pw].astype(np.int32)
+        blk = 8 if min(pw, ph) >= 8 else 4
+        deriver = self._get_deriver()
+        merge_cands = deriver.merge_candidates(x0, y0, size, px, py, pw, ph,
+                                               part_idx, part_mode)
+        best = None
+        seen = set()
+        for mi, c in enumerate(merge_cands):
+            key = (c.pred_flags, c.mv, c.ref_idx)
+            if key in seen or not (c.pred_flags[0] or c.pred_flags[1]):
+                continue
+            seen.add(key)
+            pred = self._pred_for_motion(c.pred_flags, c.mv, c.ref_idx,
+                                         px, py, pw, ph)[0]
+            cost = satd_np(orig, pred, blk) + self.lam_me * (2 + mi)
+            if best is None or cost < best[0]:
+                best = (cost, "merge", mi, c)
+        n_lists = 2 if (self.sh.is_b and self.ref_lists[1]) else 1
+        for lx in range(n_lists):
+            mvps = deriver.amvp(px, py, pw, ph, lx, 0, cb_info)
+            ref = self.ref_lists[lx][0]
+            int_mv, _ = self._full_pel_search(orig, ref.planes[0], px, py,
+                                              pw, ph, mvps[0])
+            mv = self._sub_pel_refine(orig, ref, px, py, pw, ph, int_mv,
+                                      mvps[0])
+            bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
+            bits1 = _mv_bits(mv[0] - mvps[1][0], mv[1] - mvps[1][1])
+            mvp_flag = int(bits1 < bits0)
+            mvd = (mv[0] - mvps[mvp_flag][0], mv[1] - mvps[mvp_flag][1])
+            flags = (1, 0) if lx == 0 else (0, 1)
+            mvs = (mv, mv)
+            pred = self._pred_for_motion(flags, mvs, (0, 0),
+                                         px, py, pw, ph)[0]
+            cost = satd_np(orig, pred, blk) \
+                + self.lam_me * (3 + min(bits0, bits1))
+            if best is None or cost < best[0]:
+                best = (cost, "amvp", lx, {lx: (mv, mvd, mvp_flag)})
+        return best[1:]
+
+    def _commit_pu_motion(self, px, py, pw, ph, choice):
+        """Write one PU's motion fields into the plan (before the next PU's
+        derivation, which depends on them)."""
+        plan = self.plan
+        sl = (slice(py >> 2, (py + ph) >> 2), slice(px >> 2, (px + pw) >> 2))
+        kind = choice[0]
+        if kind == "merge":
+            _, idx, c = choice
+            plan.merge_flag[sl] = 1
+            plan.merge_idx[sl] = idx
+            for lx in (0, 1):
+                if c.pred_flags[lx]:
+                    plan.ref_idx[(lx,) + sl] = c.ref_idx[lx]
+                    plan.mv[(lx,) + sl] = c.mv[lx]
+                    plan.ref_poc[(lx,) + sl] = \
+                        self.ref_lists[lx][c.ref_idx[lx]].poc
+                else:
+                    plan.ref_idx[(lx,) + sl] = -1
+                    plan.mv[(lx,) + sl] = 0
+        else:
+            _, _, info = choice
+            plan.merge_flag[sl] = 0
+            for lx in (0, 1):
+                if lx in info:
+                    mv_l, mvd_l, mvp_f = info[lx]
+                    plan.ref_idx[(lx,) + sl] = 0
+                    plan.mv[(lx,) + sl] = mv_l
+                    plan.ref_poc[(lx,) + sl] = self.ref_lists[lx][0].poc
+                    plan.mvd[(lx,) + sl] = mvd_l
+                    plan.mvp_flag[(lx,) + sl] = mvp_f
+                else:
+                    plan.ref_idx[(lx,) + sl] = -1
+                    plan.mv[(lx,) + sl] = 0
+
+    def _encode_inter_smp(self, x0, y0, log2, depth, part) -> float:
+        """Two-PU SMP inter CU (PART_2NxN / PART_Nx2N) with the forced
+        one-level transform split (spec 7.3.8.8 interSplitFlag)."""
+        plan, sps = self.plan, self.sps
+        size = 1 << log2
+        half = size >> 1
+        sl = (slice(y0 >> 2, (y0 + size) >> 2),
+              slice(x0 >> 2, (x0 + size) >> 2))
+
+        plan.ct_depth[sl] = depth
+        plan.cu_pred_mode[sl] = 0
+        plan.part_mode[sl] = part
+        plan.cu_size_log2[sl] = log2
+        plan.cu_id[sl] = self.next_id[0]
+        plan.skip_flag[sl] = 0
+        self.next_id[0] += 1
+
+        if part == T.PART_2NxN:
+            pus = [(x0, y0, size, half), (x0, y0 + half, size, half)]
+        else:
+            pus = [(x0, y0, half, size), (x0 + half, y0, half, size)]
+
+        pred_y = np.zeros((size, size), np.int32)
+        pred_cb = np.zeros((half, half), np.int32)
+        pred_cr = np.zeros((half, half), np.int32)
+        rate_pu = 0.0
+        for part_idx, (px, py, pw, ph) in enumerate(pus):
+            psl = (slice(py >> 2, (py + ph) >> 2),
+                   slice(px >> 2, (px + pw) >> 2))
+            plan.pu_id[psl] = self.next_id[1]
+            self.next_id[1] += 1
+            cb_info = (x0, y0, size, pw, ph, part_idx)
+            choice = self._search_pu(px, py, pw, ph, cb_info, part_idx, part)
+            self._commit_pu_motion(px, py, pw, ph, choice)
+            b = (py >> 2, px >> 2)
+            flags = tuple(int(plan.ref_idx[lx, b[0], b[1]] >= 0)
+                          for lx in (0, 1))
+            mvs = tuple(tuple(int(v) for v in plan.mv[lx, b[0], b[1]])
+                        for lx in (0, 1))
+            refs = tuple(max(0, int(plan.ref_idx[lx, b[0], b[1]]))
+                         for lx in (0, 1))
+            p = self._pred_for_motion(flags, mvs, refs, px, py, pw, ph)
+            pred_y[py - y0:py - y0 + ph, px - x0:px - x0 + pw] = p[0]
+            cy0, cx0 = (py - y0) >> 1, (px - x0) >> 1
+            pred_cb[cy0:cy0 + (ph >> 1), cx0:cx0 + (pw >> 1)] = p[1]
+            pred_cr[cy0:cy0 + (ph >> 1), cx0:cx0 + (pw >> 1)] = p[2]
+            if choice[0] == "merge":
+                rate_pu += 2 + choice[1]
+            else:
+                rate_pu += 3 + sum(_mv_bits(*v[1])
+                                   for v in choice[2].values())
+
+        # residual: forced TT split -> four luma TUs at log2-1 (chroma at
+        # log2-2), committed in z-order so rate contexts track the writer
+        orig_y = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        orig_cb = self.orig[1][cy:cy + cs, cx:cx + cs].astype(np.int32)
+        orig_cr = self.orig[2][cy:cy + cs, cx:cx + cs].astype(np.int32)
+        rec_y = np.zeros((size, size), np.int32)
+        rec_cb = np.zeros((cs, cs), np.int32)
+        rec_cr = np.zeros((cs, cs), np.int32)
+        dist = 0.0
+        rate = rate_pu + 2.0  # part_mode bins + rqt_root_cbf proxy
+        qh = half
+        for (dy, dx) in ((0, 0), (0, qh), (qh, 0), (qh, qh)):
+            oy = orig_y[dy:dy + qh, dx:dx + qh]
+            pyq = pred_y[dy:dy + qh, dx:dx + qh]
+            coeffs = forward_transform_np(oy - pyq, self.bd, False)
+            levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
+                                 self.bd, log2 - 1, False)
+            if levels.any():
+                d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
+                                  self.bd, log2 - 1)
+                rq = np.clip(pyq + inverse_transform(d, self.bd, False),
+                             0, (1 << self.bd) - 1)
+                rate += self._residual_bits(levels, log2 - 1, 0, 0, False)
+                self._commit_residual_ctx(levels, log2 - 1, 0, 0, False)
+            else:
+                rq = pyq
+                rate += 1.0
+            rec_y[dy:dy + qh, dx:dx + qh] = rq
+            plan.coeff_y[y0 + dy:y0 + dy + qh, x0 + dx:x0 + dx + qh] = levels
+            bl = (slice((y0 + dy) >> 2, (y0 + dy + qh) >> 2),
+                  slice((x0 + dx) >> 2, (x0 + dx + qh) >> 2))
+            plan.cbf_y[bl] = int(levels.any())
+            plan.tu_log2[bl] = log2 - 1
+            plan.tu_id[bl] = self.next_id[2]
+            self.next_id[2] += 1
+            dist += float(((rq - oy) ** 2).sum())
+
+            ch = qh >> 1
+            cdy, cdx = dy >> 1, dx >> 1
+            for ci, (o_c, p_c, r_c, qp_c, coeff_pl, cbf_pl) in enumerate((
+                    (orig_cb, pred_cb, rec_cb, self.qp_cb,
+                     plan.coeff_cb, plan.cbf_cb),
+                    (orig_cr, pred_cr, rec_cr, self.qp_cr,
+                     plan.coeff_cr, plan.cbf_cr))):
+                oc = o_c[cdy:cdy + ch, cdx:cdx + ch]
+                pc = p_c[cdy:cdy + ch, cdx:cdx + ch]
+                cf = forward_transform_np(oc - pc, sps.bit_depth_c, False)
+                lv = quantize_np(cf, qp_c + sps.qp_bd_offset_c,
+                                 sps.bit_depth_c, log2 - 2, False)
+                if lv.any():
+                    dd = dequant_block(lv, qp_c + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, log2 - 2)
+                    rc = np.clip(
+                        pc + inverse_transform(dd, sps.bit_depth_c, False),
+                        0, (1 << sps.bit_depth_c) - 1)
+                    rate += self._residual_bits(lv, log2 - 2, ci + 1, 0,
+                                                False)
+                    self._commit_residual_ctx(lv, log2 - 2, ci + 1, 0, False)
+                else:
+                    rc = pc
+                    rate += 1.0
+                r_c[cdy:cdy + ch, cdx:cdx + ch] = rc
+                coeff_pl[cy + cdy:cy + cdy + ch, cx + cdx:cx + cdx + ch] = lv
+                cbf_pl[bl] = int(lv.any())
+                dist += float(((rc - oc) ** 2).sum())
+
+        self.recon[0][y0:y0 + size, x0:x0 + size] = rec_y
+        self.recon[1][cy:cy + cs, cx:cx + cs] = rec_cb
+        self.recon[2][cy:cy + cs, cx:cx + cs] = rec_cr
+        return dist + self.lam * rate
 
     # ------------------------------------------------------------------
     def _encode_inter_cu(self, x0, y0, log2, depth) -> float:
@@ -287,8 +501,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             mvps = deriver.amvp(x0, y0, size, size, lx, 0, cb_info)
             ref = self.ref_lists[lx][0]
             int_mv, _ = self._full_pel_search(orig_y, ref.planes[0], x0, y0,
-                                              size, mvps[0])
-            mv = self._sub_pel_refine(orig_y, ref, x0, y0, size, int_mv,
+                                              size, size, mvps[0])
+            mv = self._sub_pel_refine(orig_y, ref, x0, y0, size, size, int_mv,
                                       mvps[0])
             bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
             bits1 = _mv_bits(mv[0] - mvps[1][0], mv[1] - mvps[1][1])

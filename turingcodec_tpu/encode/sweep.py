@@ -87,10 +87,10 @@ def satd_many(orig, preds, block=8):
     return s.sum(axis=(1, 2))
 
 
-def sad_many(orig, ref_plane, xs, ys, size):
-    """SAD of orig (size, size) against candidates at (xs[i], ys[i])."""
+def sad_many(orig, ref_plane, xs, ys, bw, bh):
+    """SAD of orig (bh, bw) against candidates at (xs[i], ys[i])."""
     h, w = ref_plane.shape
-    ry = np.clip(ys[:, None] + np.arange(size)[None, :], 0, h - 1)
-    rx = np.clip(xs[:, None] + np.arange(size)[None, :], 0, w - 1)
+    ry = np.clip(ys[:, None] + np.arange(bh)[None, :], 0, h - 1)
+    rx = np.clip(xs[:, None] + np.arange(bw)[None, :], 0, w - 1)
     blocks = ref_plane[ry[:, :, None], rx[:, None, :]].astype(np.int32)
     return np.abs(orig[None] - blocks).sum(axis=(1, 2))
