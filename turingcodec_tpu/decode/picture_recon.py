@@ -213,6 +213,23 @@ class PictureReconstructor:
                 plane[cy:cy + n, cx:cx + n] = np.clip(blk, 0, max_c)
 
     # ------------------------------------------------------------------
+    def _native_intra_ok(self, cu):
+        """Gate for the native intra-TU path: the C++ core covers the common
+        case (no multi-slice/tile/CIP bounds, flat scaling, no transform
+        skip, no transquant bypass)."""
+        if cu.tq_bypass or self.scaling is not None:
+            return False
+        if self._zscan32 is None:
+            from turingcodec_tpu import native
+            if native.get_lib() is None or self.refs._complex_bounds():
+                self._zscan32 = False
+            else:
+                self._zscan32 = np.ascontiguousarray(self.geom.zscan,
+                                                     np.int32)
+        return self._zscan32 is not False
+
+    _zscan32 = None
+
     def _recon_intra_cu(self, cu):
         plan = self.plan
         sps = plan.sps
@@ -221,27 +238,37 @@ class PictureReconstructor:
         qp_y = self._luma_qp(cu)
         qp_cb = self._chroma_qp(cu, 1)
         qp_cr = self._chroma_qp(cu, 2)
+        use_native = self._native_intra_ok(cu)
+        strong = bool(sps.strong_intra_smoothing_enabled_flag)
+        if use_native:
+            from turingcodec_tpu import native
         tus = cu.tus if cu.tus else [
             (cu.x0, cu.y0, cu.log2_size, 0, cu.x0, cu.y0, 0, 0, 0)]
         for (x0, y0, log2, blk_idx, xb, yb, cbf_y, cbf_cb, cbf_cr) in tus:
             n = 1 << log2
             bx, by = x0 >> 2, y0 >> 2
             mode = int(plan.intra_mode_y[by, bx])
-            # luma prediction
-            rt, rl, corner = self.refs.build(self.ry, x0, y0, n, 0, self.bd_y)
-            frt, frl, fc = filter_reference_samples(
-                rt, rl, corner, n, mode,
-                bool(sps.strong_intra_smoothing_enabled_flag), self.bd_y)
-            pred = intra_predict(mode, frt, frl, fc, n, 0, self.bd_y,
-                                 disable_edge_filters=False)
-            if cbf_y:
-                use_dst = log2 == 2
-                r = self._residual(plan.coeff_y, x0, y0, log2, qp_y, self.bd_y,
-                                   use_dst, plan.transform_skip_y[by, bx],
-                                   cu.tq_bypass, matrix_id=0)
-                if r is not None:
-                    pred = pred + r
-            self.ry[y0:y0 + n, x0:x0 + n] = np.clip(pred, 0, max_y)
+            if use_native and not plan.transform_skip_y[by, bx]:
+                native.intra_tu(self.ry, self._zscan32, x0, y0, n, 0, 1,
+                                self.bd_y, mode, strong, plan.coeff_y,
+                                cbf_y, qp_y, log2 == 2)
+            else:
+                # luma prediction (pure-Python oracle path)
+                rt, rl, corner = self.refs.build(self.ry, x0, y0, n, 0,
+                                                 self.bd_y)
+                frt, frl, fc = filter_reference_samples(
+                    rt, rl, corner, n, mode, strong, self.bd_y)
+                pred = intra_predict(mode, frt, frl, fc, n, 0, self.bd_y,
+                                     disable_edge_filters=False)
+                if cbf_y:
+                    use_dst = log2 == 2
+                    r = self._residual(plan.coeff_y, x0, y0, log2, qp_y,
+                                       self.bd_y, use_dst,
+                                       plan.transform_skip_y[by, bx],
+                                       cu.tq_bypass, matrix_id=0)
+                    if r is not None:
+                        pred = pred + r
+                self.ry[y0:y0 + n, x0:x0 + n] = np.clip(pred, 0, max_y)
 
             # chroma at this leaf?
             if log2 > 2:
@@ -256,11 +283,18 @@ class PictureReconstructor:
                      plan.transform_skip_cb, 1),
                     (self.rcr, qp_cr, plan.coeff_cr, cbf_cr,
                      plan.transform_skip_cr, 2)):
-                rt, rl, corner = self.refs.build(plane, cx, cy, cn, 1, self.bd_c)
-                predc = intra_predict(mode_c, rt, rl, corner, cn, 1, self.bd_c)
+                if use_native and not msk[cy >> 1, cx >> 1]:
+                    native.intra_tu(plane, self._zscan32, cx, cy, cn, 1, 2,
+                                    self.bd_c, mode_c, strong, coeffs,
+                                    cbf, qp, False)
+                    continue
+                rt, rl, corner = self.refs.build(plane, cx, cy, cn, 1,
+                                                 self.bd_c)
+                predc = intra_predict(mode_c, rt, rl, corner, cn, 1,
+                                      self.bd_c)
                 if cbf:
-                    r = self._residual(coeffs, cx, cy, cn.bit_length() - 1, qp,
-                                       self.bd_c, False,
+                    r = self._residual(coeffs, cx, cy, cn.bit_length() - 1,
+                                       qp, self.bd_c, False,
                                        msk[cy >> 1, cx >> 1], cu.tq_bypass,
                                        matrix_id=mat)
                     if r is not None:

@@ -73,6 +73,35 @@ def _build_and_load():
         ctypes.c_int, ctypes.c_void_p]
     bits = np.ascontiguousarray(BITS, np.int32)
     lib.tc_init_rate(bits.ctypes.data)
+
+    from turingcodec_tpu.hevc.tables import dct2_matrix, DST4
+    lib.tc_init_intra.argtypes = [ctypes.c_void_p] * 8
+    lib.tc_intra_tu.restype = ctypes.c_int
+    lib.tc_intra_tu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
+    from turingcodec_tpu.hevc.tables import LEVEL_SCALE
+    from turingcodec_tpu.decode.reconstruct import (intra_inv_angle,
+                                                    intra_pred_angle)
+    mats = [np.ascontiguousarray(dct2_matrix(1 << k), np.int32)
+            for k in (2, 3, 4, 5)]
+    dst = np.ascontiguousarray(DST4, np.int32)
+    ls = np.ascontiguousarray(LEVEL_SCALE, np.int32)
+    ang = np.zeros(35, np.int8)
+    inv = np.zeros(35, np.int16)
+    for mode in range(2, 35):
+        ang[mode] = intra_pred_angle(mode)
+        if 11 <= mode <= 25:
+            inv[mode] = intra_inv_angle(mode)
+    _keep = (mats, dst, ls, ang, inv)
+    lib._tc_keep = _keep  # prevent GC before init copies... (copied in C)
+    lib.tc_init_intra(mats[0].ctypes.data, mats[1].ctypes.data,
+                      mats[2].ctypes.data, mats[3].ctypes.data,
+                      dst.ctypes.data, ls.ctypes.data, ang.ctypes.data,
+                      inv.ctypes.data)
     return lib
 
 
@@ -140,3 +169,17 @@ def residual_bits(ctx_pool, log2_size: int, c_idx: int, scan_idx: int,
     if frac < 0:
         raise ValueError("residual_bits on an all-zero block")
     return frac / 256.0
+
+
+def intra_tu(plane, zscan32, x0, y0, n, c_idx, sub, bit_depth, mode,
+             strong, coeff_plane, cbf, qp, use_dst) -> bool:
+    """Reconstruct one intra TB natively (build refs + filter + predict +
+    dequant/IDCT + add + clip, in place). False if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.tc_intra_tu(plane.ctypes.data, plane.shape[1], plane.shape[0],
+                    zscan32.ctypes.data, zscan32.shape[1], x0, y0, n,
+                    c_idx, sub, bit_depth, mode, int(strong),
+                    coeff_plane.ctypes.data, int(cbf), qp, int(use_dst))
+    return True

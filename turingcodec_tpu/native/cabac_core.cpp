@@ -11,6 +11,7 @@
 // Spec references: decode engine 9.3.4.3; residual_coding 7.3.8.11; context
 // derivations 9.3.4.2.5-9.3.4.2.7; coeff_abs_level_remaining 9.3.3.13.
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 namespace {
@@ -341,6 +342,261 @@ int tc_residual_decode(const uint8_t* data, int64_t nbits, int64_t* io_pos,
     *io_pos = e.pos;
     *io_range = (int32_t)e.range;
     *io_offset = (int32_t)e.offset;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- intra TU
+// Serial intra reconstruction chain for one TB: reference-sample build +
+// substitution (spec 8.4.4.2.2), [1 2 1]/strong smoothing (8.4.4.2.3),
+// prediction incl. DC/H/V edge filters (8.4.4.2.4-6), dequant (8.6.3) and
+// two-stage inverse transform (8.6.4) — the C++ twin of
+// decode/reconstruct.py build/filter/intra_predict/dequant/inverse_transform
+// and decode/picture_recon._recon_intra_cu's per-TU body. The intra chain
+// is z-order serial (each TU predicts from previous reconstructions), so it
+// stays on the host like the reference's native Decode path.
+
+namespace {
+
+const int32_t* g_dct[6];  // log2 2..5 -> DCT matrix, [5]=DST4
+int32_t g_mat_store[4 * 4 + 8 * 8 + 16 * 16 + 32 * 32 + 16];
+int32_t g_level_scale[6];
+int8_t g_angle[35];
+int16_t g_inv_angle[35];
+
+inline int iclip(int lo, int hi, long long v) {
+    return v < lo ? lo : (v > hi ? hi : (int)v);
+}
+
+void inverse_transform_add(const int16_t* coeff, int cw, long long ls,
+                           int bd_shift, int n, const int32_t* m,
+                           int bit_depth, int32_t* pred /* n*n, in/out */) {
+    // dequant into d[y][x]
+    static thread_local int32_t d[32 * 32];
+    static thread_local int32_t g[32 * 32];
+    long long rnd = 1LL << (bd_shift - 1);
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++)
+            d[y * n + x] = iclip(-32768, 32767,
+                                 ((long long)coeff[y * cw + x] * ls + rnd)
+                                     >> bd_shift);
+    // stage 1: g = clip((M^T @ d + 64) >> 7)
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+            long long acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += (long long)m[k * n + y] * d[k * n + x];
+            g[y * n + x] = iclip(-32768, 32767, (acc + 64) >> 7);
+        }
+    // stage 2: r = clip((g @ M + rnd2) >> (20 - bd))
+    int sh2 = 20 - bit_depth;
+    long long rnd2 = 1LL << (sh2 - 1);
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+            long long acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += (long long)g[y * n + k] * m[k * n + x];
+            pred[y * n + x] +=
+                iclip(-32768, 32767, (acc + rnd2) >> sh2);
+        }
+}
+
+}  // namespace
+
+extern "C" {
+
+void tc_init_intra(const int32_t* m4, const int32_t* m8, const int32_t* m16,
+                   const int32_t* m32, const int32_t* dst4,
+                   const int32_t* level_scale, const int8_t* angles,
+                   const int16_t* inv_angles) {
+    // g_dct[2..5] = DCT 4/8/16/32; g_dct[0] = DST4
+    int32_t* p = g_mat_store;
+    const int32_t* srcs[5] = {m4, m8, m16, m32, dst4};
+    const int slots[5] = {2, 3, 4, 5, 0};
+    const int sizes[5] = {16, 64, 256, 1024, 16};
+    for (int i = 0; i < 5; i++) {
+        std::memcpy(p, srcs[i], sizes[i] * 4);
+        g_dct[slots[i]] = p;
+        p += sizes[i];
+    }
+    g_dct[1] = nullptr;
+    std::memcpy(g_level_scale, level_scale, 6 * 4);
+    std::memcpy(g_angle, angles, 35);
+    std::memcpy(g_inv_angle, inv_angles, 35 * 2);
+}
+
+// Reconstruct one intra TB in place. Returns 0 on success.
+int tc_intra_tu(int16_t* plane, int pw, int ph, const int32_t* zscan, int zw,
+                int x0, int y0, int n, int c_idx, int sub, int bit_depth,
+                int mode, int strong_smoothing, const int16_t* coeff_plane,
+                int cbf, int qp, int use_dst) {
+    const int m = 4 * n + 1;
+    int32_t vals[129];
+    uint8_t ok[129];
+    int zcur = zscan[(((long)y0 * sub) >> 2) * zw + (((long)x0 * sub) >> 2)];
+    int any = 0, first = -1;
+    for (int i = 0; i < m; i++) {
+        int px, py;
+        if (i < 2 * n) {
+            px = x0 - 1;
+            py = y0 + (2 * n - 1 - i);
+        } else if (i == 2 * n) {
+            px = x0 - 1;
+            py = y0 - 1;
+        } else {
+            px = x0 + (i - (2 * n + 1));
+            py = y0 - 1;
+        }
+        int inb = px >= 0 && py >= 0 && px < pw && py < ph;
+        int pxc = px < 0 ? 0 : (px >= pw ? pw - 1 : px);
+        int pyc = py < 0 ? 0 : (py >= ph ? ph - 1 : py);
+        int o = inb && (zscan[(((long)pyc * sub) >> 2) * zw
+                              + (((long)pxc * sub) >> 2)] <= zcur);
+        vals[i] = plane[(long)pyc * pw + pxc];
+        ok[i] = (uint8_t)o;
+        if (o && first < 0)
+            first = i;
+        any |= o;
+    }
+    if (!any) {
+        int mid = 1 << (bit_depth - 1);
+        for (int i = 0; i < m; i++)
+            vals[i] = mid;
+    } else {
+        if (!ok[0])
+            vals[0] = vals[first];
+        for (int i = 1; i < m; i++)
+            if (!ok[i])
+                vals[i] = vals[i - 1];
+    }
+    int32_t rl[64], rt[64];
+    for (int i = 0; i < 2 * n; i++)
+        rl[i] = vals[2 * n - 1 - i];
+    int32_t corner = vals[2 * n];
+    for (int i = 0; i < 2 * n; i++)
+        rt[i] = vals[2 * n + 1 + i];
+
+    // reference filtering (luma only, spec 8.4.4.2.3)
+    if (c_idx == 0 && n > 4 && mode != 1) {
+        int mind = mode == 0 ? 99
+                 : (abs(mode - 26) < abs(mode - 10) ? abs(mode - 26)
+                                                    : abs(mode - 10));
+        int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
+        if (mode == 0 || mind > thres) {
+            bool strong = false;
+            if (strong_smoothing && n == 32) {
+                int t1 = abs(corner + rt[2 * n - 1] - 2 * rt[n - 1]);
+                int t2 = abs(corner + rl[2 * n - 1] - 2 * rl[n - 1]);
+                strong = t1 < (1 << (bit_depth - 5))
+                      && t2 < (1 << (bit_depth - 5));
+            }
+            if (strong) {
+                int32_t t63 = rt[63], l63 = rl[63];
+                for (int i = 0; i < 63; i++) {
+                    rt[i] = ((63 - i) * corner + (i + 1) * t63 + 32) >> 6;
+                    rl[i] = ((63 - i) * corner + (i + 1) * l63 + 32) >> 6;
+                }
+            } else {
+                int32_t ft[64], fl[64];
+                ft[0] = (corner + 2 * rt[0] + rt[1] + 2) >> 2;
+                fl[0] = (corner + 2 * rl[0] + rl[1] + 2) >> 2;
+                for (int i = 1; i < 2 * n - 1; i++) {
+                    ft[i] = (rt[i - 1] + 2 * rt[i] + rt[i + 1] + 2) >> 2;
+                    fl[i] = (rl[i - 1] + 2 * rl[i] + rl[i + 1] + 2) >> 2;
+                }
+                ft[2 * n - 1] = rt[2 * n - 1];
+                fl[2 * n - 1] = rl[2 * n - 1];
+                int32_t fc = (rl[0] + 2 * corner + rt[0] + 2) >> 2;
+                std::memcpy(rt, ft, sizeof(int32_t) * 2 * n);
+                std::memcpy(rl, fl, sizeof(int32_t) * 2 * n);
+                corner = fc;
+            }
+        }
+    }
+
+    // prediction (spec 8.4.4.2.4-6)
+    static thread_local int32_t pred[32 * 32];
+    int max_val = (1 << bit_depth) - 1;
+    int log2n = 0;
+    while ((1 << log2n) < n)
+        log2n++;
+    if (mode == 0) {  // planar
+        int tr = rt[n], bl = rl[n];
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++)
+                pred[y * n + x] =
+                    (int)((((long long)(n - 1 - x) * rl[y]
+                            + (long long)(x + 1) * tr
+                            + (long long)(n - 1 - y) * rt[x]
+                            + (long long)(y + 1) * bl + n) >> (log2n + 1)));
+    } else if (mode == 1) {  // DC
+        long long s = 0;
+        for (int i = 0; i < n; i++)
+            s += rt[i] + rl[i];
+        int dc = (int)((s + n) >> (log2n + 1));
+        for (int i = 0; i < n * n; i++)
+            pred[i] = dc;
+        if (c_idx == 0 && n < 32) {
+            for (int x = 0; x < n; x++)
+                pred[x] = (rt[x] + 3 * dc + 2) >> 2;
+            for (int y = 0; y < n; y++)
+                pred[y * n] = (rl[y] + 3 * dc + 2) >> 2;
+            pred[0] = (rl[0] + 2 * dc + rt[0] + 2) >> 2;
+        }
+    } else {  // angular
+        int angle = g_angle[mode];
+        int32_t main_arr[130];  // index offset n: ref[-n .. 2n+1]
+        const int32_t* ref_main = (mode >= 18) ? rt : rl;
+        const int32_t* ref_other = (mode >= 18) ? rl : rt;
+        main_arr[n] = corner;
+        for (int i = 0; i < 2 * n; i++)
+            main_arr[n + 1 + i] = ref_main[i];
+        main_arr[3 * n + 1] = ref_main[2 * n - 1];
+        if (angle < 0) {
+            int inv = g_inv_angle[mode];
+            int lo = (n * angle) >> 5;
+            for (int x = -1; x > lo - 1; x--) {
+                int idx = ((x * inv + 128) >> 8) - 1;
+                main_arr[n + x] = idx < 0 ? corner
+                    : ref_other[idx < 2 * n - 1 ? idx : 2 * n - 1];
+            }
+        }
+        for (int dpos = 1; dpos <= n; dpos++) {
+            int i_idx = (dpos * angle) >> 5;
+            int i_fact = (dpos * angle) & 31;
+            for (int j = 0; j < n; j++) {
+                int v = ((32 - i_fact) * main_arr[n + 1 + i_idx + j]
+                         + i_fact * main_arr[n + 2 + i_idx + j] + 16) >> 5;
+                if (mode >= 18)
+                    pred[(dpos - 1) * n + j] = v;     // y = dpos-1, x = j
+                else
+                    pred[j * n + (dpos - 1)] = v;     // x = dpos-1, y = j
+            }
+        }
+        if (mode == 26 && c_idx == 0 && n < 32) {
+            for (int y = 0; y < n; y++)
+                pred[y * n] = iclip(0, max_val,
+                                    rt[0] + ((rl[y] - corner) >> 1));
+        } else if (mode == 10 && c_idx == 0 && n < 32) {
+            for (int x = 0; x < n; x++)
+                pred[x] = iclip(0, max_val,
+                                rl[0] + ((rt[x] - corner) >> 1));
+        }
+    }
+
+    if (cbf) {
+        int log2 = log2n;
+        int bd_shift = bit_depth + log2 - 5;
+        long long ls = ((long long)g_level_scale[qp % 6] << (qp / 6)) * 16;
+        const int32_t* mtx = use_dst ? g_dct[0] : g_dct[log2];
+        inverse_transform_add(coeff_plane + (long)y0 * pw + x0, pw, ls,
+                              bd_shift, n, mtx, bit_depth, pred);
+    }
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++)
+            plane[(long)(y0 + y) * pw + (x0 + x)] =
+                (int16_t)iclip(0, max_val, pred[y * n + x]);
     return 0;
 }
 
