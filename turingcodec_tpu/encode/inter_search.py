@@ -223,32 +223,87 @@ class InterPictureEncoder(IntraPictureEncoder):
             step >>= 1
         return best[1], best[0]
 
+    def _interp_batch(self, plane, x0, y0, w, h, mvs):
+        """14-bit luma predictions for several quarter-pel MVs at once.
+
+        Bit-exact with per-MV interp_luma: the separable 8-tap filtering is
+        shared across probes with a common horizontal phase (the usual case
+        in the half/quarter-pel diamond, where only 3 unique fractional
+        columns appear per step)."""
+        from turingcodec_tpu.decode.inter_pred import _gather_padded
+        from turingcodec_tpu.hevc.tables import LUMA_FILTER
+        shift1 = self.bd - 8
+        out = np.empty((len(mvs), h, w), np.int32)
+        groups = {}
+        for i, (mvx, mvy) in enumerate(mvs):
+            groups.setdefault((x0 + (mvx >> 2), mvx & 3), []).append(
+                (i, y0 + (mvy >> 2), mvy & 3))
+        for (ix, fx), items in groups.items():
+            r0 = min(iy - (3 if fy else 0) for (_, iy, fy) in items)
+            r1 = max(iy + h + (4 if fy else 0) for (_, iy, fy) in items)
+            if fx == 0:
+                win = _gather_padded(plane, ix, r0, w, r1 - r0)
+                for (i, iy, fy) in items:
+                    o = iy - r0
+                    if fy == 0:
+                        out[i] = win[o:o + h] << (14 - self.bd)
+                    else:
+                        f = LUMA_FILTER[fy]
+                        acc = np.zeros((h, w), np.int32)
+                        for k in range(8):
+                            acc += f[k] * win[o - 3 + k:o - 3 + k + h]
+                        out[i] = acc >> shift1
+            else:
+                win = _gather_padded(plane, ix - 3, r0, w + 7, r1 - r0)
+                fh = LUMA_FILTER[fx]
+                hint = np.zeros((r1 - r0, w), np.int32)
+                for k in range(8):
+                    hint += fh[k] * win[:, k:k + w]
+                for (i, iy, fy) in items:
+                    o = iy - r0
+                    if fy == 0:
+                        out[i] = hint[o:o + h] >> shift1
+                    else:
+                        tmp = hint[o - 3:o - 3 + h + 7] >> shift1
+                        fv = LUMA_FILTER[fy]
+                        acc = np.zeros((h, w), np.int64)
+                        for k in range(8):
+                            acc += fv[k] * tmp[k:k + h].astype(np.int64)
+                        out[i] = acc >> 6
+        return out
+
     def _sub_pel_refine(self, orig, ref_pic, x0, y0, w, h, int_mv, mvp):
-        """Half then quarter pel 8-neighbour refinement on SATD."""
-        from turingcodec_tpu.ops.metrics import satd_np
-        best_mv = (int_mv[0] * 4, int_mv[1] * 4)
+        """Half then quarter pel 8-neighbour refinement on SATD, with the 8
+        probes of each step interpolated in one shared-filter batch."""
+        from turingcodec_tpu.encode.sweep import satd_many
+        plane = ref_pic.planes[0]
+        bd = self.bd
+        sh4 = 14 - bd
+        blk = 8 if min(w, h) >= 8 else 4
+        cache = {}
 
-        def cost(mv):
-            mvx, mvy = mv
-            p = interp_luma(ref_pic.planes[0], x0 + (mvx >> 2),
-                            y0 + (mvy >> 2), mvx & 3, mvy & 3,
-                            w, h, self.bd)
-            sh4 = 14 - self.bd
-            pred = np.clip((p + (1 << (sh4 - 1))) >> sh4, 0,
-                           (1 << self.bd) - 1)
-            return (satd_np(orig, pred, 8 if min(w, h) >= 8 else 4)
-                    + self.lam_me * _mv_bits(mvx - mvp[0], mvy - mvp[1]))
+        def costs(mvs):
+            fresh = [mv for mv in mvs if mv not in cache]
+            if fresh:
+                preds = self._interp_batch(plane, x0, y0, w, h, fresh)
+                preds = np.clip((preds + (1 << (sh4 - 1))) >> sh4, 0,
+                                (1 << bd) - 1)
+                sat = satd_many(orig, preds, blk)
+                for mv, s in zip(fresh, sat):
+                    cache[mv] = float(s) + self.lam_me * _mv_bits(
+                        mv[0] - mvp[0], mv[1] - mvp[1])
+            return [(cache[mv], mv) for mv in mvs]
 
-        best = (cost(best_mv), best_mv)
+        best = min(costs([(int_mv[0] * 4, int_mv[1] * 4)]))
         for step in (2, 1):
             bx, by = best[1]
-            for (dx, dy) in ((step, 0), (-step, 0), (0, step), (0, -step),
-                             (step, step), (-step, -step), (step, -step),
-                             (-step, step)):
-                mv = (bx + dx, by + dy)
-                c = cost(mv)
-                if c < best[0]:
-                    best = (c, mv)
+            c = min(costs([(bx + dx, by + dy)
+                           for (dx, dy) in ((step, 0), (-step, 0), (0, step),
+                                            (0, -step), (step, step),
+                                            (-step, -step), (step, -step),
+                                            (-step, step))]))
+            if c[0] < best[0]:
+                best = c
         return best[1]
 
     # ------------------------------------------------------------------

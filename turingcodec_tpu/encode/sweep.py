@@ -71,13 +71,13 @@ def _h4():
 
 
 def satd_many(orig, preds, block=8):
-    """orig (n, n) vs preds (M, n, n) -> (M,) SATD (same as metrics.satd_np)."""
-    m, n, _ = preds.shape
+    """orig (h, w) vs preds (M, h, w) -> (M,) SATD (same as metrics.satd_np)."""
+    m, hh, ww = preds.shape
     hb = _h8() if block == 8 else _h4()
     d = orig[None].astype(np.int32) - preds.astype(np.int32)
-    bh = n // block
+    bh, bw = hh // block, ww // block
     d = np.ascontiguousarray(
-        d.reshape(m, bh, block, bh, block).transpose(0, 1, 3, 2, 4))
+        d.reshape(m, bh, block, bw, block).transpose(0, 1, 3, 2, 4))
     t = hb @ d @ hb   # |t| <= block^2 * 1023 for 10-bit: fits int32
     s = np.abs(t).sum(axis=(3, 4))
     if block == 8:
