@@ -181,6 +181,35 @@ class InterPictureEncoder(IntraPictureEncoder):
                 p14s.append(None)
         return self._finalize_pred(p14s)
 
+    def _pred_luma_for_motion(self, pred_flags, mvs, ref_idxs, x0, y0, w, h):
+        """Luma-only finalized prediction for SATD candidate ranking."""
+        p14s = []
+        for lx in (0, 1):
+            if pred_flags[lx]:
+                ref = self.ref_lists[lx][ref_idxs[lx]]
+                mvx, mvy = int(mvs[lx][0]), int(mvs[lx][1])
+                py = interp_luma(ref.planes[0], x0 + (mvx >> 2),
+                                 y0 + (mvy >> 2), mvx & 3, mvy & 3, w, h,
+                                 self.bd)
+                p14s.append((py,))
+            else:
+                p14s.append(None)
+        bd = self.bd
+        if getattr(self, "wp", None) is not None:
+            from turingcodec_tpu.decode.inter_pred import weighted_combine
+            wp = self.wp
+            ps = [p[0] for p in p14s if p is not None]
+            e = wp[0][0]
+            return weighted_combine(ps[0], None, bd, wp["log2d_y"],
+                                    (e["wy"], e["oy"]), None)
+        shift = 14 - bd
+        ps = [p[0] for p in p14s if p is not None]
+        if len(ps) == 2:
+            v = (ps[0].astype(np.int64) + ps[1] + (1 << shift)) >> (shift + 1)
+        else:
+            v = (ps[0] + (1 << (shift - 1))) >> shift
+        return np.clip(v, 0, (1 << bd) - 1).astype(np.int32)
+
     # ------------------------------------------------------------------
     def _full_pel_search(self, orig, ref_plane, x0, y0, w, h, mvp):
         """Diamond/step pattern integer search; returns best int MV (in
@@ -326,8 +355,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             if key in seen or not (c.pred_flags[0] or c.pred_flags[1]):
                 continue
             seen.add(key)
-            pred = self._pred_for_motion(c.pred_flags, c.mv, c.ref_idx,
-                                         px, py, pw, ph)[0]
+            pred = self._pred_luma_for_motion(c.pred_flags, c.mv, c.ref_idx,
+                                              px, py, pw, ph)
             cost = satd_np(orig, pred, blk) + self.lam_me * (2 + mi)
             if best is None or cost < best[0]:
                 best = (cost, "merge", mi, c)
@@ -345,8 +374,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             mvd = (mv[0] - mvps[mvp_flag][0], mv[1] - mvps[mvp_flag][1])
             flags = (1, 0) if lx == 0 else (0, 1)
             mvs = (mv, mv)
-            pred = self._pred_for_motion(flags, mvs, (0, 0),
-                                         px, py, pw, ph)[0]
+            pred = self._pred_luma_for_motion(flags, mvs, (0, 0),
+                                              px, py, pw, ph)
             cost = satd_np(orig, pred, blk) \
                 + self.lam_me * (3 + min(bits0, bits1))
             if best is None or cost < best[0]:
