@@ -159,8 +159,16 @@ class InterDeriver:
 
     # ---- merge -----------------------------------------------------------
     def merge_candidates(self, x_cb, y_cb, cb_size, x_pb, y_pb, w, h,
-                         part_idx, part_mode) -> List[MotionCand]:
+                         part_idx, part_mode,
+                         max_needed=None) -> List[MotionCand]:
+        """Merge candidate list (spec 8.5.3.1.2). With max_needed the
+        derivation stops as soon as that many candidates exist — candidates
+        are order-stable, so the decoder only derives up to merge_idx+1
+        (the common merge_idx==0 case skips TMVP entirely)."""
         sh = self.sh
+        need = sh.max_num_merge_cand
+        if max_needed is not None and max_needed < need:
+            need = max_needed
         plevel = self.pps.log2_parallel_merge_level_minus2 + 2
         if plevel > 2 and cb_size == 8:
             # all PUs of the 8x8 CU share the 2Nx2N merge list
@@ -188,24 +196,34 @@ class InterDeriver:
                          (T.PART_Nx2N, T.PART_nLx2N, T.PART_nRx2N))
         if a1_m:
             cands.append(a1_m)
+            if len(cands) >= need:
+                return cands
         b1_m = neighbour(x_pb + w - 1, y_pb - 1,
                          part_idx == 1 and part_mode in
                          (T.PART_2NxN, T.PART_2NxnU, T.PART_2NxnD))
         if b1_m and not (a1_m and b1_m.motion_equal(a1_m)):
             cands.append(b1_m)
+            if len(cands) >= need:
+                return cands
         b0_m = neighbour(x_pb + w, y_pb - 1, False)
         if b0_m and not (b1_m and b0_m.motion_equal(b1_m)):
             cands.append(b0_m)
+            if len(cands) >= need:
+                return cands
         a0_m = neighbour(x_pb - 1, y_pb + h, False)
         if a0_m and not (a1_m and a0_m.motion_equal(a1_m)):
             cands.append(a0_m)
+            if len(cands) >= need:
+                return cands
         if len(cands) < 4:
             b2_m = neighbour(x_pb - 1, y_pb - 1, False)
             if b2_m and not (a1_m and b2_m.motion_equal(a1_m)) \
                     and not (b1_m and b2_m.motion_equal(b1_m)):
                 cands.append(b2_m)
+                if len(cands) >= need:
+                    return cands
 
-        max_cand = sh.max_num_merge_cand
+        max_cand = need
         # temporal
         if len(cands) < max_cand:
             mv0 = self._tmvp(x_pb, y_pb, w, h, 0, 0)
@@ -353,7 +371,8 @@ class InterDeriver:
         if pu_syntax["merge"]:
             cands = self.merge_candidates(
                 cu.x0, cu.y0, 1 << cu.log2_size, x0, y0, w, h,
-                part_idx, cu.part_mode)
+                part_idx, cu.part_mode,
+                max_needed=pu_syntax["merge_idx"] + 1)
             c = cands[pu_syntax["merge_idx"]]
             pred_flags = list(c.pred_flags)
             mv = [list(c.mv[0]), list(c.mv[1])]
