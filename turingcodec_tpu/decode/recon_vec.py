@@ -13,7 +13,6 @@ Bit-exact with the scalar path (decode/inter_pred.py + picture_recon.py).
 from __future__ import annotations
 
 import numpy as np
-from numpy.lib.stride_tricks import sliding_window_view
 
 from turingcodec_tpu.hevc import types as T
 from turingcodec_tpu.hevc.tables import CHROMA_FILTER, LUMA_FILTER
@@ -60,20 +59,27 @@ def _interp_group(ref, xs_int, ys_int, xf, yf, w, h, bit_depth, taps, filt):
     b = win.shape[0]
 
     pure_full = (xf == 0) & (yf == 0)
-    # horizontal stage over all rows
-    swh = sliding_window_view(win, taps, axis=2)  # (B, h+taps-1, w, taps)
-    tmp = np.einsum("byxk,bk->byx", swh, fh, dtype=np.int64)
+    # horizontal stage over all rows: unrolled per-tap accumulation (the
+    # per-PU filter rows make this a broadcasted MAC, much faster than an
+    # einsum over strided sliding windows). int32 is exact: |acc| is
+    # bounded by max_sample * sum|coeff| < 2^23 even at 10 bits.
+    tmp = fh[:, 0, None, None] * win[:, :, 0:w]
+    for k in range(1, taps):
+        tmp += fh[:, k, None, None] * win[:, :, k:k + w]
     tmp >>= shift1
-    # vertical stage: sliding windows over rows -> (B, h, w, taps)
-    out = np.einsum("byxk,bk->byx",
-                    sliding_window_view(tmp, taps, axis=1), fv,
-                    dtype=np.int64)
+    # vertical stage (int64: intermediates reach ~2^25 * sum|coeff|)
+    out = np.zeros((b, h, w), np.int64)
+    for k in range(taps):
+        out += fv[:, k, None, None] * tmp[:, k:k + h, :]
     out >>= shift2
 
     # pure-phase corrections (match spec exactly)
     h_only = tmp[:, off:off + h, :]                      # yf == 0
-    swv0 = sliding_window_view(win[:, :, off:off + w], taps, axis=1)
-    v_only = (np.einsum("byxk,bk->byx", swv0, fv, dtype=np.int64)) >> shift1
+    wc = win[:, :, off:off + w]
+    v_only = fv[:, 0, None, None] * wc[:, 0:h, :]
+    for k in range(1, taps):
+        v_only = v_only + fv[:, k, None, None] * wc[:, k:k + h, :]
+    v_only >>= shift1
     center = win[:, off:off + h, off:off + w].astype(np.int64) << shift3
 
     out = np.where((yf == 0)[:, None, None], h_only, out)
@@ -241,9 +247,9 @@ def _inter_residuals_batch(plan, inter_cus, recon):
                               -32768, 32767).astype(np.int32)
             else:
                 m = dct2_matrix(n).astype(np.int64)
-                e = np.einsum("ky,bkx->byx", m, d)
+                e = np.matmul(m.T, d)   # e[b,y,x] = sum_k m[k,y] d[b,k,x]
                 g = np.clip((e + 64) >> 7, -32768, 32767)
-                r = np.einsum("byk,kx->byx", g, m)
+                r = np.matmul(g, m)     # r[b,y,x] = sum_k g[b,y,k] m[k,x]
                 bds2 = 20 - bd
                 res = np.clip((r + (1 << (bds2 - 1))) >> bds2,
                               -32768, 32767).astype(np.int32)
