@@ -221,11 +221,26 @@ class PictureReconstructor:
             return False
         if self._zscan32 is None:
             from turingcodec_tpu import native
-            if native.get_lib() is None or self.refs._complex_bounds():
+            lib = native.get_lib()
+            if lib is None or self.refs._complex_bounds():
                 self._zscan32 = False
             else:
                 self._zscan32 = np.ascontiguousarray(self.geom.zscan,
                                                      np.int32)
+                # cache the raw function + buffer addresses: ~56k calls per
+                # second of video makes per-call ctypes sugar measurable
+                self._nfn = lib.tc_intra_tu
+                self._ptr = {
+                    id(self.ry): self.ry.ctypes.data,
+                    id(self.rcb): self.rcb.ctypes.data,
+                    id(self.rcr): self.rcr.ctypes.data,
+                }
+                p = self.plan
+                self._cptr = {0: p.coeff_y.ctypes.data,
+                              1: p.coeff_cb.ctypes.data,
+                              2: p.coeff_cr.ctypes.data}
+                self._zptr = self._zscan32.ctypes.data
+                self._zw = self._zscan32.shape[1]
         return self._zscan32 is not False
 
     _zscan32 = None
@@ -239,9 +254,12 @@ class PictureReconstructor:
         qp_cb = self._chroma_qp(cu, 1)
         qp_cr = self._chroma_qp(cu, 2)
         use_native = self._native_intra_ok(cu)
-        strong = bool(sps.strong_intra_smoothing_enabled_flag)
+        strong = int(sps.strong_intra_smoothing_enabled_flag != 0)
         if use_native:
-            from turingcodec_tpu import native
+            nfn = self._nfn
+            zptr, zw = self._zptr, self._zw
+            pw_y, ph_y = self.ry.shape[1], self.ry.shape[0]
+            pw_c, ph_c = self.rcb.shape[1], self.rcb.shape[0]
         tus = cu.tus if cu.tus else [
             (cu.x0, cu.y0, cu.log2_size, 0, cu.x0, cu.y0, 0, 0, 0)]
         for (x0, y0, log2, blk_idx, xb, yb, cbf_y, cbf_cb, cbf_cr) in tus:
@@ -249,9 +267,9 @@ class PictureReconstructor:
             bx, by = x0 >> 2, y0 >> 2
             mode = int(plan.intra_mode_y[by, bx])
             if use_native and not plan.transform_skip_y[by, bx]:
-                native.intra_tu(self.ry, self._zscan32, x0, y0, n, 0, 1,
-                                self.bd_y, mode, strong, plan.coeff_y,
-                                cbf_y, qp_y, log2 == 2)
+                nfn(self._ptr[id(self.ry)], pw_y, ph_y, zptr, zw, x0, y0,
+                    n, 0, 1, self.bd_y, mode, strong, self._cptr[0],
+                    int(cbf_y), qp_y, int(log2 == 2))
             else:
                 # luma prediction (pure-Python oracle path)
                 rt, rl, corner = self.refs.build(self.ry, x0, y0, n, 0,
@@ -284,9 +302,9 @@ class PictureReconstructor:
                     (self.rcr, qp_cr, plan.coeff_cr, cbf_cr,
                      plan.transform_skip_cr, 2)):
                 if use_native and not msk[cy >> 1, cx >> 1]:
-                    native.intra_tu(plane, self._zscan32, cx, cy, cn, 1, 2,
-                                    self.bd_c, mode_c, strong, coeffs,
-                                    cbf, qp, False)
+                    nfn(self._ptr[id(plane)], pw_c, ph_c, zptr, zw, cx, cy,
+                        cn, 1, 2, self.bd_c, mode_c, strong,
+                        self._cptr[mat], int(cbf), qp, 0)
                     continue
                 rt, rl, corner = self.refs.build(plane, cx, cy, cn, 1,
                                                  self.bd_c)
