@@ -89,7 +89,12 @@ class PictureGeometry:
             return False
         if y_nb >= self.sps.pic_height_in_luma_samples:
             return False
-        if self.zscan[y_nb >> 2, x_nb >> 2] > self.zscan[y_curr >> 2, x_curr >> 2]:
+        # plain-list zscan: ~3x cheaper than numpy scalar indexing in this
+        # per-neighbour hot path
+        zs = getattr(self, "_zs_list", None)
+        if zs is None:
+            zs = self._zs_list = self.zscan.tolist()
+        if zs[y_nb >> 2][x_nb >> 2] > zs[y_curr >> 2][x_curr >> 2]:
             return False
         cs = slice_idx_map[y_curr >> self.ctb_log2, x_curr >> self.ctb_log2]
         ns = slice_idx_map[y_nb >> self.ctb_log2, x_nb >> self.ctb_log2]
