@@ -94,10 +94,11 @@ class InterDeriver:
             return None
         r0 = int(plan.ref_idx[0, by, bx])
         r1 = int(plan.ref_idx[1, by, bx])
+        mv = plan.mv
         return MotionCand(
             pred_flags=(int(r0 >= 0), int(r1 >= 0)),
-            mv=(tuple(int(v) for v in plan.mv[0, by, bx]),
-                tuple(int(v) for v in plan.mv[1, by, bx])),
+            mv=((int(mv[0, by, bx, 0]), int(mv[0, by, bx, 1])),
+                (int(mv[1, by, bx, 0]), int(mv[1, by, bx, 1]))),
             ref_idx=(r0, r1))
 
     def _same_merge_region(self, x0, y0, xn, yn) -> bool:
