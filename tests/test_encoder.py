@@ -297,3 +297,48 @@ def test_smp_inter_partitions_roundtrip():
         for a, b in zip(f.planes, recon):
             np.testing.assert_array_equal(a, b)
     assert sum(counts.values()) > 0, "SMP partitions never selected"
+
+
+def test_amp_partitions_roundtrip():
+    """Asymmetric motion partitions (2NxnU/D, nLx2N/nRx2N): decode must
+    equal encoder recon and AMP shapes must actually be selected."""
+    rng = np.random.default_rng(17)
+    w, h = 192, 128
+    base = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    frames = []
+    for k in range(3):
+        y = base.copy()
+        y[:h // 4, :] = np.roll(base[:h // 4, :], 3 * k, axis=1)
+        y[h // 4:, :] = np.roll(base[h // 4:, :], -2 * k, axis=1)
+        frames.append([y, cb, cr])
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_m=1, rd_candidates=3,
+                        search_range=16, amp=True)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    for f in frames:
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    import turingcodec_tpu.decode.picture_recon as prmod
+    counts = {}
+    orig_run = prmod.PictureReconstructor.run
+    def patched(self):
+        for cu in self.plan.cu_list:
+            if cu.pred_mode == 0 and cu.part_mode >= 4:
+                counts[cu.part_mode] = counts.get(cu.part_mode, 0) + 1
+        return orig_run(self)
+    prmod.PictureReconstructor.run = patched
+    try:
+        dec = Decoder()
+        out = list(dec.decode_stream(stream))
+    finally:
+        prmod.PictureReconstructor.run = orig_run
+    assert len(out) == 3 and not dec.violations
+    for f, recon in zip(out, recons):
+        assert f.hash_ok
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)
+    assert sum(counts.values()) > 0, "AMP partitions never selected"

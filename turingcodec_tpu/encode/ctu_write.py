@@ -265,38 +265,52 @@ def _write_merge_idx(ws: SliceWriteContext, x0, y0):
 
 def _write_inter_part_mode(ws: SliceWriteContext, part_mode, log2_size):
     """part_mode binarization for inter CUs — inverse of
-    ctu_parse._parse_inter_part_mode (spec 9.3.3.7; AMP unsupported)."""
+    ctu_parse._parse_inter_part_mode (spec 9.3.3.7)."""
     enc, sps = ws.enc, ws.sps
-    assert not sps.amp_enabled_flag, "AMP part modes not written yet"
     if part_mode == T.PART_2Nx2N:
         enc.encode_decision(ctx_index("part_mode", 0), 1)
         return
     enc.encode_decision(ctx_index("part_mode", 0), 0)
     at_min = log2_size == sps.min_cb_log2_size_y
-    if not at_min:
-        enc.encode_decision(ctx_index("part_mode", 1),
-                            1 if part_mode == T.PART_2NxN else 0)
+    amp = sps.amp_enabled_flag and not at_min
+    horizontal = part_mode in (T.PART_2NxN, T.PART_2NxnU, T.PART_2NxnD)
+    enc.encode_decision(ctx_index("part_mode", 1), 1 if horizontal else 0)
+    if at_min:
+        if part_mode == T.PART_2NxN:
+            return
+        if log2_size == 3:
+            assert part_mode == T.PART_Nx2N
+            return
+        enc.encode_decision(ctx_index("part_mode", 2),
+                            1 if part_mode == T.PART_Nx2N else 0)
+        return
+    if not amp:
         assert part_mode in (T.PART_2NxN, T.PART_Nx2N)
         return
-    enc.encode_decision(ctx_index("part_mode", 1),
-                        1 if part_mode == T.PART_2NxN else 0)
-    if part_mode == T.PART_2NxN:
-        return
-    if log2_size == 3:
-        assert part_mode == T.PART_Nx2N
-        return
-    enc.encode_decision(ctx_index("part_mode", 2),
-                        1 if part_mode == T.PART_Nx2N else 0)
+    sym = part_mode in (T.PART_2NxN, T.PART_Nx2N)
+    enc.encode_decision(ctx_index("part_mode", 3), 1 if sym else 0)
+    if not sym:
+        enc.encode_bypass(
+            1 if part_mode in (T.PART_2NxnD, T.PART_nRx2N) else 0)
 
 
 def _pu_rects(x0, y0, size, part_mode):
     h = size >> 1
+    q = size >> 2
     if part_mode == T.PART_2Nx2N:
         return [(x0, y0, size, size)]
     if part_mode == T.PART_2NxN:
         return [(x0, y0, size, h), (x0, y0 + h, size, h)]
     if part_mode == T.PART_Nx2N:
         return [(x0, y0, h, size), (x0 + h, y0, h, size)]
+    if part_mode == T.PART_2NxnU:
+        return [(x0, y0, size, q), (x0, y0 + q, size, size - q)]
+    if part_mode == T.PART_2NxnD:
+        return [(x0, y0, size, size - q), (x0, y0 + size - q, size, q)]
+    if part_mode == T.PART_nLx2N:
+        return [(x0, y0, q, size), (x0 + q, y0, size - q, size)]
+    if part_mode == T.PART_nRx2N:
+        return [(x0, y0, size - q, size), (x0 + size - q, y0, q, size)]
     raise AssertionError(part_mode)
 
 

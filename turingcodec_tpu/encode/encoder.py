@@ -63,6 +63,8 @@ class EncoderConfig:
                                      # slices: (weight, log2_denom, offset)
     wp_chroma: Optional[tuple] = None  # (delta_weight, delta_offset) for
                                        # both chroma planes (needs wp_luma)
+    amp: bool = False          # asymmetric motion partitions (searched at
+                               # rd_candidates >= 3, i.e. slow preset)
     slices: int = 1            # independent slices per picture (CTU-row
                                # aligned; requires wpp=False when > 1)
     dependent_slices: bool = False  # emit slices 2..N as dependent slice
@@ -142,7 +144,7 @@ class Encoder:
         s.max_transform_hierarchy_depth_inter = 0
         s.max_transform_hierarchy_depth_intra = 0
         s.scaling_list_enabled_flag = 0
-        s.amp_enabled_flag = 0
+        s.amp_enabled_flag = int(c.amp)
         s.sample_adaptive_offset_enabled_flag = int(c.sao)
         s.pcm_enabled_flag = 0
         s.short_term_rps = []

@@ -78,10 +78,14 @@ class InterPictureEncoder(IntraPictureEncoder):
         state = self._snapshot(x0, y0, size)
         cost_best = self._encode_inter_cu(x0, y0, log2, depth)
         best_state = self._snapshot(x0, y0, size)
-        # SMP partitions (2NxN / Nx2N), Search<prediction_unit> analogue —
-        # gated to 16x16+ CUs at medium+ effort (Speed.h smp gating)
+        # SMP/AMP partitions, Search<prediction_unit> analogue — gated to
+        # 16x16+ CUs at medium+ effort (Speed.h smp/amp gating)
         if self.rd_candidates >= 2 and log2 >= 4:
-            for part in (T.PART_2NxN, T.PART_Nx2N):
+            parts = [T.PART_2NxN, T.PART_Nx2N]
+            if self.sps.amp_enabled_flag and self.rd_candidates >= 3:
+                parts += [T.PART_2NxnU, T.PART_2NxnD,
+                          T.PART_nLx2N, T.PART_nRx2N]
+            for part in parts:
                 self._restore(x0, y0, size, state)
                 c = self._encode_inter_smp(x0, y0, log2, depth, part)
                 if c < cost_best:
@@ -308,7 +312,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         plane = ref_pic.planes[0]
         bd = self.bd
         sh4 = 14 - bd
-        blk = 8 if min(w, h) >= 8 else 4
+        blk = 8 if (min(w, h) >= 8 and w % 8 == 0 and h % 8 == 0) else 4
         cache = {}
 
         def costs(mvs):
@@ -344,7 +348,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         from turingcodec_tpu.ops.metrics import satd_np
         x0, y0, size = cb_info[0], cb_info[1], cb_info[2]
         orig = self.orig[0][py:py + ph, px:px + pw].astype(np.int32)
-        blk = 8 if min(pw, ph) >= 8 else 4
+        blk = 8 if (min(pw, ph) >= 8 and pw % 8 == 0 and ph % 8 == 0) else 4
         deriver = self._get_deriver()
         merge_cands = deriver.merge_candidates(x0, y0, size, px, py, pw, ph,
                                                part_idx, part_mode)
@@ -433,10 +437,8 @@ class InterPictureEncoder(IntraPictureEncoder):
         plan.skip_flag[sl] = 0
         self.next_id[0] += 1
 
-        if part == T.PART_2NxN:
-            pus = [(x0, y0, size, half), (x0, y0 + half, size, half)]
-        else:
-            pus = [(x0, y0, half, size), (x0 + half, y0, half, size)]
+        from turingcodec_tpu.encode.ctu_write import _pu_rects
+        pus = _pu_rects(x0, y0, size, part)
 
         pred_y = np.zeros((size, size), np.int32)
         pred_cb = np.zeros((half, half), np.int32)

@@ -40,6 +40,8 @@ def main(argv=None):
                          "weight:log2_denom:offset (e.g. 59:6:0)")
     ap.add_argument("--wp-chroma", default=None, metavar="DW:DO",
                     help="chroma WP deltas (requires --wp-luma)")
+    ap.add_argument("--amp", action="store_true",
+                    help="asymmetric motion partitions (slow preset)")
     ap.add_argument("--slices", type=int, default=1,
                     help="independent slices per picture (needs --no-wpp)")
     ap.add_argument("--dependent-slices", action="store_true",
@@ -64,7 +66,7 @@ def main(argv=None):
                         bitrate=args.bitrate, frame_rate=args.frame_rate,
                         shot_change=args.shot_change,
                         wpp=not args.no_wpp, hash_type=args.hash,
-                        rdoq=args.rdoq, slices=args.slices,
+                        rdoq=args.rdoq, amp=args.amp, slices=args.slices,
                         dependent_slices=args.dependent_slices,
                         wp_luma=tuple(int(x) for x in args.wp_luma.split(":"))
                         if args.wp_luma else None,
