@@ -566,7 +566,11 @@ class InterPictureEncoder(IntraPictureEncoder):
         merge_cands = deriver.merge_candidates(
             x0, y0, size, x0, y0, size, size, 0, T.PART_2Nx2N)
 
-        candidates = []  # (kind, idx, info, pred_yuv)
+        # stage 1: luma-only SATD ranking over all candidates (the
+        # measurePuCost pruning of Search.hpp:1656 — full RD only for the
+        # survivors)
+        from turingcodec_tpu.ops.metrics import satd_np
+        scored = []  # (satd_cost, kind, idx, info, motion)
         seen = set()
         for mi, c in enumerate(merge_cands):
             key = (c.pred_flags, c.mv, c.ref_idx)
@@ -575,13 +579,14 @@ class InterPictureEncoder(IntraPictureEncoder):
             seen.add(key)
             if not (c.pred_flags[0] or c.pred_flags[1]):
                 continue
-            pred = self._pred_for_motion(c.pred_flags, c.mv, c.ref_idx,
-                                         x0, y0, size, size)
-            candidates.append(("merge", mi, c, pred))
+            motion = (c.pred_flags, c.mv, c.ref_idx)
+            pl = self._pred_luma_for_motion(*motion, x0, y0, size, size)
+            sc = satd_np(orig_y, pl, 8) + self.lam_me * (2 + mi)
+            scored.append((sc, "merge", mi, c, motion))
 
         # motion estimation (AMVP) per list
         cb_info = (x0, y0, size, size, size, 0)
-        best_uni = {}  # lx -> (mv, mvd, mvp_flag, satd_cost)
+        best_uni = {}  # lx -> (mv, mvd, mvp_flag)
         n_lists = 2 if (self.sh.is_b and self.ref_lists[1]) else 1
         for lx in range(n_lists):
             mvps = deriver.amvp(x0, y0, size, size, lx, 0, cb_info)
@@ -595,15 +600,26 @@ class InterPictureEncoder(IntraPictureEncoder):
             mvp_flag = int(bits1 < bits0)
             mvd = (mv[0] - mvps[mvp_flag][0], mv[1] - mvps[mvp_flag][1])
             best_uni[lx] = (mv, mvd, mvp_flag)
-            pred = self._mc(ref, mv, x0, y0, size, size)
-            candidates.append(("amvp", lx, {lx: (mv, mvd, mvp_flag)}, pred))
+            flags = (1, 0) if lx == 0 else (0, 1)
+            motion = (flags, (mv, mv), (0, 0))
+            pl = self._pred_luma_for_motion(*motion, x0, y0, size, size)
+            sc = satd_np(orig_y, pl, 8) \
+                + self.lam_me * (3 + min(bits0, bits1))
+            scored.append((sc, "amvp", lx, {lx: (mv, mvd, mvp_flag)}, motion))
         if n_lists == 2:
             # bi candidate: combine the two best uni motions
             info = dict(best_uni)
-            pred = self._pred_for_motion(
-                (1, 1), (best_uni[0][0], best_uni[1][0]), (0, 0),
-                x0, y0, size, size)
-            candidates.append(("amvp", 2, info, pred))
+            motion = ((1, 1), (best_uni[0][0], best_uni[1][0]), (0, 0))
+            pl = self._pred_luma_for_motion(*motion, x0, y0, size, size)
+            sc = satd_np(orig_y, pl, 8) + self.lam_me * 6
+            scored.append((sc, "amvp", 2, info, motion))
+
+        # stage 2: full RD for the top candidates only
+        scored.sort(key=lambda t: t[0])
+        keep = max(2, self.rd_candidates)
+        candidates = [(kind, idx, info,
+                       self._pred_for_motion(*motion, x0, y0, size, size))
+                      for (_, kind, idx, info, motion) in scored[:keep]]
 
         best = None
         for kind, idx, info, pred in candidates:
