@@ -91,6 +91,12 @@ class InterPictureEncoder(IntraPictureEncoder):
                 if c < cost_best:
                     cost_best = c
                     best_state = self._snapshot(x0, y0, size)
+        # early skip: when the best inter choice is a skip CU (merge, no
+        # residual), the intra trial essentially never wins — HM/reference
+        # early-skip gating
+        self._restore(x0, y0, size, best_state)
+        if self.plan.skip_flag[y0 >> 2, x0 >> 2]:
+            return cost_best
         self._restore(x0, y0, size, state)
         cost_intra = super()._encode_cu(x0, y0, log2, depth) \
             + self.lam_bits * 2  # pred_mode flag bits
