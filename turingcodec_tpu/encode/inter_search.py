@@ -334,7 +334,9 @@ class InterPictureEncoder(IntraPictureEncoder):
             return [(cache[mv], mv) for mv in mvs]
 
         best = min(costs([(int_mv[0] * 4, int_mv[1] * 4)]))
-        for step in (2, 1):
+        # fast preset: half-pel only (Speed.h subpel gating)
+        steps = (2, 1) if self.rd_candidates >= 2 else (2,)
+        for step in steps:
             bx, by = best[1]
             c = min(costs([(bx + dx, by + dy)
                            for (dx, dy) in ((step, 0), (-step, 0), (0, step),
