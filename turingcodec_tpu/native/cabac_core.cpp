@@ -14,7 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 
-namespace {
+#include "core.h"
 
 uint8_t g_range_lps[64][4];
 uint8_t g_next_mps[128];
@@ -27,107 +27,6 @@ int32_t g_off_sig, g_off_csbf, g_off_lastx, g_off_lasty, g_off_gt1, g_off_gt2;
 // scan tables: scan[s][idx] for subblock-grid log2 s in 0..3, scan idx 0..2;
 // entries are (x, y) pairs in scan order, (1 << 2s) of them.
 int8_t g_scan[4][3][2 * 64];
-
-struct Engine {
-    const uint8_t* data;
-    int64_t nbits;
-    int64_t pos;
-    uint32_t range;
-    uint32_t offset;
-
-    inline uint32_t read_bits(int n) {
-        uint32_t out = 0;
-        for (int i = 0; i < n; i++) {
-            uint32_t b = 0;
-            if (pos < nbits)
-                b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
-            out = (out << 1) | b;
-            pos++;
-        }
-        return out;
-    }
-
-    inline int decode_decision(uint8_t* ctx, int idx) {
-        uint32_t s = ctx[idx];
-        uint32_t lps = g_range_lps[s >> 1][(range >> 6) & 3];
-        range -= lps;
-        int bin;
-        if (offset >= range) {
-            bin = 1 - (s & 1);
-            offset -= range;
-            range = lps;
-            ctx[idx] = g_next_lps[s];
-        } else {
-            bin = s & 1;
-            ctx[idx] = g_next_mps[s];
-        }
-        if (range < 256) {
-            int n = __builtin_clz(range) - 23;  // 9 - bit_length(range)
-            range <<= n;
-            offset = (offset << n) | read_bits(n);
-        }
-        return bin;
-    }
-
-    inline int decode_bypass() {
-        offset = (offset << 1) | read_bits(1);
-        if (offset >= range) {
-            offset -= range;
-            return 1;
-        }
-        return 0;
-    }
-
-    inline uint32_t decode_bypass_bits(int n) {
-        uint32_t v = 0;
-        for (int i = 0; i < n; i++)
-            v = (v << 1) | decode_bypass();
-        return v;
-    }
-
-    inline int decode_remaining(int rice) {
-        int prefix = 0;
-        while (prefix < 32 && decode_bypass())
-            prefix++;
-        if (prefix <= 3)
-            return (prefix << rice) + (rice ? decode_bypass_bits(rice) : 0);
-        int n = prefix - 3 + rice;
-        return decode_bypass_bits(n) + (((1 << (prefix - 3)) + 2) << rice);
-    }
-};
-
-// sig_coeff_flag ctxInc (spec 9.3.4.2.5) — mirrors ctu_parse._sig_ctx
-inline int sig_ctx(int log2_size, int c_idx, int scan_idx, int xc, int yc,
-                   int xp, int yp, int xs, int ys, int prev_csbf) {
-    int sig;
-    if (log2_size == 2) {
-        sig = g_sig4x4[(yp << 2) + xp];
-    } else if (xc == 0 && yc == 0) {
-        sig = 0;
-    } else {
-        if (prev_csbf == 0) {
-            int s = xp + yp;
-            sig = s == 0 ? 2 : (s < 3 ? 1 : 0);
-        } else if (prev_csbf == 1) {
-            sig = yp == 0 ? 2 : (yp == 1 ? 1 : 0);
-        } else if (prev_csbf == 2) {
-            sig = xp == 0 ? 2 : (xp == 1 ? 1 : 0);
-        } else {
-            sig = 2;
-        }
-        if (c_idx == 0) {
-            if (xs || ys)
-                sig += 3;
-            sig += (log2_size == 3 && scan_idx == 0) ? 9
-                 : (log2_size == 3 ? 15 : 21);
-        } else {
-            sig += log2_size == 3 ? 9 : 12;
-        }
-    }
-    return sig + (c_idx ? 27 : 0);
-}
-
-}  // namespace
 
 extern "C" {
 
@@ -162,7 +61,24 @@ int tc_residual_decode(const uint8_t* data, int64_t nbits, int64_t* io_pos,
                        int log2_size, int c_idx, int scan_idx, int sdh,
                        int16_t* out) {
     Engine e{data, nbits, *io_pos, (uint32_t)*io_range, (uint32_t)*io_offset};
+    int rc = residual_decode_core(e, ctx, log2_size, c_idx, scan_idx, sdh,
+                                  out, 1 << log2_size);
+    *io_pos = e.pos;
+    *io_range = (int32_t)e.range;
+    *io_offset = (int32_t)e.offset;
+    return rc;
+}
+
+}  // extern "C"
+
+// The residual_coding() body shared by the ctypes entry above and the full
+// CTU parse (slice_parse.cpp). `out` points at the block's top-left sample
+// inside a strided, pre-zeroed int16 plane.
+int residual_decode_core(Engine& e, uint8_t* ctx, int log2_size, int c_idx,
+                         int scan_idx, int sdh, int16_t* out,
+                         int out_stride) {
     const int n = 1 << log2_size;
+    (void)n;
     const int nsb = 1 << (log2_size - 2);
     const int n_sub = nsb * nsb;
 
@@ -335,17 +251,12 @@ int tc_residual_decode(const uint8_t* data, int64_t nbits, int64_t* io_pos,
             int yc = (ys << 2) + pos_scan[2 * nn + 1];
             int neg = (sign_hidden && nn == first_sig_scan) ? (sum_abs & 1)
                                                             : signs[nn];
-            out[yc * n + xc] = (int16_t)(neg ? -levels[k] : levels[k]);
+            out[yc * out_stride + xc] = (int16_t)(neg ? -levels[k]
+                                                      : levels[k]);
         }
     }
-
-    *io_pos = e.pos;
-    *io_range = (int32_t)e.range;
-    *io_offset = (int32_t)e.offset;
     return 0;
 }
-
-}  // extern "C"
 
 // ---------------------------------------------------------------- intra TU
 // Serial intra reconstruction chain for one TB: reference-sample build +
