@@ -34,6 +34,9 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
     wpp = bool(pps.entropy_coding_sync_enabled_flag)
 
     ps = SliceParseContext(plan, geom, sh, slice_number, inter_hook)
+    # native (C++) full-CTU parse covers the common case; None -> pure Python
+    from turingcodec_tpu.native import SliceNative
+    nat = SliceNative.try_create(plan, geom, sh, slice_number, inter_hook)
     if dss_state is not None and sh.dependent_slice_segment_flag:
         ps.ctx.states = bytearray(dss_state[0].states)
         ps.last_cu_qp = dss_state[1]
@@ -77,7 +80,10 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
                 ps.qp_y_pred = sh.slice_qp_y
                 ps.last_cu_qp = sh.slice_qp_y
 
-        parse_ctu(ps, ctb_addr_rs)
+        if nat is not None:
+            nat.parse_ctu(ps, ctb_addr_rs)
+        else:
+            parse_ctu(ps, ctb_addr_rs)
 
         if wpp and rx == snap_rx:
             ps.wpp_saved_ctx = ps.ctx.copy()
@@ -102,4 +108,6 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
             br.byte_alignment()
             ps.dec = CabacDecoder(rbsp, br.pos, ps.ctx)
 
+    if nat is not None:
+        nat.finish()
     return ps.ctx.copy(), ps.last_cu_qp

@@ -22,11 +22,13 @@ _TRIED = False
 
 def _build_and_load():
     here = os.path.dirname(__file__)
-    src = os.path.join(here, "cabac_core.cpp")
+    srcs = [os.path.join(here, f)
+            for f in ("cabac_core.cpp", "slice_parse.cpp")]
+    newest = max(os.path.getmtime(s) for s in
+                 srcs + [os.path.join(here, "core.h")])
     so = os.path.join(here, f"_cabac_core_{sys.implementation.cache_tag}.so")
-    if (not os.path.exists(so)
-            or os.path.getmtime(so) < os.path.getmtime(src)):
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", so + ".tmp", src]
+    if not os.path.exists(so) or os.path.getmtime(so) < newest:
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", so + ".tmp"] + srcs
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     lib = ctypes.CDLL(so)
@@ -102,6 +104,15 @@ def _build_and_load():
                       mats[2].ctypes.data, mats[3].ctypes.data,
                       dst.ctypes.data, ls.ctypes.data, ang.ctypes.data,
                       inv.ctypes.data)
+
+    lib.tc_slice_setup.argtypes = [ctypes.c_void_p] * 5
+    lib.tc_parse_ctu.restype = ctypes.c_int
+    lib.tc_parse_ctu.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
     return lib
 
 
@@ -169,6 +180,198 @@ def residual_bits(ctx_pool, log2_size: int, c_idx: int, scan_idx: int,
     if frac < 0:
         raise ValueError("residual_bits on an all-zero block")
     return frac / 256.0
+
+
+# ---- full-CTU native parse (slice_parse.cpp) ------------------------------
+
+# must match the E_* enum order in slice_parse.cpp
+_PARSE_ELEMS = [
+    "sao_merge_flag", "sao_type_idx", "split_cu_flag",
+    "cu_transquant_bypass_flag", "cu_skip_flag", "pred_mode_flag",
+    "part_mode", "prev_intra_luma_pred_flag", "intra_chroma_pred_mode",
+    "rqt_root_cbf", "merge_flag", "merge_idx", "inter_pred_idc", "ref_idx",
+    "mvp_flag", "abs_mvd_greater0_flag", "abs_mvd_greater1_flag",
+    "split_transform_flag", "cbf_luma", "cbf_chroma", "cu_qp_delta_abs",
+    "transform_skip_flag_luma", "transform_skip_flag_chroma",
+]
+
+
+class SliceNative:
+    """Per-slice driver for the native full-CTU parser.
+
+    Owns the record buffers and the io state arrays; `parse_ctu` advances the
+    Python CabacDecoder's state exactly like decode/ctu_parse.parse_ctu.
+    """
+
+    @staticmethod
+    def try_create(plan, geom, sh, slice_number, hook):
+        if os.environ.get("TURING_TPU_NO_NATIVE_PARSE"):
+            return None
+        lib = get_lib()
+        if lib is None:
+            return None
+        from turingcodec_tpu.cabac.engine import TRACE
+        if TRACE is not None:
+            return None
+        sps = plan.sps
+        if getattr(sps, "pcm_enabled_flag", 0):
+            return None
+        if sps.chroma_array_type != 1:
+            return None
+        if hook is not None:
+            from turingcodec_tpu.decode.mvp import InterDeriver
+            if not isinstance(hook, InterDeriver):
+                return None
+        try:
+            return SliceNative(lib, plan, geom, sh, slice_number, hook)
+        except Exception:
+            return None
+
+    def __init__(self, lib, plan, geom, sh, slice_number, hook):
+        self.lib = lib
+        self.plan = plan
+        sps, pps = plan.sps, plan.pps
+
+        zscan = geom.zscan
+        assert zscan.dtype == np.int64 and zscan.flags.c_contiguous
+        tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
+
+        ref_pocs = np.zeros((2, 16), np.int32)
+        ref_lt = np.zeros((2, 16), np.uint8)
+        col = None
+        no_backward = 0
+        cur_poc = 0
+        if hook is not None:
+            cur_poc = hook.cur_poc
+            no_backward = int(hook.no_backward)
+            for l in (0, 1):
+                for i, p in enumerate(hook.ref_pocs[l][:16]):
+                    ref_pocs[l, i] = p
+                for i, lt in enumerate(hook.ref_lt[l][:16]):
+                    ref_lt[l, i] = int(lt)
+            col = hook.col_pic
+            if col is not None and col.plan is None:
+                col = None
+        has_col = int(col is not None)
+        cp = col.plan if col is not None else plan  # placeholder ptrs if none
+
+        p = plan
+        ptr_arrays = [
+            zscan, tile_id, p.slice_idx, p.ct_depth, p.cu_pred_mode,
+            p.part_mode, p.skip_flag, p.tq_bypass, p.pcm_flag, p.intra_mode_y,
+            p.intra_mode_c, p.mv, p.ref_idx, p.merge_flag, p.merge_idx,
+            p.mvd, p.mvp_flag, p.ref_poc, p.ref_is_lt, p.qp_y, p.cu_size_log2,
+            p.pu_id, p.cu_id, p.tu_log2, p.tu_id, p.cbf_y, p.cbf_cb, p.cbf_cr,
+            p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
+            p.coeff_y, p.coeff_cb, p.coeff_cr, p.sao_type, p.sao_class,
+            p.sao_offsets, cp.cu_pred_mode, cp.ref_idx, cp.mv, cp.ref_poc,
+            cp.ref_is_lt,
+        ]
+        for a in ptr_arrays:
+            assert a.flags.c_contiguous
+        ptrs = np.array([a.ctypes.data for a in ptr_arrays], np.int64)
+
+        iparams = np.array([
+            sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+            geom.w4, geom.h4, geom.wc, geom.hc,
+            sps.ctb_log2_size_y, sps.min_cb_log2_size_y,
+            sps.max_tb_log2_size_y, sps.min_tb_log2_size_y,
+            sps.max_transform_hierarchy_depth_intra,
+            sps.max_transform_hierarchy_depth_inter,
+            int(sps.amp_enabled_flag),
+            sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
+            int(pps.cu_qp_delta_enabled_flag), pps.diff_cu_qp_delta_depth,
+            int(pps.transquant_bypass_enabled_flag),
+            int(pps.transform_skip_enabled_flag),
+            int(pps.sign_data_hiding_enabled_flag),
+            pps.log2_parallel_merge_level_minus2 + 2,
+            sh.slice_qp_y, slice_number, int(sh.is_i), int(sh.is_b),
+            sh.max_num_merge_cand,
+            sh.num_ref_idx_l0_active_minus1 + 1,
+            sh.num_ref_idx_l1_active_minus1 + 1,
+            int(sh.mvd_l1_zero_flag),
+            int(sh.slice_temporal_mvp_enabled_flag),
+            int(sh.collocated_from_l0_flag),
+            int(sh.slice_sao_luma_flag), int(sh.slice_sao_chroma_flag),
+            cur_poc, col.poc if col is not None else 0,
+            no_backward, has_col,
+        ], np.int32)
+
+        from turingcodec_tpu.cabac.engine import ctx_index
+        offs = np.array([ctx_index(e) for e in _PARSE_ELEMS], np.int32)
+
+        lib.tc_slice_setup(ptrs.ctypes.data, iparams.ctypes.data,
+                           offs.ctypes.data, ref_pocs.ctypes.data,
+                           ref_lt.ctypes.data)
+        # keep everything the C globals point at alive for this object's life
+        self._keep = (ptr_arrays, ptrs, iparams, offs, ref_pocs, ref_lt, col)
+
+        w = sps.pic_width_in_luma_samples
+        h = sps.pic_height_in_luma_samples
+        max_cu = ((w + 7) // 8) * ((h + 7) // 8) + 64
+        max_tu = geom.w4 * geom.h4 + 64
+        self.cu_rec = np.zeros(max_cu * 8, np.int32)
+        self.tu_rec = np.zeros(max_tu * 9, np.int32)
+        self.counts = np.zeros(2, np.int32)
+        self.qp_io = np.zeros(4, np.int32)
+        if not hasattr(plan, "id_counters"):
+            plan.id_counters = [0, 0, 0]
+        self.ids = np.array(plan.id_counters, np.int32)
+        self._fn = lib.tc_parse_ctu
+        self._qp_ptr = self.qp_io.ctypes.data
+        self._ids_ptr = self.ids.ctypes.data
+        self._cu_ptr = self.cu_rec.ctypes.data
+        self._tu_ptr = self.tu_rec.ctypes.data
+        self._counts_ptr = self.counts.ctypes.data
+
+    def parse_ctu(self, ps, ctb_addr_rs: int):
+        """Parse one CTU natively, advancing ps.dec and ps QP-chain state."""
+        dec = ps.dec
+        self.qp_io[0] = ps.qp_y_pred
+        self.qp_io[1] = ps.last_cu_qp
+        self.qp_io[2] = int(ps.is_cu_qp_delta_coded)
+        self.qp_io[3] = ps.cu_qp_delta_val
+        states = dec.ctx.states
+        ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
+        pos = ctypes.c_int64(dec.pos)
+        rng = ctypes.c_int32(dec.range)
+        off = ctypes.c_int32(dec.offset)
+        rc = self._fn(dec.data, 8 * len(dec.data), ctypes.byref(pos),
+                      ctypes.byref(rng), ctypes.byref(off), ctx,
+                      ctb_addr_rs, self._qp_ptr, self._ids_ptr,
+                      self._cu_ptr, self._tu_ptr, self._counts_ptr)
+        if rc != 0:
+            raise ValueError(f"native CTU parse failed (rc={rc}; "
+                             "corrupt stream?)")
+        dec.pos = pos.value
+        dec.range = rng.value
+        dec.offset = off.value
+        dec._cache = 0
+        dec._cache_bits = 0
+        ps.qp_y_pred = int(self.qp_io[0])
+        ps.last_cu_qp = int(self.qp_io[1])
+        ps.is_cu_qp_delta_coded = bool(self.qp_io[2])
+        ps.cu_qp_delta_val = int(self.qp_io[3])
+
+    def finish(self):
+        """Convert the CU/TU records into plan.cu_list CuInfo entries."""
+        from turingcodec_tpu.decode.ctu_parse import CuInfo
+        plan = self.plan
+        n_cu, n_tu = int(self.counts[0]), int(self.counts[1])
+        plan.id_counters[:] = [int(v) for v in self.ids]
+        cu_recs = self.cu_rec[:n_cu * 8].reshape(n_cu, 8).tolist()
+        tu_recs = self.tu_rec[:n_tu * 9].reshape(n_tu, 9).tolist()
+        ti = 0
+        for (x0, y0, log2, pred, pm, skip, tqb, ntus) in cu_recs:
+            cu = CuInfo()
+            cu.x0, cu.y0, cu.log2_size = x0, y0, log2
+            cu.pred_mode = pred
+            cu.part_mode = pm
+            cu.skip = bool(skip)
+            cu.tq_bypass = bool(tqb)
+            cu.tus = [tuple(t) for t in tu_recs[ti:ti + ntus]]
+            ti += ntus
+            plan.cu_list.append(cu)
 
 
 def intra_tu(plane, zscan32, x0, y0, n, c_idx, sub, bit_depth, mode,
