@@ -90,6 +90,9 @@ def _interp_group(ref, xs_int, ys_int, xf, yf, w, h, bit_depth, taps, filt):
 
 def reconstruct_inter_batch(plan, geom, ref_lists, recon):
     """MC + residual for all inter (incl. skip) CUs of the picture."""
+    from turingcodec_tpu import native
+    if native.inter_recon(plan, geom, ref_lists, recon):
+        return
     sps = plan.sps
     bd_y, bd_c = sps.bit_depth_y, sps.bit_depth_c
     max_y, max_c = (1 << bd_y) - 1, (1 << bd_c) - 1

@@ -23,7 +23,8 @@ _TRIED = False
 def _build_and_load():
     here = os.path.dirname(__file__)
     srcs = [os.path.join(here, f)
-            for f in ("cabac_core.cpp", "slice_parse.cpp")]
+            for f in ("cabac_core.cpp", "slice_parse.cpp",
+                      "pixel_recon.cpp")]
     newest = max(os.path.getmtime(s) for s in
                  srcs + [os.path.join(here, "core.h")])
     so = os.path.join(here, f"_cabac_core_{sys.implementation.cache_tag}.so")
@@ -105,6 +106,13 @@ def _build_and_load():
                       dst.ctypes.data, ls.ctypes.data, ang.ctypes.data,
                       inv.ctypes.data)
 
+    lib.tc_inter_recon.restype = ctypes.c_int
+    lib.tc_inter_recon.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p]
+
     lib.tc_slice_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_parse_ctu.restype = ctypes.c_int
     lib.tc_parse_ctu.argtypes = [
@@ -180,6 +188,95 @@ def residual_bits(ctx_pool, log2_size: int, c_idx: int, scan_idx: int,
     if frac < 0:
         raise ValueError("residual_bits on an all-zero block")
     return frac / 256.0
+
+
+# ---- native inter reconstruction (pixel_recon.cpp) -------------------------
+
+def inter_recon(plan, geom, ref_lists, recon) -> bool:
+    """MC + residual add for all inter CUs natively. False -> caller falls
+    back to the numpy path (lib unavailable / unsupported stream shape)."""
+    if os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
+        return False
+    lib = get_lib()
+    if lib is None:
+        return False
+    sps, pps = plan.sps, plan.pps
+    if sps.chroma_array_type != 1 or sps.scaling_list_enabled_flag:
+        return False
+
+    cus = [cu for cu in plan.cu_list if cu.pred_mode == 0 and not cu.pcm]
+    if not cus:
+        return True
+    n_cu = len(cus)
+    cu_arr = np.zeros((n_cu, 8), np.int32)
+    tus = []
+    for i, cu in enumerate(cus):
+        cu_arr[i, 0] = cu.x0
+        cu_arr[i, 1] = cu.y0
+        cu_arr[i, 2] = cu.log2_size
+        cu_arr[i, 3] = cu.part_mode
+        cu_arr[i, 4] = int(cu.skip)
+        cu_arr[i, 5] = int(cu.tq_bypass)
+        cu_arr[i, 6] = len(cu.tus)
+        tus.extend(cu.tus)
+    tu_arr = (np.array(tus, np.int32).reshape(-1, 9) if tus
+              else np.zeros((1, 9), np.int32))
+
+    ry, rcb, rcr = recon
+    ref_ptrs = np.zeros(2 * 16 * 3, np.int64)
+    keep = []
+    for l in (0, 1):
+        for r, pic in enumerate(ref_lists[l][:16]):
+            for c in (0, 1, 2):
+                pl = pic.planes[c]
+                if pl.dtype != np.int16 or not pl.flags.c_contiguous:
+                    return False
+                ref_ptrs[(l * 16 + r) * 3 + c] = pl.ctypes.data
+                keep.append(pl)
+
+    p = plan
+    arrays = [ry, rcb, rcr, p.coeff_y, p.coeff_cb, p.coeff_cr,
+              p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
+              p.qp_y, p.mv, p.ref_idx, p.slice_idx]
+    for a in arrays:
+        if not a.flags.c_contiguous:
+            return False
+    ptrs = np.concatenate([np.array([a.ctypes.data for a in arrays],
+                                    np.int64), ref_ptrs])
+
+    iparams = np.array([
+        sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+        geom.w4, geom.h4, geom.wc, geom.hc, sps.ctb_log2_size_y,
+        sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
+        sps.qp_bd_offset_c], np.int32)
+
+    from turingcodec_tpu.hevc.tables import (CHROMA_FILTER, LEVEL_SCALE,
+                                             LUMA_FILTER, chroma_qp_from_luma,
+                                             dct2_matrix)
+    lf = np.ascontiguousarray(LUMA_FILTER, np.int32)
+    cf = np.ascontiguousarray(CHROMA_FILTER, np.int32)
+    mats = np.concatenate([
+        np.ascontiguousarray(dct2_matrix(1 << k), np.int32).reshape(-1)
+        for k in (2, 3, 4, 5)])
+    ls = np.ascontiguousarray(LEVEL_SCALE, np.int32)
+    qbd_c = sps.qp_bd_offset_c
+    cqt = np.array([chroma_qp_from_luma(q, sps.chroma_format_idc)
+                    for q in range(-qbd_c, 58)], np.int32)
+    n_sl = max(len(plan.slice_headers), 1)
+    cb_off = np.zeros(n_sl, np.int32)
+    cr_off = np.zeros(n_sl, np.int32)
+    for i, sh in enumerate(plan.slice_headers):
+        cb_off[i] = pps.pps_cb_qp_offset + sh.slice_cb_qp_offset
+        cr_off[i] = pps.pps_cr_qp_offset + sh.slice_cr_qp_offset
+
+    rval = lib.tc_inter_recon(
+        ptrs.ctypes.data, iparams.ctypes.data, lf.ctypes.data, cf.ctypes.data,
+        mats.ctypes.data, ls.ctypes.data, cqt.ctypes.data, len(cqt),
+        cb_off.ctypes.data, cr_off.ctypes.data, cu_arr.ctypes.data, n_cu,
+        tu_arr.ctypes.data)
+    if rval != 0:
+        raise ValueError(f"native inter recon failed (rc={rval})")
+    return True
 
 
 # ---- full-CTU native parse (slice_parse.cpp) ------------------------------

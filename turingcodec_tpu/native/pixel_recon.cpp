@@ -1,0 +1,405 @@
+// Native inter reconstruction: motion compensation (8-tap luma / 4-tap
+// chroma fractional interpolation, uni + bi with exact spec rounding) and
+// inter residual add (dequant + two-stage IDCT / transform-skip) for every
+// inter CU of a picture.
+//
+// C++ twin of decode/recon_vec.py (which stays as the numpy oracle; parity
+// asserted by the stream-corpus md5 suite). Reference analogue:
+// havoc/pred_inter.cpp interpolation + turing inverse-transform-add path.
+//
+// Spec: 8.5.3.3.3 (fractional interpolation), 8.5.3.3.4 (weighted sample
+// prediction, default mode only — explicit WP stays on the Python path),
+// 8.6.3 (scaling), 8.6.4 (transformation).
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct RC {
+    int16_t *ry, *rcb, *rcr;
+    const int16_t *coeff_y, *coeff_cb, *coeff_cr;
+    const uint8_t *ts_y, *ts_cb, *ts_cr;
+    const int8_t* qp_y;
+    const int16_t* mv;       // (2, h4, w4, 2)
+    const int8_t* ref_idx;   // (2, h4, w4)
+    const int32_t* slice_idx;
+    const int16_t* refs[2][16][3];
+    int pic_w, pic_h, w4, h4, wc, hc, ctb_log2;
+    int bd_y, bd_c, qp_bd_y, qp_bd_c;
+    int32_t lf[4][8];   // luma filter per 1/4 phase
+    int32_t cf[8][4];   // chroma filter per 1/8 phase
+    const int32_t* mats[6];  // [log2] -> DCT matrix (2..5 used)
+    int32_t mat_store[16 + 64 + 256 + 1024];
+    int32_t level_scale[6];
+    const int32_t* cqt;      // qPi + qp_bd_c -> QpC
+    int cqt_len;
+    const int32_t* cb_off;   // per slice
+    const int32_t* cr_off;
+};
+
+RC rc;
+
+inline int iclip(int lo, int hi, int v) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Fractional-sample interpolation for one PU and one reference plane.
+// Writes (h, w) 14-bit intermediate predictions into out.
+// xi/yi: integer position (already offset by mv integer part), xf/yf:
+// fractional phase, taps: 8 (luma, filt=rc.lf[xf]) or 4 (chroma).
+void interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
+            int yf, int w, int h, int bd, int taps, const int32_t (*filt)[8],
+            int filt_stride, int32_t* out) {
+    const int shift1 = bd - 8;
+    const int shift3 = 14 - bd;
+    const int off = taps / 2 - 1;
+    const int32_t* fh = (const int32_t*)filt + (int64_t)xf * filt_stride;
+    const int32_t* fv = (const int32_t*)filt + (int64_t)yf * filt_stride;
+
+    if (xf == 0 && yf == 0) {
+        for (int y = 0; y < h; y++) {
+            int yc = iclip(0, rh - 1, yi + y);
+            const int16_t* row = ref + (int64_t)yc * rw;
+            for (int x = 0; x < w; x++)
+                out[y * w + x] = (int32_t)row[iclip(0, rw - 1, xi + x)]
+                                 << shift3;
+        }
+        return;
+    }
+    if (yf == 0) {  // horizontal only
+        for (int y = 0; y < h; y++) {
+            int yc = iclip(0, rh - 1, yi + y);
+            const int16_t* row = ref + (int64_t)yc * rw;
+            for (int x = 0; x < w; x++) {
+                int acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += fh[k] * row[iclip(0, rw - 1, xi + x - off + k)];
+                out[y * w + x] = acc >> shift1;
+            }
+        }
+        return;
+    }
+    if (xf == 0) {  // vertical only
+        for (int y = 0; y < h; y++) {
+            for (int x = 0; x < w; x++) {
+                int xc = iclip(0, rw - 1, xi + x);
+                int acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += fv[k]
+                         * ref[(int64_t)iclip(0, rh - 1, yi + y - off + k)
+                               * rw + xc];
+                out[y * w + x] = acc >> shift1;
+            }
+        }
+        return;
+    }
+    // full 2D: horizontal into tmp rows, then vertical
+    static thread_local int32_t tmp[(64 + 8) * 64];
+    for (int y = 0; y < h + taps - 1; y++) {
+        int yc = iclip(0, rh - 1, yi + y - off);
+        const int16_t* row = ref + (int64_t)yc * rw;
+        for (int x = 0; x < w; x++) {
+            int acc = 0;
+            for (int k = 0; k < taps; k++)
+                acc += fh[k] * row[iclip(0, rw - 1, xi + x - off + k)];
+            tmp[y * w + x] = acc >> shift1;
+        }
+    }
+    for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+            int acc = 0;
+            for (int k = 0; k < taps; k++)
+                acc += fv[k] * tmp[(y + k) * w + x];
+            out[y * w + x] = acc >> 6;
+        }
+}
+
+// Combine uni/bi 14-bit predictions into a strided int16 plane region.
+void combine(const int32_t* p0, const int32_t* p1, int w, int h, int bd,
+             int16_t* dst, int dstride) {
+    int max_v = (1 << bd) - 1;
+    if (p0 && p1) {
+        int shift = 15 - bd, rnd = 1 << (14 - bd);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                dst[(int64_t)y * dstride + x] = (int16_t)iclip(
+                    0, max_v, (p0[y * w + x] + p1[y * w + x] + rnd) >> shift);
+    } else {
+        const int32_t* p = p0 ? p0 : p1;
+        int shift = 14 - bd, rnd = 1 << (13 - bd);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                dst[(int64_t)y * dstride + x] = (int16_t)iclip(
+                    0, max_v, (p[y * w + x] + rnd) >> shift);
+    }
+}
+
+// Residual add for one TB (dequant + IDCT / transform-skip / bypass).
+void residual_add(const int16_t* coeff, int cstride, int x0, int y0, int n,
+                  int log2, int qp, int bd, int tskip, int bypass,
+                  int16_t* plane, int pstride) {
+    static thread_local int32_t d[32 * 32];
+    static thread_local int32_t gg[32 * 32];
+    int max_v = (1 << bd) - 1;
+    const int16_t* c0 = coeff + (int64_t)y0 * cstride + x0;
+    if (bypass) {
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++) {
+                int64_t i = (int64_t)(y0 + y) * pstride + (x0 + x);
+                plane[i] = (int16_t)iclip(0, max_v,
+                                          plane[i] + c0[(int64_t)y * cstride
+                                                        + x]);
+            }
+        return;
+    }
+    int bd_shift = bd + log2 - 5;
+    int64_t ls = ((int64_t)rc.level_scale[qp % 6] << (qp / 6)) * 16;
+    int64_t rnd = 1LL << (bd_shift - 1);
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++)
+            d[y * n + x] = iclip(-32768, 32767,
+                                 (int)((c0[(int64_t)y * cstride + x] * ls
+                                        + rnd) >> bd_shift));
+    int sh2 = 20 - bd;
+    int rnd2 = 1 << (sh2 - 1);
+    if (tskip) {
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++) {
+                int r = iclip(-32768, 32767,
+                              ((d[y * n + x] << 7) + rnd2) >> sh2);
+                int64_t i = (int64_t)(y0 + y) * pstride + (x0 + x);
+                plane[i] = (int16_t)iclip(0, max_v, plane[i] + r);
+            }
+        return;
+    }
+    const int32_t* m = rc.mats[log2];
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+            int64_t acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += (int64_t)m[k * n + y] * d[k * n + x];
+            gg[y * n + x] = iclip(-32768, 32767, (int)((acc + 64) >> 7));
+        }
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++) {
+            int64_t acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += (int64_t)gg[y * n + k] * m[k * n + x];
+            int r = iclip(-32768, 32767, (int)((acc + rnd2) >> sh2));
+            int64_t i = (int64_t)(y0 + y) * pstride + (x0 + x);
+            plane[i] = (int16_t)iclip(0, max_v, plane[i] + r);
+        }
+}
+
+// PU geometry per part mode (spec 6.4.1 partition table)
+int pu_geometry(int x0, int y0, int log2, int part_mode, int geo[4][4]) {
+    int s = 1 << log2, h = s >> 1, q = s >> 2;
+    switch (part_mode) {
+    case 0:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = s;
+        return 1;
+    case 1:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = h;
+        geo[1][0] = x0; geo[1][1] = y0 + h; geo[1][2] = s; geo[1][3] = h;
+        return 2;
+    case 2:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = h; geo[0][3] = s;
+        geo[1][0] = x0 + h; geo[1][1] = y0; geo[1][2] = h; geo[1][3] = s;
+        return 2;
+    case 3:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = h; geo[0][3] = h;
+        geo[1][0] = x0 + h; geo[1][1] = y0; geo[1][2] = h; geo[1][3] = h;
+        geo[2][0] = x0; geo[2][1] = y0 + h; geo[2][2] = h; geo[2][3] = h;
+        geo[3][0] = x0 + h; geo[3][1] = y0 + h; geo[3][2] = h; geo[3][3] = h;
+        return 4;
+    case 4:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = q;
+        geo[1][0] = x0; geo[1][1] = y0 + q; geo[1][2] = s; geo[1][3] = s - q;
+        return 2;
+    case 5:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = s - q;
+        geo[1][0] = x0; geo[1][1] = y0 + s - q; geo[1][2] = s; geo[1][3] = q;
+        return 2;
+    case 6:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = q; geo[0][3] = s;
+        geo[1][0] = x0 + q; geo[1][1] = y0; geo[1][2] = s - q; geo[1][3] = s;
+        return 2;
+    default:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s - q; geo[0][3] = s;
+        geo[1][0] = x0 + s - q; geo[1][1] = y0; geo[1][2] = q; geo[1][3] = s;
+        return 2;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Reconstruct all inter CUs of a picture: MC + residual add.
+// ptrs: [ry, rcb, rcr, coeff_y, coeff_cb, coeff_cr, ts_y, ts_cb, ts_cr,
+//        qp_y, mv, ref_idx, slice_idx, then 2*16*3 reference plane ptrs]
+// ip:   [pic_w, pic_h, w4, h4, wc, hc, ctb_log2, bd_y, bd_c, qp_bd_y,
+//        qp_bd_c]
+// cu_rec: (n_cu, 8) int32 [x0, y0, log2, part_mode, skip, tqb, n_tus, pad];
+// tu_rec: consecutive (n_tus per cu, 9) int32 rows as in slice_parse.cpp.
+// Returns 0 on success.
+int tc_inter_recon(const int64_t* ptrs, const int32_t* ip,
+                   const int32_t* luma_filt, const int32_t* chroma_filt,
+                   const int32_t* mats, const int32_t* level_scale,
+                   const int32_t* cqt, int32_t cqt_len,
+                   const int32_t* cb_off, const int32_t* cr_off,
+                   const int32_t* cu_rec, int32_t n_cu,
+                   const int32_t* tu_rec) {
+    int k = 0;
+    rc.ry = (int16_t*)ptrs[k++];
+    rc.rcb = (int16_t*)ptrs[k++];
+    rc.rcr = (int16_t*)ptrs[k++];
+    rc.coeff_y = (const int16_t*)ptrs[k++];
+    rc.coeff_cb = (const int16_t*)ptrs[k++];
+    rc.coeff_cr = (const int16_t*)ptrs[k++];
+    rc.ts_y = (const uint8_t*)ptrs[k++];
+    rc.ts_cb = (const uint8_t*)ptrs[k++];
+    rc.ts_cr = (const uint8_t*)ptrs[k++];
+    rc.qp_y = (const int8_t*)ptrs[k++];
+    rc.mv = (const int16_t*)ptrs[k++];
+    rc.ref_idx = (const int8_t*)ptrs[k++];
+    rc.slice_idx = (const int32_t*)ptrs[k++];
+    for (int l = 0; l < 2; l++)
+        for (int r = 0; r < 16; r++)
+            for (int c = 0; c < 3; c++)
+                rc.refs[l][r][c] = (const int16_t*)ptrs[k++];
+    int j = 0;
+    rc.pic_w = ip[j++];
+    rc.pic_h = ip[j++];
+    rc.w4 = ip[j++];
+    rc.h4 = ip[j++];
+    rc.wc = ip[j++];
+    rc.hc = ip[j++];
+    rc.ctb_log2 = ip[j++];
+    rc.bd_y = ip[j++];
+    rc.bd_c = ip[j++];
+    rc.qp_bd_y = ip[j++];
+    rc.qp_bd_c = ip[j++];
+    std::memcpy(rc.lf, luma_filt, sizeof(rc.lf));
+    std::memcpy(rc.cf, chroma_filt, sizeof(rc.cf));
+    {
+        int32_t* p = rc.mat_store;
+        const int sizes[4] = {16, 64, 256, 1024};
+        for (int i = 0; i < 4; i++) {
+            std::memcpy(p, mats, sizes[i] * 4);
+            rc.mats[2 + i] = p;
+            mats += sizes[i];
+            p += sizes[i];
+        }
+    }
+    std::memcpy(rc.level_scale, level_scale, sizeof(rc.level_scale));
+    rc.cqt = cqt;
+    rc.cqt_len = cqt_len;
+    rc.cb_off = cb_off;
+    rc.cr_off = cr_off;
+
+    const int cw = rc.pic_w >> 1;
+    const int ch = rc.pic_h >> 1;
+    static thread_local int32_t pred[2][64 * 64];
+    static thread_local int32_t predc[2][2][32 * 32];
+    const int64_t plane4 = (int64_t)rc.h4 * rc.w4;
+
+    int64_t tu_base = 0;
+    for (int ci = 0; ci < n_cu; ci++) {
+        const int32_t* cr = cu_rec + (int64_t)ci * 8;
+        int x0 = cr[0], y0 = cr[1], log2 = cr[2], part = cr[3];
+        int skip = cr[4], tqb = cr[5], ntus = cr[6];
+        int geo[4][4];
+        int n_pu = pu_geometry(x0, y0, log2, part, geo);
+        for (int p = 0; p < n_pu; p++) {
+            int px = geo[p][0], py = geo[p][1], pw = geo[p][2],
+                phh = geo[p][3];
+            int64_t b = (int64_t)(py >> 2) * rc.w4 + (px >> 2);
+            bool has[2] = {false, false};
+            for (int l = 0; l < 2; l++) {
+                int r = rc.ref_idx[l * plane4 + b];
+                if (r < 0)
+                    continue;
+                has[l] = true;
+                int mvx = rc.mv[(l * plane4 + b) * 2];
+                int mvy = rc.mv[(l * plane4 + b) * 2 + 1];
+                if (!rc.refs[l][r][0])
+                    return 1;  // missing reference plane
+                interp(rc.refs[l][r][0], rc.pic_w, rc.pic_h,
+                       px + (mvx >> 2), py + (mvy >> 2), mvx & 3, mvy & 3,
+                       pw, phh, rc.bd_y, 8, rc.lf, 8, pred[l]);
+                interp(rc.refs[l][r][1], cw, ch,
+                       (px >> 1) + (mvx >> 3), (py >> 1) + (mvy >> 3),
+                       mvx & 7, mvy & 7, pw >> 1, phh >> 1, rc.bd_c, 4,
+                       (const int32_t(*)[8])rc.cf, 4, predc[l][0]);
+                interp(rc.refs[l][r][2], cw, ch,
+                       (px >> 1) + (mvx >> 3), (py >> 1) + (mvy >> 3),
+                       mvx & 7, mvy & 7, pw >> 1, phh >> 1, rc.bd_c, 4,
+                       (const int32_t(*)[8])rc.cf, 4, predc[l][1]);
+            }
+            if (!has[0] && !has[1])
+                return 2;  // inter PU without motion
+            combine(has[0] ? pred[0] : nullptr, has[1] ? pred[1] : nullptr,
+                    pw, phh, rc.bd_y, rc.ry + (int64_t)py * rc.pic_w + px,
+                    rc.pic_w);
+            combine(has[0] ? predc[0][0] : nullptr,
+                    has[1] ? predc[1][0] : nullptr, pw >> 1, phh >> 1,
+                    rc.bd_c, rc.rcb + (int64_t)(py >> 1) * cw + (px >> 1),
+                    cw);
+            combine(has[0] ? predc[0][1] : nullptr,
+                    has[1] ? predc[1][1] : nullptr, pw >> 1, phh >> 1,
+                    rc.bd_c, rc.rcr + (int64_t)(py >> 1) * cw + (px >> 1),
+                    cw);
+        }
+
+        // residuals
+        if (!skip && ntus > 0) {
+            int64_t b0 = (int64_t)(y0 >> 2) * rc.w4 + (x0 >> 2);
+            int qp_raw = rc.qp_y[b0];
+            int qp_full = qp_raw + rc.qp_bd_y;
+            int sl = rc.slice_idx[(int64_t)(y0 >> rc.ctb_log2) * rc.wc
+                                  + (x0 >> rc.ctb_log2)];
+            int qpi_cb = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cb_off[sl]);
+            int qpi_cr = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cr_off[sl]);
+            int qp_cb = rc.cqt[qpi_cb + rc.qp_bd_c] + rc.qp_bd_c;
+            int qp_cr = rc.cqt[qpi_cr + rc.qp_bd_c] + rc.qp_bd_c;
+            for (int t = 0; t < ntus; t++) {
+                const int32_t* tr = tu_rec + (tu_base + t) * 9;
+                int tx = tr[0], ty = tr[1], tl = tr[2], blk = tr[3];
+                int xb = tr[4], yb = tr[5];
+                int cbf_y = tr[6], cbf_cb = tr[7], cbf_cr = tr[8];
+                if (cbf_y) {
+                    int ts = rc.ts_y[(int64_t)(ty >> 2) * rc.w4 + (tx >> 2)];
+                    residual_add(rc.coeff_y, rc.pic_w, tx, ty, 1 << tl, tl,
+                                 qp_full, rc.bd_y, ts, tqb, rc.ry, rc.pic_w);
+                }
+                int cx, cy, cl;
+                if (tl > 2) {
+                    cx = tx >> 1;
+                    cy = ty >> 1;
+                    cl = tl - 1;
+                } else if (blk == 3) {
+                    cx = xb >> 1;
+                    cy = yb >> 1;
+                    cl = 2;
+                } else {
+                    continue;
+                }
+                if (cbf_cb) {
+                    int ts = rc.ts_cb[(int64_t)(cy >> 1) * rc.w4 + (cx >> 1)];
+                    residual_add(rc.coeff_cb, cw, cx, cy, 1 << cl, cl, qp_cb,
+                                 rc.bd_c, ts, tqb, rc.rcb, cw);
+                }
+                if (cbf_cr) {
+                    int ts = rc.ts_cr[(int64_t)(cy >> 1) * rc.w4 + (cx >> 1)];
+                    residual_add(rc.coeff_cr, cw, cx, cy, 1 << cl, cl, qp_cr,
+                                 rc.bd_c, ts, tqb, rc.rcr, cw);
+                }
+            }
+        }
+        tu_base += ntus;
+    }
+    return 0;
+}
+
+}  // extern "C"
