@@ -84,14 +84,16 @@ class PictureReconstructor:
                     self._recon_intra_cu(cu)
             return self._loop_filters()
         if self.use_batched_inter:
+            from turingcodec_tpu import native
             from turingcodec_tpu.decode.recon_vec import reconstruct_inter_batch
             reconstruct_inter_batch(plan, self.geom, self.ref_lists,
                                     [self.ry, self.rcb, self.rcr])
-            for cu in plan.cu_list:
-                if cu.pcm:
-                    self._recon_pcm(cu)
-                elif cu.pred_mode == 1:
-                    self._recon_intra_cu(cu)
+            if not native.intra_recon(self):
+                for cu in plan.cu_list:
+                    if cu.pcm:
+                        self._recon_pcm(cu)
+                    elif cu.pred_mode == 1:
+                        self._recon_intra_cu(cu)
             return self._loop_filters()
         for cu in plan.cu_list:
             if cu.pcm:

@@ -113,6 +113,13 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p]
 
+    lib.tc_intra_recon.restype = ctypes.c_int
+    lib.tc_intra_recon.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64]
+
     lib.tc_slice_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_parse_ctu.restype = ctypes.c_int
     lib.tc_parse_ctu.argtypes = [
@@ -192,6 +199,75 @@ def residual_bits(ctx_pool, log2_size: int, c_idx: int, scan_idx: int,
 
 # ---- native inter reconstruction (pixel_recon.cpp) -------------------------
 
+_RECON_TABLES = None   # (lf, cf, mats, ls)
+_CQT_CACHE = {}        # (qp_bd_c, chroma_format_idc) -> table
+
+
+def _recon_tables():
+    global _RECON_TABLES
+    if _RECON_TABLES is None:
+        from turingcodec_tpu.hevc.tables import (CHROMA_FILTER, LEVEL_SCALE,
+                                                 LUMA_FILTER, dct2_matrix)
+        lf = np.ascontiguousarray(LUMA_FILTER, np.int32)
+        cf = np.ascontiguousarray(CHROMA_FILTER, np.int32)
+        mats = np.concatenate([
+            np.ascontiguousarray(dct2_matrix(1 << k), np.int32).reshape(-1)
+            for k in (2, 3, 4, 5)])
+        ls = np.ascontiguousarray(LEVEL_SCALE, np.int32)
+        _RECON_TABLES = (lf, cf, mats, ls)
+    return _RECON_TABLES
+
+
+def _cqt_table(sps):
+    key = (sps.qp_bd_offset_c, sps.chroma_format_idc)
+    t = _CQT_CACHE.get(key)
+    if t is None:
+        from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
+        t = np.array([chroma_qp_from_luma(q, sps.chroma_format_idc)
+                      for q in range(-sps.qp_bd_offset_c, 58)], np.int32)
+        _CQT_CACHE[key] = t
+    return t
+
+
+def _slice_qp_offsets(plan):
+    pps = plan.pps
+    n_sl = max(len(plan.slice_headers), 1)
+    cb_off = np.zeros(n_sl, np.int32)
+    cr_off = np.zeros(n_sl, np.int32)
+    for i, sh in enumerate(plan.slice_headers):
+        cb_off[i] = pps.pps_cb_qp_offset + sh.slice_cb_qp_offset
+        cr_off[i] = pps.pps_cr_qp_offset + sh.slice_cr_qp_offset
+    return cb_off, cr_off
+
+
+def _recon_iparams(plan, geom):
+    sps = plan.sps
+    return np.array([
+        sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+        geom.w4, geom.h4, geom.wc, geom.hc, sps.ctb_log2_size_y,
+        sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
+        sps.qp_bd_offset_c], np.int32)
+
+
+def _cu_tu_records(cus):
+    """Flatten CuInfo list into the (n, 8) cu / (m, 9) tu record arrays."""
+    n_cu = len(cus)
+    cu_arr = np.zeros((n_cu, 8), np.int32)
+    tus = []
+    for i, cu in enumerate(cus):
+        cu_arr[i, 0] = cu.x0
+        cu_arr[i, 1] = cu.y0
+        cu_arr[i, 2] = cu.log2_size
+        cu_arr[i, 3] = cu.part_mode
+        cu_arr[i, 4] = int(cu.skip)
+        cu_arr[i, 5] = int(cu.tq_bypass)
+        cu_arr[i, 6] = len(cu.tus)
+        tus.extend(cu.tus)
+    tu_arr = (np.array(tus, np.int32).reshape(-1, 9) if tus
+              else np.zeros((1, 9), np.int32))
+    return cu_arr, tu_arr
+
+
 def inter_recon(plan, geom, ref_lists, recon) -> bool:
     """MC + residual add for all inter CUs natively. False -> caller falls
     back to the numpy path (lib unavailable / unsupported stream shape)."""
@@ -208,19 +284,7 @@ def inter_recon(plan, geom, ref_lists, recon) -> bool:
     if not cus:
         return True
     n_cu = len(cus)
-    cu_arr = np.zeros((n_cu, 8), np.int32)
-    tus = []
-    for i, cu in enumerate(cus):
-        cu_arr[i, 0] = cu.x0
-        cu_arr[i, 1] = cu.y0
-        cu_arr[i, 2] = cu.log2_size
-        cu_arr[i, 3] = cu.part_mode
-        cu_arr[i, 4] = int(cu.skip)
-        cu_arr[i, 5] = int(cu.tq_bypass)
-        cu_arr[i, 6] = len(cu.tus)
-        tus.extend(cu.tus)
-    tu_arr = (np.array(tus, np.int32).reshape(-1, 9) if tus
-              else np.zeros((1, 9), np.int32))
+    cu_arr, tu_arr = _cu_tu_records(cus)
 
     ry, rcb, rcr = recon
     ref_ptrs = np.zeros(2 * 16 * 3, np.int64)
@@ -244,30 +308,10 @@ def inter_recon(plan, geom, ref_lists, recon) -> bool:
     ptrs = np.concatenate([np.array([a.ctypes.data for a in arrays],
                                     np.int64), ref_ptrs])
 
-    iparams = np.array([
-        sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
-        geom.w4, geom.h4, geom.wc, geom.hc, sps.ctb_log2_size_y,
-        sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
-        sps.qp_bd_offset_c], np.int32)
-
-    from turingcodec_tpu.hevc.tables import (CHROMA_FILTER, LEVEL_SCALE,
-                                             LUMA_FILTER, chroma_qp_from_luma,
-                                             dct2_matrix)
-    lf = np.ascontiguousarray(LUMA_FILTER, np.int32)
-    cf = np.ascontiguousarray(CHROMA_FILTER, np.int32)
-    mats = np.concatenate([
-        np.ascontiguousarray(dct2_matrix(1 << k), np.int32).reshape(-1)
-        for k in (2, 3, 4, 5)])
-    ls = np.ascontiguousarray(LEVEL_SCALE, np.int32)
-    qbd_c = sps.qp_bd_offset_c
-    cqt = np.array([chroma_qp_from_luma(q, sps.chroma_format_idc)
-                    for q in range(-qbd_c, 58)], np.int32)
-    n_sl = max(len(plan.slice_headers), 1)
-    cb_off = np.zeros(n_sl, np.int32)
-    cr_off = np.zeros(n_sl, np.int32)
-    for i, sh in enumerate(plan.slice_headers):
-        cb_off[i] = pps.pps_cb_qp_offset + sh.slice_cb_qp_offset
-        cr_off[i] = pps.pps_cr_qp_offset + sh.slice_cr_qp_offset
+    iparams = _recon_iparams(plan, geom)
+    lf, cf, mats, ls = _recon_tables()
+    cqt = _cqt_table(sps)
+    cb_off, cr_off = _slice_qp_offsets(plan)
 
     rval = lib.tc_inter_recon(
         ptrs.ctypes.data, iparams.ctypes.data, lf.ctypes.data, cf.ctypes.data,
@@ -276,6 +320,60 @@ def inter_recon(plan, geom, ref_lists, recon) -> bool:
         tu_arr.ctypes.data)
     if rval != 0:
         raise ValueError(f"native inter recon failed (rc={rval})")
+    return True
+
+
+def intra_recon(pr) -> bool:
+    """Reconstruct all intra CUs of a PictureReconstructor natively, in
+    decode order, falling back per-CU (stop-and-resume) for transquant
+    bypass / transform-skip TUs. False -> caller runs the Python loop."""
+    if os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
+        return False
+    lib = get_lib()
+    if lib is None:
+        return False
+    plan, geom = pr.plan, pr.geom
+    sps = plan.sps
+    if (sps.chroma_array_type != 1 or pr.scaling is not None
+            or plan.pcm_samples or pr.refs._complex_bounds()):
+        return False
+    cus = [cu for cu in plan.cu_list if cu.pred_mode == 1 and not cu.pcm]
+    if not cus:
+        return True
+    cu_arr, tu_arr = _cu_tu_records(cus)
+    tu_starts = np.zeros(len(cus) + 1, np.int64)
+    np.cumsum(cu_arr[:, 6], out=tu_starts[1:])
+
+    p = plan
+    ry, rcb, rcr = pr.ry, pr.rcb, pr.rcr
+    arrays = [ry, rcb, rcr, p.coeff_y, p.coeff_cb, p.coeff_cr,
+              p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
+              p.qp_y, p.mv, p.ref_idx, p.slice_idx,
+              p.intra_mode_y, p.intra_mode_c]
+    for a in arrays:
+        if not a.flags.c_contiguous:
+            return False
+    ptrs = np.array([a.ctypes.data for a in arrays], np.int64)
+    iparams = _recon_iparams(plan, geom)
+    _, _, mats, ls = _recon_tables()
+    cqt = _cqt_table(sps)
+    cb_off, cr_off = _slice_qp_offsets(plan)
+    zscan32 = np.ascontiguousarray(geom.zscan, np.int32)
+    strong = int(sps.strong_intra_smoothing_enabled_flag != 0)
+
+    n_cu = len(cus)
+    idx = 0
+    while idx < n_cu:
+        nxt = lib.tc_intra_recon(
+            ptrs.ctypes.data, iparams.ctypes.data, mats.ctypes.data,
+            ls.ctypes.data, cqt.ctypes.data, len(cqt), cb_off.ctypes.data,
+            cr_off.ctypes.data, zscan32.ctypes.data, strong,
+            cu_arr.ctypes.data, n_cu, tu_arr.ctypes.data, idx,
+            int(tu_starts[idx]))
+        if nxt >= n_cu:
+            break
+        pr._recon_intra_cu(cus[nxt])  # unsupported CU: Python oracle
+        idx = nxt + 1
     return True
 
 

@@ -182,4 +182,13 @@ int residual_decode_core(Engine& e, uint8_t* ctx, int log2_size, int c_idx,
                          int scan_idx, int sdh, int16_t* out,
                          int out_stride);
 
+// One intra TB: reference build + filter + predict + dequant/IDCT + add
+// (cabac_core.cpp). Reused by the per-picture intra driver in
+// pixel_recon.cpp.
+extern "C" int tc_intra_tu(int16_t* plane, int pw, int ph,
+                           const int32_t* zscan, int zw, int x0, int y0,
+                           int n, int c_idx, int sub, int bit_depth, int mode,
+                           int strong_smoothing, const int16_t* coeff_plane,
+                           int cbf, int qp, int use_dst);
+
 #endif  // TC_NATIVE_CORE_H

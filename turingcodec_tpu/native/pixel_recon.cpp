@@ -13,6 +13,8 @@
 #include <cstdint>
 #include <cstring>
 
+#include "core.h"
+
 namespace {
 
 struct RC {
@@ -400,6 +402,143 @@ int tc_inter_recon(const int64_t* ptrs, const int32_t* ip,
         tu_base += ntus;
     }
     return 0;
+}
+
+// Reconstruct intra CUs [start_cu, n_cu) in decode order via tc_intra_tu.
+// Same ptrs/ip/table layout as tc_inter_recon, plus zscan32 (int32, w4
+// stride at min-block granularity) and the strong-smoothing flag.
+// Stops at the first CU it cannot handle natively (transquant bypass or a
+// transform-skip TU) and returns that CU's index; returns n_cu when done.
+// The caller reruns the returned CU with the Python oracle (safe: TU recon
+// is a pure function of already-final neighbour samples) and resumes at
+// index+1. tu_base must be the record offset of cu start_cu.
+int tc_intra_recon(const int64_t* ptrs, const int32_t* ip,
+                   const int32_t* mats, const int32_t* level_scale,
+                   const int32_t* cqt, int32_t cqt_len,
+                   const int32_t* cb_off, const int32_t* cr_off,
+                   const int32_t* zscan32, int32_t strong,
+                   const int32_t* cu_rec, int32_t n_cu,
+                   const int32_t* tu_rec, int32_t start_cu,
+                   int64_t tu_base) {
+    int k = 0;
+    rc.ry = (int16_t*)ptrs[k++];
+    rc.rcb = (int16_t*)ptrs[k++];
+    rc.rcr = (int16_t*)ptrs[k++];
+    rc.coeff_y = (const int16_t*)ptrs[k++];
+    rc.coeff_cb = (const int16_t*)ptrs[k++];
+    rc.coeff_cr = (const int16_t*)ptrs[k++];
+    rc.ts_y = (const uint8_t*)ptrs[k++];
+    rc.ts_cb = (const uint8_t*)ptrs[k++];
+    rc.ts_cr = (const uint8_t*)ptrs[k++];
+    rc.qp_y = (const int8_t*)ptrs[k++];
+    rc.mv = (const int16_t*)ptrs[k++];
+    rc.ref_idx = (const int8_t*)ptrs[k++];
+    rc.slice_idx = (const int32_t*)ptrs[k++];
+    int j = 0;
+    rc.pic_w = ip[j++];
+    rc.pic_h = ip[j++];
+    rc.w4 = ip[j++];
+    rc.h4 = ip[j++];
+    rc.wc = ip[j++];
+    rc.hc = ip[j++];
+    rc.ctb_log2 = ip[j++];
+    rc.bd_y = ip[j++];
+    rc.bd_c = ip[j++];
+    rc.qp_bd_y = ip[j++];
+    rc.qp_bd_c = ip[j++];
+    rc.cqt = cqt;
+    rc.cqt_len = cqt_len;
+    rc.cb_off = cb_off;
+    rc.cr_off = cr_off;
+    (void)mats;
+    (void)level_scale;  // intra TU dequant tables live in cabac_core
+
+    // intra plane maps (defined against the plan's min-block granularity)
+    const uint8_t* mode_y = (const uint8_t*)ptrs[k++];
+    const uint8_t* mode_c = (const uint8_t*)ptrs[k++];
+    const int cw = rc.pic_w >> 1;
+    const int ch = rc.pic_h >> 1;
+
+    for (int ci = start_cu; ci < n_cu; ci++) {
+        const int32_t* cr = cu_rec + (int64_t)ci * 8;
+        int x0 = cr[0], y0 = cr[1], log2 = cr[2];
+        int tqb = cr[5], ntus = cr[6];
+        if (tqb)
+            return ci;
+        // per-CU QPs
+        int64_t b0 = (int64_t)(y0 >> 2) * rc.w4 + (x0 >> 2);
+        int qp_raw = rc.qp_y[b0];
+        int qp_full = qp_raw + rc.qp_bd_y;
+        int sl = rc.slice_idx[(int64_t)(y0 >> rc.ctb_log2) * rc.wc
+                              + (x0 >> rc.ctb_log2)];
+        int qpi_cb = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cb_off[sl]);
+        int qpi_cr = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cr_off[sl]);
+        int qp_cb = rc.cqt[qpi_cb + rc.qp_bd_c] + rc.qp_bd_c;
+        int qp_cr = rc.cqt[qpi_cr + rc.qp_bd_c] + rc.qp_bd_c;
+
+        int32_t synth[9];
+        const int32_t* tus = tu_rec + tu_base * 9;
+        int nt = ntus;
+        if (nt == 0) {  // whole-CU TU with no residual
+            synth[0] = x0; synth[1] = y0; synth[2] = log2; synth[3] = 0;
+            synth[4] = x0; synth[5] = y0;
+            synth[6] = 0; synth[7] = 0; synth[8] = 0;
+            tus = synth;
+            nt = 1;
+        }
+        // pre-scan for transform-skip TUs: bail before touching pixels
+        for (int t = 0; t < nt; t++) {
+            const int32_t* tr = tus + (int64_t)t * 9;
+            int tx = tr[0], ty = tr[1], tl = tr[2], blk = tr[3];
+            if (tl == 2
+                && rc.ts_y[(int64_t)(ty >> 2) * rc.w4 + (tx >> 2)])
+                return ci;
+            int cx, cy;
+            if (tl > 2) {
+                cx = tx >> 1;
+                cy = ty >> 1;
+            } else if (blk == 3) {
+                cx = tr[4] >> 1;
+                cy = tr[5] >> 1;
+            } else {
+                continue;
+            }
+            if (rc.ts_cb[(int64_t)(cy >> 1) * rc.w4 + (cx >> 1)]
+                || rc.ts_cr[(int64_t)(cy >> 1) * rc.w4 + (cx >> 1)])
+                return ci;
+        }
+        for (int t = 0; t < nt; t++) {
+            const int32_t* tr = tus + (int64_t)t * 9;
+            int tx = tr[0], ty = tr[1], tl = tr[2], blk = tr[3];
+            int xb = tr[4], yb = tr[5];
+            int cbf_y = tr[6], cbf_cb = tr[7], cbf_cr = tr[8];
+            int n = 1 << tl;
+            int m = mode_y[(int64_t)(ty >> 2) * rc.w4 + (tx >> 2)];
+            tc_intra_tu(rc.ry, rc.pic_w, rc.pic_h, zscan32, rc.w4, tx, ty,
+                        n, 0, 1, rc.bd_y, m, strong, rc.coeff_y, cbf_y,
+                        qp_full, tl == 2 ? 1 : 0);
+            int cx, cy, cn;
+            if (tl > 2) {
+                cx = tx >> 1;
+                cy = ty >> 1;
+                cn = n >> 1;
+            } else if (blk == 3) {
+                cx = xb >> 1;
+                cy = yb >> 1;
+                cn = 4;
+            } else {
+                continue;
+            }
+            int mc = mode_c[(int64_t)((cy << 1) >> 2) * rc.w4
+                            + ((cx << 1) >> 2)];
+            tc_intra_tu(rc.rcb, cw, ch, zscan32, rc.w4, cx, cy, cn, 1, 2,
+                        rc.bd_c, mc, strong, rc.coeff_cb, cbf_cb, qp_cb, 0);
+            tc_intra_tu(rc.rcr, cw, ch, zscan32, rc.w4, cx, cy, cn, 1, 2,
+                        rc.bd_c, mc, strong, rc.coeff_cr, cbf_cr, qp_cr, 0);
+        }
+        tu_base += ntus;
+    }
+    return n_cu;
 }
 
 }  // extern "C"
