@@ -17,6 +17,9 @@ from turingcodec_tpu.decode.plan import PicturePlan
 
 
 def deblock_picture_vec(plan: PicturePlan, geom, ry, rcb, rcr):
+    from turingcodec_tpu import native
+    if native.deblock(plan, geom, ry, rcb, rcr):
+        return
     for vertical in (True, False):
         _deblock_dir_vec(plan, geom, ry, rcb, rcr, vertical)
 

@@ -111,14 +111,21 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int32]
+
+    lib.tc_deblock.restype = ctypes.c_int
+    lib.tc_deblock.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32]
 
     lib.tc_intra_recon.restype = ctypes.c_int
     lib.tc_intra_recon.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64]
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32]
 
     lib.tc_slice_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_parse_ctu.restype = ctypes.c_int
@@ -317,7 +324,7 @@ def inter_recon(plan, geom, ref_lists, recon) -> bool:
         ptrs.ctypes.data, iparams.ctypes.data, lf.ctypes.data, cf.ctypes.data,
         mats.ctypes.data, ls.ctypes.data, cqt.ctypes.data, len(cqt),
         cb_off.ctypes.data, cr_off.ctypes.data, cu_arr.ctypes.data, n_cu,
-        tu_arr.ctypes.data)
+        tu_arr.ctypes.data, len(cb_off))
     if rval != 0:
         raise ValueError(f"native inter recon failed (rc={rval})")
     return True
@@ -369,11 +376,57 @@ def intra_recon(pr) -> bool:
             ls.ctypes.data, cqt.ctypes.data, len(cqt), cb_off.ctypes.data,
             cr_off.ctypes.data, zscan32.ctypes.data, strong,
             cu_arr.ctypes.data, n_cu, tu_arr.ctypes.data, idx,
-            int(tu_starts[idx]))
+            int(tu_starts[idx]), len(cb_off))
         if nxt >= n_cu:
             break
         pr._recon_intra_cu(cus[nxt])  # unsupported CU: Python oracle
         idx = nxt + 1
+    return True
+
+
+def deblock(plan, geom, ry, rcb, rcr) -> bool:
+    """Native deblocking of the three planes in place. False -> caller runs
+    the numpy path."""
+    if os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
+        return False
+    lib = get_lib()
+    if lib is None:
+        return False
+    sps, pps = plan.sps, plan.pps
+    if sps.chroma_array_type != 1:
+        return False
+    p = plan
+    arrays = [ry, rcb, rcr, p.tu_id, p.pu_id, p.cu_id, p.cu_pred_mode,
+              p.cbf_y, p.ref_idx, p.ref_poc, p.mv, p.qp_y, p.slice_idx]
+    for a in arrays:
+        if not a.flags.c_contiguous:
+            return False
+    tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
+    ptrs = np.array([a.ctypes.data for a in arrays] + [tile_id.ctypes.data],
+                    np.int64)
+    iparams = _recon_iparams(plan, geom)
+    from turingcodec_tpu.decode.deblock import BETA_TABLE, TC_TABLE
+    beta = np.ascontiguousarray(BETA_TABLE, np.int32)
+    tc = np.ascontiguousarray(TC_TABLE, np.int32)
+    cqt = _cqt_table(sps)
+    cb_off, cr_off = _slice_qp_offsets(plan)
+    n_sl = len(cb_off)
+    sl_dis = np.zeros(n_sl, np.int32)
+    sl_beta = np.zeros(n_sl, np.int32)
+    sl_tc = np.zeros(n_sl, np.int32)
+    sl_across = np.zeros(n_sl, np.int32)
+    for i, sh in enumerate(plan.slice_headers):
+        sl_dis[i] = int(sh.slice_deblocking_filter_disabled_flag)
+        sl_beta[i] = sh.slice_beta_offset_div2
+        sl_tc[i] = sh.slice_tc_offset_div2
+        sl_across[i] = int(sh.slice_loop_filter_across_slices_enabled_flag)
+    lib.tc_deblock(ptrs.ctypes.data, iparams.ctypes.data, beta.ctypes.data,
+                   tc.ctypes.data, cqt.ctypes.data, len(cqt),
+                   sl_dis.ctypes.data, sl_beta.ctypes.data,
+                   sl_tc.ctypes.data, sl_across.ctypes.data,
+                   cb_off.ctypes.data, cr_off.ctypes.data,
+                   int(pps.loop_filter_across_tiles_enabled_flag),
+                   len(cb_off))
     return True
 
 

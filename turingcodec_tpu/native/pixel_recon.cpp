@@ -37,6 +37,7 @@ struct RC {
     int cqt_len;
     const int32_t* cb_off;   // per slice
     const int32_t* cr_off;
+    int n_sl;
 };
 
 RC rc;
@@ -233,9 +234,306 @@ int pu_geometry(int x0, int y0, int log2, int part_mode, int geo[4][4]) {
     }
 }
 
+// ---- deblocking filter (spec 8.7.2; decode/deblock.py oracle) --------------
+
+struct DB {
+    int16_t *ry, *rcb, *rcr;
+    const int32_t *tu_id, *pu_id, *cu_id;
+    const uint8_t *cu_pred_mode, *cbf_y;
+    const int8_t* ref_idx;
+    const int32_t* ref_poc;
+    const int16_t* mv;
+    const int8_t* qp_y;
+    const int32_t *slice_idx, *tile_id;
+    int pic_w, pic_h, w4, h4, wc, hc, ctb_log2, bd_y, bd_c, qp_bd_c;
+    const int32_t *beta_tab, *tc_tab, *cqt;
+    const int32_t *sl_disabled, *sl_beta, *sl_tc, *sl_across, *cb_off,
+        *cr_off;
+    int across_tiles;
+    int n_sl;
+};
+
+DB db;
+
+// bS from motion difference (spec 8.7.2.4 cond 3; deblock._motion_bs)
+int motion_bs(int64_t bp, int64_t bq) {
+    const int64_t plane4 = (int64_t)db.h4 * db.w4;
+    int rp0 = db.ref_idx[bp], rp1 = db.ref_idx[plane4 + bp];
+    int rq0 = db.ref_idx[bq], rq1 = db.ref_idx[plane4 + bq];
+    int np_cnt = (rp0 >= 0) + (rp1 >= 0);
+    int nq_cnt = (rq0 >= 0) + (rq1 >= 0);
+    if (np_cnt != nq_cnt)
+        return 1;
+    if (np_cnt == 0)
+        return 0;
+    int pocp[2] = {db.ref_poc[bp], db.ref_poc[plane4 + bp]};
+    int pocq[2] = {db.ref_poc[bq], db.ref_poc[plane4 + bq]};
+    int mvpx[2] = {db.mv[bp * 2], db.mv[(plane4 + bp) * 2]};
+    int mvpy[2] = {db.mv[bp * 2 + 1], db.mv[(plane4 + bp) * 2 + 1]};
+    int mvqx[2] = {db.mv[bq * 2], db.mv[(plane4 + bq) * 2]};
+    int mvqy[2] = {db.mv[bq * 2 + 1], db.mv[(plane4 + bq) * 2 + 1]};
+    auto ge4 = [&](int lp, int lq) {
+        int dx = mvpx[lp] - mvqx[lq], dy = mvpy[lp] - mvqy[lq];
+        return (dx < 0 ? -dx : dx) >= 4 || (dy < 0 ? -dy : dy) >= 4;
+    };
+    if (np_cnt == 1) {
+        int lp = rp0 >= 0 ? 0 : 1;
+        int lq = rq0 >= 0 ? 0 : 1;
+        if (pocp[lp] != pocq[lq])
+            return 1;
+        return ge4(lp, lq) ? 1 : 0;
+    }
+    // both bi-predicted
+    int sp0 = pocp[0] < pocp[1] ? pocp[0] : pocp[1];
+    int sp1 = pocp[0] < pocp[1] ? pocp[1] : pocp[0];
+    int sq0 = pocq[0] < pocq[1] ? pocq[0] : pocq[1];
+    int sq1 = pocq[0] < pocq[1] ? pocq[1] : pocq[0];
+    if (sp0 != sq0 || sp1 != sq1)
+        return 1;
+    if (pocp[0] == pocp[1]) {
+        bool direct = !(ge4(0, 0) || ge4(1, 1));
+        bool crossed = !(ge4(0, 1) || ge4(1, 0));
+        return (direct || crossed) ? 0 : 1;
+    }
+    if (pocp[0] == pocq[0])
+        return (ge4(0, 0) || ge4(1, 1)) ? 1 : 0;
+    return (ge4(0, 1) || ge4(1, 0)) ? 1 : 0;
+}
+
+// one 4-line luma edge segment (spec 8.7.2.5.3/4/7)
+void filter_luma_seg(int16_t* r, int w, int h, int x, int y, bool vertical,
+                     int beta, int tc, int max_val) {
+    if (vertical ? (y + 3 >= h) : (x + 3 >= w))
+        return;
+    // sample accessor: i along edge, k across (-4..3 = p3..q3)
+    auto at = [&](int i, int k) -> int16_t& {
+        return vertical ? r[(int64_t)(y + i) * w + (x + k)]
+                        : r[(int64_t)(y + k) * w + (x + i)];
+    };
+    int dp0 = at(0, -3) - 2 * at(0, -2) + at(0, -1);
+    if (dp0 < 0) dp0 = -dp0;
+    int dp3 = at(3, -3) - 2 * at(3, -2) + at(3, -1);
+    if (dp3 < 0) dp3 = -dp3;
+    int dq0 = at(0, 2) - 2 * at(0, 1) + at(0, 0);
+    if (dq0 < 0) dq0 = -dq0;
+    int dq3 = at(3, 2) - 2 * at(3, 1) + at(3, 0);
+    if (dq3 < 0) dq3 = -dq3;
+    int d = dp0 + dp3 + dq0 + dq3;
+    if (d >= beta)
+        return;
+    auto dsam = [&](int i, int dpq) {
+        int a = at(i, -4) - at(i, -1);
+        if (a < 0) a = -a;
+        int b = at(i, 0) - at(i, 3);
+        if (b < 0) b = -b;
+        int c = at(i, -1) - at(i, 0);
+        if (c < 0) c = -c;
+        return 2 * dpq < (beta >> 2) && a + b < (beta >> 3)
+            && c < ((5 * tc + 1) >> 1);
+    };
+    bool strong = dsam(0, dp0 + dq0) && dsam(3, dp3 + dq3);
+    if (strong) {
+        int t2 = 2 * tc;
+        for (int i = 0; i < 4; i++) {
+            int p3 = at(i, -4), p2 = at(i, -3), p1 = at(i, -2),
+                p0 = at(i, -1);
+            int q0 = at(i, 0), q1 = at(i, 1), q2 = at(i, 2), q3 = at(i, 3);
+            at(i, -1) = (int16_t)iclip(p0 - t2, p0 + t2,
+                (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3);
+            at(i, -2) = (int16_t)iclip(p1 - t2, p1 + t2,
+                (p2 + p1 + p0 + q0 + 2) >> 2);
+            at(i, -3) = (int16_t)iclip(p2 - t2, p2 + t2,
+                (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3);
+            at(i, 0) = (int16_t)iclip(q0 - t2, q0 + t2,
+                (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3);
+            at(i, 1) = (int16_t)iclip(q1 - t2, q1 + t2,
+                (p0 + q0 + q1 + q2 + 2) >> 2);
+            at(i, 2) = (int16_t)iclip(q2 - t2, q2 + t2,
+                (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3);
+        }
+    } else {
+        bool d_ep = dp0 + dp3 < ((beta + (beta >> 1)) >> 3);
+        bool d_eq = dq0 + dq3 < ((beta + (beta >> 1)) >> 3);
+        for (int i = 0; i < 4; i++) {
+            int p2 = at(i, -3), p1 = at(i, -2), p0 = at(i, -1);
+            int q0 = at(i, 0), q1 = at(i, 1), q2 = at(i, 2);
+            int delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4;
+            int ad = delta < 0 ? -delta : delta;
+            if (ad >= tc * 10)
+                continue;
+            delta = iclip(-tc, tc, delta);
+            at(i, -1) = (int16_t)iclip(0, max_val, p0 + delta);
+            at(i, 0) = (int16_t)iclip(0, max_val, q0 - delta);
+            if (d_ep) {
+                int dp = iclip(-(tc >> 1), tc >> 1,
+                               ((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1));
+                at(i, -2) = (int16_t)iclip(0, max_val, p1 + dp);
+            }
+            if (d_eq) {
+                int dq = iclip(-(tc >> 1), tc >> 1,
+                               ((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1));
+                at(i, 1) = (int16_t)iclip(0, max_val, q1 + dq);
+            }
+        }
+    }
+}
+
+// n-line chroma edge segment (spec 8.7.2.5.5)
+void filter_chroma_seg(int16_t* r, int w, int h, int x, int y, bool vertical,
+                       int tc, int max_val, int n) {
+    if (vertical && y + n > h)
+        n = h - y;
+    if (!vertical && x + n > w)
+        n = w - x;
+    auto at = [&](int i, int k) -> int16_t& {
+        return vertical ? r[(int64_t)(y + i) * w + (x + k)]
+                        : r[(int64_t)(y + k) * w + (x + i)];
+    };
+    for (int i = 0; i < n; i++) {
+        int p1 = at(i, -2), p0 = at(i, -1), q0 = at(i, 0), q1 = at(i, 1);
+        int delta = iclip(-tc, tc, (((q0 - p0) << 2) + p1 - q1 + 4) >> 3);
+        at(i, -1) = (int16_t)iclip(0, max_val, p0 + delta);
+        at(i, 0) = (int16_t)iclip(0, max_val, q0 - delta);
+    }
+}
+
+void deblock_dir(bool vertical) {
+    const int w = db.pic_w, h = db.pic_h;
+    const int max_y = (1 << db.bd_y) - 1;
+    const int max_c = (1 << db.bd_c) - 1;
+    const int cl2 = db.ctb_log2;
+    const int cw = w >> 1, chh = h >> 1;
+    const int e_end = vertical ? w : h;
+    const int s_end = vertical ? h : w;
+    for (int e = 8; e < e_end; e += 8) {
+        for (int s = 0; s < s_end; s += 4) {
+            int x = vertical ? e : s, y = vertical ? s : e;
+            int64_t bp, bq;
+            if (vertical) {
+                bp = (int64_t)(y >> 2) * db.w4 + ((x - 1) >> 2);
+                bq = (int64_t)(y >> 2) * db.w4 + (x >> 2);
+            } else {
+                bp = (int64_t)((y - 1) >> 2) * db.w4 + (x >> 2);
+                bq = (int64_t)(y >> 2) * db.w4 + (x >> 2);
+            }
+            if (db.tu_id[bp] == db.tu_id[bq] && db.pu_id[bp] == db.pu_id[bq]
+                && db.cu_id[bp] == db.cu_id[bq])
+                continue;
+            int64_t cq = (int64_t)(y >> cl2) * db.wc + (x >> cl2);
+            // headers may be fewer than slice numbers (encoder deblocks
+            // before appending segment headers); all share one param set
+            // then — mirror the numpy path's clip
+            int sl = iclip(0, db.n_sl - 1, db.slice_idx[cq]);
+            if (db.sl_disabled[sl])
+                continue;
+            int64_t cp = vertical
+                ? (int64_t)(y >> cl2) * db.wc + ((x - 1) >> cl2)
+                : (int64_t)((y - 1) >> cl2) * db.wc + (x >> cl2);
+            if (cp != cq) {
+                if (db.slice_idx[cp] != db.slice_idx[cq]
+                    && !db.sl_across[sl])
+                    continue;
+                if (db.tile_id[cp] != db.tile_id[cq] && !db.across_tiles)
+                    continue;
+            }
+            int bs;
+            if (db.cu_pred_mode[bp] == 1 || db.cu_pred_mode[bq] == 1) {
+                bs = 2;
+            } else {
+                bs = 0;
+                if (db.tu_id[bp] != db.tu_id[bq]
+                    && (db.cbf_y[bp] || db.cbf_y[bq]))
+                    bs = 1;
+                if (bs == 0)
+                    bs = motion_bs(bp, bq);
+            }
+            if (bs == 0)
+                continue;
+            int qp_p = db.qp_y[bp], qp_q = db.qp_y[bq];
+            int qpl = (qp_p + qp_q + 1) >> 1;
+            int qb = iclip(0, 51, qpl + (db.sl_beta[sl] << 1));
+            int beta = db.beta_tab[qb] << (db.bd_y - 8);
+            int qt = iclip(0, 53, qpl + 2 * (bs - 1) + (db.sl_tc[sl] << 1));
+            int tc = db.tc_tab[qt] << (db.bd_y - 8);
+            if (tc || beta)
+                filter_luma_seg(db.ry, w, h, x, y, vertical, beta, tc,
+                                max_y);
+            if (bs == 2 && (e % 16 == 0)) {
+                const int offs[2] = {db.cb_off[sl], db.cr_off[sl]};
+                int16_t* planes[2] = {db.rcb, db.rcr};
+                for (int c = 0; c < 2; c++) {
+                    int qpi = ((qp_p + qp_q + 1) >> 1) + offs[c];
+                    int qpc = db.cqt[iclip(-db.qp_bd_c, 57, qpi)
+                                     + db.qp_bd_c];
+                    int qtc = iclip(0, 53, qpc + 2 + (db.sl_tc[sl] << 1));
+                    int tcc = db.tc_tab[qtc] << (db.bd_c - 8);
+                    if (tcc)
+                        filter_chroma_seg(planes[c], cw, chh, x >> 1, y >> 1,
+                                          vertical, tcc, max_c, 2);
+                }
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Deblock all three planes in place (vertical then horizontal edges).
+// ptrs: [ry, rcb, rcr, tu_id, pu_id, cu_id, cu_pred_mode, cbf_y, ref_idx,
+//        ref_poc, mv, qp_y, slice_idx, tile_id]
+// ip: same layout as tc_inter_recon. Per-slice arrays indexed by slice_idx.
+int tc_deblock(const int64_t* ptrs, const int32_t* ip,
+               const int32_t* beta_tab, const int32_t* tc_tab,
+               const int32_t* cqt, int32_t cqt_len,
+               const int32_t* sl_disabled, const int32_t* sl_beta,
+               const int32_t* sl_tc, const int32_t* sl_across,
+               const int32_t* cb_off, const int32_t* cr_off,
+               int32_t across_tiles, int32_t n_sl) {
+    db.n_sl = n_sl;
+    int k = 0;
+    db.ry = (int16_t*)ptrs[k++];
+    db.rcb = (int16_t*)ptrs[k++];
+    db.rcr = (int16_t*)ptrs[k++];
+    db.tu_id = (const int32_t*)ptrs[k++];
+    db.pu_id = (const int32_t*)ptrs[k++];
+    db.cu_id = (const int32_t*)ptrs[k++];
+    db.cu_pred_mode = (const uint8_t*)ptrs[k++];
+    db.cbf_y = (const uint8_t*)ptrs[k++];
+    db.ref_idx = (const int8_t*)ptrs[k++];
+    db.ref_poc = (const int32_t*)ptrs[k++];
+    db.mv = (const int16_t*)ptrs[k++];
+    db.qp_y = (const int8_t*)ptrs[k++];
+    db.slice_idx = (const int32_t*)ptrs[k++];
+    db.tile_id = (const int32_t*)ptrs[k++];
+    int j = 0;
+    db.pic_w = ip[j++];
+    db.pic_h = ip[j++];
+    db.w4 = ip[j++];
+    db.h4 = ip[j++];
+    db.wc = ip[j++];
+    db.hc = ip[j++];
+    db.ctb_log2 = ip[j++];
+    db.bd_y = ip[j++];
+    db.bd_c = ip[j++];
+    j++;  // qp_bd_y unused
+    db.qp_bd_c = ip[j++];
+    db.beta_tab = beta_tab;
+    db.tc_tab = tc_tab;
+    db.cqt = cqt;
+    (void)cqt_len;
+    db.sl_disabled = sl_disabled;
+    db.sl_beta = sl_beta;
+    db.sl_tc = sl_tc;
+    db.sl_across = sl_across;
+    db.cb_off = cb_off;
+    db.cr_off = cr_off;
+    db.across_tiles = across_tiles;
+    deblock_dir(true);
+    deblock_dir(false);
+    return 0;
+}
 
 // Reconstruct all inter CUs of a picture: MC + residual add.
 // ptrs: [ry, rcb, rcr, coeff_y, coeff_cb, coeff_cr, ts_y, ts_cb, ts_cr,
@@ -251,7 +549,8 @@ int tc_inter_recon(const int64_t* ptrs, const int32_t* ip,
                    const int32_t* cqt, int32_t cqt_len,
                    const int32_t* cb_off, const int32_t* cr_off,
                    const int32_t* cu_rec, int32_t n_cu,
-                   const int32_t* tu_rec) {
+                   const int32_t* tu_rec, int32_t n_sl) {
+    rc.n_sl = n_sl;
     int k = 0;
     rc.ry = (int16_t*)ptrs[k++];
     rc.rcb = (int16_t*)ptrs[k++];
@@ -359,8 +658,9 @@ int tc_inter_recon(const int64_t* ptrs, const int32_t* ip,
             int64_t b0 = (int64_t)(y0 >> 2) * rc.w4 + (x0 >> 2);
             int qp_raw = rc.qp_y[b0];
             int qp_full = qp_raw + rc.qp_bd_y;
-            int sl = rc.slice_idx[(int64_t)(y0 >> rc.ctb_log2) * rc.wc
-                                  + (x0 >> rc.ctb_log2)];
+            int sl = iclip(0, rc.n_sl - 1,
+                           rc.slice_idx[(int64_t)(y0 >> rc.ctb_log2) * rc.wc
+                                        + (x0 >> rc.ctb_log2)]);
             int qpi_cb = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cb_off[sl]);
             int qpi_cr = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cr_off[sl]);
             int qp_cb = rc.cqt[qpi_cb + rc.qp_bd_c] + rc.qp_bd_c;
@@ -419,7 +719,8 @@ int tc_intra_recon(const int64_t* ptrs, const int32_t* ip,
                    const int32_t* zscan32, int32_t strong,
                    const int32_t* cu_rec, int32_t n_cu,
                    const int32_t* tu_rec, int32_t start_cu,
-                   int64_t tu_base) {
+                   int64_t tu_base, int32_t n_sl) {
+    rc.n_sl = n_sl;
     int k = 0;
     rc.ry = (int16_t*)ptrs[k++];
     rc.rcb = (int16_t*)ptrs[k++];
@@ -469,8 +770,9 @@ int tc_intra_recon(const int64_t* ptrs, const int32_t* ip,
         int64_t b0 = (int64_t)(y0 >> 2) * rc.w4 + (x0 >> 2);
         int qp_raw = rc.qp_y[b0];
         int qp_full = qp_raw + rc.qp_bd_y;
-        int sl = rc.slice_idx[(int64_t)(y0 >> rc.ctb_log2) * rc.wc
-                              + (x0 >> rc.ctb_log2)];
+        int sl = iclip(0, rc.n_sl - 1,
+                       rc.slice_idx[(int64_t)(y0 >> rc.ctb_log2) * rc.wc
+                                    + (x0 >> rc.ctb_log2)]);
         int qpi_cb = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cb_off[sl]);
         int qpi_cr = iclip(-rc.qp_bd_c, 57, qp_raw + rc.cr_off[sl]);
         int qp_cb = rc.cqt[qpi_cb + rc.qp_bd_c] + rc.qp_bd_c;
