@@ -337,11 +337,15 @@ void tc_init_intra(const int32_t* m4, const int32_t* m8, const int32_t* m16,
     std::memcpy(g_inv_angle, inv_angles, 35 * 2);
 }
 
-// Reconstruct one intra TB in place. Returns 0 on success.
-int tc_intra_tu(int16_t* plane, int pw, int ph, const int32_t* zscan, int zw,
-                int x0, int y0, int n, int c_idx, int sub, int bit_depth,
-                int mode, int strong_smoothing, const int16_t* coeff_plane,
-                int cbf, int qp, int use_dst) {
+}  // extern "C"
+
+// Build (+substitute) the 2n top / 2n left reference samples and corner for
+// an intra TB at (x0, y0) in plane coordinates (spec 8.4.4.2.2). sub = 1
+// for luma, 2 for 4:2:0 chroma (availability in luma min-block units).
+void build_intra_refs(const int16_t* plane, int pw, int ph,
+                      const int32_t* zscan, int zw, int x0, int y0, int n,
+                      int sub, int bit_depth, int32_t* rt, int32_t* rl,
+                      int32_t* corner) {
     const int m = 4 * n + 1;
     int32_t vals[129];
     uint8_t ok[129];
@@ -381,53 +385,58 @@ int tc_intra_tu(int16_t* plane, int pw, int ph, const int32_t* zscan, int zw,
             if (!ok[i])
                 vals[i] = vals[i - 1];
     }
-    int32_t rl[64], rt[64];
     for (int i = 0; i < 2 * n; i++)
         rl[i] = vals[2 * n - 1 - i];
-    int32_t corner = vals[2 * n];
+    *corner = vals[2 * n];
     for (int i = 0; i < 2 * n; i++)
         rt[i] = vals[2 * n + 1 + i];
+}
 
-    // reference filtering (luma only, spec 8.4.4.2.3)
-    if (c_idx == 0 && n > 4 && mode != 1) {
-        int mind = mode == 0 ? 99
-                 : (abs(mode - 26) < abs(mode - 10) ? abs(mode - 26)
-                                                    : abs(mode - 10));
-        int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
-        if (mode == 0 || mind > thres) {
-            bool strong = false;
-            if (strong_smoothing && n == 32) {
-                int t1 = abs(corner + rt[2 * n - 1] - 2 * rt[n - 1]);
-                int t2 = abs(corner + rl[2 * n - 1] - 2 * rl[n - 1]);
-                strong = t1 < (1 << (bit_depth - 5))
-                      && t2 < (1 << (bit_depth - 5));
-            }
-            if (strong) {
-                int32_t t63 = rt[63], l63 = rl[63];
-                for (int i = 0; i < 63; i++) {
-                    rt[i] = ((63 - i) * corner + (i + 1) * t63 + 32) >> 6;
-                    rl[i] = ((63 - i) * corner + (i + 1) * l63 + 32) >> 6;
-                }
-            } else {
-                int32_t ft[64], fl[64];
-                ft[0] = (corner + 2 * rt[0] + rt[1] + 2) >> 2;
-                fl[0] = (corner + 2 * rl[0] + rl[1] + 2) >> 2;
-                for (int i = 1; i < 2 * n - 1; i++) {
-                    ft[i] = (rt[i - 1] + 2 * rt[i] + rt[i + 1] + 2) >> 2;
-                    fl[i] = (rl[i - 1] + 2 * rl[i] + rl[i + 1] + 2) >> 2;
-                }
-                ft[2 * n - 1] = rt[2 * n - 1];
-                fl[2 * n - 1] = rl[2 * n - 1];
-                int32_t fc = (rl[0] + 2 * corner + rt[0] + 2) >> 2;
-                std::memcpy(rt, ft, sizeof(int32_t) * 2 * n);
-                std::memcpy(rl, fl, sizeof(int32_t) * 2 * n);
-                corner = fc;
-            }
-        }
+// In-place reference filtering with per-mode gating (spec 8.4.4.2.3).
+void filter_intra_refs(int32_t* rt, int32_t* rl, int32_t* corner, int n,
+                       int mode, int strong_smoothing, int bit_depth) {
+    if (n <= 4 || mode == 1)
+        return;
+    int mind = mode == 0 ? 99
+             : (abs(mode - 26) < abs(mode - 10) ? abs(mode - 26)
+                                                : abs(mode - 10));
+    int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
+    if (!(mode == 0 || mind > thres))
+        return;
+    int32_t c = *corner;
+    bool strong = false;
+    if (strong_smoothing && n == 32) {
+        int t1 = abs(c + rt[2 * n - 1] - 2 * rt[n - 1]);
+        int t2 = abs(c + rl[2 * n - 1] - 2 * rl[n - 1]);
+        strong = t1 < (1 << (bit_depth - 5)) && t2 < (1 << (bit_depth - 5));
     }
+    if (strong) {
+        int32_t t63 = rt[63], l63 = rl[63];
+        for (int i = 0; i < 63; i++) {
+            rt[i] = ((63 - i) * c + (i + 1) * t63 + 32) >> 6;
+            rl[i] = ((63 - i) * c + (i + 1) * l63 + 32) >> 6;
+        }
+    } else {
+        int32_t ft[64], fl[64];
+        ft[0] = (c + 2 * rt[0] + rt[1] + 2) >> 2;
+        fl[0] = (c + 2 * rl[0] + rl[1] + 2) >> 2;
+        for (int i = 1; i < 2 * n - 1; i++) {
+            ft[i] = (rt[i - 1] + 2 * rt[i] + rt[i + 1] + 2) >> 2;
+            fl[i] = (rl[i - 1] + 2 * rl[i] + rl[i + 1] + 2) >> 2;
+        }
+        ft[2 * n - 1] = rt[2 * n - 1];
+        fl[2 * n - 1] = rl[2 * n - 1];
+        int32_t fc = (rl[0] + 2 * c + rt[0] + 2) >> 2;
+        std::memcpy(rt, ft, sizeof(int32_t) * 2 * n);
+        std::memcpy(rl, fl, sizeof(int32_t) * 2 * n);
+        *corner = fc;
+    }
+}
 
-    // prediction (spec 8.4.4.2.4-6)
-    static thread_local int32_t pred[32 * 32];
+// Intra prediction from prepared refs (spec 8.4.4.2.4-6).
+void intra_predict_core(int mode, const int32_t* rt, const int32_t* rl,
+                        int32_t corner, int n, int c_idx, int bit_depth,
+                        int disable_edge, int32_t* pred) {
     int max_val = (1 << bit_depth) - 1;
     int log2n = 0;
     while ((1 << log2n) < n)
@@ -448,7 +457,7 @@ int tc_intra_tu(int16_t* plane, int pw, int ph, const int32_t* zscan, int zw,
         int dc = (int)((s + n) >> (log2n + 1));
         for (int i = 0; i < n * n; i++)
             pred[i] = dc;
-        if (c_idx == 0 && n < 32) {
+        if (c_idx == 0 && n < 32 && !disable_edge) {
             for (int x = 0; x < n; x++)
                 pred[x] = (rt[x] + 3 * dc + 2) >> 2;
             for (int y = 0; y < n; y++)
@@ -485,18 +494,52 @@ int tc_intra_tu(int16_t* plane, int pw, int ph, const int32_t* zscan, int zw,
                     pred[j * n + (dpos - 1)] = v;     // x = dpos-1, y = j
             }
         }
-        if (mode == 26 && c_idx == 0 && n < 32) {
+        if (mode == 26 && c_idx == 0 && n < 32 && !disable_edge) {
             for (int y = 0; y < n; y++)
                 pred[y * n] = iclip(0, max_val,
                                     rt[0] + ((rl[y] - corner) >> 1));
-        } else if (mode == 10 && c_idx == 0 && n < 32) {
+        } else if (mode == 10 && c_idx == 0 && n < 32 && !disable_edge) {
             for (int x = 0; x < n; x++)
                 pred[x] = iclip(0, max_val,
                                 rl[0] + ((rt[x] - corner) >> 1));
         }
     }
+}
+
+// Dequant + IDCT added into pred (shared with the encoder core).
+void dequant_idct_add(const int16_t* coeff, int cstride, int n, int log2,
+                      int qp, int bit_depth, int use_dst, int32_t* pred) {
+    int bd_shift = bit_depth + log2 - 5;
+    long long ls = ((long long)g_level_scale[qp % 6] << (qp / 6)) * 16;
+    inverse_transform_add(coeff, cstride, ls, bd_shift, n,
+                          use_dst ? g_dct[0] : g_dct[log2], bit_depth, pred);
+}
+
+const int32_t* dct_matrix_for(int log2, int use_dst) {
+    return use_dst ? g_dct[0] : g_dct[log2];
+}
+
+extern "C" {
+
+// Reconstruct one intra TB in place. Returns 0 on success.
+int tc_intra_tu(int16_t* plane, int pw, int ph, const int32_t* zscan, int zw,
+                int x0, int y0, int n, int c_idx, int sub, int bit_depth,
+                int mode, int strong_smoothing, const int16_t* coeff_plane,
+                int cbf, int qp, int use_dst) {
+    int32_t rl[64], rt[64], corner;
+    build_intra_refs(plane, pw, ph, zscan, zw, x0, y0, n, sub, bit_depth,
+                     rt, rl, &corner);
+    if (c_idx == 0)
+        filter_intra_refs(rt, rl, &corner, n, mode, strong_smoothing,
+                          bit_depth);
+    static thread_local int32_t pred[32 * 32];
+    int max_val = (1 << bit_depth) - 1;
+    intra_predict_core(mode, rt, rl, corner, n, c_idx, bit_depth, 0, pred);
 
     if (cbf) {
+        int log2n = 0;
+        while ((1 << log2n) < n)
+            log2n++;
         int log2 = log2n;
         int bd_shift = bit_depth + log2 - 5;
         long long ls = ((long long)g_level_scale[qp % 6] << (qp / 6)) * 16;

@@ -191,4 +191,141 @@ extern "C" int tc_intra_tu(int16_t* plane, int pw, int ph,
                            int strong_smoothing, const int16_t* coeff_plane,
                            int cbf, int qp, int use_dst);
 
+// Intra building blocks (cabac_core.cpp), shared with the encoder core.
+// rt/rl are 2n refs; corner is p[-1][-1]. All spec 8.4.4.2.2-6.
+void build_intra_refs(const int16_t* plane, int pw, int ph,
+                      const int32_t* zscan, int zw, int x0, int y0, int n,
+                      int sub, int bit_depth, int32_t* rt, int32_t* rl,
+                      int32_t* corner);
+// In-place [1 2 1] / strong smoothing with the per-mode gating of
+// spec 8.4.4.2.3 (luma only; caller gates on c_idx).
+void filter_intra_refs(int32_t* rt, int32_t* rl, int32_t* corner, int n,
+                       int mode, int strong_smoothing, int bit_depth);
+// Prediction into pred[n*n]; disable_edge skips the DC/H/V edge filters
+// (used by the encoder's SATD ranking sweep).
+void intra_predict_core(int mode, const int32_t* rt, const int32_t* rl,
+                        int32_t corner, int n, int c_idx, int bit_depth,
+                        int disable_edge, int32_t* pred);
+
+// Exact CABAC fractional-bit rate of residual_coding (cabac_core.cpp),
+// mutating ctx like the writer. -1 on an all-zero block.
+extern "C" int64_t tc_residual_bits(uint8_t* ctx, int log2_size, int c_idx,
+                                    int scan_idx, int sdh,
+                                    const int16_t* blk);
+
+// Dequant + two-stage inverse transform, added into pred in place
+// (cabac_core.cpp; spec 8.6.3/8.6.4). coeff points at the TB's top-left in
+// a strided int16 plane; qp includes the bit-depth offset.
+void dequant_idct_add(const int16_t* coeff, int cstride, int n, int log2,
+                      int qp, int bit_depth, int use_dst, int32_t* pred);
+// The shared DCT/DST matrix store (row-major (n, n); installed by
+// tc_init_intra).
+const int32_t* dct_matrix_for(int log2, int use_dst);
+
+// ---- shared picture context: motion derivation + plan tensors -------------
+// Filled by tc_slice_setup (decode parse) or the encoder core; the motion
+// functions below (slice_parse.cpp) read neighbour motion straight from the
+// plan tensors (spec 8.5.3; decode/mvp.py oracle).
+
+// context-offset table order (mirrored in native/__init__.py _PARSE_ELEMS)
+enum {
+    E_SAO_MERGE, E_SAO_TYPE, E_SPLIT_CU, E_TQ_BYPASS, E_SKIP, E_PRED_MODE,
+    E_PART_MODE, E_PREV_INTRA, E_CHROMA_MODE, E_RQT_ROOT, E_MERGE_FLAG,
+    E_MERGE_IDX, E_INTER_DIR, E_REF_IDX, E_MVP_FLAG, E_MVD_G0, E_MVD_G1,
+    E_SPLIT_TT, E_CBF_LUMA, E_CBF_CHROMA, E_QP_DELTA, E_TS_LUMA, E_TS_CHROMA,
+    N_ELEMS
+};
+
+struct SP {
+    // geometry / SPS / PPS
+    int pic_w, pic_h, w4, h4, wc, hc;
+    int ctb_log2, min_cb_log2, max_tb_log2, min_tb_log2;
+    int mtd_intra, mtd_inter;
+    int amp_enabled;
+    int bit_depth_y, bit_depth_c, qp_bd_offset_y;
+    int cu_qp_delta_enabled, diff_cu_qp_delta_depth;
+    int tq_bypass_enabled, transform_skip_enabled, sdh_enabled;
+    int log2_pml;   // log2 parallel merge level
+    // slice header
+    int slice_qp_y, slice_number, is_i, is_b, max_merge;
+    int n_ref[2];
+    int mvd_l1_zero, tmvp_enabled, col_from_l0;
+    int sao_luma, sao_chroma;
+    int cur_poc, col_poc, no_backward, has_col;
+    // geometry tables
+    const int64_t* zscan;       // (h4, w4)
+    const int32_t* tile_id;     // (hc, wc)
+    int32_t* slice_idx;         // (hc, wc)
+    // plan tensors (all (h4, w4) unless noted)
+    uint8_t *ct_depth, *cu_pred_mode, *part_mode, *skip_flag, *tq_bypass,
+            *pcm_flag, *intra_mode_y, *intra_mode_c, *merge_flag, *merge_idx,
+            *mvp_flag, *ref_is_lt, *cu_size_log2, *tu_log2,
+            *cbf_y, *cbf_cb, *cbf_cr, *ts_y, *ts_cb, *ts_cr;
+    int8_t *qp_y;                // (h4, w4)
+    int8_t *ref_idx;             // (2, h4, w4)
+    int16_t *mv, *mvd;           // (2, h4, w4, 2)
+    int32_t *ref_poc;            // (2, h4, w4)
+    int32_t *pu_id, *cu_id, *tu_id;  // (h4, w4)
+    int16_t *coeff_y;            // (pic_h, pic_w)
+    int16_t *coeff_cb, *coeff_cr;    // (pic_h/2, pic_w/2)
+    uint8_t *sao_type, *sao_class;   // (hc, wc, 3)
+    int8_t *sao_offsets;             // (hc, wc, 3, 4)
+    // collocated picture plan (TMVP); null when unavailable
+    const uint8_t* col_pm;       // cu_pred_mode
+    const int8_t* col_ref_idx;   // (2, h4, w4)
+    const int16_t* col_mv;       // (2, h4, w4, 2)
+    const int32_t* col_ref_poc;  // (2, h4, w4)
+    const uint8_t* col_ref_lt;   // (2, h4, w4)
+    // reference lists
+    int32_t ref_pocs[2][16];
+    uint8_t ref_lt[2][16];
+    // context offsets
+    int32_t off[N_ELEMS];
+};
+
+extern SP g_sp;
+
+inline int clip3i(int lo, int hi, int v) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+inline int64_t idx4(int x0, int y0) {
+    return (int64_t)(y0 >> 2) * g_sp.w4 + (x0 >> 2);
+}
+
+inline int64_t idx4l(int l, int x0, int y0) {
+    return (int64_t)l * g_sp.h4 * g_sp.w4 + (int64_t)(y0 >> 2) * g_sp.w4
+         + (x0 >> 2);
+}
+
+struct Cand {
+    int pf0, pf1;
+    int mv00, mv01, mv10, mv11;  // mv[list][comp]
+    int r0, r1;
+
+    bool equal(const Cand& o) const {
+        return pf0 == o.pf0 && pf1 == o.pf1 && mv00 == o.mv00
+            && mv01 == o.mv01 && mv10 == o.mv10 && mv11 == o.mv11
+            && r0 == o.r0 && r1 == o.r1;
+    }
+    int mvx(int l) const { return l ? mv10 : mv00; }
+    int mvy(int l) const { return l ? mv11 : mv01; }
+    int ref(int l) const { return l ? r1 : r0; }
+    int pf(int l) const { return l ? pf1 : pf0; }
+};
+
+// z-scan / slice / tile availability (spec 6.4.1)
+bool sp_available(int x_cur, int y_cur, int x_nb, int y_nb);
+// neighbour motion with the same-CB rule; cb = {x_cb, y_cb, n_cbs, n_pbw,
+// n_pbh, part_idx} or null
+bool sp_nb_motion(int x_cur, int y_cur, int x_nb, int y_nb, const int* cb,
+                  Cand* out);
+// merge candidate list up to `need` entries (spec 8.5.3.1.2)
+int sp_merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
+                        int w, int h, int part_idx, int part_mode, int need,
+                        Cand* cands);
+// two AMVP predictors for (lx, ref_idx) (spec 8.5.3.1.5/6)
+void sp_amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
+             const int* cb, int out[2][2]);
+
 #endif  // TC_NATIVE_CORE_H

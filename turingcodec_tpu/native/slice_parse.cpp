@@ -20,16 +20,9 @@
 
 #include "core.h"
 
-namespace {
+SP g_sp;
 
-// ---- context-offset table (order fixed; mirrored in native/__init__.py) --
-enum {
-    E_SAO_MERGE, E_SAO_TYPE, E_SPLIT_CU, E_TQ_BYPASS, E_SKIP, E_PRED_MODE,
-    E_PART_MODE, E_PREV_INTRA, E_CHROMA_MODE, E_RQT_ROOT, E_MERGE_FLAG,
-    E_MERGE_IDX, E_INTER_DIR, E_REF_IDX, E_MVP_FLAG, E_MVD_G0, E_MVD_G1,
-    E_SPLIT_TT, E_CBF_LUMA, E_CBF_CHROMA, E_QP_DELTA, E_TS_LUMA, E_TS_CHROMA,
-    N_ELEMS
-};
+namespace {
 
 // partition modes (hevc/types.py:108-115)
 enum {
@@ -37,54 +30,7 @@ enum {
     P_2NxnU = 4, P_2NxnD = 5, P_nLx2N = 6, P_nRx2N = 7
 };
 
-struct SP {
-    // geometry / SPS / PPS
-    int pic_w, pic_h, w4, h4, wc, hc;
-    int ctb_log2, min_cb_log2, max_tb_log2, min_tb_log2;
-    int mtd_intra, mtd_inter;
-    int amp_enabled;
-    int bit_depth_y, bit_depth_c, qp_bd_offset_y;
-    int cu_qp_delta_enabled, diff_cu_qp_delta_depth;
-    int tq_bypass_enabled, transform_skip_enabled, sdh_enabled;
-    int log2_pml;   // log2 parallel merge level
-    // slice header
-    int slice_qp_y, slice_number, is_i, is_b, max_merge;
-    int n_ref[2];
-    int mvd_l1_zero, tmvp_enabled, col_from_l0;
-    int sao_luma, sao_chroma;
-    int cur_poc, col_poc, no_backward, has_col;
-    // geometry tables
-    const int64_t* zscan;       // (h4, w4)
-    const int32_t* tile_id;     // (hc, wc)
-    int32_t* slice_idx;         // (hc, wc)
-    // plan tensors (all (h4, w4) unless noted)
-    uint8_t *ct_depth, *cu_pred_mode, *part_mode, *skip_flag, *tq_bypass,
-            *pcm_flag, *intra_mode_y, *intra_mode_c, *merge_flag, *merge_idx,
-            *mvp_flag, *ref_is_lt, *cu_size_log2, *tu_log2,
-            *cbf_y, *cbf_cb, *cbf_cr, *ts_y, *ts_cb, *ts_cr;
-    int8_t *qp_y;                // (h4, w4)
-    int8_t *ref_idx;             // (2, h4, w4)
-    int16_t *mv, *mvd;           // (2, h4, w4, 2)
-    int32_t *ref_poc;            // (2, h4, w4)
-    int32_t *pu_id, *cu_id, *tu_id;  // (h4, w4)
-    int16_t *coeff_y;            // (pic_h, pic_w)
-    int16_t *coeff_cb, *coeff_cr;    // (pic_h/2, pic_w/2)
-    uint8_t *sao_type, *sao_class;   // (hc, wc, 3)
-    int8_t *sao_offsets;             // (hc, wc, 3, 4)
-    // collocated picture plan (TMVP); null when unavailable
-    const uint8_t* col_pm;       // cu_pred_mode
-    const int8_t* col_ref_idx;   // (2, h4, w4)
-    const int16_t* col_mv;       // (2, h4, w4, 2)
-    const int32_t* col_ref_poc;  // (2, h4, w4)
-    const uint8_t* col_ref_lt;   // (2, h4, w4)
-    // reference lists
-    int32_t ref_pocs[2][16];
-    uint8_t ref_lt[2][16];
-    // context offsets
-    int32_t off[N_ELEMS];
-};
-
-SP g;
+// SP / Cand / motion helpers shared via core.h
 
 // transient per-CU info
 struct CU {
@@ -112,7 +58,7 @@ struct PS {
 };
 
 inline int dec_d(PS& ps, int elem, int inc) {
-    return ps.e.decode_decision(ps.ctx, g.off[elem] + inc);
+    return ps.e.decode_decision(ps.ctx, g_sp.off[elem] + inc);
 }
 
 // ---- plan fills -----------------------------------------------------------
@@ -120,7 +66,7 @@ template <typename T>
 inline void fill4(T* base, int x0, int y0, int size, T v) {
     int bx = x0 >> 2, by = y0 >> 2, n = size >> 2;
     for (int y = 0; y < n; y++) {
-        T* row = base + (int64_t)(by + y) * g.w4 + bx;
+        T* row = base + (int64_t)(by + y) * g_sp.w4 + bx;
         for (int x = 0; x < n; x++)
             row[x] = v;
     }
@@ -130,74 +76,70 @@ template <typename T>
 inline void fill4wh(T* base, int x0, int y0, int w, int h, T v) {
     int bx = x0 >> 2, by = y0 >> 2, nw = w >> 2, nh = h >> 2;
     for (int y = 0; y < nh; y++) {
-        T* row = base + (int64_t)(by + y) * g.w4 + bx;
+        T* row = base + (int64_t)(by + y) * g_sp.w4 + bx;
         for (int x = 0; x < nw; x++)
             row[x] = v;
     }
 }
 
-inline int64_t idx4(int x0, int y0) {
-    return (int64_t)(y0 >> 2) * g.w4 + (x0 >> 2);
-}
-
-inline int64_t idx4l(int l, int x0, int y0) {
-    return (int64_t)l * g.h4 * g.w4 + (int64_t)(y0 >> 2) * g.w4 + (x0 >> 2);
-}
+}  // namespace
 
 // ---- availability (spec 6.4.1; geometry.py:80-106) ------------------------
-bool available(int x_cur, int y_cur, int x_nb, int y_nb) {
-    if (x_nb < 0 || y_nb < 0 || x_nb >= g.pic_w || y_nb >= g.pic_h)
+bool sp_available(int x_cur, int y_cur, int x_nb, int y_nb) {
+    if (x_nb < 0 || y_nb < 0 || x_nb >= g_sp.pic_w || y_nb >= g_sp.pic_h)
         return false;
-    if (g.zscan[(int64_t)(y_nb >> 2) * g.w4 + (x_nb >> 2)] >
-        g.zscan[(int64_t)(y_cur >> 2) * g.w4 + (x_cur >> 2)])
+    if (g_sp.zscan[(int64_t)(y_nb >> 2) * g_sp.w4 + (x_nb >> 2)] >
+        g_sp.zscan[(int64_t)(y_cur >> 2) * g_sp.w4 + (x_cur >> 2)])
         return false;
-    int cc = (y_cur >> g.ctb_log2) * g.wc + (x_cur >> g.ctb_log2);
-    int nc = (y_nb >> g.ctb_log2) * g.wc + (x_nb >> g.ctb_log2);
-    if (g.slice_idx[cc] != g.slice_idx[nc])
+    int cc = (y_cur >> g_sp.ctb_log2) * g_sp.wc + (x_cur >> g_sp.ctb_log2);
+    int nc = (y_nb >> g_sp.ctb_log2) * g_sp.wc + (x_nb >> g_sp.ctb_log2);
+    if (g_sp.slice_idx[cc] != g_sp.slice_idx[nc])
         return false;
-    if (g.tile_id[cc] != g.tile_id[nc])
+    if (g_sp.tile_id[cc] != g_sp.tile_id[nc])
         return false;
     return true;
 }
 
+namespace {
+
 // ---- SAO (spec 7.3.8.3; ctu_parse.parse_sao) -------------------------------
 void parse_sao(PS& ps, int rx, int ry) {
     int merge_left = 0, merge_up = 0;
-    int64_t cur = (int64_t)ry * g.wc + rx;
+    int64_t cur = (int64_t)ry * g_sp.wc + rx;
     if (rx > 0) {
-        bool same_tile = g.tile_id[cur] == g.tile_id[cur - 1];
-        if (g.slice_idx[cur - 1] == g.slice_number && same_tile)
+        bool same_tile = g_sp.tile_id[cur] == g_sp.tile_id[cur - 1];
+        if (g_sp.slice_idx[cur - 1] == g_sp.slice_number && same_tile)
             merge_left = dec_d(ps, E_SAO_MERGE, 0);
     }
     if (!merge_left && ry > 0) {
-        bool same_tile = g.tile_id[cur] == g.tile_id[cur - g.wc];
-        if (g.slice_idx[cur - g.wc] == g.slice_number && same_tile)
+        bool same_tile = g_sp.tile_id[cur] == g_sp.tile_id[cur - g_sp.wc];
+        if (g_sp.slice_idx[cur - g_sp.wc] == g_sp.slice_number && same_tile)
             merge_up = dec_d(ps, E_SAO_MERGE, 0);
     }
     if (merge_left || merge_up) {
-        int64_t src = merge_left ? cur - 1 : cur - g.wc;
-        std::memcpy(g.sao_type + cur * 3, g.sao_type + src * 3, 3);
-        std::memcpy(g.sao_class + cur * 3, g.sao_class + src * 3, 3);
-        std::memcpy(g.sao_offsets + cur * 12, g.sao_offsets + src * 12, 12);
+        int64_t src = merge_left ? cur - 1 : cur - g_sp.wc;
+        std::memcpy(g_sp.sao_type + cur * 3, g_sp.sao_type + src * 3, 3);
+        std::memcpy(g_sp.sao_class + cur * 3, g_sp.sao_class + src * 3, 3);
+        std::memcpy(g_sp.sao_offsets + cur * 12, g_sp.sao_offsets + src * 12, 12);
         return;
     }
     for (int c_idx = 0; c_idx < 3; c_idx++) {
-        if (c_idx == 0 && !g.sao_luma)
+        if (c_idx == 0 && !g_sp.sao_luma)
             continue;
-        if (c_idx > 0 && !g.sao_chroma)
+        if (c_idx > 0 && !g_sp.sao_chroma)
             continue;
         if (c_idx <= 1) {
             int t = 0;
             if (dec_d(ps, E_SAO_TYPE, 0))
                 t = ps.e.decode_bypass() ? 2 : 1;
-            g.sao_type[cur * 3 + c_idx] = (uint8_t)t;
+            g_sp.sao_type[cur * 3 + c_idx] = (uint8_t)t;
             if (c_idx == 1)
-                g.sao_type[cur * 3 + 2] = (uint8_t)t;
+                g_sp.sao_type[cur * 3 + 2] = (uint8_t)t;
         }
-        int t = g.sao_type[cur * 3 + c_idx];
+        int t = g_sp.sao_type[cur * 3 + c_idx];
         if (t == 0)
             continue;
-        int bd = c_idx == 0 ? g.bit_depth_y : g.bit_depth_c;
+        int bd = c_idx == 0 ? g_sp.bit_depth_y : g_sp.bit_depth_c;
         int c_max = (1 << ((bd < 10 ? bd : 10) - 5)) - 1;
         int offs[4];
         for (int i = 0; i < 4; i++) {
@@ -210,69 +152,52 @@ void parse_sao(PS& ps, int rx, int ry) {
             for (int i = 0; i < 4; i++)
                 if (offs[i] && ps.e.decode_bypass())
                     offs[i] = -offs[i];
-            g.sao_class[cur * 3 + c_idx] =
+            g_sp.sao_class[cur * 3 + c_idx] =
                 (uint8_t)ps.e.decode_bypass_bits(5);
         } else {  // edge
             offs[2] = -offs[2];
             offs[3] = -offs[3];
             if (c_idx <= 1) {
                 int eo = (int)ps.e.decode_bypass_bits(2);
-                g.sao_class[cur * 3 + c_idx] = (uint8_t)eo;
+                g_sp.sao_class[cur * 3 + c_idx] = (uint8_t)eo;
                 if (c_idx == 1)
-                    g.sao_class[cur * 3 + 2] = (uint8_t)eo;
+                    g_sp.sao_class[cur * 3 + 2] = (uint8_t)eo;
             }
         }
         for (int i = 0; i < 4; i++)
-            g.sao_offsets[cur * 12 + c_idx * 4 + i] = (int8_t)offs[i];
+            g_sp.sao_offsets[cur * 12 + c_idx * 4 + i] = (int8_t)offs[i];
     }
 }
 
 // ---- QP derivation (spec 8.6.1; ctu_parse._derive_qp) ----------------------
 int derive_qp(PS& ps, int x0, int y0) {
-    if (!g.cu_qp_delta_enabled)
-        return g.slice_qp_y;
-    int log2_min_qg = g.ctb_log2 - g.diff_cu_qp_delta_depth;
+    if (!g_sp.cu_qp_delta_enabled)
+        return g_sp.slice_qp_y;
+    int log2_min_qg = g_sp.ctb_log2 - g_sp.diff_cu_qp_delta_depth;
     int mask = ~((1 << log2_min_qg) - 1);
     int x_qg = x0 & mask, y_qg = y0 & mask;
-    int ctb_mask = ~((1 << g.ctb_log2) - 1);
+    int ctb_mask = ~((1 << g_sp.ctb_log2) - 1);
     int prev = ps.qp_y_pred;
     int a = prev, b = prev;
     // left neighbour
-    if (available(x_qg, y_qg, x_qg - 1, y_qg)
+    if (sp_available(x_qg, y_qg, x_qg - 1, y_qg)
         && ((x_qg - 1) & ctb_mask) == (x_qg & ctb_mask)
         && (y_qg & ctb_mask) == (y_qg & ctb_mask))
-        a = g.qp_y[idx4(x_qg - 1, y_qg)];
-    if (available(x_qg, y_qg, x_qg, y_qg - 1)
+        a = g_sp.qp_y[idx4(x_qg - 1, y_qg)];
+    if (sp_available(x_qg, y_qg, x_qg, y_qg - 1)
         && (x_qg & ctb_mask) == (x_qg & ctb_mask)
         && ((y_qg - 1) & ctb_mask) == (y_qg & ctb_mask))
-        b = g.qp_y[idx4(x_qg, y_qg - 1)];
+        b = g_sp.qp_y[idx4(x_qg, y_qg - 1)];
     int qp_pred = (a + b + 1) >> 1;
-    int m = 52 + g.qp_bd_offset_y;
-    int qp = ((qp_pred + ps.qp_delta + 52 + 2 * g.qp_bd_offset_y) % m)
-             - g.qp_bd_offset_y;
+    int m = 52 + g_sp.qp_bd_offset_y;
+    int qp = ((qp_pred + ps.qp_delta + 52 + 2 * g_sp.qp_bd_offset_y) % m)
+             - g_sp.qp_bd_offset_y;
     return qp;
 }
 
+}  // namespace
+
 // ---- motion candidates (spec 8.5.3; decode/mvp.py) -------------------------
-struct Cand {
-    int pf0, pf1;
-    int mv00, mv01, mv10, mv11;  // mv[list][comp]
-    int r0, r1;
-
-    bool equal(const Cand& o) const {
-        return pf0 == o.pf0 && pf1 == o.pf1 && mv00 == o.mv00
-            && mv01 == o.mv01 && mv10 == o.mv10 && mv11 == o.mv11
-            && r0 == o.r0 && r1 == o.r1;
-    }
-    int mvx(int l) const { return l ? mv10 : mv00; }
-    int mvy(int l) const { return l ? mv11 : mv01; }
-    int ref(int l) const { return l ? r1 : r0; }
-    int pf(int l) const { return l ? pf1 : pf0; }
-};
-
-inline int clip3i(int lo, int hi, int v) {
-    return v < lo ? lo : (v > hi ? hi : v);
-}
 
 // spec 8.5.3.1.8 MV scaling
 void mv_scale(int mx, int my, int tb, int td, int* ox, int* oy) {
@@ -295,7 +220,7 @@ void mv_scale(int mx, int my, int tb, int td, int* ox, int* oy) {
 
 // neighbour motion per prediction-block availability (mvp._nb_motion).
 // cb = {x_cb, y_cb, n_cbs, n_pbw, n_pbh, part_idx} or null.
-bool nb_motion(int x_cur, int y_cur, int x_nb, int y_nb, const int* cb,
+bool sp_nb_motion(int x_cur, int y_cur, int x_nb, int y_nb, const int* cb,
                Cand* out) {
     bool same_cb = false;
     if (cb) {
@@ -306,20 +231,20 @@ bool nb_motion(int x_cur, int y_cur, int x_nb, int y_nb, const int* cb,
         if ((cb[3] << 1) == cb[2] && (cb[4] << 1) == cb[2] && cb[5] == 1
             && (cb[1] + cb[4] <= y_nb || cb[0] + cb[3] <= x_nb))
             return false;
-    } else if (!available(x_cur, y_cur, x_nb, y_nb)) {
+    } else if (!sp_available(x_cur, y_cur, x_nb, y_nb)) {
         return false;
     }
     int64_t b = idx4(x_nb, y_nb);
-    if (g.cu_pred_mode[b] == 1)
+    if (g_sp.cu_pred_mode[b] == 1)
         return false;
-    int r0 = g.ref_idx[b];
-    int r1 = g.ref_idx[(int64_t)g.h4 * g.w4 + b];
+    int r0 = g_sp.ref_idx[b];
+    int r1 = g_sp.ref_idx[(int64_t)g_sp.h4 * g_sp.w4 + b];
     out->pf0 = r0 >= 0;
     out->pf1 = r1 >= 0;
-    out->mv00 = g.mv[b * 2];
-    out->mv01 = g.mv[b * 2 + 1];
-    out->mv10 = g.mv[((int64_t)g.h4 * g.w4 + b) * 2];
-    out->mv11 = g.mv[((int64_t)g.h4 * g.w4 + b) * 2 + 1];
+    out->mv00 = g_sp.mv[b * 2];
+    out->mv01 = g_sp.mv[b * 2 + 1];
+    out->mv10 = g_sp.mv[((int64_t)g_sp.h4 * g_sp.w4 + b) * 2];
+    out->mv11 = g_sp.mv[((int64_t)g_sp.h4 * g_sp.w4 + b) * 2 + 1];
     out->r0 = r0;
     out->r1 = r1;
     return true;
@@ -327,18 +252,18 @@ bool nb_motion(int x_cur, int y_cur, int x_nb, int y_nb, const int* cb,
 
 // spec 8.5.3.1.8 collocated MV (mvp._col_mv). Returns found flag.
 bool col_mv(int x_col, int y_col, int tl, int tref, int* ox, int* oy) {
-    if (!g.has_col)
+    if (!g_sp.has_col)
         return false;
     // 16x16-aligned collocated block, in 4x4-block units
     int bx = (x_col >> 4) << 2, by = (y_col >> 4) << 2;
-    if (by >= g.h4 || bx >= g.w4)
+    if (by >= g_sp.h4 || bx >= g_sp.w4)
         return false;
-    int64_t b = (int64_t)by * g.w4 + bx;
-    if (g.col_pm[b] == 1)
+    int64_t b = (int64_t)by * g_sp.w4 + bx;
+    if (g_sp.col_pm[b] == 1)
         return false;
-    int64_t plane = (int64_t)g.h4 * g.w4;
-    bool f0 = g.col_ref_idx[b] >= 0;
-    bool f1 = g.col_ref_idx[plane + b] >= 0;
+    int64_t plane = (int64_t)g_sp.h4 * g_sp.w4;
+    bool f0 = g_sp.col_ref_idx[b] >= 0;
+    bool f1 = g_sp.col_ref_idx[plane + b] >= 0;
     if (!f0 && !f1)
         return false;
     int n;
@@ -346,19 +271,19 @@ bool col_mv(int x_col, int y_col, int tl, int tref, int* ox, int* oy) {
         n = 1;
     else if (!f1)
         n = 0;
-    else if (g.no_backward)
+    else if (g_sp.no_backward)
         n = tl;
     else
-        n = g.col_from_l0;
-    int mx = g.col_mv[(n * plane + b) * 2];
-    int my = g.col_mv[(n * plane + b) * 2 + 1];
-    int col_ref_poc = g.col_ref_poc[n * plane + b];
-    bool col_lt = g.col_ref_lt[n * plane + b] != 0;
-    bool target_lt = g.ref_lt[tl][tref] != 0;
+        n = g_sp.col_from_l0;
+    int mx = g_sp.col_mv[(n * plane + b) * 2];
+    int my = g_sp.col_mv[(n * plane + b) * 2 + 1];
+    int col_ref_poc = g_sp.col_ref_poc[n * plane + b];
+    bool col_lt = g_sp.col_ref_lt[n * plane + b] != 0;
+    bool target_lt = g_sp.ref_lt[tl][tref] != 0;
     if (col_lt != target_lt)
         return false;
-    int curr_diff = g.cur_poc - g.ref_pocs[tl][tref];
-    int col_diff = g.col_poc - col_ref_poc;
+    int curr_diff = g_sp.cur_poc - g_sp.ref_pocs[tl][tref];
+    int col_diff = g_sp.col_poc - col_ref_poc;
     if (target_lt || col_diff == curr_diff || col_diff == 0) {
         *ox = mx;
         *oy = my;
@@ -371,11 +296,11 @@ bool col_mv(int x_col, int y_col, int tl, int tref, int* ox, int* oy) {
 // spec 8.5.3.1.7 temporal candidate (mvp._tmvp)
 bool tmvp(int x_pb, int y_pb, int w, int h, int tl, int tref,
           int* ox, int* oy) {
-    if (!g.tmvp_enabled || !g.has_col)
+    if (!g_sp.tmvp_enabled || !g_sp.has_col)
         return false;
     int x_br = x_pb + w, y_br = y_pb + h;
-    if ((y_pb >> g.ctb_log2) == (y_br >> g.ctb_log2)
-        && y_br < g.pic_h && x_br < g.pic_w) {
+    if ((y_pb >> g_sp.ctb_log2) == (y_br >> g_sp.ctb_log2)
+        && y_br < g_sp.pic_h && x_br < g_sp.pic_w) {
         if (col_mv(x_br, y_br, tl, tref, ox, oy))
             return true;
     }
@@ -384,10 +309,10 @@ bool tmvp(int x_pb, int y_pb, int w, int h, int tl, int tref,
 
 // merge candidate list (spec 8.5.3.1.2; mvp.merge_candidates). Fills cands
 // up to `need` entries, returns count (always == need).
-int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
+int sp_merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
                      int w, int h, int part_idx, int part_mode, int need,
                      Cand* cands) {
-    if (g.log2_pml > 2 && cb_size == 8) {
+    if (g_sp.log2_pml > 2 && cb_size == 8) {
         x_pb = x_cb;
         y_pb = y_cb;
         w = h = cb_size;
@@ -397,8 +322,8 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
     int cb[6] = {x_cb, y_cb, cb_size, w, h, part_idx};
 
     auto region_excl = [&](int xn, int yn) {
-        return ((x_pb >> g.log2_pml) == (xn >> g.log2_pml))
-            && ((y_pb >> g.log2_pml) == (yn >> g.log2_pml));
+        return ((x_pb >> g_sp.log2_pml) == (xn >> g_sp.log2_pml))
+            && ((y_pb >> g_sp.log2_pml) == (yn >> g_sp.log2_pml));
     };
 
     Cand a1, b1, b0, a0, b2;
@@ -408,7 +333,7 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
     bool excl = part_idx == 1 && (part_mode == P_Nx2N || part_mode == P_nLx2N
                                   || part_mode == P_nRx2N);
     if (!excl && !region_excl(x_pb - 1, y_pb + h - 1))
-        has_a1 = nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h - 1, cb, &a1);
+        has_a1 = sp_nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h - 1, cb, &a1);
     if (has_a1) {
         cands[n++] = a1;
         if (n >= need)
@@ -418,7 +343,7 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
     excl = part_idx == 1 && (part_mode == P_2NxN || part_mode == P_2NxnU
                              || part_mode == P_2NxnD);
     if (!excl && !region_excl(x_pb + w - 1, y_pb - 1))
-        has_b1 = nb_motion(x_pb, y_pb, x_pb + w - 1, y_pb - 1, cb, &b1);
+        has_b1 = sp_nb_motion(x_pb, y_pb, x_pb + w - 1, y_pb - 1, cb, &b1);
     if (has_b1 && !(has_a1 && b1.equal(a1))) {
         cands[n++] = b1;
         if (n >= need)
@@ -426,7 +351,7 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
     }
     // B0
     if (!region_excl(x_pb + w, y_pb - 1)
-        && nb_motion(x_pb, y_pb, x_pb + w, y_pb - 1, cb, &b0)
+        && sp_nb_motion(x_pb, y_pb, x_pb + w, y_pb - 1, cb, &b0)
         && !(has_b1 && b0.equal(b1))) {
         cands[n++] = b0;
         if (n >= need)
@@ -434,7 +359,7 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
     }
     // A0
     if (!region_excl(x_pb - 1, y_pb + h)
-        && nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h, cb, &a0)
+        && sp_nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h, cb, &a0)
         && !(has_a1 && a0.equal(a1))) {
         cands[n++] = a0;
         if (n >= need)
@@ -443,7 +368,7 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
     // B2 (only if fewer than 4 spatial so far)
     if (n < 4) {
         if (!region_excl(x_pb - 1, y_pb - 1)
-            && nb_motion(x_pb, y_pb, x_pb - 1, y_pb - 1, cb, &b2)
+            && sp_nb_motion(x_pb, y_pb, x_pb - 1, y_pb - 1, cb, &b2)
             && !(has_a1 && b2.equal(a1)) && !(has_b1 && b2.equal(b1))) {
             cands[n++] = b2;
             if (n >= need)
@@ -454,7 +379,7 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
     if (n < need) {
         int m0x, m0y, m1x, m1y;
         bool f0 = tmvp(x_pb, y_pb, w, h, 0, 0, &m0x, &m0y);
-        bool f1 = g.is_b ? tmvp(x_pb, y_pb, w, h, 1, 0, &m1x, &m1y) : false;
+        bool f1 = g_sp.is_b ? tmvp(x_pb, y_pb, w, h, 1, 0, &m1x, &m1y) : false;
         if (f0 || f1) {
             Cand t;
             t.pf0 = f0;
@@ -469,7 +394,7 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
         }
     }
     // combined bi-predictive
-    if (g.is_b && n > 1 && n < need) {
+    if (g_sp.is_b && n > 1 && n < need) {
         static const int comb[12][2] = {
             {0, 1}, {1, 0}, {0, 2}, {2, 0}, {1, 2}, {2, 1},
             {0, 3}, {3, 0}, {1, 3}, {3, 1}, {2, 3}, {3, 2}};
@@ -483,8 +408,8 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
             const Cand &c0 = cands[k], &c1 = cands[l];
             if (!(c0.pf0 && c1.pf1))
                 continue;
-            int poc0 = g.ref_pocs[0][c0.r0];
-            int poc1 = g.ref_pocs[1][c1.r1];
+            int poc0 = g_sp.ref_pocs[0][c0.r0];
+            int poc1 = g_sp.ref_pocs[1][c1.r1];
             if (poc0 == poc1 && c0.mv00 == c1.mv10 && c0.mv01 == c1.mv11)
                 continue;
             Cand t;
@@ -500,14 +425,14 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
         }
     }
     // zero candidates
-    int num_ref = g.is_b ? (g.n_ref[0] < g.n_ref[1] ? g.n_ref[0] : g.n_ref[1])
-                         : g.n_ref[0];
+    int num_ref = g_sp.is_b ? (g_sp.n_ref[0] < g_sp.n_ref[1] ? g_sp.n_ref[0] : g_sp.n_ref[1])
+                         : g_sp.n_ref[0];
     int zero_idx = 0;
     while (n < need) {
         int r = zero_idx < num_ref ? zero_idx : 0;
         Cand t;
         t.mv00 = t.mv01 = t.mv10 = t.mv11 = 0;
-        if (g.is_b) {
+        if (g_sp.is_b) {
             t.pf0 = t.pf1 = 1;
             t.r0 = t.r1 = r;
         } else {
@@ -523,10 +448,10 @@ int merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
 }
 
 // AMVP (spec 8.5.3.1.5/6; mvp.amvp): two predictors for (lx, ref_idx)
-void amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
+void sp_amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
           const int* cb, int out[2][2]) {
-    int target_poc = g.ref_pocs[lx][ref_idx];
-    bool target_lt = g.ref_lt[lx][ref_idx] != 0;
+    int target_poc = g_sp.ref_pocs[lx][ref_idx];
+    bool target_lt = g_sp.ref_lt[lx][ref_idx] != 0;
 
     // pass 1: same reference picture
     auto try_same = [&](const Cand* m, int* ox, int* oy) -> bool {
@@ -536,8 +461,8 @@ void amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
             int l = i == 0 ? lx : 1 - lx;
             if (m->pf(l)) {
                 int r = m->ref(l);
-                if (r < g.n_ref[l] && g.ref_pocs[l][r] == target_poc
-                    && (g.ref_lt[l][r] != 0) == target_lt) {
+                if (r < g_sp.n_ref[l] && g_sp.ref_pocs[l][r] == target_poc
+                    && (g_sp.ref_lt[l][r] != 0) == target_lt) {
                     *ox = m->mvx(l);
                     *oy = m->mvy(l);
                     return true;
@@ -554,19 +479,19 @@ void amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
             int l = i == 0 ? lx : 1 - lx;
             if (m->pf(l)) {
                 int r = m->ref(l);
-                if (r >= g.n_ref[l])
+                if (r >= g_sp.n_ref[l])
                     continue;
-                bool nb_lt = g.ref_lt[l][r] != 0;
+                bool nb_lt = g_sp.ref_lt[l][r] != 0;
                 if (nb_lt != target_lt)
                     continue;
-                int nb_poc = g.ref_pocs[l][r];
+                int nb_poc = g_sp.ref_pocs[l][r];
                 if (target_lt) {
                     *ox = m->mvx(l);
                     *oy = m->mvy(l);
                     return true;
                 }
-                int tb = g.cur_poc - target_poc;
-                int td = g.cur_poc - nb_poc;
+                int tb = g_sp.cur_poc - target_poc;
+                int td = g_sp.cur_poc - nb_poc;
                 if (td == tb || td == 0) {
                     *ox = m->mvx(l);
                     *oy = m->mvy(l);
@@ -581,8 +506,8 @@ void amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
 
     Cand a0c, a1c, b0c, b1c, b2c;
     const Cand* a0 =
-        nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h, cb, &a0c) ? &a0c : nullptr;
-    const Cand* a1 = nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h - 1, cb, &a1c)
+        sp_nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h, cb, &a0c) ? &a0c : nullptr;
+    const Cand* a1 = sp_nb_motion(x_pb, y_pb, x_pb - 1, y_pb + h - 1, cb, &a1c)
                          ? &a1c : nullptr;
     bool avail_a_any = a0 || a1;
     int ax = 0, ay = 0;
@@ -603,11 +528,11 @@ void amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
     }
 
     const Cand* b0 =
-        nb_motion(x_pb, y_pb, x_pb + w, y_pb - 1, cb, &b0c) ? &b0c : nullptr;
-    const Cand* b1 = nb_motion(x_pb, y_pb, x_pb + w - 1, y_pb - 1, cb, &b1c)
+        sp_nb_motion(x_pb, y_pb, x_pb + w, y_pb - 1, cb, &b0c) ? &b0c : nullptr;
+    const Cand* b1 = sp_nb_motion(x_pb, y_pb, x_pb + w - 1, y_pb - 1, cb, &b1c)
                          ? &b1c : nullptr;
     const Cand* b2 =
-        nb_motion(x_pb, y_pb, x_pb - 1, y_pb - 1, cb, &b2c) ? &b2c : nullptr;
+        sp_nb_motion(x_pb, y_pb, x_pb - 1, y_pb - 1, cb, &b2c) ? &b2c : nullptr;
     int bx = 0, by = 0;
     bool has_b = false;
     for (const Cand* m : {b0, b1, b2}) {
@@ -667,6 +592,8 @@ void amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
     }
 }
 
+namespace {
+
 // ---- prediction unit (spec 7.3.8.6; ctu_parse.prediction_unit) ------------
 void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
                      bool merge_only) {
@@ -678,7 +605,7 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
     int mvp_fl[2] = {0, 0};
 
     auto parse_merge_idx = [&]() -> int {
-        int c_max = g.max_merge - 1;
+        int c_max = g_sp.max_merge - 1;
         if (!dec_d(ps, E_MERGE_IDX, 0))
             return 0;
         int v = 1;
@@ -713,18 +640,18 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
 
     if (merge_only) {
         merge = true;
-        if (g.max_merge > 1)
+        if (g_sp.max_merge > 1)
             merge_idx = parse_merge_idx();
         ps.last_pu_merge = 1;
     } else {
         merge = dec_d(ps, E_MERGE_FLAG, 0) != 0;
         ps.last_pu_merge = merge;
         if (merge) {
-            if (g.max_merge > 1)
+            if (g_sp.max_merge > 1)
                 merge_idx = parse_merge_idx();
         } else {
             ipi = 1;
-            if (g.is_b) {
+            if (g_sp.is_b) {
                 // inter_pred_idc (Table 9-36)
                 ipi = 0;
                 if (w + h != 12 && dec_d(ps, E_INTER_DIR, cu.depth))
@@ -735,7 +662,7 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
             for (int lx = 0; lx < 2; lx++) {
                 if (!(ipi & (1 << lx)))
                     continue;
-                int nref = g.n_ref[lx] - 1;
+                int nref = g_sp.n_ref[lx] - 1;
                 if (nref > 0) {
                     // TR: 2 ctx bins (inc 0 then 1), rest bypass
                     int v = 0;
@@ -751,7 +678,7 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
                     }
                     ref[lx] = v;
                 }
-                if (lx == 1 && g.mvd_l1_zero && ipi == 3) {
+                if (lx == 1 && g_sp.mvd_l1_zero && ipi == 3) {
                     mvd[1][0] = mvd[1][1] = 0;
                 } else {
                     parse_mvd(mvd[lx]);
@@ -764,18 +691,18 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
     }
 
     int pu_id = ps.ids[1]++;
-    fill4wh(g.pu_id, x0, y0, w, h, pu_id);
-    fill4wh(g.merge_flag, x0, y0, w, h, (uint8_t)(merge ? 1 : 0));
-    fill4wh(g.merge_idx, x0, y0, w, h, (uint8_t)merge_idx);
-    int64_t plane4 = (int64_t)g.h4 * g.w4;
+    fill4wh(g_sp.pu_id, x0, y0, w, h, pu_id);
+    fill4wh(g_sp.merge_flag, x0, y0, w, h, (uint8_t)(merge ? 1 : 0));
+    fill4wh(g_sp.merge_idx, x0, y0, w, h, (uint8_t)merge_idx);
+    int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
     for (int lx = 0; lx < 2; lx++) {
         int bx = x0 >> 2, by = y0 >> 2, nw = w >> 2, nh = h >> 2;
         for (int y = 0; y < nh; y++) {
-            int64_t row = lx * plane4 + (int64_t)(by + y) * g.w4 + bx;
+            int64_t row = lx * plane4 + (int64_t)(by + y) * g_sp.w4 + bx;
             for (int x = 0; x < nw; x++) {
-                g.mvd[(row + x) * 2] = (int16_t)mvd[lx][0];
-                g.mvd[(row + x) * 2 + 1] = (int16_t)mvd[lx][1];
-                g.mvp_flag[row + x] = (uint8_t)mvp_fl[lx];
+                g_sp.mvd[(row + x) * 2] = (int16_t)mvd[lx][0];
+                g_sp.mvd[(row + x) * 2 + 1] = (int16_t)mvd[lx][1];
+                g_sp.mvp_flag[row + x] = (uint8_t)mvp_fl[lx];
             }
         }
     }
@@ -785,9 +712,9 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
     if (merge) {
         Cand cands[5];
         int need = merge_idx + 1;
-        if (need > g.max_merge)
-            need = g.max_merge;
-        merge_candidates(cu.x0, cu.y0, 1 << cu.log2, x0, y0, w, h, part_idx,
+        if (need > g_sp.max_merge)
+            need = g_sp.max_merge;
+        sp_merge_candidates(cu.x0, cu.y0, 1 << cu.log2, x0, y0, w, h, part_idx,
                          cu.part_mode, need, cands);
         const Cand& c = cands[merge_idx];
         pf[0] = c.pf0;
@@ -813,7 +740,7 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
                 continue;
             ridx[l] = ref[l];
             int mvps[2][2];
-            amvp(x0, y0, w, h, l, ref[l], cb, mvps);
+            sp_amvp(x0, y0, w, h, l, ref[l], cb, mvps);
             int* p = mvps[mvp_fl[l]];
             mv_out[l][0] = clip3i(-32768, 32767, p[0] + mvd[l][0]);
             mv_out[l][1] = clip3i(-32768, 32767, p[1] + mvd[l][1]);
@@ -826,17 +753,17 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
         int16_t wx = on ? (int16_t)mv_out[l][0] : 0;
         int16_t wy = on ? (int16_t)mv_out[l][1] : 0;
         int8_t wr = on ? (int8_t)ridx[l] : -1;
-        int32_t wpoc = on ? g.ref_pocs[l][ridx[l]] : 0;
-        uint8_t wlt = on ? g.ref_lt[l][ridx[l]] : 0;
+        int32_t wpoc = on ? g_sp.ref_pocs[l][ridx[l]] : 0;
+        uint8_t wlt = on ? g_sp.ref_lt[l][ridx[l]] : 0;
         for (int y = 0; y < nh; y++) {
-            int64_t row = l * plane4 + (int64_t)(by + y) * g.w4 + bx;
+            int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4 + bx;
             for (int x = 0; x < nw; x++) {
-                g.ref_idx[row + x] = wr;
-                g.mv[(row + x) * 2] = on ? wx : (int16_t)0;
-                g.mv[(row + x) * 2 + 1] = on ? wy : (int16_t)0;
+                g_sp.ref_idx[row + x] = wr;
+                g_sp.mv[(row + x) * 2] = on ? wx : (int16_t)0;
+                g_sp.mv[(row + x) * 2 + 1] = on ? wy : (int16_t)0;
                 if (on) {
-                    g.ref_poc[row + x] = wpoc;
-                    g.ref_is_lt[row + x] = wlt;
+                    g_sp.ref_poc[row + x] = wpoc;
+                    g_sp.ref_is_lt[row + x] = wlt;
                 }
             }
         }
@@ -846,16 +773,16 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
 // ---- intra modes (spec 8.4.2/8.4.3; ctu_parse._parse_intra_modes) ----------
 void intra_mpm(PS& ps, int xb, int yb, int cands[3]) {
     auto cand = [&](int x_nb, int y_nb, bool is_above) -> int {
-        if (!available(xb, yb, x_nb, y_nb))
+        if (!sp_available(xb, yb, x_nb, y_nb))
             return 1;
         int64_t b = idx4(x_nb, y_nb);
-        if (g.cu_pred_mode[b] != 1)
+        if (g_sp.cu_pred_mode[b] != 1)
             return 1;
-        if (g.pcm_flag[b])
+        if (g_sp.pcm_flag[b])
             return 1;
-        if (is_above && (y_nb >> g.ctb_log2) != (yb >> g.ctb_log2))
+        if (is_above && (y_nb >> g_sp.ctb_log2) != (yb >> g_sp.ctb_log2))
             return 1;
-        return g.intra_mode_y[b];
+        return g_sp.intra_mode_y[b];
     };
     int a = cand(xb - 1, yb, false);
     int b = cand(xb, yb - 1, true);
@@ -908,7 +835,7 @@ void parse_intra_modes(PS& ps) {
             mode = rem;
         }
         modes[i] = mode;
-        fill4(g.intra_mode_y, xb, yb, pb, (uint8_t)mode);
+        fill4(g_sp.intra_mode_y, xb, yb, pb, (uint8_t)mode);
     }
     cu.intra_mode0 = modes[0];
     // chroma (4:2:0)
@@ -922,20 +849,20 @@ void parse_intra_modes(PS& ps) {
     } else {
         mode_c = modes[0];
     }
-    fill4(g.intra_mode_c, cu.x0, cu.y0, 1 << cu.log2, (uint8_t)mode_c);
+    fill4(g_sp.intra_mode_c, cu.x0, cu.y0, 1 << cu.log2, (uint8_t)mode_c);
 }
 
 // ---- residual coding (spec 7.3.8.11; ctu_parse.parse_residual_coding) ------
 void parse_residual(PS& ps, int x0, int y0, int log2_size, int c_idx) {
     CU& cu = ps.cu;
-    if (g.transform_skip_enabled && !cu.tqb && log2_size == 2) {
+    if (g_sp.transform_skip_enabled && !cu.tqb && log2_size == 2) {
         int ts = dec_d(ps, c_idx == 0 ? E_TS_LUMA : E_TS_CHROMA, 0);
         if (c_idx == 0)
-            g.ts_y[(int64_t)(y0 >> 2) * g.w4 + (x0 >> 2)] = (uint8_t)ts;
+            g_sp.ts_y[(int64_t)(y0 >> 2) * g_sp.w4 + (x0 >> 2)] = (uint8_t)ts;
         else if (c_idx == 1)
-            g.ts_cb[(int64_t)(y0 >> 1) * g.w4 + (x0 >> 1)] = (uint8_t)ts;
+            g_sp.ts_cb[(int64_t)(y0 >> 1) * g_sp.w4 + (x0 >> 1)] = (uint8_t)ts;
         else
-            g.ts_cr[(int64_t)(y0 >> 1) * g.w4 + (x0 >> 1)] = (uint8_t)ts;
+            g_sp.ts_cr[(int64_t)(y0 >> 1) * g_sp.w4 + (x0 >> 1)] = (uint8_t)ts;
     }
     // scan selection (spec 7.4.9.11)
     int scan_idx = 0;
@@ -943,9 +870,9 @@ void parse_residual(PS& ps, int x0, int y0, int log2_size, int c_idx) {
         && (log2_size == 2 || (log2_size == 3 && c_idx == 0))) {
         int mode;
         if (c_idx == 0)
-            mode = g.intra_mode_y[(int64_t)(y0 >> 2) * g.w4 + (x0 >> 2)];
+            mode = g_sp.intra_mode_y[(int64_t)(y0 >> 2) * g_sp.w4 + (x0 >> 2)];
         else
-            mode = g.intra_mode_c[(int64_t)(((y0 << 1) >> 2)) * g.w4
+            mode = g_sp.intra_mode_c[(int64_t)(((y0 << 1) >> 2)) * g_sp.w4
                                   + ((x0 << 1) >> 2)];
         if (6 <= mode && mode <= 14)
             scan_idx = 2;
@@ -955,13 +882,13 @@ void parse_residual(PS& ps, int x0, int y0, int log2_size, int c_idx) {
     int16_t* plane;
     int stride;
     if (c_idx == 0) {
-        plane = g.coeff_y;
-        stride = g.pic_w;
+        plane = g_sp.coeff_y;
+        stride = g_sp.pic_w;
     } else {
-        plane = c_idx == 1 ? g.coeff_cb : g.coeff_cr;
-        stride = g.pic_w >> 1;
+        plane = c_idx == 1 ? g_sp.coeff_cb : g_sp.coeff_cr;
+        stride = g_sp.pic_w >> 1;
     }
-    int sdh = g.sdh_enabled && !cu.tqb;
+    int sdh = g_sp.sdh_enabled && !cu.tqb;
     int rc = residual_decode_core(ps.e, ps.ctx, log2_size, c_idx, scan_idx,
                                   sdh, plane + (int64_t)y0 * stride + x0,
                                   stride);
@@ -977,7 +904,7 @@ void parse_transform_unit(PS& ps, int x0, int y0, int x_base, int y_base,
     bool chroma_last = log2_size == 2;  // at blk_idx 3 (caller ensures)
     bool any_chroma = (cbf_cb || cbf_cr);
     if (cbf_luma || any_chroma) {
-        if (g.cu_qp_delta_enabled && !ps.qp_coded) {
+        if (g_sp.cu_qp_delta_enabled && !ps.qp_coded) {
             // cu_qp_delta_abs: TR prefix (cMax 5, ctx [0,1,1,1,1]), EG0 suffix
             int prefix = 0;
             while (prefix < 5) {
@@ -1002,16 +929,16 @@ void parse_transform_unit(PS& ps, int x0, int y0, int x_base, int y_base,
         }
         int qp = derive_qp(ps, cu.x0, cu.y0);
         // QpY applies to the whole quantization group retroactively
-        int log2_qg = g.ctb_log2 - g.diff_cu_qp_delta_depth;
+        int log2_qg = g_sp.ctb_log2 - g_sp.diff_cu_qp_delta_depth;
         int qg = 1 << log2_qg;
         int x_qg = cu.x0 & ~(qg - 1), y_qg = cu.y0 & ~(qg - 1);
         int bx0 = x_qg >> 2, by0 = y_qg >> 2;
         int bx1 = (x_qg + qg) >> 2, by1 = (y_qg + qg) >> 2;
-        if (bx1 > g.w4) bx1 = g.w4;
-        if (by1 > g.h4) by1 = g.h4;
+        if (bx1 > g_sp.w4) bx1 = g_sp.w4;
+        if (by1 > g_sp.h4) by1 = g_sp.h4;
         for (int y = by0; y < by1; y++)
             for (int x = bx0; x < bx1; x++)
-                g.qp_y[(int64_t)y * g.w4 + x] = (int8_t)qp;
+                g_sp.qp_y[(int64_t)y * g_sp.w4 + x] = (int8_t)qp;
         if (cbf_luma)
             parse_residual(ps, x0, y0, log2_size, 0);
         if (ps.err)
@@ -1036,14 +963,14 @@ void parse_transform_tree(PS& ps, int x0, int y0, int x_base, int y_base,
     CU& cu = ps.cu;
     bool intra_split = cu.pred_mode == 1 && cu.part_mode == P_NxN;
     int split;
-    if (log2_size <= g.max_tb_log2 && log2_size > g.min_tb_log2
+    if (log2_size <= g_sp.max_tb_log2 && log2_size > g_sp.min_tb_log2
         && trafo_depth < cu.max_trafo_depth
         && !(intra_split && trafo_depth == 0)) {
         split = dec_d(ps, E_SPLIT_TT, 5 - log2_size);
     } else {
-        bool inter_split = g.mtd_inter == 0 && cu.pred_mode == 0
+        bool inter_split = g_sp.mtd_inter == 0 && cu.pred_mode == 0
                         && cu.part_mode != P_2Nx2N && trafo_depth == 0;
-        split = log2_size > g.max_tb_log2
+        split = log2_size > g_sp.max_tb_log2
              || (intra_split && trafo_depth == 0) || inter_split;
     }
 
@@ -1082,17 +1009,17 @@ void parse_transform_tree(PS& ps, int x0, int y0, int x_base, int y_base,
     if (cu.pred_mode == 1 || trafo_depth != 0 || my_cb || my_cr)
         cbf_luma = dec_d(ps, E_CBF_LUMA, trafo_depth == 0 ? 1 : 0);
     int size = 1 << log2_size;
-    fill4(g.tu_log2, x0, y0, size, (uint8_t)log2_size);
+    fill4(g_sp.tu_log2, x0, y0, size, (uint8_t)log2_size);
     int tu_id = ps.ids[2]++;
-    fill4(g.tu_id, x0, y0, size, tu_id);
-    fill4(g.cbf_y, x0, y0, size, (uint8_t)cbf_luma);
+    fill4(g_sp.tu_id, x0, y0, size, tu_id);
+    fill4(g_sp.cbf_y, x0, y0, size, (uint8_t)cbf_luma);
     if (chroma_here) {
-        fill4(g.cbf_cb, x0, y0, size, (uint8_t)my_cb);
-        fill4(g.cbf_cr, x0, y0, size, (uint8_t)my_cr);
+        fill4(g_sp.cbf_cb, x0, y0, size, (uint8_t)my_cb);
+        fill4(g_sp.cbf_cr, x0, y0, size, (uint8_t)my_cr);
     } else if (blk_idx == 3) {
         // 4x4 luma: chroma carried at parent 8x8
-        fill4(g.cbf_cb, x_base, y_base, 2 * size, (uint8_t)parent_cb);
-        fill4(g.cbf_cr, x_base, y_base, 2 * size, (uint8_t)parent_cr);
+        fill4(g_sp.cbf_cb, x_base, y_base, 2 * size, (uint8_t)parent_cb);
+        fill4(g_sp.cbf_cr, x_base, y_base, 2 * size, (uint8_t)parent_cr);
     }
     // TU record: (x0, y0, log2, blk_idx, x_base, y_base, cbf_y, cbf_cb, cbf_cr)
     int32_t* tr = ps.tu_rec + (int64_t)ps.counts[1] * 9;
@@ -1117,8 +1044,8 @@ void parse_transform_tree(PS& ps, int x0, int y0, int x_base, int y_base,
 int parse_inter_part_mode(PS& ps, int log2_size) {
     if (dec_d(ps, E_PART_MODE, 0))
         return P_2Nx2N;
-    bool at_min = log2_size == g.min_cb_log2;
-    bool amp = g.amp_enabled && !at_min;
+    bool at_min = log2_size == g_sp.min_cb_log2;
+    bool amp = g_sp.amp_enabled && !at_min;
     int b1 = dec_d(ps, E_PART_MODE, 1);
     if (at_min) {
         if (b1)
@@ -1164,34 +1091,34 @@ void parse_coding_unit(PS& ps, int x0, int y0, int log2_size, int depth) {
     cr[2] = log2_size;
     cr[7] = 0;
 
-    fill4(g.ct_depth, x0, y0, size, (uint8_t)depth);
-    fill4(g.cu_size_log2, x0, y0, size, (uint8_t)log2_size);
-    fill4(g.cu_id, x0, y0, size, cu_id);
+    fill4(g_sp.ct_depth, x0, y0, size, (uint8_t)depth);
+    fill4(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2_size);
+    fill4(g_sp.cu_id, x0, y0, size, cu_id);
 
-    if (g.tq_bypass_enabled) {
+    if (g_sp.tq_bypass_enabled) {
         cu.tqb = dec_d(ps, E_TQ_BYPASS, 0);
-        fill4(g.tq_bypass, x0, y0, size, (uint8_t)cu.tqb);
+        fill4(g_sp.tq_bypass, x0, y0, size, (uint8_t)cu.tqb);
     }
 
     int skip = 0;
-    if (!g.is_i) {
+    if (!g_sp.is_i) {
         int inc = 0;
-        if (available(x0, y0, x0 - 1, y0))
-            inc += g.skip_flag[idx4(x0 - 1, y0)] ? 1 : 0;
-        if (available(x0, y0, x0, y0 - 1))
-            inc += g.skip_flag[idx4(x0, y0 - 1)] ? 1 : 0;
+        if (sp_available(x0, y0, x0 - 1, y0))
+            inc += g_sp.skip_flag[idx4(x0 - 1, y0)] ? 1 : 0;
+        if (sp_available(x0, y0, x0, y0 - 1))
+            inc += g_sp.skip_flag[idx4(x0, y0 - 1)] ? 1 : 0;
         skip = dec_d(ps, E_SKIP, inc);
     }
     cu.skip = skip;
-    fill4(g.skip_flag, x0, y0, size, (uint8_t)skip);
+    fill4(g_sp.skip_flag, x0, y0, size, (uint8_t)skip);
 
     if (skip) {
         cu.pred_mode = 0;
-        fill4(g.cu_pred_mode, x0, y0, size, (uint8_t)0);
-        fill4(g.qp_y, x0, y0, size, (int8_t)derive_qp(ps, x0, y0));
+        fill4(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)0);
+        fill4(g_sp.qp_y, x0, y0, size, (int8_t)derive_qp(ps, x0, y0));
         prediction_unit(ps, x0, y0, size, size, 0, true);
-        int tl = log2_size < g.max_tb_log2 ? log2_size : g.max_tb_log2;
-        fill4(g.tu_log2, x0, y0, size, (uint8_t)tl);
+        int tl = log2_size < g_sp.max_tb_log2 ? log2_size : g_sp.max_tb_log2;
+        fill4(g_sp.tu_log2, x0, y0, size, (uint8_t)tl);
         cr[3] = 0;
         cr[4] = 0;
         cr[5] = 1;
@@ -1200,20 +1127,20 @@ void parse_coding_unit(PS& ps, int x0, int y0, int log2_size, int depth) {
     }
 
     int pred_intra = 1;
-    if (!g.is_i)
+    if (!g_sp.is_i)
         pred_intra = dec_d(ps, E_PRED_MODE, 0);
     cu.pred_mode = pred_intra;
-    fill4(g.cu_pred_mode, x0, y0, size, (uint8_t)pred_intra);
+    fill4(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)pred_intra);
 
     int part_mode = P_2Nx2N;
     if (pred_intra) {
-        if (log2_size == g.min_cb_log2 && !dec_d(ps, E_PART_MODE, 0))
+        if (log2_size == g_sp.min_cb_log2 && !dec_d(ps, E_PART_MODE, 0))
             part_mode = P_NxN;
     } else {
         part_mode = parse_inter_part_mode(ps, log2_size);
     }
     cu.part_mode = part_mode;
-    fill4(g.part_mode, x0, y0, size, (uint8_t)part_mode);
+    fill4(g_sp.part_mode, x0, y0, size, (uint8_t)part_mode);
 
     if (pred_intra) {
         // PCM gated off (pcm_enabled_flag forces the Python path)
@@ -1277,33 +1204,33 @@ void parse_coding_unit(PS& ps, int x0, int y0, int log2_size, int depth) {
     int rqt_root = 1;
     if (!pred_intra && !(part_mode == P_2Nx2N && ps.last_pu_merge))
         rqt_root = dec_d(ps, E_RQT_ROOT, 0);
-    fill4(g.qp_y, x0, y0, size, (int8_t)derive_qp(ps, x0, y0));
+    fill4(g_sp.qp_y, x0, y0, size, (int8_t)derive_qp(ps, x0, y0));
     if (rqt_root) {
         int intra_split = (pred_intra && part_mode == P_NxN) ? 1 : 0;
         cu.max_trafo_depth =
-            pred_intra ? g.mtd_intra + intra_split : g.mtd_inter;
+            pred_intra ? g_sp.mtd_intra + intra_split : g_sp.mtd_inter;
         parse_transform_tree(ps, x0, y0, x0, y0, log2_size, 0, 0, 1, 1);
     } else {
-        int tl = log2_size < g.max_tb_log2 ? log2_size : g.max_tb_log2;
-        fill4(g.tu_log2, x0, y0, size, (uint8_t)tl);
+        int tl = log2_size < g_sp.max_tb_log2 ? log2_size : g_sp.max_tb_log2;
+        fill4(g_sp.tu_log2, x0, y0, size, (uint8_t)tl);
     }
 }
 
 // ---- coding quadtree (spec 7.3.8.4) ----------------------------------------
 void parse_coding_quadtree(PS& ps, int x0, int y0, int log2_size, int depth) {
-    bool in_pic = x0 + (1 << log2_size) <= g.pic_w
-               && y0 + (1 << log2_size) <= g.pic_h;
-    int split = log2_size > g.min_cb_log2;
-    if (in_pic && log2_size > g.min_cb_log2) {
+    bool in_pic = x0 + (1 << log2_size) <= g_sp.pic_w
+               && y0 + (1 << log2_size) <= g_sp.pic_h;
+    int split = log2_size > g_sp.min_cb_log2;
+    if (in_pic && log2_size > g_sp.min_cb_log2) {
         int inc = 0;
-        if (available(x0, y0, x0 - 1, y0))
-            inc += g.ct_depth[idx4(x0 - 1, y0)] > depth ? 1 : 0;
-        if (available(x0, y0, x0, y0 - 1))
-            inc += g.ct_depth[idx4(x0, y0 - 1)] > depth ? 1 : 0;
+        if (sp_available(x0, y0, x0 - 1, y0))
+            inc += g_sp.ct_depth[idx4(x0 - 1, y0)] > depth ? 1 : 0;
+        if (sp_available(x0, y0, x0, y0 - 1))
+            inc += g_sp.ct_depth[idx4(x0, y0 - 1)] > depth ? 1 : 0;
         split = dec_d(ps, E_SPLIT_CU, inc);
     }
-    if (g.cu_qp_delta_enabled
-        && log2_size >= g.ctb_log2 - g.diff_cu_qp_delta_depth) {
+    if (g_sp.cu_qp_delta_enabled
+        && log2_size >= g_sp.ctb_log2 - g_sp.diff_cu_qp_delta_depth) {
         ps.qp_coded = 0;
         ps.qp_delta = 0;
         ps.qp_y_pred = ps.last_cu_qp;
@@ -1313,21 +1240,21 @@ void parse_coding_quadtree(PS& ps, int x0, int y0, int log2_size, int depth) {
         int x1 = x0 + half, y1 = y0 + half;
         parse_coding_quadtree(ps, x0, y0, log2_size - 1, depth + 1);
         if (ps.err) return;
-        if (x1 < g.pic_w) {
+        if (x1 < g_sp.pic_w) {
             parse_coding_quadtree(ps, x1, y0, log2_size - 1, depth + 1);
             if (ps.err) return;
         }
-        if (y1 < g.pic_h) {
+        if (y1 < g_sp.pic_h) {
             parse_coding_quadtree(ps, x0, y1, log2_size - 1, depth + 1);
             if (ps.err) return;
         }
-        if (x1 < g.pic_w && y1 < g.pic_h) {
+        if (x1 < g_sp.pic_w && y1 < g_sp.pic_h) {
             parse_coding_quadtree(ps, x1, y1, log2_size - 1, depth + 1);
             if (ps.err) return;
         }
     } else {
         parse_coding_unit(ps, x0, y0, log2_size, depth);
-        ps.last_cu_qp = g.qp_y[idx4(x0, y0)];
+        ps.last_cu_qp = g_sp.qp_y[idx4(x0, y0)];
     }
 }
 
@@ -1341,92 +1268,92 @@ void tc_slice_setup(const int64_t* ptrs, const int32_t* ip,
                     const int32_t* ctx_offs, const int32_t* ref_pocs,
                     const uint8_t* ref_lt) {
     int k = 0;
-    g.zscan = (const int64_t*)ptrs[k++];
-    g.tile_id = (const int32_t*)ptrs[k++];
-    g.slice_idx = (int32_t*)ptrs[k++];
-    g.ct_depth = (uint8_t*)ptrs[k++];
-    g.cu_pred_mode = (uint8_t*)ptrs[k++];
-    g.part_mode = (uint8_t*)ptrs[k++];
-    g.skip_flag = (uint8_t*)ptrs[k++];
-    g.tq_bypass = (uint8_t*)ptrs[k++];
-    g.pcm_flag = (uint8_t*)ptrs[k++];
-    g.intra_mode_y = (uint8_t*)ptrs[k++];
-    g.intra_mode_c = (uint8_t*)ptrs[k++];
-    g.mv = (int16_t*)ptrs[k++];
-    g.ref_idx = (int8_t*)ptrs[k++];
-    g.merge_flag = (uint8_t*)ptrs[k++];
-    g.merge_idx = (uint8_t*)ptrs[k++];
-    g.mvd = (int16_t*)ptrs[k++];
-    g.mvp_flag = (uint8_t*)ptrs[k++];
-    g.ref_poc = (int32_t*)ptrs[k++];
-    g.ref_is_lt = (uint8_t*)ptrs[k++];
-    g.qp_y = (int8_t*)ptrs[k++];
-    g.cu_size_log2 = (uint8_t*)ptrs[k++];
-    g.pu_id = (int32_t*)ptrs[k++];
-    g.cu_id = (int32_t*)ptrs[k++];
-    g.tu_log2 = (uint8_t*)ptrs[k++];
-    g.tu_id = (int32_t*)ptrs[k++];
-    g.cbf_y = (uint8_t*)ptrs[k++];
-    g.cbf_cb = (uint8_t*)ptrs[k++];
-    g.cbf_cr = (uint8_t*)ptrs[k++];
-    g.ts_y = (uint8_t*)ptrs[k++];
-    g.ts_cb = (uint8_t*)ptrs[k++];
-    g.ts_cr = (uint8_t*)ptrs[k++];
-    g.coeff_y = (int16_t*)ptrs[k++];
-    g.coeff_cb = (int16_t*)ptrs[k++];
-    g.coeff_cr = (int16_t*)ptrs[k++];
-    g.sao_type = (uint8_t*)ptrs[k++];
-    g.sao_class = (uint8_t*)ptrs[k++];
-    g.sao_offsets = (int8_t*)ptrs[k++];
-    g.col_pm = (const uint8_t*)ptrs[k++];
-    g.col_ref_idx = (const int8_t*)ptrs[k++];
-    g.col_mv = (const int16_t*)ptrs[k++];
-    g.col_ref_poc = (const int32_t*)ptrs[k++];
-    g.col_ref_lt = (const uint8_t*)ptrs[k++];
+    g_sp.zscan = (const int64_t*)ptrs[k++];
+    g_sp.tile_id = (const int32_t*)ptrs[k++];
+    g_sp.slice_idx = (int32_t*)ptrs[k++];
+    g_sp.ct_depth = (uint8_t*)ptrs[k++];
+    g_sp.cu_pred_mode = (uint8_t*)ptrs[k++];
+    g_sp.part_mode = (uint8_t*)ptrs[k++];
+    g_sp.skip_flag = (uint8_t*)ptrs[k++];
+    g_sp.tq_bypass = (uint8_t*)ptrs[k++];
+    g_sp.pcm_flag = (uint8_t*)ptrs[k++];
+    g_sp.intra_mode_y = (uint8_t*)ptrs[k++];
+    g_sp.intra_mode_c = (uint8_t*)ptrs[k++];
+    g_sp.mv = (int16_t*)ptrs[k++];
+    g_sp.ref_idx = (int8_t*)ptrs[k++];
+    g_sp.merge_flag = (uint8_t*)ptrs[k++];
+    g_sp.merge_idx = (uint8_t*)ptrs[k++];
+    g_sp.mvd = (int16_t*)ptrs[k++];
+    g_sp.mvp_flag = (uint8_t*)ptrs[k++];
+    g_sp.ref_poc = (int32_t*)ptrs[k++];
+    g_sp.ref_is_lt = (uint8_t*)ptrs[k++];
+    g_sp.qp_y = (int8_t*)ptrs[k++];
+    g_sp.cu_size_log2 = (uint8_t*)ptrs[k++];
+    g_sp.pu_id = (int32_t*)ptrs[k++];
+    g_sp.cu_id = (int32_t*)ptrs[k++];
+    g_sp.tu_log2 = (uint8_t*)ptrs[k++];
+    g_sp.tu_id = (int32_t*)ptrs[k++];
+    g_sp.cbf_y = (uint8_t*)ptrs[k++];
+    g_sp.cbf_cb = (uint8_t*)ptrs[k++];
+    g_sp.cbf_cr = (uint8_t*)ptrs[k++];
+    g_sp.ts_y = (uint8_t*)ptrs[k++];
+    g_sp.ts_cb = (uint8_t*)ptrs[k++];
+    g_sp.ts_cr = (uint8_t*)ptrs[k++];
+    g_sp.coeff_y = (int16_t*)ptrs[k++];
+    g_sp.coeff_cb = (int16_t*)ptrs[k++];
+    g_sp.coeff_cr = (int16_t*)ptrs[k++];
+    g_sp.sao_type = (uint8_t*)ptrs[k++];
+    g_sp.sao_class = (uint8_t*)ptrs[k++];
+    g_sp.sao_offsets = (int8_t*)ptrs[k++];
+    g_sp.col_pm = (const uint8_t*)ptrs[k++];
+    g_sp.col_ref_idx = (const int8_t*)ptrs[k++];
+    g_sp.col_mv = (const int16_t*)ptrs[k++];
+    g_sp.col_ref_poc = (const int32_t*)ptrs[k++];
+    g_sp.col_ref_lt = (const uint8_t*)ptrs[k++];
 
     int j = 0;
-    g.pic_w = ip[j++];
-    g.pic_h = ip[j++];
-    g.w4 = ip[j++];
-    g.h4 = ip[j++];
-    g.wc = ip[j++];
-    g.hc = ip[j++];
-    g.ctb_log2 = ip[j++];
-    g.min_cb_log2 = ip[j++];
-    g.max_tb_log2 = ip[j++];
-    g.min_tb_log2 = ip[j++];
-    g.mtd_intra = ip[j++];
-    g.mtd_inter = ip[j++];
-    g.amp_enabled = ip[j++];
-    g.bit_depth_y = ip[j++];
-    g.bit_depth_c = ip[j++];
-    g.qp_bd_offset_y = ip[j++];
-    g.cu_qp_delta_enabled = ip[j++];
-    g.diff_cu_qp_delta_depth = ip[j++];
-    g.tq_bypass_enabled = ip[j++];
-    g.transform_skip_enabled = ip[j++];
-    g.sdh_enabled = ip[j++];
-    g.log2_pml = ip[j++];
-    g.slice_qp_y = ip[j++];
-    g.slice_number = ip[j++];
-    g.is_i = ip[j++];
-    g.is_b = ip[j++];
-    g.max_merge = ip[j++];
-    g.n_ref[0] = ip[j++];
-    g.n_ref[1] = ip[j++];
-    g.mvd_l1_zero = ip[j++];
-    g.tmvp_enabled = ip[j++];
-    g.col_from_l0 = ip[j++];
-    g.sao_luma = ip[j++];
-    g.sao_chroma = ip[j++];
-    g.cur_poc = ip[j++];
-    g.col_poc = ip[j++];
-    g.no_backward = ip[j++];
-    g.has_col = ip[j++];
+    g_sp.pic_w = ip[j++];
+    g_sp.pic_h = ip[j++];
+    g_sp.w4 = ip[j++];
+    g_sp.h4 = ip[j++];
+    g_sp.wc = ip[j++];
+    g_sp.hc = ip[j++];
+    g_sp.ctb_log2 = ip[j++];
+    g_sp.min_cb_log2 = ip[j++];
+    g_sp.max_tb_log2 = ip[j++];
+    g_sp.min_tb_log2 = ip[j++];
+    g_sp.mtd_intra = ip[j++];
+    g_sp.mtd_inter = ip[j++];
+    g_sp.amp_enabled = ip[j++];
+    g_sp.bit_depth_y = ip[j++];
+    g_sp.bit_depth_c = ip[j++];
+    g_sp.qp_bd_offset_y = ip[j++];
+    g_sp.cu_qp_delta_enabled = ip[j++];
+    g_sp.diff_cu_qp_delta_depth = ip[j++];
+    g_sp.tq_bypass_enabled = ip[j++];
+    g_sp.transform_skip_enabled = ip[j++];
+    g_sp.sdh_enabled = ip[j++];
+    g_sp.log2_pml = ip[j++];
+    g_sp.slice_qp_y = ip[j++];
+    g_sp.slice_number = ip[j++];
+    g_sp.is_i = ip[j++];
+    g_sp.is_b = ip[j++];
+    g_sp.max_merge = ip[j++];
+    g_sp.n_ref[0] = ip[j++];
+    g_sp.n_ref[1] = ip[j++];
+    g_sp.mvd_l1_zero = ip[j++];
+    g_sp.tmvp_enabled = ip[j++];
+    g_sp.col_from_l0 = ip[j++];
+    g_sp.sao_luma = ip[j++];
+    g_sp.sao_chroma = ip[j++];
+    g_sp.cur_poc = ip[j++];
+    g_sp.col_poc = ip[j++];
+    g_sp.no_backward = ip[j++];
+    g_sp.has_col = ip[j++];
 
-    std::memcpy(g.off, ctx_offs, sizeof(g.off));
-    std::memcpy(g.ref_pocs, ref_pocs, sizeof(g.ref_pocs));
-    std::memcpy(g.ref_lt, ref_lt, sizeof(g.ref_lt));
+    std::memcpy(g_sp.off, ctx_offs, sizeof(g_sp.off));
+    std::memcpy(g_sp.ref_pocs, ref_pocs, sizeof(g_sp.ref_pocs));
+    std::memcpy(g_sp.ref_lt, ref_lt, sizeof(g_sp.ref_lt));
 }
 
 // Parse one CTU (sao + coding_quadtree). Returns 0 on success.
@@ -1450,12 +1377,12 @@ int tc_parse_ctu(const uint8_t* data, int64_t nbits, int64_t* io_pos,
     ps.last_pu_merge = 0;
     ps.err = 0;
 
-    int rx = ctb_addr_rs % g.wc, ry = ctb_addr_rs / g.wc;
-    g.slice_idx[(int64_t)ry * g.wc + rx] = g.slice_number;
-    if (g.sao_luma || g.sao_chroma)
+    int rx = ctb_addr_rs % g_sp.wc, ry = ctb_addr_rs / g_sp.wc;
+    g_sp.slice_idx[(int64_t)ry * g_sp.wc + rx] = g_sp.slice_number;
+    if (g_sp.sao_luma || g_sp.sao_chroma)
         parse_sao(ps, rx, ry);
-    parse_coding_quadtree(ps, rx << g.ctb_log2, ry << g.ctb_log2,
-                          g.ctb_log2, 0);
+    parse_coding_quadtree(ps, rx << g_sp.ctb_log2, ry << g_sp.ctb_log2,
+                          g_sp.ctb_log2, 0);
 
     io_qp[0] = ps.qp_y_pred;
     io_qp[1] = ps.last_cu_qp;
