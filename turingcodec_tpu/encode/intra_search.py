@@ -109,6 +109,8 @@ class IntraPictureEncoder:
         self.refs = ReferenceSampleBuilder(plan, self.geom)
         self.next_id = [0, 0, 0]
         plan.qp_y[:] = self.qp
+        from turingcodec_tpu import native
+        nat = native.EncNative.try_create(self, plan)
         ctb = sps.ctb_size_y
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
         wc = sps.pic_width_in_ctbs_y
@@ -137,7 +139,11 @@ class IntraPictureEncoder:
                     self._set_ctb_qp(q)
                     plan.qp_y[ry * ctb >> 2:(ry + 1) * ctb >> 2,
                               rx * ctb >> 2:(rx + 1) * ctb >> 2] = q
-                self._decide_cqt(rx * ctb, ry * ctb, sps.ctb_log2_size_y, 0)
+                if nat is not None:
+                    nat.encode_ctu(self, rx * ctb, ry * ctb)
+                else:
+                    self._decide_cqt(rx * ctb, ry * ctb,
+                                     sps.ctb_log2_size_y, 0)
                 if wpp and rx == snap_rx:
                     self._rd_ctx_wpp = self.rd_ctx.copy()
         return plan, self.recon

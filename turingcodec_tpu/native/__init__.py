@@ -24,7 +24,7 @@ def _build_and_load():
     here = os.path.dirname(__file__)
     srcs = [os.path.join(here, f)
             for f in ("cabac_core.cpp", "slice_parse.cpp",
-                      "pixel_recon.cpp")]
+                      "pixel_recon.cpp", "enc_core.cpp")]
     newest = max(os.path.getmtime(s) for s in
                  srcs + [os.path.join(here, "core.h")])
     so = os.path.join(here, f"_cabac_core_{sys.implementation.cache_tag}.so")
@@ -126,6 +126,13 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32]
+
+    lib.tc_enc_setup.argtypes = [ctypes.c_void_p] * 5
+    lib.tc_enc_ctu.restype = ctypes.c_double
+    lib.tc_enc_ctu.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double]
 
     lib.tc_slice_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_parse_ctu.restype = ctypes.c_int
@@ -620,6 +627,163 @@ class SliceNative:
             cu.tus = [tuple(t) for t in tu_recs[ti:ti + ntus]]
             ti += ntus
             plan.cu_list.append(cu)
+
+
+# ---- native encoder search core (enc_core.cpp) -----------------------------
+
+class EncNative:
+    """Per-picture driver for the native CTU RDO search. encode_ctu is the
+    drop-in replacement for IntraPictureEncoder._decide_cqt at CTU roots."""
+
+    @staticmethod
+    def try_create(enc, plan):
+        if os.environ.get("TURING_TPU_NO_NATIVE_ENC"):
+            return None
+        lib = get_lib()
+        if lib is None:
+            return None
+        sps, pps = enc.sps, enc.pps
+        if (enc.use_rdoq or getattr(enc, "wp", None) is not None
+                or getattr(enc, "slice_row_map", None) is not None
+                or getattr(enc, "qp_map", None) is not None
+                or sps.chroma_array_type != 1
+                or sps.scaling_list_enabled_flag
+                or pps.constrained_intra_pred_flag
+                or enc.geom.num_tiles > 1):
+            return None
+        try:
+            return EncNative(lib, enc, plan)
+        except Exception:
+            return None
+
+    def __init__(self, lib, enc, plan):
+        self.lib = lib
+        sps, pps, sh, geom = enc.sps, enc.pps, enc.sh, enc.geom
+        ref_lists = getattr(enc, "ref_lists", None) or [[], []]
+        cur_poc = getattr(enc, "cur_poc", 0)
+
+        ref_pocs = np.zeros((2, 16), np.int32)
+        ref_lt = np.zeros((2, 16), np.uint8)
+        col = None
+        no_backward = 0
+        deriver = None
+        if not sh.is_i:
+            from turingcodec_tpu.decode.mvp import InterDeriver
+            deriver = enc._get_deriver()
+            no_backward = int(deriver.no_backward)
+            for l in (0, 1):
+                for i, poc in enumerate(deriver.ref_pocs[l][:16]):
+                    ref_pocs[l, i] = poc
+                for i, lt in enumerate(deriver.ref_lt[l][:16]):
+                    ref_lt[l, i] = int(lt)
+            col = deriver.col_pic
+            if col is not None and col.plan is None:
+                col = None
+        has_col = int(col is not None)
+        cp = col.plan if col is not None else plan
+
+        p = plan
+        zscan = geom.zscan
+        tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
+        ptr_arrays = [
+            zscan, tile_id, p.slice_idx, p.ct_depth, p.cu_pred_mode,
+            p.part_mode, p.skip_flag, p.tq_bypass, p.pcm_flag, p.intra_mode_y,
+            p.intra_mode_c, p.mv, p.ref_idx, p.merge_flag, p.merge_idx,
+            p.mvd, p.mvp_flag, p.ref_poc, p.ref_is_lt, p.qp_y, p.cu_size_log2,
+            p.pu_id, p.cu_id, p.tu_log2, p.tu_id, p.cbf_y, p.cbf_cb, p.cbf_cr,
+            p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
+            p.coeff_y, p.coeff_cb, p.coeff_cr, p.sao_type, p.sao_class,
+            p.sao_offsets, cp.cu_pred_mode, cp.ref_idx, cp.mv, cp.ref_poc,
+            cp.ref_is_lt,
+        ]
+        for a in ptr_arrays:
+            assert a.flags.c_contiguous
+        ptrs = np.array([a.ctypes.data for a in ptr_arrays], np.int64)
+        iparams = np.array([
+            sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+            geom.w4, geom.h4, geom.wc, geom.hc,
+            sps.ctb_log2_size_y, sps.min_cb_log2_size_y,
+            sps.max_tb_log2_size_y, sps.min_tb_log2_size_y,
+            sps.max_transform_hierarchy_depth_intra,
+            sps.max_transform_hierarchy_depth_inter,
+            int(sps.amp_enabled_flag),
+            sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
+            int(pps.cu_qp_delta_enabled_flag), pps.diff_cu_qp_delta_depth,
+            int(pps.transquant_bypass_enabled_flag),
+            int(pps.transform_skip_enabled_flag),
+            int(pps.sign_data_hiding_enabled_flag),
+            pps.log2_parallel_merge_level_minus2 + 2,
+            sh.slice_qp_y, 0, int(sh.is_i), int(sh.is_b),
+            sh.max_num_merge_cand,
+            sh.num_ref_idx_l0_active_minus1 + 1,
+            sh.num_ref_idx_l1_active_minus1 + 1,
+            int(sh.mvd_l1_zero_flag),
+            int(sh.slice_temporal_mvp_enabled_flag),
+            int(sh.collocated_from_l0_flag),
+            int(sh.slice_sao_luma_flag), int(sh.slice_sao_chroma_flag),
+            cur_poc, col.poc if col is not None else 0,
+            no_backward, has_col,
+        ], np.int32)
+        from turingcodec_tpu.cabac.engine import ctx_index
+        offs = np.array([ctx_index(e) for e in _PARSE_ELEMS], np.int32)
+        lib.tc_slice_setup(ptrs.ctypes.data, iparams.ctypes.data,
+                           offs.ctypes.data, ref_pocs.ctypes.data,
+                           ref_lt.ctypes.data)
+
+        # encoder-side setup
+        self._orig = [np.ascontiguousarray(pl, np.int16) for pl in enc.orig]
+        rec = enc.recon
+        for r in rec:
+            assert r.dtype == np.int16 and r.flags.c_contiguous
+        zscan32 = np.ascontiguousarray(geom.zscan, np.int32)
+        ref_ptrs = np.zeros(2 * 16 * 3, np.int64)
+        keep_refs = []
+        for l in (0, 1):
+            for r, pic in enumerate(ref_lists[l][:16]):
+                for c in (0, 1, 2):
+                    pl = pic.planes[c]
+                    assert pl.dtype == np.int16 and pl.flags.c_contiguous
+                    ref_ptrs[(l * 16 + r) * 3 + c] = pl.ctypes.data
+                    keep_refs.append(pl)
+        eptrs = np.concatenate([
+            np.array([a.ctypes.data for a in self._orig]
+                     + [a.ctypes.data for a in rec]
+                     + [zscan32.ctypes.data], np.int64),
+            ref_ptrs])
+        from turingcodec_tpu.cabac.tables import NUM_CONTEXTS
+        eip = np.array([enc.rd_candidates,
+                        enc.max_cu_log2,
+                        getattr(enc, "search_range", 0),
+                        int(sps.strong_intra_smoothing_enabled_flag != 0),
+                        NUM_CONTEXTS], np.int32)
+        from turingcodec_tpu.hevc.tables import QUANT_SCALES
+        qs = np.ascontiguousarray(QUANT_SCALES, np.int32)
+        lf, cf, _, _ = _recon_tables()
+        lib.tc_enc_setup(eptrs.ctypes.data, eip.ctypes.data, qs.ctypes.data,
+                         lf.ctypes.data, cf.ctypes.data)
+        self._keep = (ptr_arrays, ptrs, iparams, offs, ref_pocs, ref_lt,
+                      col, self._orig, rec, zscan32, keep_refs, eptrs, eip,
+                      qs, lf, cf, deriver)
+        self.ids = np.zeros(3, np.int32)
+        self.sps = sps
+
+    def encode_ctu(self, enc, x0, y0) -> float:
+        """Full RDO for the CTU at (x0, y0); advances enc.rd_ctx/next_id."""
+        sps = self.sps
+        self.ids[:] = enc.next_id
+        states = enc.rd_ctx.states
+        ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
+        cost = self.lib.tc_enc_ctu(
+            x0, y0, ctx, self.ids.ctypes.data,
+            enc.qp + sps.qp_bd_offset_y,
+            enc.qp_cb + sps.qp_bd_offset_c,
+            enc.qp_cr + sps.qp_bd_offset_c,
+            float(enc.lam), float(enc.lam_bits),
+            float(getattr(enc, "lam_me", 0.0)))
+        if cost < 0:
+            raise RuntimeError("native CTU encode failed")
+        enc.next_id[:] = [int(v) for v in self.ids]
+        return cost
 
 
 def intra_tu(plane, zscan32, x0, y0, n, c_idx, sub, bit_depth, mode,

@@ -327,5 +327,14 @@ int sp_merge_candidates(int x_cb, int y_cb, int cb_size, int x_pb, int y_pb,
 // two AMVP predictors for (lx, ref_idx) (spec 8.5.3.1.5/6)
 void sp_amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
              const int* cb, int out[2][2]);
+// candModeList derivation (spec 8.4.2)
+void sp_intra_mpm(int xb, int yb, int cands[3]);
+
+// Fractional-sample MC interpolation into a 14-bit (h, w) block
+// (pixel_recon.cpp; spec 8.5.3.3.3). taps 8 (luma) / 4 (chroma);
+// filt_stride = taps.
+void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
+               int yf, int w, int h, int bd, int taps,
+               const int32_t (*filt)[8], int filt_stride, int32_t* out);
 
 #endif  // TC_NATIVE_CORE_H

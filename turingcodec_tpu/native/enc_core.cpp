@@ -1,0 +1,1738 @@
+// Native encoder search core: the complete per-CTU RDO mode decision —
+// recursive CU split, intra SATD ranking + exact-rate RD refinement,
+// inter merge/AMVP motion estimation (full-pel pattern search + sub-pel
+// SATD refinement), SMP/AMP partitions — committing decisions into the
+// PicturePlan tensors and the working reconstruction.
+//
+// This is the C++ twin of encode/intra_search.py + encode/inter_search.py,
+// porting their decision arithmetic EXACTLY (same float cost ordering, same
+// tie-breaks, same context transitions), so the produced plan and bitstream
+// are byte-identical with the Python oracle (asserted by A/B tests).
+// Reference analogue: turing/Search.hpp searchIntraCu (374) /
+// fullPelMotionEstimation (2064) / subPelRefinement (2340) /
+// searchMerge2Nx2N (925).
+//
+// Reuses from the shared native core: g_sp plan context + merge/AMVP
+// derivation (slice_parse.cpp), intra refs/filter/predict + dequant/IDCT +
+// exact residual rate (cabac_core.cpp), MC interpolation (pixel_recon.cpp).
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+#include "core.h"
+
+namespace {
+
+struct EN {
+    const int16_t* orig[3];
+    int16_t* rec[3];
+    const int32_t* zscan32;
+    const int16_t* refs[2][16][3];
+    int32_t ref_poc_of[2][16];
+    int32_t quant_scales[6];
+    int32_t luma_filt[4][8];
+    int32_t chroma_filt[8][4];
+    int rd_candidates, max_cu_log2, search_range, strong;
+    int num_ctx;
+    // per-CTU state (tc_enc_ctu args)
+    uint8_t* ctx;
+    int32_t* ids;   // [cu, pu, tu]
+    int qp_full, qp_cb_full, qp_cr_full;
+    double lam, lam_bits, lam_me;
+    int err;
+};
+
+EN en;
+
+inline int cw_() { return g_sp.pic_w >> 1; }
+inline int chh_() { return g_sp.pic_h >> 1; }
+
+// ---------------------------------------------------------------- math
+
+// Hadamard SATD of an int32 block pair (encode/sweep.satd_many oracle)
+int64_t satd_block(const int32_t* a, const int32_t* b, int stride_a,
+                   int stride_b, int bs) {
+    int32_t d[8][8];
+    for (int y = 0; y < bs; y++)
+        for (int x = 0; x < bs; x++)
+            d[y][x] = a[y * stride_a + x] - b[y * stride_b + x];
+    // rows then columns fast Walsh (== Sylvester H @ d @ H)
+    for (int y = 0; y < bs; y++) {
+        int32_t* r = d[y];
+        for (int len = 1; len < bs; len <<= 1)
+            for (int i = 0; i < bs; i += len << 1)
+                for (int j = i; j < i + len; j++) {
+                    int32_t u = r[j], v = r[j + len];
+                    r[j] = u + v;
+                    r[j + len] = u - v;
+                }
+    }
+    for (int x = 0; x < bs; x++) {
+        for (int len = 1; len < bs; len <<= 1)
+            for (int i = 0; i < bs; i += len << 1)
+                for (int j = i; j < i + len; j++) {
+                    int32_t u = d[j][x], v = d[j + len][x];
+                    d[j][x] = u + v;
+                    d[j + len][x] = u - v;
+                }
+    }
+    int64_t s = 0;
+    for (int y = 0; y < bs; y++)
+        for (int x = 0; x < bs; x++)
+            s += d[y][x] < 0 ? -d[y][x] : d[y][x];
+    return bs == 8 ? (s + 2) >> 2 : (s + 1) >> 1;
+}
+
+// SATD over an (h, w) region partitioned into bs x bs blocks
+int64_t satd_region(const int32_t* a, const int32_t* b, int w, int h,
+                    int bs) {
+    int64_t total = 0;
+    for (int y = 0; y < h; y += bs)
+        for (int x = 0; x < w; x += bs)
+            total += satd_block(a + y * w + x, b + y * w + x, w, w, bs);
+    return total;
+}
+
+// SAD of orig (int32, bh x bw) vs a clamped window of the int16 ref plane
+int64_t sad_at(const int32_t* orig, int bw, int bh, const int16_t* ref,
+               int rw, int rh, int x0, int y0) {
+    int64_t s = 0;
+    for (int y = 0; y < bh; y++) {
+        int yc = clip3i(0, rh - 1, y0 + y);
+        const int16_t* row = ref + (int64_t)yc * rw;
+        for (int x = 0; x < bw; x++) {
+            int d = orig[y * bw + x] - row[clip3i(0, rw - 1, x0 + x)];
+            s += d < 0 ? -d : d;
+        }
+    }
+    return s;
+}
+
+// HM forward transform (ops/transform.forward_transform_np)
+void fwd_transform(const int32_t* res, int n, int bit_depth, int use_dst,
+                   int32_t* out) {
+    int log2n = 0;
+    while ((1 << log2n) < n)
+        log2n++;
+    const int32_t* m = dct_matrix_for(log2n, use_dst);
+    int shift1 = log2n + bit_depth - 9;
+    int shift2 = log2n + 6;
+    static thread_local int64_t t[32 * 32];
+    // t = res @ m^T: t[y][i] = sum_x res[y][x] * m[i][x]
+    for (int y = 0; y < n; y++)
+        for (int i = 0; i < n; i++) {
+            int64_t acc = 0;
+            for (int x = 0; x < n; x++)
+                acc += (int64_t)res[y * n + x] * m[i * n + x];
+            t[y * n + i] = shift1 > 0
+                ? (acc + (1LL << (shift1 - 1))) >> shift1
+                : acc << -shift1;
+        }
+    // c = m @ t: c[j][i] = sum_y m[j][y] * t[y][i]
+    for (int j = 0; j < n; j++)
+        for (int i = 0; i < n; i++) {
+            int64_t acc = 0;
+            for (int y = 0; y < n; y++)
+                acc += (int64_t)m[j * n + y] * t[y * n + i];
+            out[j * n + i] = (int32_t)((acc + (1LL << (shift2 - 1)))
+                                       >> shift2);
+        }
+}
+
+// HM quantization with 1/3 (intra) / 1/6 rounding
+// (intra_search.quantize_np). Returns nonzero count.
+int quantize(const int32_t* coeffs, int n, int qp, int bit_depth, int log2,
+             int intra, int16_t* levels) {
+    int t_shift = 15 - bit_depth - log2;
+    int q_shift = 14 + qp / 6 + t_shift;
+    int64_t f = en.quant_scales[qp % 6];
+    int64_t rnd = (1LL << q_shift) / (intra ? 3 : 6);
+    int nz = 0;
+    for (int i = 0; i < n * n; i++) {
+        int c = coeffs[i];
+        int64_t a = c < 0 ? -(int64_t)c : c;
+        int64_t lv = (a * f + rnd) >> q_shift;
+        if (lv > 32767)
+            lv = 32767;
+        levels[i] = (int16_t)(c < 0 ? -lv : lv);
+        nz += lv != 0;
+    }
+    return nz;
+}
+
+// mvd rate proxy (inter_search._mv_bits): EG1-ish, exact double parity
+double mv_bits(int mvd_x, int mvd_y) {
+    auto b = [](int v) -> double {
+        int a = v < 0 ? -v : v;
+        if (a == 0)
+            return 1.0;
+        // floor(log2(a + 1)) == msb index (log2 exact at powers of two)
+        int fl = 31 - __builtin_clz((unsigned)(a + 1));
+        return 3.0 + 2.0 * fl;
+    };
+    return b(mvd_x) + b(mvd_y);
+}
+
+int scan_for(int log2, int c_idx, int mode, int intra) {
+    if (intra && (log2 == 2 || (log2 == 3 && c_idx == 0))) {
+        if (6 <= mode && mode <= 14)
+            return 2;
+        if (22 <= mode && mode <= 30)
+            return 1;
+    }
+    return 0;
+}
+
+// Exact CABAC fractional bits (+1 cbf bin) without mutating the live pool
+// (intra_search._residual_bits)
+double residual_bits_est(const int16_t* levels, int nz, int log2, int c_idx,
+                         int mode, int intra) {
+    if (!nz)
+        return 1.0;
+    static thread_local uint8_t ctx_copy[512];
+    std::memcpy(ctx_copy, en.ctx, en.num_ctx);
+    int64_t frac = tc_residual_bits(ctx_copy, log2, c_idx,
+                                    scan_for(log2, c_idx, mode, intra), 0,
+                                    levels);
+    return (double)frac / 256.0 + 1.0;
+}
+
+// Apply the chosen block's context transitions to the live pool
+// (intra_search._commit_residual_ctx)
+void commit_residual_ctx(const int16_t* levels, int nz, int log2, int c_idx,
+                         int mode, int intra) {
+    if (!nz)
+        return;
+    tc_residual_bits(en.ctx, log2, c_idx, scan_for(log2, c_idx, mode, intra),
+                     0, levels);
+}
+
+// ---------------------------------------------------------------- fills
+
+template <typename T>
+inline void fillq(T* base, int x0, int y0, int size, T v) {
+    int bx = x0 >> 2, by = y0 >> 2, n = size >> 2;
+    for (int y = 0; y < n; y++) {
+        T* row = base + (int64_t)(by + y) * g_sp.w4 + bx;
+        for (int x = 0; x < n; x++)
+            row[x] = v;
+    }
+}
+
+template <typename T>
+inline void fillq_wh(T* base, int x0, int y0, int w, int h, T v) {
+    int bx = x0 >> 2, by = y0 >> 2, nw = w >> 2, nh = h >> 2;
+    for (int y = 0; y < nh; y++) {
+        T* row = base + (int64_t)(by + y) * g_sp.w4 + bx;
+        for (int x = 0; x < nw; x++)
+            row[x] = v;
+    }
+}
+
+// copy (n, n) int16 block between a strided plane and a compact buffer
+inline void blk_save16(const int16_t* plane, int stride, int x0, int y0,
+                       int n, int16_t* buf) {
+    for (int y = 0; y < n; y++)
+        std::memcpy(buf + y * n, plane + (int64_t)(y0 + y) * stride + x0,
+                    n * 2);
+}
+
+inline void blk_load16(int16_t* plane, int stride, int x0, int y0, int n,
+                       const int16_t* buf) {
+    for (int y = 0; y < n; y++)
+        std::memcpy(plane + (int64_t)(y0 + y) * stride + x0, buf + y * n,
+                    n * 2);
+}
+
+template <typename T>
+inline void q_save(const T* base, int x0, int y0, int size, T* buf) {
+    int bx = x0 >> 2, by = y0 >> 2, n = size >> 2;
+    for (int y = 0; y < n; y++)
+        std::memcpy(buf + y * n, base + (int64_t)(by + y) * g_sp.w4 + bx,
+                    n * sizeof(T));
+}
+
+template <typename T>
+inline void q_load(T* base, int x0, int y0, int size, const T* buf) {
+    int bx = x0 >> 2, by = y0 >> 2, n = size >> 2;
+    for (int y = 0; y < n; y++)
+        std::memcpy(base + (int64_t)(by + y) * g_sp.w4 + bx, buf + y * n,
+                    n * sizeof(T));
+}
+
+// ---------------------------------------------------------------- snapshot
+// intra_search._snapshot + inter_search extras, over one square region
+struct Snap {
+    int16_t rec_y[64 * 64], rec_cb[32 * 32], rec_cr[32 * 32];
+    int16_t coeff_y[64 * 64], coeff_cb[32 * 32], coeff_cr[32 * 32];
+    uint8_t ct_depth[256], part_mode[256], cu_pred_mode[256],
+        intra_mode_y[256], intra_mode_c[256], tu_log2[256],
+        cbf_y[256], cbf_cb[256], cbf_cr[256], cu_size_log2[256];
+    int32_t tu_id[256], cu_id[256], pu_id[256];
+    // inter extras
+    uint8_t skip_flag[256], merge_flag[256], merge_idx[256],
+        mvp_flag[2 * 256];
+    int16_t mv[2 * 256 * 2], mvd[2 * 256 * 2];
+    int8_t ref_idx[2 * 256];
+    int32_t ref_poc[2 * 256];
+    int32_t ids[3];
+    uint8_t ctx[512];
+};
+
+void snap_save(Snap& s, int x0, int y0, int size) {
+    const int cs = size >> 1;
+    blk_save16(en.rec[0], g_sp.pic_w, x0, y0, size, s.rec_y);
+    blk_save16(en.rec[1], cw_(), x0 >> 1, y0 >> 1, cs, s.rec_cb);
+    blk_save16(en.rec[2], cw_(), x0 >> 1, y0 >> 1, cs, s.rec_cr);
+    blk_save16(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, s.coeff_y);
+    blk_save16(g_sp.coeff_cb, cw_(), x0 >> 1, y0 >> 1, cs, s.coeff_cb);
+    blk_save16(g_sp.coeff_cr, cw_(), x0 >> 1, y0 >> 1, cs, s.coeff_cr);
+    q_save(g_sp.ct_depth, x0, y0, size, s.ct_depth);
+    q_save(g_sp.part_mode, x0, y0, size, s.part_mode);
+    q_save(g_sp.cu_pred_mode, x0, y0, size, s.cu_pred_mode);
+    q_save(g_sp.intra_mode_y, x0, y0, size, s.intra_mode_y);
+    q_save(g_sp.intra_mode_c, x0, y0, size, s.intra_mode_c);
+    q_save(g_sp.tu_log2, x0, y0, size, s.tu_log2);
+    q_save(g_sp.cbf_y, x0, y0, size, s.cbf_y);
+    q_save(g_sp.cbf_cb, x0, y0, size, s.cbf_cb);
+    q_save(g_sp.cbf_cr, x0, y0, size, s.cbf_cr);
+    q_save(g_sp.cu_size_log2, x0, y0, size, s.cu_size_log2);
+    q_save(g_sp.tu_id, x0, y0, size, s.tu_id);
+    q_save(g_sp.cu_id, x0, y0, size, s.cu_id);
+    q_save(g_sp.pu_id, x0, y0, size, s.pu_id);
+    if (!g_sp.is_i) {
+        const int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
+        int nb = size >> 2;
+        q_save(g_sp.skip_flag, x0, y0, size, s.skip_flag);
+        q_save(g_sp.merge_flag, x0, y0, size, s.merge_flag);
+        q_save(g_sp.merge_idx, x0, y0, size, s.merge_idx);
+        for (int l = 0; l < 2; l++) {
+            q_save(g_sp.mvp_flag + l * plane4, x0, y0, size,
+                   s.mvp_flag + l * nb * nb);
+            q_save(g_sp.ref_idx + l * plane4, x0, y0, size,
+                   s.ref_idx + l * nb * nb);
+            q_save(g_sp.ref_poc + l * plane4, x0, y0, size,
+                   s.ref_poc + l * nb * nb);
+            // mv / mvd: (.., 2) pairs — copy rows of 2*nb int16
+            int bx = x0 >> 2, by = y0 >> 2;
+            for (int y = 0; y < nb; y++) {
+                std::memcpy(s.mv + (l * nb * nb + y * nb) * 2,
+                            g_sp.mv + (l * plane4
+                                       + (int64_t)(by + y) * g_sp.w4 + bx)
+                                          * 2,
+                            nb * 4);
+                std::memcpy(s.mvd + (l * nb * nb + y * nb) * 2,
+                            g_sp.mvd + (l * plane4
+                                        + (int64_t)(by + y) * g_sp.w4 + bx)
+                                           * 2,
+                            nb * 4);
+            }
+        }
+    }
+    s.ids[0] = en.ids[0];
+    s.ids[1] = en.ids[1];
+    s.ids[2] = en.ids[2];
+}
+
+void snap_restore(const Snap& s, int x0, int y0, int size) {
+    const int cs = size >> 1;
+    blk_load16(en.rec[0], g_sp.pic_w, x0, y0, size, s.rec_y);
+    blk_load16(en.rec[1], cw_(), x0 >> 1, y0 >> 1, cs, s.rec_cb);
+    blk_load16(en.rec[2], cw_(), x0 >> 1, y0 >> 1, cs, s.rec_cr);
+    blk_load16(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, s.coeff_y);
+    blk_load16(g_sp.coeff_cb, cw_(), x0 >> 1, y0 >> 1, cs, s.coeff_cb);
+    blk_load16(g_sp.coeff_cr, cw_(), x0 >> 1, y0 >> 1, cs, s.coeff_cr);
+    q_load(g_sp.ct_depth, x0, y0, size, s.ct_depth);
+    q_load(g_sp.part_mode, x0, y0, size, s.part_mode);
+    q_load(g_sp.cu_pred_mode, x0, y0, size, s.cu_pred_mode);
+    q_load(g_sp.intra_mode_y, x0, y0, size, s.intra_mode_y);
+    q_load(g_sp.intra_mode_c, x0, y0, size, s.intra_mode_c);
+    q_load(g_sp.tu_log2, x0, y0, size, s.tu_log2);
+    q_load(g_sp.cbf_y, x0, y0, size, s.cbf_y);
+    q_load(g_sp.cbf_cb, x0, y0, size, s.cbf_cb);
+    q_load(g_sp.cbf_cr, x0, y0, size, s.cbf_cr);
+    q_load(g_sp.cu_size_log2, x0, y0, size, s.cu_size_log2);
+    q_load(g_sp.tu_id, x0, y0, size, s.tu_id);
+    q_load(g_sp.cu_id, x0, y0, size, s.cu_id);
+    q_load(g_sp.pu_id, x0, y0, size, s.pu_id);
+    if (!g_sp.is_i) {
+        const int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
+        int nb = size >> 2;
+        q_load(g_sp.skip_flag, x0, y0, size, s.skip_flag);
+        q_load(g_sp.merge_flag, x0, y0, size, s.merge_flag);
+        q_load(g_sp.merge_idx, x0, y0, size, s.merge_idx);
+        for (int l = 0; l < 2; l++) {
+            q_load(g_sp.mvp_flag + l * plane4, x0, y0, size,
+                   s.mvp_flag + l * nb * nb);
+            q_load(g_sp.ref_idx + l * plane4, x0, y0, size,
+                   s.ref_idx + l * nb * nb);
+            q_load(g_sp.ref_poc + l * plane4, x0, y0, size,
+                   s.ref_poc + l * nb * nb);
+            int bx = x0 >> 2, by = y0 >> 2;
+            for (int y = 0; y < nb; y++) {
+                std::memcpy(g_sp.mv + (l * plane4
+                                       + (int64_t)(by + y) * g_sp.w4 + bx)
+                                          * 2,
+                            s.mv + (l * nb * nb + y * nb) * 2, nb * 4);
+                std::memcpy(g_sp.mvd + (l * plane4
+                                        + (int64_t)(by + y) * g_sp.w4 + bx)
+                                           * 2,
+                            s.mvd + (l * nb * nb + y * nb) * 2, nb * 4);
+            }
+        }
+    }
+    en.ids[0] = s.ids[0];
+    en.ids[1] = s.ids[1];
+    en.ids[2] = s.ids[2];
+    // NOTE: the rate-estimation context pool is deliberately NOT restored —
+    // the Python oracle (intra_search._restore) lets transitions from
+    // discarded trials accumulate, and the writer-side estimates track that.
+}
+
+// ---------------------------------------------------------------- intra
+
+// SATD-rank all 35 modes (intra_search._rank_modes). Returns candidate
+// count; cands filled in rank order.
+int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
+               int32_t corner, int n, const int cands_mpm[3], int count,
+               int* out_cands) {
+    static thread_local int32_t preds[35][32 * 32];
+    static thread_local int32_t pred_f[32 * 32];
+    const int bd = g_sp.bit_depth_y;
+    for (int mode = 0; mode < 35; mode++)
+        intra_predict_core(mode, rt, rl, corner, n, 0, bd, 1, preds[mode]);
+    if (n > 4) {
+        int32_t frt[64], frl[64], fc = corner;
+        std::memcpy(frt, rt, 2 * n * 4);
+        std::memcpy(frl, rl, 2 * n * 4);
+        filter_intra_refs(frt, frl, &fc, n, 0, en.strong, bd);
+        int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
+        for (int mode = 0; mode < 35; mode++) {
+            if (mode == 1)
+                continue;
+            if (mode != 0) {
+                int mind = std::min(std::abs(mode - 26), std::abs(mode - 10));
+                if (mind <= thres)
+                    continue;
+            }
+            intra_predict_core(mode, frt, frl, fc, n, 0, bd, 1, pred_f);
+            std::memcpy(preds[mode], pred_f, n * n * 4);
+        }
+    }
+    int bs = n >= 8 ? 8 : 4;
+    struct MC {
+        double cost;
+        int mode;
+    } mc[35];
+    for (int mode = 0; mode < 35; mode++) {
+        int64_t satd = satd_region(orig_b, preds[mode], n, n, bs);
+        int in_mpm = mode == cands_mpm[0] || mode == cands_mpm[1]
+                  || mode == cands_mpm[2];
+        mc[mode].cost = (double)satd + en.lam_bits * (in_mpm ? 2 : 6);
+        mc[mode].mode = mode;
+    }
+    std::stable_sort(mc, mc + 35,
+                     [](const MC& a, const MC& b) { return a.cost < b.cost; });
+    int cnt = count < 35 ? count : 35;
+    bool has_planar = false;
+    for (int i = 0; i < cnt; i++) {
+        out_cands[i] = mc[i].mode;
+        has_planar |= mc[i].mode == 0;
+    }
+    if (!has_planar && cnt >= 2)
+        out_cands[cnt - 1] = 0;
+    return cnt;
+}
+
+// one intra TB trial: predict + transform + quant + recon; returns dist and
+// fills levels/rec. pred is the exact (edge-filtered) prediction.
+struct TbTrial {
+    int16_t levels[32 * 32];
+    int nz;
+    int32_t rec[32 * 32];
+    double dist;
+};
+
+void try_tb(const int32_t* orig_b, const int32_t* pred, int n, int log2,
+            int qp_full, int bd, int use_dst, int intra, TbTrial& t) {
+    static thread_local int32_t res[32 * 32], coeffs[32 * 32];
+    for (int i = 0; i < n * n; i++)
+        res[i] = orig_b[i] - pred[i];
+    fwd_transform(res, n, bd, use_dst, coeffs);
+    t.nz = quantize(coeffs, n, qp_full, bd, log2, intra, t.levels);
+    int max_val = (1 << bd) - 1;
+    if (t.nz) {
+        std::memcpy(t.rec, pred, n * n * 4);
+        dequant_idct_add(t.levels, n, n, log2, qp_full, bd, use_dst, t.rec);
+        for (int i = 0; i < n * n; i++)
+            t.rec[i] = clip3i(0, max_val, t.rec[i]);
+    } else {
+        for (int i = 0; i < n * n; i++)
+            t.rec[i] = clip3i(0, max_val, pred[i]);
+    }
+    int64_t d = 0;
+    for (int i = 0; i < n * n; i++) {
+        int64_t e = t.rec[i] - orig_b[i];
+        d += e * e;
+    }
+    t.dist = (double)d;
+}
+
+// gather an (n, n) int16 plane region into int32
+inline void gather32(const int16_t* plane, int stride, int x0, int y0, int n,
+                     int32_t* out) {
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++)
+            out[y * n + x] = plane[(int64_t)(y0 + y) * stride + (x0 + x)];
+}
+
+inline void scatter16(int16_t* plane, int stride, int x0, int y0, int n,
+                      const int32_t* in) {
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++)
+            plane[(int64_t)(y0 + y) * stride + (x0 + x)] =
+                (int16_t)in[y * n + x];
+}
+
+inline void scatter_lv(int16_t* plane, int stride, int x0, int y0, int n,
+                       const int16_t* in) {
+    for (int y = 0; y < n; y++)
+        std::memcpy(plane + (int64_t)(y0 + y) * stride + x0, in + y * n,
+                    n * 2);
+}
+
+// chroma half of an intra CU (shared by 2Nx2N and NxN paths):
+// one TB per plane at (cx, cy) size cs, DM mode. Returns dist + lam * bits.
+double intra_chroma(int cx, int cy, int cs, int clog2, int mode,
+                    int x0, int y0, int size) {
+    const int bd_c = g_sp.bit_depth_c;
+    double cost = 0.0;
+    static thread_local int32_t orig_c[32 * 32], pred[32 * 32];
+    int32_t rt[64], rl[64], corner;
+    TbTrial t;
+    for (int ci = 0; ci < 2; ci++) {
+        const int16_t* plane_o = en.orig[ci + 1];
+        int16_t* plane_r = en.rec[ci + 1];
+        int16_t* coeffp = ci == 0 ? g_sp.coeff_cb : g_sp.coeff_cr;
+        uint8_t* cbfp = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
+        int qp = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+        gather32(plane_o, cw_(), cx, cy, cs, orig_c);
+        build_intra_refs(plane_r, cw_(), chh_(), en.zscan32, g_sp.w4, cx, cy,
+                         cs, 2, bd_c, rt, rl, &corner);
+        intra_predict_core(mode, rt, rl, corner, cs, 1, bd_c, 0, pred);
+        try_tb(orig_c, pred, cs, clog2, qp, bd_c, 0, 1, t);
+        scatter_lv(coeffp, cw_(), cx, cy, cs, t.levels);
+        fillq(cbfp, x0, y0, size, (uint8_t)(t.nz ? 1 : 0));
+        double cbits = residual_bits_est(t.levels, t.nz, clog2, ci + 1, mode,
+                                         1);
+        commit_residual_ctx(t.levels, t.nz, clog2, ci + 1, mode, 1);
+        cost += t.dist + en.lam * cbits;
+        scatter16(plane_r, cw_(), cx, cy, cs, t.rec);
+    }
+    return cost;
+}
+
+// intra_search._encode_cu: best 2Nx2N intra CU at (x0, y0)
+double encode_intra_cu(int x0, int y0, int log2, int depth) {
+    const int size = 1 << log2;
+    const int bd = g_sp.bit_depth_y;
+    fillq(g_sp.ct_depth, x0, y0, size, (uint8_t)depth);
+    fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)1);
+    fillq(g_sp.part_mode, x0, y0, size, (uint8_t)0);
+    fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
+    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
+    fillq(g_sp.pu_id, x0, y0, size, en.ids[1]);
+    en.ids[0]++;
+    en.ids[1]++;
+
+    static thread_local int32_t orig_y[64 * 64], pred[64 * 64];
+    gather32(en.orig[0], g_sp.pic_w, x0, y0, size, orig_y);
+
+    int32_t rt[64], rl[64], corner;
+    build_intra_refs(en.rec[0], g_sp.pic_w, g_sp.pic_h, en.zscan32, g_sp.w4,
+                     x0, y0, size, 1, bd, rt, rl, &corner);
+    int mpm[3];
+    sp_intra_mpm(x0, y0, mpm);
+    int cands[35];
+    int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm,
+                           en.rd_candidates, cands);
+
+    static thread_local TbTrial trial, best_t;
+    double best_cost = 0.0;
+    int best_mode = -1;
+    int use_dst = log2 == 2;
+    int32_t frt[64], frl[64], fc;
+    for (int k = 0; k < ncand; k++) {
+        int mode = cands[k];
+        std::memcpy(frt, rt, 2 * size * 4);
+        std::memcpy(frl, rl, 2 * size * 4);
+        fc = corner;
+        filter_intra_refs(frt, frl, &fc, size, mode, en.strong, bd);
+        intra_predict_core(mode, frt, frl, fc, size, 0, bd, 0, pred);
+        try_tb(orig_y, pred, size, log2, en.qp_full, bd, use_dst, 1, trial);
+        int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
+        double rate = residual_bits_est(trial.levels, trial.nz, log2, 0,
+                                        mode, 1) + (in_mpm ? 2 : 6);
+        double cost = trial.dist + en.lam * rate;
+        if (best_mode < 0 || cost < best_cost) {
+            best_cost = cost;
+            best_mode = mode;
+            best_t = trial;
+        }
+    }
+    commit_residual_ctx(best_t.levels, best_t.nz, log2, 0, best_mode, 1);
+    fillq(g_sp.intra_mode_y, x0, y0, size, (uint8_t)best_mode);
+    fillq(g_sp.intra_mode_c, x0, y0, size, (uint8_t)best_mode);
+    fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)log2);
+    fillq(g_sp.tu_id, x0, y0, size, en.ids[2]);
+    en.ids[2]++;
+    scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, best_t.levels);
+    fillq(g_sp.cbf_y, x0, y0, size, (uint8_t)(best_t.nz ? 1 : 0));
+    scatter16(en.rec[0], g_sp.pic_w, x0, y0, size, best_t.rec);
+
+    return best_cost
+         + intra_chroma(x0 >> 1, y0 >> 1, size >> 1, log2 - 1, best_mode,
+                        x0, y0, size);
+}
+
+// intra_search._encode_cu_nxn: four 4x4 PUs/TUs + 4x4 chroma pair
+double encode_intra_nxn(int x0, int y0, int log2, int depth) {
+    const int size = 1 << log2;
+    const int half = size >> 1;
+    const int bd = g_sp.bit_depth_y;
+    const int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
+    fillq(g_sp.ct_depth, x0, y0, size, (uint8_t)depth);
+    fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)1);
+    fillq(g_sp.part_mode, x0, y0, size, (uint8_t)3);  // PART_NxN
+    fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
+    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
+    en.ids[0]++;
+    fillq(g_sp.ref_idx, x0, y0, size, (int8_t)-1);
+    fillq(g_sp.ref_idx + plane4, x0, y0, size, (int8_t)-1);
+
+    static thread_local int32_t orig_b[16], pred[16];
+    int32_t rt[64], rl[64], corner;
+    TbTrial trial, best_t;
+    double cost = 0.0;
+    int modes[4];
+    for (int i = 0; i < 4; i++) {
+        int xb = x0 + (i & 1) * half;
+        int yb = y0 + (i >> 1) * half;
+        fillq(g_sp.pu_id, xb, yb, half, en.ids[1]);
+        en.ids[1]++;
+        gather32(en.orig[0], g_sp.pic_w, xb, yb, half, orig_b);
+        build_intra_refs(en.rec[0], g_sp.pic_w, g_sp.pic_h, en.zscan32,
+                         g_sp.w4, xb, yb, half, 1, bd, rt, rl, &corner);
+        int mpm[3];
+        sp_intra_mpm(xb, yb, mpm);
+        int count = en.rd_candidates > 2 ? en.rd_candidates : 2;
+        int cands[35];
+        int ncand = rank_modes(orig_b, rt, rl, corner, half, mpm, count,
+                               cands);
+        double best_cost = 0.0;
+        int best_mode = -1;
+        for (int k = 0; k < ncand; k++) {
+            int mode = cands[k];
+            intra_predict_core(mode, rt, rl, corner, half, 0, bd, 0, pred);
+            try_tb(orig_b, pred, half, 2, en.qp_full, bd, 1, 1, trial);
+            int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
+            double rate = residual_bits_est(trial.levels, trial.nz, 2, 0,
+                                            mode, 1) + (in_mpm ? 2 : 6);
+            double c = trial.dist + en.lam * rate;
+            if (best_mode < 0 || c < best_cost) {
+                best_cost = c;
+                best_mode = mode;
+                best_t = trial;
+            }
+        }
+        commit_residual_ctx(best_t.levels, best_t.nz, 2, 0, best_mode, 1);
+        cost += best_cost;
+        modes[i] = best_mode;
+        fillq(g_sp.intra_mode_y, xb, yb, half, (uint8_t)best_mode);
+        fillq(g_sp.tu_log2, xb, yb, half, (uint8_t)2);
+        fillq(g_sp.tu_id, xb, yb, half, en.ids[2]);
+        en.ids[2]++;
+        scatter_lv(g_sp.coeff_y, g_sp.pic_w, xb, yb, half, best_t.levels);
+        fillq(g_sp.cbf_y, xb, yb, half, (uint8_t)(best_t.nz ? 1 : 0));
+        scatter16(en.rec[0], g_sp.pic_w, xb, yb, half, best_t.rec);
+    }
+    fillq(g_sp.intra_mode_c, x0, y0, size, (uint8_t)modes[0]);
+    return cost + intra_chroma(x0 >> 1, y0 >> 1, size >> 1, 2, modes[0],
+                               x0, y0, size);
+}
+
+// ---------------------------------------------------------------- inter
+
+// 14-bit luma MC for one motion (inter_search._mc14 luma part)
+inline void mc14_luma(int lx, int ref, int mvx, int mvy, int x0, int y0,
+                      int w, int h, int32_t* out) {
+    mc_interp(en.refs[lx][ref][0], g_sp.pic_w, g_sp.pic_h,
+              x0 + (mvx >> 2), y0 + (mvy >> 2), mvx & 3, mvy & 3, w, h,
+              g_sp.bit_depth_y, 8, en.luma_filt, 8, out);
+}
+
+inline void mc14_chroma(int lx, int ref, int c, int mvx, int mvy, int x0,
+                        int y0, int w, int h, int32_t* out) {
+    mc_interp(en.refs[lx][ref][c], cw_(), chh_(),
+              (x0 >> 1) + (mvx >> 3), (y0 >> 1) + (mvy >> 3), mvx & 7,
+              mvy & 7, w >> 1, h >> 1, g_sp.bit_depth_c, 4,
+              (const int32_t(*)[8])en.chroma_filt, 4, out);
+}
+
+// finalize uni/bi 14-bit parts into clipped int32 samples
+void finalize14(const int32_t* p0, const int32_t* p1, int w, int h, int bd,
+                int32_t* out) {
+    int max_v = (1 << bd) - 1;
+    if (p0 && p1) {
+        int shift = 14 - bd;
+        int rnd = 1 << shift;
+        for (int i = 0; i < w * h; i++)
+            out[i] = clip3i(0, max_v, (p0[i] + p1[i] + rnd) >> (shift + 1));
+    } else {
+        const int32_t* p = p0 ? p0 : p1;
+        int shift = 14 - bd;
+        int rnd = 1 << (shift - 1);
+        for (int i = 0; i < w * h; i++)
+            out[i] = clip3i(0, max_v, (p[i] + rnd) >> shift);
+    }
+}
+
+// luma-only finalized prediction for SATD ranking
+// (inter_search._pred_luma_for_motion)
+void pred_luma_for_motion(const int pf[2], const int mv[2][2],
+                          const int ref[2], int x0, int y0, int w, int h,
+                          int32_t* out) {
+    static thread_local int32_t p14[2][64 * 64];
+    const int32_t* parts[2] = {nullptr, nullptr};
+    for (int l = 0; l < 2; l++)
+        if (pf[l]) {
+            mc14_luma(l, ref[l], mv[l][0], mv[l][1], x0, y0, w, h, p14[l]);
+            parts[l] = p14[l];
+        }
+    finalize14(parts[0], parts[1], w, h, g_sp.bit_depth_y, out);
+}
+
+// all-plane finalized prediction (inter_search._pred_for_motion)
+void pred_full_for_motion(const int pf[2], const int mv[2][2],
+                          const int ref[2], int x0, int y0, int w, int h,
+                          int32_t* oy, int32_t* ocb, int32_t* ocr) {
+    static thread_local int32_t py[2][64 * 64], pcb[2][32 * 32],
+        pcr[2][32 * 32];
+    const int32_t *ay[2] = {nullptr, nullptr}, *ab[2] = {nullptr, nullptr},
+                  *ar[2] = {nullptr, nullptr};
+    for (int l = 0; l < 2; l++)
+        if (pf[l]) {
+            mc14_luma(l, ref[l], mv[l][0], mv[l][1], x0, y0, w, h, py[l]);
+            mc14_chroma(l, ref[l], 1, mv[l][0], mv[l][1], x0, y0, w, h,
+                        pcb[l]);
+            mc14_chroma(l, ref[l], 2, mv[l][0], mv[l][1], x0, y0, w, h,
+                        pcr[l]);
+            ay[l] = py[l];
+            ab[l] = pcb[l];
+            ar[l] = pcr[l];
+        }
+    finalize14(ay[0], ay[1], w, h, g_sp.bit_depth_y, oy);
+    finalize14(ab[0], ab[1], w >> 1, h >> 1, g_sp.bit_depth_c, ocb);
+    finalize14(ar[0], ar[1], w >> 1, h >> 1, g_sp.bit_depth_c, ocr);
+}
+
+// full-pel pattern search (inter_search._full_pel_search); ties break on
+// lexicographically smaller (ix, iy), mirroring Python's min over tuples
+struct FpBest {
+    double cost;
+    int ix, iy;
+};
+
+inline bool fp_better(double c, int ix, int iy, const FpBest& b) {
+    if (c != b.cost)
+        return c < b.cost;
+    if (ix != b.ix)
+        return ix < b.ix;
+    return iy < b.iy;
+}
+
+struct FpCache {
+    // dense window |ix|,|iy| <= 128 + tiny overflow list for far seeds
+    static const int R = 128;
+    double cost[(2 * R + 1) * (2 * R + 1)];
+    uint32_t stamp[(2 * R + 1) * (2 * R + 1)];
+    uint32_t epoch = 0;
+    int n_ovf = 0;
+    int ovf_xy[8][2];
+    double ovf_c[8];
+
+    void reset() {
+        epoch++;
+        n_ovf = 0;
+    }
+    bool get(int ix, int iy, double* c) {
+        if (ix >= -R && ix <= R && iy >= -R && iy <= R) {
+            int i = (iy + R) * (2 * R + 1) + (ix + R);
+            if (stamp[i] == epoch) {
+                *c = cost[i];
+                return true;
+            }
+            return false;
+        }
+        for (int i = 0; i < n_ovf; i++)
+            if (ovf_xy[i][0] == ix && ovf_xy[i][1] == iy) {
+                *c = ovf_c[i];
+                return true;
+            }
+        return false;
+    }
+    void put(int ix, int iy, double c) {
+        if (ix >= -R && ix <= R && iy >= -R && iy <= R) {
+            int i = (iy + R) * (2 * R + 1) + (ix + R);
+            stamp[i] = epoch;
+            cost[i] = c;
+        } else if (n_ovf < 8) {
+            ovf_xy[n_ovf][0] = ix;
+            ovf_xy[n_ovf][1] = iy;
+            ovf_c[n_ovf++] = c;
+        }
+    }
+};
+
+FpCache fp_cache;
+
+void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
+                     int lx, int ref, const int mvp[2], int* out_ix,
+                     int* out_iy) {
+    const int16_t* plane = en.refs[lx][ref][0];
+    fp_cache.reset();
+    auto cost_at = [&](int ix, int iy) -> double {
+        double c;
+        if (!fp_cache.get(ix, iy, &c)) {
+            int64_t sad = sad_at(orig, w, h, plane, g_sp.pic_w, g_sp.pic_h,
+                                 x0 + ix, y0 + iy);
+            c = (double)sad
+              + en.lam_me * mv_bits(4 * ix - mvp[0], 4 * iy - mvp[1]);
+            fp_cache.put(ix, iy, c);
+        }
+        return c;
+    };
+    // seeds: zero MV and the predictor (deduped)
+    FpBest best{cost_at(0, 0), 0, 0};
+    int sx = mvp[0] >> 2, sy = mvp[1] >> 2;
+    if (sx != 0 || sy != 0) {
+        double c = cost_at(sx, sy);
+        if (fp_better(c, sx, sy, best))
+            best = {c, sx, sy};
+    }
+    const int sr = en.search_range;
+    static const int dirs[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
+                                   {1, 1}, {-1, -1}, {1, -1}, {-1, 1}};
+    for (int step = 16; step >= 1; step >>= 1) {
+        bool improved = true;
+        while (improved) {
+            improved = false;
+            int bx = best.ix, by = best.iy;
+            FpBest probe_best{0, 0, 0};
+            bool have = false;
+            for (int d = 0; d < 8; d++) {
+                int ix = bx + dirs[d][0] * step, iy = by + dirs[d][1] * step;
+                if (std::abs(ix) > sr || std::abs(iy) > sr)
+                    continue;
+                double c = cost_at(ix, iy);
+                if (!have || fp_better(c, ix, iy, probe_best)) {
+                    probe_best = {c, ix, iy};
+                    have = true;
+                }
+            }
+            if (have && probe_best.cost < best.cost) {
+                best = probe_best;
+                improved = true;
+            }
+        }
+    }
+    *out_ix = best.ix;
+    *out_iy = best.iy;
+}
+
+// half- then quarter-pel 8-neighbour SATD refinement
+// (inter_search._sub_pel_refine)
+void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
+                    int lx, int ref, int int_mv_x, int int_mv_y,
+                    const int mvp[2], int* out_mvx, int* out_mvy) {
+    const int bd = g_sp.bit_depth_y;
+    const int sh4 = 14 - bd;
+    const int max_v = (1 << bd) - 1;
+    const int bs = (std::min(w, h) >= 8 && w % 8 == 0 && h % 8 == 0) ? 8 : 4;
+    static thread_local int32_t p14[64 * 64], pred[64 * 64];
+    // tiny mv-keyed cache (1 start + up to 2*8 probes)
+    int cache_mv[24][2];
+    double cache_c[24];
+    int n_cache = 0;
+    auto cost_at = [&](int mvx, int mvy) -> double {
+        for (int i = 0; i < n_cache; i++)
+            if (cache_mv[i][0] == mvx && cache_mv[i][1] == mvy)
+                return cache_c[i];
+        mc14_luma(lx, ref, mvx, mvy, x0, y0, w, h, p14);
+        for (int i = 0; i < w * h; i++)
+            pred[i] = clip3i(0, max_v, (p14[i] + (1 << (sh4 - 1))) >> sh4);
+        int64_t satd = satd_region(orig, pred, w, h, bs);
+        double c = (double)satd
+                 + en.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
+        cache_mv[n_cache][0] = mvx;
+        cache_mv[n_cache][1] = mvy;
+        cache_c[n_cache++] = c;
+        return c;
+    };
+    static const int dirs[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
+                                   {1, 1}, {-1, -1}, {1, -1}, {-1, 1}};
+    int bx = int_mv_x * 4, by = int_mv_y * 4;
+    double bc = cost_at(bx, by);
+    int n_steps = en.rd_candidates >= 2 ? 2 : 1;
+    const int steps[2] = {2, 1};
+    for (int si = 0; si < n_steps; si++) {
+        int step = steps[si];
+        // min over the 8 probes with (cost, (mvx, mvy)) tuple tie-break
+        double pc = 0;
+        int px = 0, py = 0;
+        bool have = false;
+        for (int d = 0; d < 8; d++) {
+            int mvx = bx + dirs[d][0] * step, mvy = by + dirs[d][1] * step;
+            double c = cost_at(mvx, mvy);
+            if (!have || c < pc
+                || (c == pc && (mvx < px || (mvx == px && mvy < py)))) {
+                pc = c;
+                px = mvx;
+                py = mvy;
+                have = true;
+            }
+        }
+        if (pc < bc) {
+            bc = pc;
+            bx = px;
+            by = py;
+        }
+    }
+    *out_mvx = bx;
+    *out_mvy = by;
+}
+
+// one PU's motion decision (inter_search._search_pu). Returns the choice.
+struct PuChoice {
+    int kind;          // 0 merge, 1 amvp
+    int merge_idx;
+    Cand cand;         // merge winner
+    int amvp_mask;     // bit l: list l present
+    int mv[2][2], mvd[2][2], mvp_fl[2];
+};
+
+void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
+               int part_idx, int part_mode, PuChoice* out) {
+    static thread_local int32_t orig[64 * 64], pred[64 * 64];
+    for (int y = 0; y < ph; y++)
+        for (int x = 0; x < pw; x++)
+            orig[y * pw + x] =
+                en.orig[0][(int64_t)(py + y) * g_sp.pic_w + (px + x)];
+    int bs = (std::min(pw, ph) >= 8 && pw % 8 == 0 && ph % 8 == 0) ? 8 : 4;
+    Cand cands[5];
+    int ncand = sp_merge_candidates(cb_info[0], cb_info[1], cb_info[2], px,
+                                    py, pw, ph, part_idx, part_mode,
+                                    g_sp.max_merge, cands);
+    bool have = false;
+    double best_cost = 0;
+    PuChoice best{};
+    Cand seen[5];
+    int n_seen = 0;
+    for (int mi = 0; mi < ncand; mi++) {
+        const Cand& c = cands[mi];
+        bool dup = false;
+        for (int i = 0; i < n_seen; i++)
+            if (seen[i].equal(c))
+                dup = true;
+        if (dup || !(c.pf0 || c.pf1))
+            continue;
+        seen[n_seen++] = c;
+        int pf[2] = {c.pf0, c.pf1};
+        int mv[2][2] = {{c.mv00, c.mv01}, {c.mv10, c.mv11}};
+        int ref[2] = {c.r0 < 0 ? 0 : c.r0, c.r1 < 0 ? 0 : c.r1};
+        pred_luma_for_motion(pf, mv, ref, px, py, pw, ph, pred);
+        double cost = (double)satd_region(orig, pred, pw, ph, bs)
+                    + en.lam_me * (2 + mi);
+        if (!have || cost < best_cost) {
+            best_cost = cost;
+            best.kind = 0;
+            best.merge_idx = mi;
+            best.cand = c;
+            have = true;
+        }
+    }
+    int n_lists = (g_sp.is_b && g_sp.n_ref[1] > 0) ? 2 : 1;
+    for (int lx = 0; lx < n_lists; lx++) {
+        int mvps[2][2];
+        sp_amvp(px, py, pw, ph, lx, 0, cb_info, mvps);
+        int ix, iy;
+        full_pel_search(orig, px, py, pw, ph, lx, 0, mvps[0], &ix, &iy);
+        int mvx, mvy;
+        sub_pel_refine(orig, px, py, pw, ph, lx, 0, ix, iy, mvps[0], &mvx,
+                       &mvy);
+        double bits0 = mv_bits(mvx - mvps[0][0], mvy - mvps[0][1]);
+        double bits1 = mv_bits(mvx - mvps[1][0], mvy - mvps[1][1]);
+        int mvp_flag = bits1 < bits0 ? 1 : 0;
+        int mvd[2] = {mvx - mvps[mvp_flag][0], mvy - mvps[mvp_flag][1]};
+        int pf[2] = {lx == 0 ? 1 : 0, lx == 0 ? 0 : 1};
+        int mv[2][2] = {{mvx, mvy}, {mvx, mvy}};
+        int ref[2] = {0, 0};
+        pred_luma_for_motion(pf, mv, ref, px, py, pw, ph, pred);
+        double cost = (double)satd_region(orig, pred, pw, ph, bs)
+                    + en.lam_me * (3 + std::min(bits0, bits1));
+        if (!have || cost < best_cost) {
+            best_cost = cost;
+            best.kind = 1;
+            best.amvp_mask = 1 << lx;
+            best.mv[lx][0] = mvx;
+            best.mv[lx][1] = mvy;
+            best.mvd[lx][0] = mvd[0];
+            best.mvd[lx][1] = mvd[1];
+            best.mvp_fl[lx] = mvp_flag;
+            have = true;
+        }
+    }
+    *out = best;
+}
+
+// write one PU's motion into the plan (inter_search._commit_pu_motion)
+void commit_pu_motion(int px, int py, int pw, int ph, const PuChoice& ch) {
+    const int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
+    if (ch.kind == 0) {
+        fillq_wh(g_sp.merge_flag, px, py, pw, ph, (uint8_t)1);
+        fillq_wh(g_sp.merge_idx, px, py, pw, ph, (uint8_t)ch.merge_idx);
+        const Cand& c = ch.cand;
+        for (int l = 0; l < 2; l++) {
+            int pf = l ? c.pf1 : c.pf0;
+            int r = l ? c.r1 : c.r0;
+            int bx = px >> 2, by = py >> 2, nw = pw >> 2, nh = ph >> 2;
+            for (int y = 0; y < nh; y++) {
+                int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4 + bx;
+                for (int x = 0; x < nw; x++) {
+                    if (pf) {
+                        g_sp.ref_idx[row + x] = (int8_t)r;
+                        g_sp.mv[(row + x) * 2] = (int16_t)c.mvx(l);
+                        g_sp.mv[(row + x) * 2 + 1] = (int16_t)c.mvy(l);
+                        g_sp.ref_poc[row + x] = g_sp.ref_pocs[l][r];
+                    } else {
+                        g_sp.ref_idx[row + x] = -1;
+                        g_sp.mv[(row + x) * 2] = 0;
+                        g_sp.mv[(row + x) * 2 + 1] = 0;
+                    }
+                }
+            }
+        }
+    } else {
+        fillq_wh(g_sp.merge_flag, px, py, pw, ph, (uint8_t)0);
+        for (int l = 0; l < 2; l++) {
+            int bx = px >> 2, by = py >> 2, nw = pw >> 2, nh = ph >> 2;
+            bool on = (ch.amvp_mask >> l) & 1;
+            for (int y = 0; y < nh; y++) {
+                int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4 + bx;
+                for (int x = 0; x < nw; x++) {
+                    if (on) {
+                        g_sp.ref_idx[row + x] = 0;
+                        g_sp.mv[(row + x) * 2] = (int16_t)ch.mv[l][0];
+                        g_sp.mv[(row + x) * 2 + 1] = (int16_t)ch.mv[l][1];
+                        g_sp.ref_poc[row + x] = g_sp.ref_pocs[l][0];
+                        g_sp.mvd[(row + x) * 2] = (int16_t)ch.mvd[l][0];
+                        g_sp.mvd[(row + x) * 2 + 1] = (int16_t)ch.mvd[l][1];
+                        g_sp.mvp_flag[row + x] = (uint8_t)ch.mvp_fl[l];
+                    } else {
+                        g_sp.ref_idx[row + x] = -1;
+                        g_sp.mv[(row + x) * 2] = 0;
+                        g_sp.mv[(row + x) * 2 + 1] = 0;
+                    }
+                }
+            }
+        }
+    }
+}
+
+// PU rectangles per part mode (ctu_write._pu_rects)
+int pu_rects(int x0, int y0, int size, int part, int geo[4][4]) {
+    int s = size, h = s >> 1, q = s >> 2;
+    switch (part) {
+    case 0:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = s;
+        return 1;
+    case 1:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = h;
+        geo[1][0] = x0; geo[1][1] = y0 + h; geo[1][2] = s; geo[1][3] = h;
+        return 2;
+    case 2:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = h; geo[0][3] = s;
+        geo[1][0] = x0 + h; geo[1][1] = y0; geo[1][2] = h; geo[1][3] = s;
+        return 2;
+    case 4:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = q;
+        geo[1][0] = x0; geo[1][1] = y0 + q; geo[1][2] = s; geo[1][3] = s - q;
+        return 2;
+    case 5:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s; geo[0][3] = s - q;
+        geo[1][0] = x0; geo[1][1] = y0 + s - q; geo[1][2] = s; geo[1][3] = q;
+        return 2;
+    case 6:
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = q; geo[0][3] = s;
+        geo[1][0] = x0 + q; geo[1][1] = y0; geo[1][2] = s - q; geo[1][3] = s;
+        return 2;
+    default:  // 7 = nRx2N
+        geo[0][0] = x0; geo[0][1] = y0; geo[0][2] = s - q; geo[0][3] = s;
+        geo[1][0] = x0 + s - q; geo[1][1] = y0; geo[1][2] = q; geo[1][3] = s;
+        return 2;
+    }
+}
+
+double encode_inter_smp(int x0, int y0, int log2, int depth, int part);
+double encode_inter_cu(int x0, int y0, int log2, int depth);
+
+// inter_search._encode_cu dispatch: inter vs intra, SMP/AMP trials,
+// early-skip gating
+double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
+    if (g_sp.is_i)
+        return encode_intra_cu(x0, y0, log2, depth);
+    int size = 1 << log2;
+    Snap* state = new Snap;
+    Snap* best_state = new Snap;
+    snap_save(*state, x0, y0, size);
+    double cost_best = encode_inter_cu(x0, y0, log2, depth);
+    snap_save(*best_state, x0, y0, size);
+    if (en.rd_candidates >= 2 && log2 >= 4) {
+        int parts[6];
+        int n_parts = 0;
+        parts[n_parts++] = 1;  // 2NxN
+        parts[n_parts++] = 2;  // Nx2N
+        if (g_sp.amp_enabled && en.rd_candidates >= 3) {
+            parts[n_parts++] = 4;
+            parts[n_parts++] = 5;
+            parts[n_parts++] = 6;
+            parts[n_parts++] = 7;
+        }
+        for (int i = 0; i < n_parts; i++) {
+            snap_restore(*state, x0, y0, size);
+            double c = encode_inter_smp(x0, y0, log2, depth, parts[i]);
+            if (c < cost_best) {
+                cost_best = c;
+                snap_save(*best_state, x0, y0, size);
+            }
+        }
+    }
+    // early skip: best inter choice is a skip CU -> no intra trial
+    snap_restore(*best_state, x0, y0, size);
+    if (g_sp.skip_flag[idx4(x0, y0)]) {
+        delete state;
+        delete best_state;
+        return cost_best;
+    }
+    snap_restore(*state, x0, y0, size);
+    double cost_intra = encode_intra_cu(x0, y0, log2, depth)
+                      + en.lam_bits * 2;  // pred_mode flag bits
+    if (cost_best <= cost_intra) {
+        snap_restore(*best_state, x0, y0, size);
+        delete state;
+        delete best_state;
+        return cost_best;
+    }
+    delete state;
+    delete best_state;
+    return cost_intra;
+}
+
+// inter_search._encode_inter_smp: two-PU SMP/AMP CU with the forced
+// one-level transform split
+double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
+    const int size = 1 << log2;
+    const int half = size >> 1;
+    const int bd = g_sp.bit_depth_y, bd_c = g_sp.bit_depth_c;
+    fillq(g_sp.ct_depth, x0, y0, size, (uint8_t)depth);
+    fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)0);
+    fillq(g_sp.part_mode, x0, y0, size, (uint8_t)part);
+    fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
+    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
+    fillq(g_sp.skip_flag, x0, y0, size, (uint8_t)0);
+    en.ids[0]++;
+
+    int geo[4][4];
+    int n_pu = pu_rects(x0, y0, size, part, geo);
+    static thread_local int32_t pred_y[64 * 64], pred_cb[32 * 32],
+        pred_cr[32 * 32];
+    static thread_local int32_t ppy[64 * 64], ppcb[32 * 32], ppcr[32 * 32];
+    double rate_pu = 0.0;
+    const int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
+    for (int pi = 0; pi < n_pu; pi++) {
+        int px = geo[pi][0], py = geo[pi][1], pw = geo[pi][2],
+            ph = geo[pi][3];
+        fillq_wh(g_sp.pu_id, px, py, pw, ph, en.ids[1]);
+        en.ids[1]++;
+        int cb_info[6] = {x0, y0, size, pw, ph, pi};
+        PuChoice ch;
+        search_pu(px, py, pw, ph, cb_info, pi, part, &ch);
+        commit_pu_motion(px, py, pw, ph, ch);
+        int64_t b = idx4(px, py);
+        int pf[2], mv[2][2], ref[2];
+        for (int l = 0; l < 2; l++) {
+            int r = g_sp.ref_idx[l * plane4 + b];
+            pf[l] = r >= 0;
+            ref[l] = r < 0 ? 0 : r;
+            mv[l][0] = g_sp.mv[(l * plane4 + b) * 2];
+            mv[l][1] = g_sp.mv[(l * plane4 + b) * 2 + 1];
+        }
+        pred_full_for_motion(pf, mv, ref, px, py, pw, ph, ppy, ppcb, ppcr);
+        for (int y = 0; y < ph; y++)
+            std::memcpy(pred_y + (py - y0 + y) * size + (px - x0),
+                        ppy + y * pw, pw * 4);
+        int cph = ph >> 1, cpw = pw >> 1;
+        int cy0 = (py - y0) >> 1, cx0 = (px - x0) >> 1;
+        for (int y = 0; y < cph; y++) {
+            std::memcpy(pred_cb + (cy0 + y) * half + cx0, ppcb + y * cpw,
+                        cpw * 4);
+            std::memcpy(pred_cr + (cy0 + y) * half + cx0, ppcr + y * cpw,
+                        cpw * 4);
+        }
+        if (ch.kind == 0) {
+            rate_pu += 2 + ch.merge_idx;
+        } else {
+            rate_pu += 3;
+            for (int l = 0; l < 2; l++)
+                if ((ch.amvp_mask >> l) & 1)
+                    rate_pu += mv_bits(ch.mvd[l][0], ch.mvd[l][1]);
+        }
+    }
+
+    // residual: forced TT split, four TUs at log2-1, chroma at log2-2
+    const int cs = size >> 1, cx = x0 >> 1, cy = y0 >> 1;
+    static thread_local int32_t oy_b[32 * 32], py_b[32 * 32], res[32 * 32],
+        coeffs[32 * 32], rec_b[32 * 32];
+    static thread_local int16_t levels[32 * 32];
+    double dist = 0.0;
+    double rate = rate_pu + 2.0;  // part_mode bins + rqt_root_cbf proxy
+    const int qh = half;
+    static const int zoff[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};  // (dy,dx)
+    for (int zi = 0; zi < 4; zi++) {
+        int dy = zoff[zi][0] * qh, dx = zoff[zi][1] * qh;
+        // luma TU
+        for (int y = 0; y < qh; y++)
+            for (int x = 0; x < qh; x++) {
+                oy_b[y * qh + x] = en.orig[0][(int64_t)(y0 + dy + y)
+                                              * g_sp.pic_w + (x0 + dx + x)];
+                py_b[y * qh + x] = pred_y[(dy + y) * size + (dx + x)];
+                res[y * qh + x] = oy_b[y * qh + x] - py_b[y * qh + x];
+            }
+        fwd_transform(res, qh, bd, 0, coeffs);
+        int nz = quantize(coeffs, qh, en.qp_full, bd, log2 - 1, 0, levels);
+        int max_v = (1 << bd) - 1;
+        if (nz) {
+            std::memcpy(rec_b, py_b, qh * qh * 4);
+            dequant_idct_add(levels, qh, qh, log2 - 1, en.qp_full, bd, 0,
+                             rec_b);
+            for (int i = 0; i < qh * qh; i++)
+                rec_b[i] = clip3i(0, max_v, rec_b[i]);
+            rate += residual_bits_est(levels, nz, log2 - 1, 0, 0, 0);
+            commit_residual_ctx(levels, nz, log2 - 1, 0, 0, 0);
+        } else {
+            std::memcpy(rec_b, py_b, qh * qh * 4);
+            rate += 1.0;
+        }
+        scatter16(en.rec[0], g_sp.pic_w, x0 + dx, y0 + dy, qh, rec_b);
+        scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0 + dx, y0 + dy, qh, levels);
+        fillq(g_sp.cbf_y, x0 + dx, y0 + dy, qh, (uint8_t)(nz ? 1 : 0));
+        fillq(g_sp.tu_log2, x0 + dx, y0 + dy, qh, (uint8_t)(log2 - 1));
+        fillq(g_sp.tu_id, x0 + dx, y0 + dy, qh, en.ids[2]);
+        en.ids[2]++;
+        for (int i = 0; i < qh * qh; i++) {
+            int64_t e = rec_b[i] - oy_b[i];
+            dist += (double)(e * e);
+        }
+
+        // chroma TUs at log2-2
+        int chh2 = qh >> 1;
+        int cdy = dy >> 1, cdx = dx >> 1;
+        int max_c = (1 << bd_c) - 1;
+        for (int ci = 0; ci < 2; ci++) {
+            const int32_t* p_c = ci == 0 ? pred_cb : pred_cr;
+            int16_t* rplane = en.rec[ci + 1];
+            int16_t* coeff_pl = ci == 0 ? g_sp.coeff_cb : g_sp.coeff_cr;
+            uint8_t* cbf_pl = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
+            int qp_c = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+            for (int y = 0; y < chh2; y++)
+                for (int x = 0; x < chh2; x++) {
+                    oy_b[y * chh2 + x] =
+                        en.orig[ci + 1][(int64_t)(cy + cdy + y) * cw_()
+                                        + (cx + cdx + x)];
+                    py_b[y * chh2 + x] = p_c[(cdy + y) * half + (cdx + x)];
+                    res[y * chh2 + x] = oy_b[y * chh2 + x]
+                                      - py_b[y * chh2 + x];
+                }
+            fwd_transform(res, chh2, bd_c, 0, coeffs);
+            int nzc = quantize(coeffs, chh2, qp_c, bd_c, log2 - 2, 0,
+                               levels);
+            if (nzc) {
+                std::memcpy(rec_b, py_b, chh2 * chh2 * 4);
+                dequant_idct_add(levels, chh2, chh2, log2 - 2, qp_c, bd_c, 0,
+                                 rec_b);
+                for (int i = 0; i < chh2 * chh2; i++)
+                    rec_b[i] = clip3i(0, max_c, rec_b[i]);
+                rate += residual_bits_est(levels, nzc, log2 - 2, ci + 1, 0,
+                                          0);
+                commit_residual_ctx(levels, nzc, log2 - 2, ci + 1, 0, 0);
+            } else {
+                std::memcpy(rec_b, py_b, chh2 * chh2 * 4);
+                rate += 1.0;
+            }
+            scatter16(rplane, cw_(), cx + cdx, cy + cdy, chh2, rec_b);
+            scatter_lv(coeff_pl, cw_(), cx + cdx, cy + cdy, chh2, levels);
+            fillq(cbf_pl, x0 + dx, y0 + dy, qh, (uint8_t)(nzc ? 1 : 0));
+            for (int i = 0; i < chh2 * chh2; i++) {
+                int64_t e = rec_b[i] - oy_b[i];
+                dist += (double)(e * e);
+            }
+        }
+    }
+    return dist + en.lam * rate;
+}
+
+// inter_search._encode_inter_cu: 2Nx2N merge/skip/AMVP decision
+double encode_inter_cu(int x0, int y0, int log2, int depth) {
+    const int size = 1 << log2;
+    const int cs = size >> 1, cx = x0 >> 1, cy = y0 >> 1;
+    const int bd = g_sp.bit_depth_y, bd_c = g_sp.bit_depth_c;
+    const int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
+    static thread_local int32_t orig_y[64 * 64], orig_cb[32 * 32],
+        orig_cr[32 * 32];
+    gather32(en.orig[0], g_sp.pic_w, x0, y0, size, orig_y);
+    gather32(en.orig[1], cw_(), cx, cy, cs, orig_cb);
+    gather32(en.orig[2], cw_(), cx, cy, cs, orig_cr);
+
+    fillq(g_sp.ct_depth, x0, y0, size, (uint8_t)depth);
+    fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)0);
+    fillq(g_sp.part_mode, x0, y0, size, (uint8_t)0);
+    fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
+    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
+    fillq(g_sp.pu_id, x0, y0, size, en.ids[1]);
+    en.ids[0]++;
+    en.ids[1]++;
+
+    Cand merge_cands[5];
+    int n_merge = sp_merge_candidates(x0, y0, size, x0, y0, size, size, 0, 0,
+                                      g_sp.max_merge, merge_cands);
+
+    // stage 1: luma-only SATD ranking
+    struct Scored {
+        double sc;
+        int kind;  // 0 merge, 1 amvp
+        int idx;   // merge idx / lx (2 = bi)
+        int amvp_mask;
+        int mv[2][2], mvd[2][2], mvp_fl[2];
+        int pf[2], ref[2];
+        int motion_mv[2][2];
+    };
+    static thread_local Scored scored[16];
+    int n_scored = 0;
+    static thread_local int32_t pl[64 * 64];
+    Cand seen[5];
+    int n_seen = 0;
+    for (int mi = 0; mi < n_merge; mi++) {
+        const Cand& c = merge_cands[mi];
+        bool dup = false;
+        for (int i = 0; i < n_seen; i++)
+            if (seen[i].equal(c))
+                dup = true;
+        if (dup)
+            continue;
+        seen[n_seen++] = c;
+        if (!(c.pf0 || c.pf1))
+            continue;
+        Scored& s = scored[n_scored];
+        s.kind = 0;
+        s.idx = mi;
+        s.pf[0] = c.pf0;
+        s.pf[1] = c.pf1;
+        s.ref[0] = c.r0 < 0 ? 0 : c.r0;
+        s.ref[1] = c.r1 < 0 ? 0 : c.r1;
+        s.motion_mv[0][0] = c.mv00;
+        s.motion_mv[0][1] = c.mv01;
+        s.motion_mv[1][0] = c.mv10;
+        s.motion_mv[1][1] = c.mv11;
+        pred_luma_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
+                             pl);
+        s.sc = (double)satd_region(orig_y, pl, size, size, 8)
+             + en.lam_me * (2 + mi);
+        n_scored++;
+    }
+    // AMVP per list + bi
+    int cb_info[6] = {x0, y0, size, size, size, 0};
+    int n_lists = (g_sp.is_b && g_sp.n_ref[1] > 0) ? 2 : 1;
+    int uni_mv[2][2], uni_mvd[2][2], uni_mvp[2];
+    for (int lx = 0; lx < n_lists; lx++) {
+        int mvps[2][2];
+        sp_amvp(x0, y0, size, size, lx, 0, cb_info, mvps);
+        int ix, iy;
+        full_pel_search(orig_y, x0, y0, size, size, lx, 0, mvps[0], &ix,
+                        &iy);
+        int mvx, mvy;
+        sub_pel_refine(orig_y, x0, y0, size, size, lx, 0, ix, iy, mvps[0],
+                       &mvx, &mvy);
+        double bits0 = mv_bits(mvx - mvps[0][0], mvy - mvps[0][1]);
+        double bits1 = mv_bits(mvx - mvps[1][0], mvy - mvps[1][1]);
+        int mvp_flag = bits1 < bits0 ? 1 : 0;
+        uni_mv[lx][0] = mvx;
+        uni_mv[lx][1] = mvy;
+        uni_mvd[lx][0] = mvx - mvps[mvp_flag][0];
+        uni_mvd[lx][1] = mvy - mvps[mvp_flag][1];
+        uni_mvp[lx] = mvp_flag;
+        Scored& s = scored[n_scored];
+        s.kind = 1;
+        s.idx = lx;
+        s.amvp_mask = 1 << lx;
+        s.mv[lx][0] = mvx;
+        s.mv[lx][1] = mvy;
+        s.mvd[lx][0] = uni_mvd[lx][0];
+        s.mvd[lx][1] = uni_mvd[lx][1];
+        s.mvp_fl[lx] = mvp_flag;
+        s.pf[0] = lx == 0 ? 1 : 0;
+        s.pf[1] = lx == 0 ? 0 : 1;
+        s.ref[0] = 0;
+        s.ref[1] = 0;
+        s.motion_mv[0][0] = mvx;
+        s.motion_mv[0][1] = mvy;
+        s.motion_mv[1][0] = mvx;
+        s.motion_mv[1][1] = mvy;
+        pred_luma_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
+                             pl);
+        s.sc = (double)satd_region(orig_y, pl, size, size, 8)
+             + en.lam_me * (3 + std::min(bits0, bits1));
+        n_scored++;
+    }
+    if (n_lists == 2) {
+        Scored& s = scored[n_scored];
+        s.kind = 1;
+        s.idx = 2;
+        s.amvp_mask = 3;
+        for (int l = 0; l < 2; l++) {
+            s.mv[l][0] = uni_mv[l][0];
+            s.mv[l][1] = uni_mv[l][1];
+            s.mvd[l][0] = uni_mvd[l][0];
+            s.mvd[l][1] = uni_mvd[l][1];
+            s.mvp_fl[l] = uni_mvp[l];
+        }
+        s.pf[0] = s.pf[1] = 1;
+        s.ref[0] = s.ref[1] = 0;
+        s.motion_mv[0][0] = uni_mv[0][0];
+        s.motion_mv[0][1] = uni_mv[0][1];
+        s.motion_mv[1][0] = uni_mv[1][0];
+        s.motion_mv[1][1] = uni_mv[1][1];
+        pred_luma_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
+                             pl);
+        s.sc = (double)satd_region(orig_y, pl, size, size, 8)
+             + en.lam_me * 6;
+        n_scored++;
+    }
+
+    // stage 2: full RD for the top survivors
+    static thread_local int order[16];
+    for (int i = 0; i < n_scored; i++)
+        order[i] = i;
+    std::stable_sort(order, order + n_scored, [&](int a, int b) {
+        return scored[a].sc < scored[b].sc;
+    });
+    int keep = en.rd_candidates > 2 ? en.rd_candidates : 2;
+    if (keep > n_scored)
+        keep = n_scored;
+
+    static thread_local int32_t cpy[64 * 64], cpcb[32 * 32], cpcr[32 * 32];
+    static thread_local int32_t res[64 * 64], coeffs[64 * 64];
+    static thread_local int16_t lv_y[64 * 64], lv_cb[32 * 32],
+        lv_cr[32 * 32];
+    static thread_local int32_t rec_y[64 * 64], rec_cb[32 * 32],
+        rec_cr[32 * 32];
+    static thread_local int16_t b_lv_y[64 * 64], b_lv_cb[32 * 32],
+        b_lv_cr[32 * 32];
+    static thread_local int32_t b_rec_y[64 * 64], b_rec_cb[32 * 32],
+        b_rec_cr[32 * 32];
+    double best_cost = 0;
+    int best_i = -1;
+    int b_nz_y = 0, b_nz_cb = 0, b_nz_cr = 0, b_has = 0;
+    for (int k = 0; k < keep; k++) {
+        const Scored& s = scored[order[k]];
+        pred_full_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
+                             cpy, cpcb, cpcr);
+        // luma residual
+        for (int i = 0; i < size * size; i++)
+            res[i] = orig_y[i] - cpy[i];
+        fwd_transform(res, size, bd, 0, coeffs);
+        int nz_y = quantize(coeffs, size, en.qp_full, bd, log2, 0, lv_y);
+        int max_v = (1 << bd) - 1;
+        if (nz_y) {
+            std::memcpy(rec_y, cpy, size * size * 4);
+            dequant_idct_add(lv_y, size, size, log2, en.qp_full, bd, 0,
+                             rec_y);
+            for (int i = 0; i < size * size; i++)
+                rec_y[i] = clip3i(0, max_v, rec_y[i]);
+        } else {
+            std::memcpy(rec_y, cpy, size * size * 4);
+        }
+        // chroma residuals
+        int max_c = (1 << bd_c) - 1;
+        int nz_cb = 0, nz_cr = 0;
+        for (int ci = 0; ci < 2; ci++) {
+            const int32_t* o = ci == 0 ? orig_cb : orig_cr;
+            const int32_t* p = ci == 0 ? cpcb : cpcr;
+            int16_t* lv = ci == 0 ? lv_cb : lv_cr;
+            int32_t* rc2 = ci == 0 ? rec_cb : rec_cr;
+            int qp_c = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+            for (int i = 0; i < cs * cs; i++)
+                res[i] = o[i] - p[i];
+            fwd_transform(res, cs, bd_c, 0, coeffs);
+            int nzc = quantize(coeffs, cs, qp_c, bd_c, log2 - 1, 0, lv);
+            if (nzc) {
+                std::memcpy(rc2, p, cs * cs * 4);
+                dequant_idct_add(lv, cs, cs, log2 - 1, qp_c, bd_c, 0, rc2);
+                for (int i = 0; i < cs * cs; i++)
+                    rc2[i] = clip3i(0, max_c, rc2[i]);
+            } else {
+                std::memcpy(rc2, p, cs * cs * 4);
+            }
+            if (ci == 0)
+                nz_cb = nzc;
+            else
+                nz_cr = nzc;
+        }
+        double dist = 0;
+        for (int i = 0; i < size * size; i++) {
+            int64_t e = rec_y[i] - orig_y[i];
+            dist += (double)(e * e);
+        }
+        for (int i = 0; i < cs * cs; i++) {
+            int64_t e = rec_cb[i] - orig_cb[i];
+            dist += (double)(e * e);
+        }
+        for (int i = 0; i < cs * cs; i++) {
+            int64_t e = rec_cr[i] - orig_cr[i];
+            dist += (double)(e * e);
+        }
+        double rate = residual_bits_est(lv_y, nz_y, log2, 0, 0, 0)
+                    + residual_bits_est(lv_cb, nz_cb, log2 - 1, 1, 0, 0)
+                    + residual_bits_est(lv_cr, nz_cr, log2 - 1, 2, 0, 0);
+        if (s.kind == 0) {
+            rate += 1 + s.idx;
+        } else {
+            rate += 3;
+            for (int l = 0; l < 2; l++)
+                if ((s.amvp_mask >> l) & 1)
+                    rate += mv_bits(s.mvd[l][0], s.mvd[l][1]);
+        }
+        double cost = dist + en.lam * rate;
+        int has_coeff = (nz_y || nz_cb || nz_cr) ? 1 : 0;
+        // (Python subtracts lam*(coeff_rate(zero)-1) == 0 for merge-skip)
+        if (best_i < 0 || cost < best_cost) {
+            best_cost = cost;
+            best_i = order[k];
+            b_nz_y = nz_y;
+            b_nz_cb = nz_cb;
+            b_nz_cr = nz_cr;
+            b_has = has_coeff;
+            std::memcpy(b_lv_y, lv_y, size * size * 2);
+            std::memcpy(b_lv_cb, lv_cb, cs * cs * 2);
+            std::memcpy(b_lv_cr, lv_cr, cs * cs * 2);
+            std::memcpy(b_rec_y, rec_y, size * size * 4);
+            std::memcpy(b_rec_cb, rec_cb, cs * cs * 4);
+            std::memcpy(b_rec_cr, rec_cr, cs * cs * 4);
+        }
+    }
+
+    // commit
+    const Scored& s = scored[best_i];
+    if (s.kind == 0) {
+        const Cand& c = merge_cands[s.idx];
+        fillq(g_sp.merge_flag, x0, y0, size, (uint8_t)1);
+        fillq(g_sp.merge_idx, x0, y0, size, (uint8_t)s.idx);
+        fillq(g_sp.skip_flag, x0, y0, size, (uint8_t)(b_has ? 0 : 1));
+        for (int l = 0; l < 2; l++) {
+            int pf = l ? c.pf1 : c.pf0;
+            int r = l ? c.r1 : c.r0;
+            int bx = x0 >> 2, by = y0 >> 2, nb = size >> 2;
+            for (int y = 0; y < nb; y++) {
+                int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4 + bx;
+                for (int x = 0; x < nb; x++) {
+                    if (pf) {
+                        g_sp.ref_idx[row + x] = (int8_t)r;
+                        g_sp.mv[(row + x) * 2] = (int16_t)c.mvx(l);
+                        g_sp.mv[(row + x) * 2 + 1] = (int16_t)c.mvy(l);
+                        g_sp.ref_poc[row + x] = g_sp.ref_pocs[l][r];
+                    } else {
+                        g_sp.ref_idx[row + x] = -1;
+                        g_sp.mv[(row + x) * 2] = 0;
+                        g_sp.mv[(row + x) * 2 + 1] = 0;
+                    }
+                }
+            }
+        }
+    } else {
+        fillq(g_sp.merge_flag, x0, y0, size, (uint8_t)0);
+        fillq(g_sp.skip_flag, x0, y0, size, (uint8_t)0);
+        for (int l = 0; l < 2; l++) {
+            int bx = x0 >> 2, by = y0 >> 2, nb = size >> 2;
+            bool on = (s.amvp_mask >> l) & 1;
+            for (int y = 0; y < nb; y++) {
+                int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4 + bx;
+                for (int x = 0; x < nb; x++) {
+                    if (on) {
+                        g_sp.ref_idx[row + x] = 0;
+                        g_sp.mv[(row + x) * 2] = (int16_t)s.mv[l][0];
+                        g_sp.mv[(row + x) * 2 + 1] = (int16_t)s.mv[l][1];
+                        g_sp.ref_poc[row + x] = g_sp.ref_pocs[l][0];
+                        g_sp.mvd[(row + x) * 2] = (int16_t)s.mvd[l][0];
+                        g_sp.mvd[(row + x) * 2 + 1] = (int16_t)s.mvd[l][1];
+                        g_sp.mvp_flag[row + x] = (uint8_t)s.mvp_fl[l];
+                    } else {
+                        g_sp.ref_idx[row + x] = -1;
+                        g_sp.mv[(row + x) * 2] = 0;
+                        g_sp.mv[(row + x) * 2 + 1] = 0;
+                    }
+                }
+            }
+        }
+    }
+    int tl = log2 < g_sp.max_tb_log2 ? log2 : g_sp.max_tb_log2;
+    fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)tl);
+    fillq(g_sp.tu_id, x0, y0, size, en.ids[2]);
+    en.ids[2]++;
+    commit_residual_ctx(b_lv_y, b_nz_y, log2, 0, 0, 0);
+    commit_residual_ctx(b_lv_cb, b_nz_cb, log2 - 1, 1, 0, 0);
+    commit_residual_ctx(b_lv_cr, b_nz_cr, log2 - 1, 2, 0, 0);
+    scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, b_lv_y);
+    scatter_lv(g_sp.coeff_cb, cw_(), cx, cy, cs, b_lv_cb);
+    scatter_lv(g_sp.coeff_cr, cw_(), cx, cy, cs, b_lv_cr);
+    fillq(g_sp.cbf_y, x0, y0, size, (uint8_t)(b_nz_y ? 1 : 0));
+    fillq(g_sp.cbf_cb, x0, y0, size, (uint8_t)(b_nz_cb ? 1 : 0));
+    fillq(g_sp.cbf_cr, x0, y0, size, (uint8_t)(b_nz_cr ? 1 : 0));
+    scatter16(en.rec[0], g_sp.pic_w, x0, y0, size, b_rec_y);
+    scatter16(en.rec[1], cw_(), cx, cy, cs, b_rec_cb);
+    scatter16(en.rec[2], cw_(), cx, cy, cs, b_rec_cr);
+    return best_cost;
+}
+
+// ---------------------------------------------------------------- quadtree
+// intra_search._decide_cqt: recursive split RDO with snapshot/restore
+double decide_cqt(int x0, int y0, int log2, int depth) {
+    const int w = g_sp.pic_w, h = g_sp.pic_h;
+    const int size = 1 << log2;
+    bool in_pic = x0 + size <= w && y0 + size <= h;
+    if (!in_pic) {
+        if (x0 >= w || y0 >= h)
+            return 0.0;
+        double cost = 0.0;
+        int half = size >> 1;
+        static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int i = 0; i < 4; i++) {
+            int dx = q[i][0] * half, dy = q[i][1] * half;
+            if (x0 + dx < w && y0 + dy < h)
+                cost += decide_cqt(x0 + dx, y0 + dy, log2 - 1, depth + 1);
+        }
+        return cost;
+    }
+    if (log2 > en.max_cu_log2) {
+        double cost = 0.0;
+        int half = size >> 1;
+        static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int i = 0; i < 4; i++)
+            cost += decide_cqt(x0 + q[i][0] * half, y0 + q[i][1] * half,
+                               log2 - 1, depth + 1);
+        return cost;
+    }
+
+    Snap* state = new Snap;
+    snap_save(*state, x0, y0, size);
+    double cost_here = encode_cu_dispatch(x0, y0, log2, depth)
+                     + en.lam_bits * 2;
+    if (log2 == g_sp.min_cb_log2) {
+        if (g_sp.is_i || g_sp.cu_pred_mode[idx4(x0, y0)] == 1) {
+            Snap* here = new Snap;
+            snap_save(*here, x0, y0, size);
+            snap_restore(*state, x0, y0, size);
+            double cost_nxn = encode_intra_nxn(x0, y0, log2, depth)
+                            + en.lam_bits * 2;
+            if (cost_nxn < cost_here) {
+                delete here;
+                delete state;
+                return cost_nxn;
+            }
+            snap_restore(*here, x0, y0, size);
+            delete here;
+        }
+        delete state;
+        return cost_here;
+    }
+    Snap* here = new Snap;
+    snap_save(*here, x0, y0, size);
+    snap_restore(*state, x0, y0, size);
+    delete state;
+
+    int half = size >> 1;
+    double cost_split = en.lam_bits * 2;
+    static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+    for (int i = 0; i < 4; i++)
+        cost_split += decide_cqt(x0 + q[i][0] * half, y0 + q[i][1] * half,
+                                 log2 - 1, depth + 1);
+    if (cost_here <= cost_split) {
+        snap_restore(*here, x0, y0, size);
+        delete here;
+        return cost_here;
+    }
+    delete here;
+    return cost_split;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------- ctypes
+
+extern "C" {
+
+// Per-picture setup. g_sp must already be configured via tc_slice_setup.
+// ptrs: [orig_y, orig_cb, orig_cr, rec_y, rec_cb, rec_cr, zscan32,
+//        then 2*16*3 reference plane ptrs]
+// ip: [rd_candidates, max_cu_log2, search_range, strong, num_ctx]
+void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
+                  const int32_t* quant_scales, const int32_t* luma_filt,
+                  const int32_t* chroma_filt) {
+    int k = 0;
+    for (int i = 0; i < 3; i++)
+        en.orig[i] = (const int16_t*)ptrs[k++];
+    for (int i = 0; i < 3; i++)
+        en.rec[i] = (int16_t*)ptrs[k++];
+    en.zscan32 = (const int32_t*)ptrs[k++];
+    for (int l = 0; l < 2; l++)
+        for (int r = 0; r < 16; r++)
+            for (int c = 0; c < 3; c++)
+                en.refs[l][r][c] = (const int16_t*)ptrs[k++];
+    int j = 0;
+    en.rd_candidates = ip[j++];
+    en.max_cu_log2 = ip[j++];
+    en.search_range = ip[j++];
+    en.strong = ip[j++];
+    en.num_ctx = ip[j++];
+    std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
+    std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
+    std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));
+}
+
+// Encode one CTU (full RDO). Returns the RD cost; negative on error.
+double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
+                  int32_t qp_full, int32_t qp_cb_full, int32_t qp_cr_full,
+                  double lam, double lam_bits, double lam_me) {
+    en.ctx = ctx;
+    en.ids = ids;
+    en.qp_full = qp_full;
+    en.qp_cb_full = qp_cb_full;
+    en.qp_cr_full = qp_cr_full;
+    en.lam = lam;
+    en.lam_bits = lam_bits;
+    en.lam_me = lam_me;
+    en.err = 0;
+    double cost = decide_cqt(x0, y0, g_sp.ctb_log2, 0);
+    return en.err ? -1.0 : cost;
+}
+
+}  // extern "C"

@@ -50,7 +50,10 @@ inline int iclip(int lo, int hi, int v) {
 // Writes (h, w) 14-bit intermediate predictions into out.
 // xi/yi: integer position (already offset by mv integer part), xf/yf:
 // fractional phase, taps: 8 (luma, filt=rc.lf[xf]) or 4 (chroma).
-void interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
+}  // namespace
+
+// Fractional-sample MC interpolation (shared with the encoder core).
+void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
             int yf, int w, int h, int bd, int taps, const int32_t (*filt)[8],
             int filt_stride, int32_t* out) {
     const int shift1 = bd - 8;
@@ -116,6 +119,8 @@ void interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
             out[y * w + x] = acc >> 6;
         }
 }
+
+namespace {
 
 // Combine uni/bi 14-bit predictions into a strided int16 plane region.
 void combine(const int32_t* p0, const int32_t* p1, int w, int h, int bd,
@@ -626,14 +631,14 @@ int tc_inter_recon(const int64_t* ptrs, const int32_t* ip,
                 int mvy = rc.mv[(l * plane4 + b) * 2 + 1];
                 if (!rc.refs[l][r][0])
                     return 1;  // missing reference plane
-                interp(rc.refs[l][r][0], rc.pic_w, rc.pic_h,
+                mc_interp(rc.refs[l][r][0], rc.pic_w, rc.pic_h,
                        px + (mvx >> 2), py + (mvy >> 2), mvx & 3, mvy & 3,
                        pw, phh, rc.bd_y, 8, rc.lf, 8, pred[l]);
-                interp(rc.refs[l][r][1], cw, ch,
+                mc_interp(rc.refs[l][r][1], cw, ch,
                        (px >> 1) + (mvx >> 3), (py >> 1) + (mvy >> 3),
                        mvx & 7, mvy & 7, pw >> 1, phh >> 1, rc.bd_c, 4,
                        (const int32_t(*)[8])rc.cf, 4, predc[l][0]);
-                interp(rc.refs[l][r][2], cw, ch,
+                mc_interp(rc.refs[l][r][2], cw, ch,
                        (px >> 1) + (mvx >> 3), (py >> 1) + (mvy >> 3),
                        mvx & 7, mvy & 7, pw >> 1, phh >> 1, rc.bd_c, 4,
                        (const int32_t(*)[8])rc.cf, 4, predc[l][1]);

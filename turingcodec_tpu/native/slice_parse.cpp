@@ -771,7 +771,11 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
 }
 
 // ---- intra modes (spec 8.4.2/8.4.3; ctu_parse._parse_intra_modes) ----------
-void intra_mpm(PS& ps, int xb, int yb, int cands[3]) {
+}  // namespace
+
+// candModeList derivation (spec 8.4.2; ctu_parse._intra_mpm) — shared
+// with the encoder core
+void sp_intra_mpm(int xb, int yb, int cands[3]) {
     auto cand = [&](int x_nb, int y_nb, bool is_above) -> int {
         if (!sp_available(xb, yb, x_nb, y_nb))
             return 1;
@@ -803,6 +807,8 @@ void intra_mpm(PS& ps, int xb, int yb, int cands[3]) {
     }
 }
 
+namespace {
+
 void parse_intra_modes(PS& ps) {
     CU& cu = ps.cu;
     int n = cu.part_mode == P_2Nx2N ? 1 : 4;
@@ -815,7 +821,7 @@ void parse_intra_modes(PS& ps) {
         int xb = cu.x0 + (i & 1) * pb;
         int yb = cu.y0 + (i >> 1) * pb;
         int cands[3];
-        intra_mpm(ps, xb, yb, cands);
+        sp_intra_mpm(xb, yb, cands);
         int mode;
         if (prev_flags[i]) {
             int idx = 0;
