@@ -29,7 +29,10 @@ def _build_and_load():
                  srcs + [os.path.join(here, "core.h")])
     so = os.path.join(here, f"_cabac_core_{sys.implementation.cache_tag}.so")
     if not os.path.exists(so) or os.path.getmtime(so) < newest:
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", so + ".tmp"] + srcs
+        # compiled at runtime on the host machine (the analogue of the
+        # reference's xbyak JIT), so -march=native is safe
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-o", so + ".tmp"] + srcs
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     lib = ctypes.CDLL(so)

@@ -97,6 +97,21 @@ int64_t satd_region(const int32_t* a, const int32_t* b, int w, int h,
 // SAD of orig (int32, bh x bw) vs a clamped window of the int16 ref plane
 int64_t sad_at(const int32_t* orig, int bw, int bh, const int16_t* ref,
                int rw, int rh, int x0, int y0) {
+    if (x0 >= 0 && y0 >= 0 && x0 + bw <= rw && y0 + bh <= rh) {
+        // interior fast path: no clamps -> vectorizable
+        int64_t s = 0;
+        for (int y = 0; y < bh; y++) {
+            const int16_t* row = ref + (int64_t)(y0 + y) * rw + x0;
+            const int32_t* orow = orig + y * bw;
+            int acc = 0;
+            for (int x = 0; x < bw; x++) {
+                int d = orow[x] - row[x];
+                acc += d < 0 ? -d : d;
+            }
+            s += acc;
+        }
+        return s;
+    }
     int64_t s = 0;
     for (int y = 0; y < bh; y++) {
         int yc = clip3i(0, rh - 1, y0 + y);

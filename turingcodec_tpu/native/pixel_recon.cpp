@@ -72,7 +72,22 @@ void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
         }
         return;
     }
+    // interior test: every tap read stays in bounds -> clamp-free loops
+    const bool in_x = xi - off >= 0 && xi + w - 1 - off + taps - 1 < rw;
+    const bool in_y = yi - off >= 0 && yi + h - 1 - off + taps - 1 < rh;
     if (yf == 0) {  // horizontal only
+        if (in_x && yi >= 0 && yi + h <= rh) {
+            for (int y = 0; y < h; y++) {
+                const int16_t* row = ref + (int64_t)(yi + y) * rw + xi - off;
+                for (int x = 0; x < w; x++) {
+                    int acc = 0;
+                    for (int k = 0; k < taps; k++)
+                        acc += fh[k] * row[x + k];
+                    out[y * w + x] = acc >> shift1;
+                }
+            }
+            return;
+        }
         for (int y = 0; y < h; y++) {
             int yc = iclip(0, rh - 1, yi + y);
             const int16_t* row = ref + (int64_t)yc * rw;
@@ -86,6 +101,18 @@ void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
         return;
     }
     if (xf == 0) {  // vertical only
+        if (in_y && xi >= 0 && xi + w <= rw) {
+            for (int y = 0; y < h; y++) {
+                const int16_t* col0 = ref + (int64_t)(yi + y - off) * rw + xi;
+                for (int x = 0; x < w; x++) {
+                    int acc = 0;
+                    for (int k = 0; k < taps; k++)
+                        acc += fv[k] * col0[(int64_t)k * rw + x];
+                    out[y * w + x] = acc >> shift1;
+                }
+            }
+            return;
+        }
         for (int y = 0; y < h; y++) {
             for (int x = 0; x < w; x++) {
                 int xc = iclip(0, rw - 1, xi + x);
@@ -101,14 +128,27 @@ void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
     }
     // full 2D: horizontal into tmp rows, then vertical
     static thread_local int32_t tmp[(64 + 8) * 64];
-    for (int y = 0; y < h + taps - 1; y++) {
-        int yc = iclip(0, rh - 1, yi + y - off);
-        const int16_t* row = ref + (int64_t)yc * rw;
-        for (int x = 0; x < w; x++) {
-            int acc = 0;
-            for (int k = 0; k < taps; k++)
-                acc += fh[k] * row[iclip(0, rw - 1, xi + x - off + k)];
-            tmp[y * w + x] = acc >> shift1;
+    if (in_x && in_y) {
+        for (int y = 0; y < h + taps - 1; y++) {
+            const int16_t* row =
+                ref + (int64_t)(yi + y - off) * rw + xi - off;
+            for (int x = 0; x < w; x++) {
+                int acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += fh[k] * row[x + k];
+                tmp[y * w + x] = acc >> shift1;
+            }
+        }
+    } else {
+        for (int y = 0; y < h + taps - 1; y++) {
+            int yc = iclip(0, rh - 1, yi + y - off);
+            const int16_t* row = ref + (int64_t)yc * rw;
+            for (int x = 0; x < w; x++) {
+                int acc = 0;
+                for (int k = 0; k < taps; k++)
+                    acc += fh[k] * row[iclip(0, rw - 1, xi + x - off + k)];
+                tmp[y * w + x] = acc >> shift1;
+            }
         }
     }
     for (int y = 0; y < h; y++)
