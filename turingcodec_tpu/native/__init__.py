@@ -648,7 +648,6 @@ class EncNative:
         sps, pps = enc.sps, enc.pps
         if (enc.use_rdoq or getattr(enc, "wp", None) is not None
                 or getattr(enc, "slice_row_map", None) is not None
-                or getattr(enc, "qp_map", None) is not None
                 or sps.chroma_array_type != 1
                 or sps.scaling_list_enabled_flag
                 or pps.constrained_intra_pred_flag

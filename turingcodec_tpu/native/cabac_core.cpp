@@ -292,22 +292,23 @@ void inverse_transform_add(const int16_t* coeff, int cw, long long ls,
             d[y * n + x] = iclip(-32768, 32767,
                                  ((long long)coeff[y * cw + x] * ls + rnd)
                                      >> bd_shift);
-    // stage 1: g = clip((M^T @ d + 64) >> 7)
+    // stage 1: g = clip((M^T @ d + 64) >> 7); int32 exact
+    // (|acc| <= 32 * 90 * 32767 < 2^27)
     for (int y = 0; y < n; y++)
         for (int x = 0; x < n; x++) {
-            long long acc = 0;
+            int32_t acc = 0;
             for (int k = 0; k < n; k++)
-                acc += (long long)m[k * n + y] * d[k * n + x];
+                acc += m[k * n + y] * d[k * n + x];
             g[y * n + x] = iclip(-32768, 32767, (acc + 64) >> 7);
         }
-    // stage 2: r = clip((g @ M + rnd2) >> (20 - bd))
+    // stage 2: r = clip((g @ M + rnd2) >> (20 - bd)); int32 exact
     int sh2 = 20 - bit_depth;
-    long long rnd2 = 1LL << (sh2 - 1);
+    int32_t rnd2 = 1 << (sh2 - 1);
     for (int y = 0; y < n; y++)
         for (int x = 0; x < n; x++) {
-            long long acc = 0;
+            int32_t acc = 0;
             for (int k = 0; k < n; k++)
-                acc += (long long)g[y * n + k] * m[k * n + x];
+                acc += g[y * n + k] * m[k * n + x];
             pred[y * n + x] +=
                 iclip(-32768, 32767, (acc + rnd2) >> sh2);
         }

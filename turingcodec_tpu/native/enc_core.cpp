@@ -19,8 +19,28 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 
 #include "core.h"
+
+// coarse phase timers (ns): [inter_cu, smp, intra_cu, snap, full_pel,
+// subpel, stage1_satd, stage2_rd]
+static int64_t g_enc_ns[8];
+static inline int64_t now_ns() {
+    timespec t;
+    clock_gettime(CLOCK_MONOTONIC, &t);
+    return (int64_t)t.tv_sec * 1000000000 + t.tv_nsec;
+}
+struct PhaseTimer {
+    int i;
+    int64_t t0;
+    PhaseTimer(int idx) : i(idx), t0(now_ns()) {}
+    ~PhaseTimer() { g_enc_ns[i] += now_ns() - t0; }
+};
+extern "C" void tc_enc_counters(int64_t* out) {
+    std::memcpy(out, g_enc_ns, sizeof(g_enc_ns));
+    std::memset(g_enc_ns, 0, sizeof(g_enc_ns));
+}
 
 namespace {
 
@@ -133,25 +153,24 @@ void fwd_transform(const int32_t* res, int n, int bit_depth, int use_dst,
     const int32_t* m = dct_matrix_for(log2n, use_dst);
     int shift1 = log2n + bit_depth - 9;
     int shift2 = log2n + 6;
-    static thread_local int64_t t[32 * 32];
-    // t = res @ m^T: t[y][i] = sum_x res[y][x] * m[i][x]
+    static thread_local int32_t t[32 * 32];
+    // t = res @ m^T (int32 exact: |acc| <= 32 * 90 * 1023 < 2^22)
     for (int y = 0; y < n; y++)
         for (int i = 0; i < n; i++) {
-            int64_t acc = 0;
+            int32_t acc = 0;
             for (int x = 0; x < n; x++)
-                acc += (int64_t)res[y * n + x] * m[i * n + x];
+                acc += res[y * n + x] * m[i * n + x];
             t[y * n + i] = shift1 > 0
-                ? (acc + (1LL << (shift1 - 1))) >> shift1
+                ? (acc + (1 << (shift1 - 1))) >> shift1
                 : acc << -shift1;
         }
-    // c = m @ t: c[j][i] = sum_y m[j][y] * t[y][i]
+    // c = m @ t (int32 exact: |acc| <= 32 * 90 * 46k < 2^28)
     for (int j = 0; j < n; j++)
         for (int i = 0; i < n; i++) {
-            int64_t acc = 0;
+            int32_t acc = 0;
             for (int y = 0; y < n; y++)
-                acc += (int64_t)m[j * n + y] * t[y * n + i];
-            out[j * n + i] = (int32_t)((acc + (1LL << (shift2 - 1)))
-                                       >> shift2);
+                acc += m[j * n + y] * t[y * n + i];
+            out[j * n + i] = (acc + (1 << (shift2 - 1))) >> shift2;
         }
 }
 
@@ -296,6 +315,7 @@ struct Snap {
 };
 
 void snap_save(Snap& s, int x0, int y0, int size) {
+    PhaseTimer pt(3);
     const int cs = size >> 1;
     blk_save16(en.rec[0], g_sp.pic_w, x0, y0, size, s.rec_y);
     blk_save16(en.rec[1], cw_(), x0 >> 1, y0 >> 1, cs, s.rec_cb);
@@ -351,6 +371,7 @@ void snap_save(Snap& s, int x0, int y0, int size) {
 }
 
 void snap_restore(const Snap& s, int x0, int y0, int size) {
+    PhaseTimer pt(3);
     const int cs = size >> 1;
     blk_load16(en.rec[0], g_sp.pic_w, x0, y0, size, s.rec_y);
     blk_load16(en.rec[1], cw_(), x0 >> 1, y0 >> 1, cs, s.rec_cb);
@@ -550,6 +571,7 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int mode,
 
 // intra_search._encode_cu: best 2Nx2N intra CU at (x0, y0)
 double encode_intra_cu(int x0, int y0, int log2, int depth) {
+    PhaseTimer pt(2);
     const int size = 1 << log2;
     const int bd = g_sp.bit_depth_y;
     fillq(g_sp.ct_depth, x0, y0, size, (uint8_t)depth);
@@ -815,6 +837,7 @@ FpCache fp_cache;
 void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
                      int lx, int ref, const int mvp[2], int* out_ix,
                      int* out_iy) {
+    PhaseTimer pt(4);
     const int16_t* plane = en.refs[lx][ref][0];
     fp_cache.reset();
     auto cost_at = [&](int ix, int iy) -> double {
@@ -871,6 +894,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
 void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
                     int lx, int ref, int int_mv_x, int int_mv_y,
                     const int mvp[2], int* out_mvx, int* out_mvy) {
+    PhaseTimer pt(5);
     const int bd = g_sp.bit_depth_y;
     const int sh4 = 14 - bd;
     const int max_v = (1 << bd) - 1;
@@ -1157,6 +1181,7 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
 // inter_search._encode_inter_smp: two-PU SMP/AMP CU with the forced
 // one-level transform split
 double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
+    PhaseTimer pt(1);
     const int size = 1 << log2;
     const int half = size >> 1;
     const int bd = g_sp.bit_depth_y, bd_c = g_sp.bit_depth_c;
@@ -1309,6 +1334,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
 
 // inter_search._encode_inter_cu: 2Nx2N merge/skip/AMVP decision
 double encode_inter_cu(int x0, int y0, int log2, int depth) {
+    PhaseTimer pt(0);
     const int size = 1 << log2;
     const int cs = size >> 1, cx = x0 >> 1, cy = y0 >> 1;
     const int bd = g_sp.bit_depth_y, bd_c = g_sp.bit_depth_c;

@@ -53,9 +53,13 @@ inline int iclip(int lo, int hi, int v) {
 }  // namespace
 
 // Fractional-sample MC interpolation (shared with the encoder core).
-void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
-            int yf, int w, int h, int bd, int taps, const int32_t (*filt)[8],
-            int filt_stride, int32_t* out) {
+// Templated on the tap count so the inner MAC loops have constant bounds
+// (gcc unrolls + vectorizes them).
+template <int taps>
+static void mc_interp_t(const int16_t* ref, int rw, int rh, int xi, int yi,
+                        int xf, int yf, int w, int h, int bd,
+                        const int32_t (*filt)[8], int filt_stride,
+                        int32_t* out) {
     const int shift1 = bd - 8;
     const int shift3 = 14 - bd;
     const int off = taps / 2 - 1;
@@ -158,6 +162,17 @@ void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
                 acc += fv[k] * tmp[(y + k) * w + x];
             out[y * w + x] = acc >> 6;
         }
+}
+
+void mc_interp(const int16_t* ref, int rw, int rh, int xi, int yi, int xf,
+               int yf, int w, int h, int bd, int taps,
+               const int32_t (*filt)[8], int filt_stride, int32_t* out) {
+    if (taps == 8)
+        mc_interp_t<8>(ref, rw, rh, xi, yi, xf, yf, w, h, bd, filt,
+                       filt_stride, out);
+    else
+        mc_interp_t<4>(ref, rw, rh, xi, yi, xf, yf, w, h, bd, filt,
+                       filt_stride, out);
 }
 
 namespace {
