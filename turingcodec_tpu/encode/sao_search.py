@@ -93,6 +93,8 @@ def _ctb_candidates(o, r, y0, y1, x0, x1, bd, lam):
 def estimate_sao(plan: PicturePlan, geom, orig, deblocked, lam: float):
     """Fill plan.sao_* for all CTBs; luma independent, chroma joint-type."""
     sps = plan.sps
+    if _estimate_sao_native(plan, orig, deblocked, lam):
+        return
     ctb = sps.ctb_size_y
     hc, wc = sps.pic_height_in_ctbs_y, sps.pic_width_in_ctbs_y
     sig = 2.0 * lam  # type/class signalling proxy bits
@@ -133,6 +135,33 @@ def estimate_sao(plan: PicturePlan, geom, orig, deblocked, lam: float):
             key = min(items, key=lambda t: t[1])[0]
             _apply(plan, cy, cx, 1, key, cands_c[0][key])
             _apply(plan, cy, cx, 2, key, cands_c[1][key])
+
+
+def _estimate_sao_native(plan, orig, deblocked, lam) -> bool:
+    """C twin of the loop above (enc_core.cpp tc_sao_estimate)."""
+    import os
+    if os.environ.get("TURING_TPU_NO_NATIVE_ENC"):
+        return False
+    from turingcodec_tpu import native
+    lib = native.get_lib()
+    sps = plan.sps
+    if lib is None or sps.chroma_array_type != 1:
+        return False
+    o = [np.ascontiguousarray(p, np.int16) for p in orig]
+    r = deblocked
+    for p in r:
+        if p.dtype != np.int16 or not p.flags.c_contiguous:
+            return False
+    optrs = np.array([p.ctypes.data for p in o], np.int64)
+    rptrs = np.array([p.ctypes.data for p in r], np.int64)
+    lib.tc_sao_estimate(
+        optrs.ctypes.data, rptrs.ctypes.data,
+        plan.sao_type.ctypes.data, plan.sao_class.ctypes.data,
+        plan.sao_offsets.ctypes.data,
+        sps.pic_width_in_ctbs_y, sps.pic_height_in_ctbs_y, sps.ctb_size_y,
+        sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+        sps.bit_depth_y, sps.bit_depth_c, float(lam))
+    return True
 
 
 def _apply(plan, cy, cx, c_idx, key, cand):

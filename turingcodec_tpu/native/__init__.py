@@ -130,6 +130,12 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32]
 
+    lib.tc_sao_estimate.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_double]
+
     lib.tc_enc_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_enc_ctu.restype = ctypes.c_double
     lib.tc_enc_ctu.argtypes = [

@@ -1727,9 +1727,217 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
 
 }  // namespace
 
+// ---------------------------------------------------------------- SAO RDO
+// encode/sao_search.py oracle (EncSao::rdSao analogue, turing/EncSao.h:950):
+// closed-form offset k on n samples with error sum e changes SSD by
+// n*k^2 - 2*k*e.
+
+namespace {
+
+struct SaoCand {
+    double cost;
+    int cls;
+    int offs[4];
+};
+
+void sao_best_offset(int64_t n, double e, double lam, int sign, int* out_k,
+                     double* out_c) {
+    // sign: 0 = unconstrained (band), +1/-1 = edge-class constraint
+    if (n == 0) {
+        *out_k = 0;
+        *out_c = 0.0;
+        return;
+    }
+    int best_k = 0;
+    double best_c = 0.0;
+    double q = std::nearbyint(e / (double)n);  // ties-to-even (Python round)
+    int k0 = (int)clip3i(-7, 7, (int)q);
+    int lo = k0 >= 0 ? 0 : k0, hi = k0 >= 0 ? k0 : 0;
+    for (int k = lo; k <= hi; k++) {
+        if (sign != 0 && k * sign < 0)
+            continue;
+        double c = (double)(n * k * k) - 2.0 * k * e
+                 + lam * ((k < 0 ? -k : k) + 1);
+        if (c < best_c) {
+            best_c = c;
+            best_k = k;
+        }
+    }
+    *out_k = best_k;
+    *out_c = best_c;
+}
+
+// candidates for one CTB of one component: [0]=off, [1]=band, [2..5]=eo 0..3
+void sao_ctb_candidates(const int16_t* o, const int16_t* r, int w, int h,
+                        int y0, int y1, int x0, int x1, int bd, double lam,
+                        SaoCand out[6]) {
+    static const int eo_n[4][2][2] = {{{0, -1}, {0, 1}},
+                                      {{-1, 0}, {1, 0}},
+                                      {{-1, -1}, {1, 1}},
+                                      {{-1, 1}, {1, -1}}};
+    static const int remap[5] = {1, 2, 0, 3, 4};
+    out[0].cost = 0.0;
+    out[0].cls = 0;
+    out[0].offs[0] = out[0].offs[1] = out[0].offs[2] = out[0].offs[3] = 0;
+
+    for (int eo = 0; eo < 4; eo++) {
+        int64_t cnt[5] = {0, 0, 0, 0, 0};
+        int64_t esum[5] = {0, 0, 0, 0, 0};
+        int ady = eo_n[eo][0][0], adx = eo_n[eo][0][1];
+        int bdy = eo_n[eo][1][0], bdx = eo_n[eo][1][1];
+        for (int y = y0; y < y1; y++)
+            for (int x = x0; x < x1; x++) {
+                int ay = y + ady, ax = x + adx;
+                int by = y + bdy, bx = x + bdx;
+                if (ay < 0 || ay >= h || ax < 0 || ax >= w || by < 0
+                    || by >= h || bx < 0 || bx >= w)
+                    continue;
+                int rv = r[(int64_t)y * w + x];
+                int da = rv - r[(int64_t)ay * w + ax];
+                int db = rv - r[(int64_t)by * w + bx];
+                int cat = 2 + (da > 0) - (da < 0) + (db > 0) - (db < 0);
+                int cls = remap[cat];
+                if (cls == 0)
+                    continue;
+                cnt[cls]++;
+                esum[cls] += o[(int64_t)y * w + x] - rv;
+            }
+        double cost = 0.0;
+        SaoCand& c = out[2 + eo];
+        for (int i = 0; i < 4; i++) {
+            static const int cls_sgn[4][2] = {{1, 1}, {2, 1}, {3, -1},
+                                              {4, -1}};
+            int k;
+            double cc;
+            sao_best_offset(cnt[cls_sgn[i][0]],
+                            (double)esum[cls_sgn[i][0]], lam, cls_sgn[i][1],
+                            &k, &cc);
+            c.offs[i] = k;
+            cost += cc;
+        }
+        c.cost = cost;
+        c.cls = eo;
+    }
+
+    // band offsets
+    int shift = bd - 5;
+    int64_t n_b[32] = {};
+    int64_t e_b[32] = {};
+    for (int y = y0; y < y1; y++)
+        for (int x = x0; x < x1; x++) {
+            int rv = r[(int64_t)y * w + x];
+            int b = rv >> shift;
+            n_b[b]++;
+            e_b[b] += o[(int64_t)y * w + x] - rv;
+        }
+    int kb[32];
+    double cb[32];
+    for (int b = 0; b < 32; b++)
+        sao_best_offset(n_b[b], (double)e_b[b], lam, 0, &kb[b], &cb[b]);
+    int best_pos = 0;
+    double best_cost = 1e30;
+    for (int pos = 0; pos < 29; pos++) {
+        double c = cb[pos] + cb[pos + 1] + cb[pos + 2] + cb[pos + 3];
+        if (c < best_cost) {
+            best_cost = c;
+            best_pos = pos;
+        }
+    }
+    out[1].cost = best_cost;
+    out[1].cls = best_pos;
+    for (int i = 0; i < 4; i++)
+        out[1].offs[i] = kb[best_pos + i];
+}
+
+void sao_apply(uint8_t* sao_type, uint8_t* sao_class, int8_t* sao_offsets,
+               int wc, int64_t cur, int c_idx, int key, const SaoCand& c) {
+    if (key == 0) {
+        sao_type[cur * 3 + c_idx] = 0;
+        sao_class[cur * 3 + c_idx] = 0;
+        for (int i = 0; i < 4; i++)
+            sao_offsets[cur * 12 + c_idx * 4 + i] = 0;
+    } else {
+        sao_type[cur * 3 + c_idx] = key == 1 ? 1 : 2;
+        sao_class[cur * 3 + c_idx] = (uint8_t)c.cls;
+        for (int i = 0; i < 4; i++)
+            sao_offsets[cur * 12 + c_idx * 4 + i] = (int8_t)c.offs[i];
+    }
+}
+
+}  // namespace
+
 // ---------------------------------------------------------------- ctypes
 
 extern "C" {
+
+// SAO parameter estimation for the whole picture (sao_search.estimate_sao
+// oracle): luma independent, chroma joint-type. Writes plan.sao_* directly.
+void tc_sao_estimate(const int64_t* orig_ptrs, const int64_t* rec_ptrs,
+                     int64_t sao_type_p, int64_t sao_class_p,
+                     int64_t sao_offsets_p, int32_t wc, int32_t hc,
+                     int32_t ctb, int32_t pic_w, int32_t pic_h,
+                     int32_t bd_y, int32_t bd_c, double lam) {
+    const int16_t* o[3];
+    const int16_t* r[3];
+    for (int i = 0; i < 3; i++) {
+        o[i] = (const int16_t*)orig_ptrs[i];
+        r[i] = (const int16_t*)rec_ptrs[i];
+    }
+    uint8_t* sao_type = (uint8_t*)sao_type_p;
+    uint8_t* sao_class = (uint8_t*)sao_class_p;
+    int8_t* sao_offsets = (int8_t*)sao_offsets_p;
+    const double sig = 2.0 * lam;
+    const int cwd = pic_w >> 1, chd = pic_h >> 1;
+    for (int cy = 0; cy < hc; cy++)
+        for (int cx = 0; cx < wc; cx++) {
+            int64_t cur = (int64_t)cy * wc + cx;
+            // luma
+            SaoCand cl[6];
+            {
+                int y0 = cy * ctb, x0 = cx * ctb;
+                int y1 = y0 + ctb < pic_h ? y0 + ctb : pic_h;
+                int x1 = x0 + ctb < pic_w ? x0 + ctb : pic_w;
+                sao_ctb_candidates(o[0], r[0], pic_w, pic_h, y0, y1, x0, x1,
+                                   bd_y, lam, cl);
+            }
+            // candidate order: off, band, eo0..3 — first minimum wins
+            double costs[6] = {cl[0].cost, cl[1].cost + sig,
+                               cl[2].cost + sig, cl[3].cost + sig,
+                               cl[4].cost + sig, cl[5].cost + sig};
+            int key = 0;
+            for (int i = 1; i < 6; i++)
+                if (costs[i] < costs[key])
+                    key = i;
+            sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 0, key,
+                      cl[key]);
+
+            // chroma: shared type/class
+            SaoCand cc[2][6];
+            int cs = ctb >> 1;
+            for (int ci = 0; ci < 2; ci++) {
+                int y0 = cy * cs, x0 = cx * cs;
+                int y1 = y0 + cs < chd ? y0 + cs : chd;
+                int x1 = x0 + cs < cwd ? x0 + cs : cwd;
+                sao_ctb_candidates(o[ci + 1], r[ci + 1], cwd, chd, y0, y1,
+                                   x0, x1, bd_c, lam, cc[ci]);
+            }
+            double costs_c[6] = {
+                cc[0][0].cost + cc[1][0].cost,
+                cc[0][1].cost + cc[1][1].cost + sig,
+                cc[0][2].cost + cc[1][2].cost + sig,
+                cc[0][3].cost + cc[1][3].cost + sig,
+                cc[0][4].cost + cc[1][4].cost + sig,
+                cc[0][5].cost + cc[1][5].cost + sig};
+            int keyc = 0;
+            for (int i = 1; i < 6; i++)
+                if (costs_c[i] < costs_c[keyc])
+                    keyc = i;
+            sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 1, keyc,
+                      cc[0][keyc]);
+            sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 2, keyc,
+                      cc[1][keyc]);
+        }
+}
 
 // Per-picture setup. g_sp must already be configured via tc_slice_setup.
 // ptrs: [orig_y, orig_cb, orig_cr, rec_y, rec_cb, rec_cr, zscan32,
