@@ -21,6 +21,16 @@ _TRIED = False
 
 
 def _build_and_load():
+    # The encoder's candidate loops carry OpenMP pragmas; on small/shared
+    # hosts the region overhead outweighs 2-way gains, so default to one
+    # thread. Set TURING_TPU_ENC_THREADS (or OMP_NUM_THREADS) to scale on
+    # real multi-core machines.
+    os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
+    nthr = os.environ.get("TURING_TPU_ENC_THREADS")
+    if nthr:
+        os.environ["OMP_NUM_THREADS"] = nthr
+    else:
+        os.environ.setdefault("OMP_NUM_THREADS", "1")
     here = os.path.dirname(__file__)
     srcs = [os.path.join(here, f)
             for f in ("cabac_core.cpp", "slice_parse.cpp",
@@ -31,7 +41,7 @@ def _build_and_load():
     if not os.path.exists(so) or os.path.getmtime(so) < newest:
         # compiled at runtime on the host machine (the analogue of the
         # reference's xbyak JIT), so -march=native is safe
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
                "-o", so + ".tmp"] + srcs
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)

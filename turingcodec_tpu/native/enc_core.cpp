@@ -434,34 +434,33 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
                int* out_cands) {
     static thread_local int32_t preds[35][32 * 32];
-    static thread_local int32_t pred_f[32 * 32];
     const int bd = g_sp.bit_depth_y;
-    for (int mode = 0; mode < 35; mode++)
-        intra_predict_core(mode, rt, rl, corner, n, 0, bd, 1, preds[mode]);
-    if (n > 4) {
-        int32_t frt[64], frl[64], fc = corner;
+    int32_t frt[64], frl[64], fc = corner;
+    bool have_f = n > 4;
+    if (have_f) {
         std::memcpy(frt, rt, 2 * n * 4);
         std::memcpy(frl, rl, 2 * n * 4);
         filter_intra_refs(frt, frl, &fc, n, 0, en.strong, bd);
-        int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
-        for (int mode = 0; mode < 35; mode++) {
-            if (mode == 1)
-                continue;
-            if (mode != 0) {
-                int mind = std::min(std::abs(mode - 26), std::abs(mode - 10));
-                if (mind <= thres)
-                    continue;
-            }
-            intra_predict_core(mode, frt, frl, fc, n, 0, bd, 1, pred_f);
-            std::memcpy(preds[mode], pred_f, n * n * 4);
-        }
     }
+    const int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
     int bs = n >= 8 ? 8 : 4;
     struct MC {
         double cost;
         int mode;
     } mc[35];
+    // modes are independent; same per-mode values as the sequential sweep
+    #pragma omp parallel for schedule(dynamic, 4) if (n >= 8)
     for (int mode = 0; mode < 35; mode++) {
+        bool filt = have_f && mode != 1
+                 && (mode == 0
+                     || std::min(std::abs(mode - 26), std::abs(mode - 10))
+                            > thres);
+        if (filt)
+            intra_predict_core(mode, frt, frl, fc, n, 0, bd, 1,
+                               preds[mode]);
+        else
+            intra_predict_core(mode, rt, rl, corner, n, 0, bd, 1,
+                               preds[mode]);
         int64_t satd = satd_region(orig_b, preds[mode], n, n, bs);
         int in_mpm = mode == cands_mpm[0] || mode == cands_mpm[1]
                   || mode == cands_mpm[2];
@@ -867,15 +866,36 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         while (improved) {
             improved = false;
             int bx = best.ix, by = best.iy;
-            FpBest probe_best{0, 0, 0};
-            bool have = false;
+            int pix[8], piy[8], np_ = 0;
             for (int d = 0; d < 8; d++) {
                 int ix = bx + dirs[d][0] * step, iy = by + dirs[d][1] * step;
                 if (std::abs(ix) > sr || std::abs(iy) > sr)
                     continue;
-                double c = cost_at(ix, iy);
-                if (!have || fp_better(c, ix, iy, probe_best)) {
-                    probe_best = {c, ix, iy};
+                pix[np_] = ix;
+                piy[np_] = iy;
+                np_++;
+            }
+            double pc[8];
+            // probes are independent; values identical to sequential
+            #pragma omp parallel for schedule(static) if (np_ > 2 && (int64_t)w * h >= 32 * 32)
+            for (int i = 0; i < np_; i++) {
+                double c;
+                if (!fp_cache.get(pix[i], piy[i], &c)) {
+                    int64_t sad = sad_at(orig, w, h, plane, g_sp.pic_w,
+                                         g_sp.pic_h, x0 + pix[i],
+                                         y0 + piy[i]);
+                    c = (double)sad
+                      + en.lam_me * mv_bits(4 * pix[i] - mvp[0],
+                                            4 * piy[i] - mvp[1]);
+                }
+                pc[i] = c;
+            }
+            FpBest probe_best{0, 0, 0};
+            bool have = false;
+            for (int i = 0; i < np_; i++) {
+                fp_cache.put(pix[i], piy[i], pc[i]);
+                if (!have || fp_better(pc[i], pix[i], piy[i], probe_best)) {
+                    probe_best = {pc[i], pix[i], piy[i]};
                     have = true;
                 }
             }
@@ -899,41 +919,65 @@ void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
     const int sh4 = 14 - bd;
     const int max_v = (1 << bd) - 1;
     const int bs = (std::min(w, h) >= 8 && w % 8 == 0 && h % 8 == 0) ? 8 : 4;
-    static thread_local int32_t p14[64 * 64], pred[64 * 64];
     // tiny mv-keyed cache (1 start + up to 2*8 probes)
     int cache_mv[24][2];
     double cache_c[24];
     int n_cache = 0;
-    auto cost_at = [&](int mvx, int mvy) -> double {
+    auto cached = [&](int mvx, int mvy, double* c) {
         for (int i = 0; i < n_cache; i++)
-            if (cache_mv[i][0] == mvx && cache_mv[i][1] == mvy)
-                return cache_c[i];
+            if (cache_mv[i][0] == mvx && cache_mv[i][1] == mvy) {
+                *c = cache_c[i];
+                return true;
+            }
+        return false;
+    };
+    auto raw_cost = [&](int mvx, int mvy) -> double {
+        int32_t p14[64 * 64], pred[64 * 64];
         mc14_luma(lx, ref, mvx, mvy, x0, y0, w, h, p14);
         for (int i = 0; i < w * h; i++)
             pred[i] = clip3i(0, max_v, (p14[i] + (1 << (sh4 - 1))) >> sh4);
         int64_t satd = satd_region(orig, pred, w, h, bs);
-        double c = (double)satd
-                 + en.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
-        cache_mv[n_cache][0] = mvx;
-        cache_mv[n_cache][1] = mvy;
-        cache_c[n_cache++] = c;
-        return c;
+        return (double)satd
+             + en.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
     };
     static const int dirs[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
                                    {1, 1}, {-1, -1}, {1, -1}, {-1, 1}};
     int bx = int_mv_x * 4, by = int_mv_y * 4;
-    double bc = cost_at(bx, by);
+    double bc = raw_cost(bx, by);
+    cache_mv[0][0] = bx;
+    cache_mv[0][1] = by;
+    cache_c[0] = bc;
+    n_cache = 1;
     int n_steps = en.rd_candidates >= 2 ? 2 : 1;
     const int steps[2] = {2, 1};
     for (int si = 0; si < n_steps; si++) {
         int step = steps[si];
+        double pcs[8];
+        int pmx[8], pmy[8];
+        bool fresh[8];
+        for (int d = 0; d < 8; d++) {
+            pmx[d] = bx + dirs[d][0] * step;
+            pmy[d] = by + dirs[d][1] * step;
+            fresh[d] = !cached(pmx[d], pmy[d], &pcs[d]);
+        }
+        // probes are independent; values identical to sequential
+        #pragma omp parallel for schedule(dynamic, 1) \
+            if ((int64_t)w * h >= 32 * 32)
+        for (int d = 0; d < 8; d++)
+            if (fresh[d])
+                pcs[d] = raw_cost(pmx[d], pmy[d]);
         // min over the 8 probes with (cost, (mvx, mvy)) tuple tie-break
         double pc = 0;
         int px = 0, py = 0;
         bool have = false;
         for (int d = 0; d < 8; d++) {
-            int mvx = bx + dirs[d][0] * step, mvy = by + dirs[d][1] * step;
-            double c = cost_at(mvx, mvy);
+            if (fresh[d] && n_cache < 24) {
+                cache_mv[n_cache][0] = pmx[d];
+                cache_mv[n_cache][1] = pmy[d];
+                cache_c[n_cache++] = pcs[d];
+            }
+            double c = pcs[d];
+            int mvx = pmx[d], mvy = pmy[d];
             if (!have || c < pc
                 || (c == pc && (mvx < px || (mvx == px && mvy < py)))) {
                 pc = c;
