@@ -70,38 +70,49 @@ inline int chh_() { return g_sp.pic_h >> 1; }
 
 // ---------------------------------------------------------------- math
 
-// Hadamard SATD of an int32 block pair (encode/sweep.satd_many oracle)
-int64_t satd_block(const int32_t* a, const int32_t* b, int stride_a,
-                   int stride_b, int bs) {
-    int32_t d[8][8];
-    for (int y = 0; y < bs; y++)
-        for (int x = 0; x < bs; x++)
+// Hadamard SATD of an int32 block pair (encode/sweep.satd_many oracle).
+// Vector-friendly form: column-direction butterflies are whole-row ops, so
+// apply them, transpose, apply again — sum|H d^T H| == sum|H d H|.
+template <int BS>
+static int64_t satd_block_t(const int32_t* a, const int32_t* b, int stride_a,
+                            int stride_b) {
+    int32_t d[BS][BS], t[BS][BS];
+    for (int y = 0; y < BS; y++)
+        for (int x = 0; x < BS; x++)
             d[y][x] = a[y * stride_a + x] - b[y * stride_b + x];
-    // rows then columns fast Walsh (== Sylvester H @ d @ H)
-    for (int y = 0; y < bs; y++) {
-        int32_t* r = d[y];
-        for (int len = 1; len < bs; len <<= 1)
-            for (int i = 0; i < bs; i += len << 1)
-                for (int j = i; j < i + len; j++) {
-                    int32_t u = r[j], v = r[j + len];
-                    r[j] = u + v;
-                    r[j + len] = u - v;
-                }
-    }
-    for (int x = 0; x < bs; x++) {
-        for (int len = 1; len < bs; len <<= 1)
-            for (int i = 0; i < bs; i += len << 1)
-                for (int j = i; j < i + len; j++) {
+    for (int len = 1; len < BS; len <<= 1)
+        for (int i = 0; i < BS; i += len << 1)
+            for (int j = i; j < i + len; j++)
+                for (int x = 0; x < BS; x++) {
                     int32_t u = d[j][x], v = d[j + len][x];
                     d[j][x] = u + v;
                     d[j + len][x] = u - v;
                 }
-    }
+    for (int y = 0; y < BS; y++)
+        for (int x = 0; x < BS; x++)
+            t[y][x] = d[x][y];
+    for (int len = 1; len < BS; len <<= 1)
+        for (int i = 0; i < BS; i += len << 1)
+            for (int j = i; j < i + len; j++)
+                for (int x = 0; x < BS; x++) {
+                    int32_t u = t[j][x], v = t[j + len][x];
+                    t[j][x] = u + v;
+                    t[j + len][x] = u - v;
+                }
     int64_t s = 0;
-    for (int y = 0; y < bs; y++)
-        for (int x = 0; x < bs; x++)
-            s += d[y][x] < 0 ? -d[y][x] : d[y][x];
-    return bs == 8 ? (s + 2) >> 2 : (s + 1) >> 1;
+    for (int y = 0; y < BS; y++) {
+        int acc = 0;
+        for (int x = 0; x < BS; x++)
+            acc += t[y][x] < 0 ? -t[y][x] : t[y][x];
+        s += acc;
+    }
+    return BS == 8 ? (s + 2) >> 2 : (s + 1) >> 1;
+}
+
+inline int64_t satd_block(const int32_t* a, const int32_t* b, int stride_a,
+                          int stride_b, int bs) {
+    return bs == 8 ? satd_block_t<8>(a, b, stride_a, stride_b)
+                   : satd_block_t<4>(a, b, stride_a, stride_b);
 }
 
 // SATD over an (h, w) region partitioned into bs x bs blocks
