@@ -70,3 +70,69 @@ def test_shot_change_places_idr():
     # and the stream still decodes
     frames = list(Decoder().decode_stream(stream))
     assert len(frames) == 6
+
+
+def test_field_coding_roundtrip():
+    """Field coding: each frame becomes two half-height field pictures with
+    pic_timing pic_struct 1/2, VUI field_seq_flag, interlaced PTL flags
+    (the reference's --field-coding, encode.cpp:379-453)."""
+    from turingcodec_tpu.hevc import sei as S
+    w, h = 64, 64
+    cfg = EncoderConfig(width=w, height=h, qp=35, rd_candidates=1, gop_m=1,
+                        search_range=8, field_coding=True)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    base = _synthetic_frame(w, h, 3)
+    recons = {}
+    for i in range(2):
+        f = [np.roll(p, i, axis=1) for p in base]
+        for idx, nal, rec in enc.push_frame(f):
+            stream += nal
+            recons[idx] = rec
+    for idx, nal, rec in enc.flush():
+        stream += nal
+        recons[idx] = rec
+    assert len(recons) == 4  # two fields per frame
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 4 and not dec.violations
+    for f in frames:
+        assert f.planes[0].shape == (h // 2, w)
+        assert f.hash_ok
+    sps = list(dec.ps.sps.values())[0]
+    assert sps.vui.field_seq_flag == 1
+    assert sps.ptl.general_interlaced_source_flag == 1
+    assert sps.ptl.general_progressive_source_flag == 0
+    structs = [d["pic_struct"] for t, d in dec.sei_log
+               if t == S.SEI_PIC_TIMING]
+    assert structs == [1, 2, 1, 2]
+    # decode == encoder recon, field pictures in input order == poc order
+    for i, f in enumerate(frames):
+        for a, b in zip(f.planes, recons[i]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_hrd_signalling():
+    """CBR rate control writes VUI hrd_parameters (nal_hrd, cbr, 1s CPB);
+    the decoder parses them back (spec E.2.2 round trip)."""
+    cfg = EncoderConfig(width=64, height=64, qp=35, rd_candidates=1,
+                        gop_m=1, search_range=8, bitrate=100_000,
+                        frame_rate=25.0)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    f = _synthetic_frame(64, 64, 7)
+    for i in range(3):
+        for r in enc.push_frame([np.roll(p, i, axis=0) for p in f]):
+            stream += r[1]
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 3 and not dec.violations
+    sps = list(dec.ps.sps.values())[0]
+    hrd = sps.vui.hrd
+    assert hrd is not None and hrd.nal_hrd_parameters_present_flag == 1
+    sl = hrd.sub_layers[0]
+    e = sl["nal_hrd"][0]
+    assert e["cbr_flag"] == 1
+    assert (e["bit_rate_value_minus1"] + 1) << (6 + hrd.bit_rate_scale) \
+        == 99840  # 100 kb/s quantized to 256-bit units
+    assert sl["fixed_pic_rate_general_flag"] == 1

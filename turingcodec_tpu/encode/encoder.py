@@ -69,6 +69,11 @@ class EncoderConfig:
                                # aligned; requires wpp=False when > 1)
     dependent_slices: bool = False  # emit slices 2..N as dependent slice
                                     # segments of the first
+    field_coding: bool = False  # code each frame as two field pictures
+                                # (top-field-first), pic_struct via
+                                # pic_timing SEI + VUI field_seq_flag — the
+                                # reference's --field-coding
+                                # (encode.cpp:379-453 field split)
     # prefix SEI set (TaskEncodeOutput.cpp:105-209 analogue)
     sei_active_parameter_sets: bool = True   # on IRAP pictures
     sei_user_data: Optional[str] = "turingcodec-tpu"  # once, at stream start
@@ -80,6 +85,13 @@ class EncoderConfig:
 
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
+        self._field = cfg.field_coding
+        if self._field:
+            # each field picture is half height; pic_timing carries parity
+            import dataclasses
+            assert cfg.height % 16 == 0, "field coding needs height % 16 == 0"
+            cfg = dataclasses.replace(cfg, height=cfg.height // 2,
+                                      sei_pic_timing=True)
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0, \
             "conformance cropping not implemented: use multiple-of-8 sizes"
         self.cfg = cfg
@@ -119,8 +131,9 @@ class Encoder:
         p = ProfileTierLevel()
         p.general_profile_idc = 1  # Main
         p.general_profile_compatibility_flags = 1 << (31 - 1)
-        p.general_progressive_source_flag = 1
-        p.general_frame_only_constraint_flag = 1
+        p.general_progressive_source_flag = 0 if self._field else 1
+        p.general_interlaced_source_flag = 1 if self._field else 0
+        p.general_frame_only_constraint_flag = 0 if self._field else 1
         p.general_level_idc = 120  # level 4.0
         return p
 
@@ -156,6 +169,28 @@ class Encoder:
         fr = c.frame_rate
         s.vui.timing_info = (1000, round(fr * 1000))
         s.vui.frame_field_info_present_flag = int(c.sei_pic_timing)
+        s.vui.field_seq_flag = int(self._field)
+        if c.bitrate:
+            # CBR HRD signalling (Encoder.cpp setupHrd analogue): one CPB,
+            # 1-second buffer at the target rate, fixed picture rate
+            from turingcodec_tpu.hevc.params import HrdParameters
+            hrd = HrdParameters()
+            hrd.nal_hrd_parameters_present_flag = 1
+            hrd.bit_rate_scale = 2   # units of 2^(6+2) = 256 bit/s
+            hrd.cpb_size_scale = 3   # units of 2^(4+3) = 128 bits
+            rate = max(1, int(c.bitrate) >> 8)
+            cpb = max(1, int(c.bitrate) >> 7)
+            hrd.sub_layers = [{
+                "fixed_pic_rate_general_flag": 1,
+                "fixed_pic_rate_within_cvs_flag": 1,
+                "elemental_duration_in_tc_minus1": 0,
+                "low_delay_hrd_flag": 0,
+                "cpb_cnt_minus1": 0,
+                "nal_hrd": [{"bit_rate_value_minus1": rate - 1,
+                             "cpb_size_value_minus1": cpb - 1,
+                             "cbr_flag": 1}],
+            }]
+            s.vui.hrd = hrd
         if not self.cfg.all_intra:
             m = max(1, self.cfg.gop_m)
             s.sps_max_dec_pic_buffering_minus1 = [m + 1]
@@ -282,7 +317,15 @@ class Encoder:
                 msgs.append(S.make_alternative_transfer_characteristics(
                     c.alt_transfer))
         if c.sei_pic_timing:
-            msgs.append(S.make_pic_timing(pic_struct=0, source_scan_type=1))
+            if self._field:
+                # tff: even input pictures are top fields (pic_struct 1),
+                # odd are bottom fields (pic_struct 2); interlaced scan
+                ps = 1 if docket.input_index % 2 == 0 else 2
+                msgs.append(S.make_pic_timing(pic_struct=ps,
+                                              source_scan_type=0))
+            else:
+                msgs.append(S.make_pic_timing(pic_struct=0,
+                                              source_scan_type=1))
         if not msgs:
             return b""
         return S.write_sei_nal(msgs, suffix=False,
@@ -291,7 +334,15 @@ class Encoder:
     # ------------------------------------------------------------------
     def push_frame(self, yuv: List[np.ndarray]) -> List[tuple]:
         """Feed one input frame; returns [(input_index, nal_bytes, recon)]
-        for every picture that became encodable (encode order)."""
+        for every picture that became encodable (encode order). With field
+        coding each frame becomes two field pictures (top first)."""
+        if self._field:
+            top = [np.ascontiguousarray(p[0::2]) for p in yuv]
+            bot = [np.ascontiguousarray(p[1::2]) for p in yuv]
+            return self._push_picture(top) + self._push_picture(bot)
+        return self._push_picture(yuv)
+
+    def _push_picture(self, yuv: List[np.ndarray]) -> List[tuple]:
         idx = self.frame_count
         self.frame_count += 1
         self._inputs[idx] = yuv

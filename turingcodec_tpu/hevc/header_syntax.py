@@ -505,8 +505,56 @@ def write_sps(bw: BitWriter, s: Sps):
     bw.rbsp_trailing_bits()
 
 
+def write_sub_layer_hrd(bw: BitWriter, entries: list, sub_pic: int) -> None:
+    for e in entries:
+        bw.ue(e["bit_rate_value_minus1"])
+        bw.ue(e["cpb_size_value_minus1"])
+        if sub_pic:
+            bw.ue(e["cpb_size_du_value_minus1"])
+            bw.ue(e["bit_rate_du_value_minus1"])
+        bw.u(e["cbr_flag"], 1)
+
+
+def write_hrd(bw: BitWriter, h: HrdParameters, common_inf: int = 1) -> None:
+    """Exact inverse of parse_hrd (spec E.2.2)."""
+    if common_inf:
+        bw.u(h.nal_hrd_parameters_present_flag, 1)
+        bw.u(h.vcl_hrd_parameters_present_flag, 1)
+        if (h.nal_hrd_parameters_present_flag
+                or h.vcl_hrd_parameters_present_flag):
+            bw.u(h.sub_pic_hrd_params_present_flag, 1)
+            if h.sub_pic_hrd_params_present_flag:
+                bw.u(h.tick_divisor_minus2, 8)
+                bw.u(h.du_cpb_removal_delay_increment_length_minus1, 5)
+                bw.u(h.sub_pic_cpb_params_in_pic_timing_sei_flag, 1)
+                bw.u(h.dpb_output_delay_du_length_minus1, 5)
+            bw.u(h.bit_rate_scale, 4)
+            bw.u(h.cpb_size_scale, 4)
+            if h.sub_pic_hrd_params_present_flag:
+                bw.u(h.cpb_size_du_scale, 4)
+            bw.u(h.initial_cpb_removal_delay_length_minus1, 5)
+            bw.u(h.au_cpb_removal_delay_length_minus1, 5)
+            bw.u(h.dpb_output_delay_length_minus1, 5)
+    for sl in h.sub_layers:
+        bw.u(sl["fixed_pic_rate_general_flag"], 1)
+        if not sl["fixed_pic_rate_general_flag"]:
+            bw.u(sl["fixed_pic_rate_within_cvs_flag"], 1)
+        if sl["fixed_pic_rate_within_cvs_flag"]:
+            bw.ue(sl["elemental_duration_in_tc_minus1"])
+        else:
+            bw.u(sl["low_delay_hrd_flag"], 1)
+        if not sl["low_delay_hrd_flag"]:
+            bw.ue(sl["cpb_cnt_minus1"])
+        if h.nal_hrd_parameters_present_flag:
+            write_sub_layer_hrd(bw, sl["nal_hrd"],
+                                h.sub_pic_hrd_params_present_flag)
+        if h.vcl_hrd_parameters_present_flag:
+            write_sub_layer_hrd(bw, sl["vcl_hrd"],
+                                h.sub_pic_hrd_params_present_flag)
+
+
 def write_vui(bw: BitWriter, v) -> None:
-    """Exact inverse of parse_vui (HRD writing not supported)."""
+    """Exact inverse of parse_vui."""
     if v.aspect_ratio_idc is not None:
         bw.u(1, 1)
         bw.u(v.aspect_ratio_idc, 8)
@@ -552,8 +600,11 @@ def write_vui(bw: BitWriter, v) -> None:
         bw.u(v.poc_proportional_to_timing_flag, 1)
         if v.poc_proportional_to_timing_flag:
             bw.ue(v.num_ticks_poc_diff_one_minus1)
-        assert v.hrd is None, "HRD parameter writing not implemented"
-        bw.u(0, 1)  # vui_hrd_parameters_present_flag
+        if v.hrd is not None:
+            bw.u(1, 1)
+            write_hrd(bw, v.hrd)
+        else:
+            bw.u(0, 1)  # vui_hrd_parameters_present_flag
     else:
         bw.u(0, 1)
     if v.bitstream_restriction is not None:
