@@ -64,6 +64,10 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
         ws.ctx.states = bytearray(ctx0.states)
         ws.last_cu_qp = last_qp
         ws.qp_y_pred = last_qp
+    # native CABAC writer (write_core.cpp): whole-CTU bins + terminates;
+    # the Python engine below stays as the oracle and fallback
+    from turingcodec_tpu.native import WriterNative
+    nat = WriterNative.try_create(plan, geom, sh, slice_number)
     substreams = []
     snap_rx = 1 if wc > 1 else 0
 
@@ -84,7 +88,10 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
             ws.qp_y_pred = sh.slice_qp_y
             ws.last_cu_qp = sh.slice_qp_y
 
-        write_ctu(ws, ctb_addr_rs)
+        if nat is not None:
+            nat.write_ctu(ws, ctb_addr_rs)
+        else:
+            write_ctu(ws, ctb_addr_rs)
         if wpp and rx == snap_rx:
             ws.wpp_saved_ctx = ws.ctx.copy()
 
@@ -94,6 +101,15 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
         elif not last:
             nxt = geom.tile_scan_ctus[ctb_addr_ts + 1]
             last = plan.slice_idx[nxt // wc, nxt % wc] != slice_number
+        if nat is not None:
+            nat.encode_terminate(1 if last else 0)
+            if last:
+                substreams.append(nat.take_substream())
+                break
+            if wpp and (ctb_addr_ts + 1) % wc == 0:
+                nat.encode_terminate(1)  # end_of_subset_one_bit
+                substreams.append(nat.take_substream())
+            continue
         ws.enc.encode_terminate(1 if last else 0)
         if last:
             # encode_terminate(1) flushed; align the substream
@@ -103,8 +119,7 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
             break
         if wpp and (ctb_addr_ts + 1) % wc == 0:
             ws.enc.encode_terminate(1)  # end_of_subset_one_bit
-            if ws.bw.nbits:
-                ws.bw.u(0, 8 - ws.bw.nbits)
+            ws.bw.u(0, 8 - ws.bw.nbits) if ws.bw.nbits else None
             substreams.append(ws.bw.get_bytes())
             ws.bw = BitWriter()
             ws.enc = CabacEncoder(ws.bw, ws.ctx)

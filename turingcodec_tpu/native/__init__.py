@@ -34,7 +34,7 @@ def _build_and_load():
     here = os.path.dirname(__file__)
     srcs = [os.path.join(here, f)
             for f in ("cabac_core.cpp", "slice_parse.cpp",
-                      "pixel_recon.cpp", "enc_core.cpp")]
+                      "pixel_recon.cpp", "enc_core.cpp", "write_core.cpp")]
     newest = max(os.path.getmtime(s) for s in
                  srcs + [os.path.join(here, "core.h")])
     so = os.path.join(here, f"_cabac_core_{sys.implementation.cache_tag}.so")
@@ -152,6 +152,15 @@ def _build_and_load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_double, ctypes.c_double, ctypes.c_double]
+
+    lib.tc_write_ctu.restype = ctypes.c_int
+    lib.tc_write_ctu.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+    lib.tc_write_terminate.restype = ctypes.c_int
+    lib.tc_write_terminate.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32]
 
     lib.tc_slice_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_parse_ctu.restype = ctypes.c_int
@@ -457,6 +466,153 @@ def deblock(plan, geom, ry, rcb, rcr) -> bool:
 
 
 # ---- full-CTU native parse (slice_parse.cpp) ------------------------------
+
+def _slice_setup(lib, plan, geom, sh, slice_number, hook=None):
+    """Configure the shared native picture context (SP g_sp) for one slice.
+
+    hook carries motion-derivation inputs (InterDeriver-like: cur_poc,
+    ref_pocs, ref_lt, no_backward, col_pic) or None for paths that don't
+    derive motion (I slices, the CABAC writer). Returns the keep-alive
+    tuple the caller must hold while the context is in use."""
+    sps, pps = plan.sps, plan.pps
+    zscan = geom.zscan
+    assert zscan.dtype == np.int64 and zscan.flags.c_contiguous
+    tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
+
+    ref_pocs = np.zeros((2, 16), np.int32)
+    ref_lt = np.zeros((2, 16), np.uint8)
+    col = None
+    no_backward = 0
+    cur_poc = 0
+    if hook is not None:
+        cur_poc = hook.cur_poc
+        no_backward = int(hook.no_backward)
+        for l in (0, 1):
+            for i, p_ in enumerate(hook.ref_pocs[l][:16]):
+                ref_pocs[l, i] = p_
+            for i, lt in enumerate(hook.ref_lt[l][:16]):
+                ref_lt[l, i] = int(lt)
+        col = hook.col_pic
+        if col is not None and col.plan is None:
+            col = None
+    has_col = int(col is not None)
+    cp = col.plan if col is not None else plan
+
+    p = plan
+    ptr_arrays = [
+        zscan, tile_id, p.slice_idx, p.ct_depth, p.cu_pred_mode,
+        p.part_mode, p.skip_flag, p.tq_bypass, p.pcm_flag, p.intra_mode_y,
+        p.intra_mode_c, p.mv, p.ref_idx, p.merge_flag, p.merge_idx,
+        p.mvd, p.mvp_flag, p.ref_poc, p.ref_is_lt, p.qp_y, p.cu_size_log2,
+        p.pu_id, p.cu_id, p.tu_log2, p.tu_id, p.cbf_y, p.cbf_cb, p.cbf_cr,
+        p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
+        p.coeff_y, p.coeff_cb, p.coeff_cr, p.sao_type, p.sao_class,
+        p.sao_offsets, cp.cu_pred_mode, cp.ref_idx, cp.mv, cp.ref_poc,
+        cp.ref_is_lt,
+    ]
+    for a in ptr_arrays:
+        assert a.flags.c_contiguous
+    ptrs = np.array([a.ctypes.data for a in ptr_arrays], np.int64)
+    iparams = np.array([
+        sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+        geom.w4, geom.h4, geom.wc, geom.hc,
+        sps.ctb_log2_size_y, sps.min_cb_log2_size_y,
+        sps.max_tb_log2_size_y, sps.min_tb_log2_size_y,
+        sps.max_transform_hierarchy_depth_intra,
+        sps.max_transform_hierarchy_depth_inter,
+        int(sps.amp_enabled_flag),
+        sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
+        int(pps.cu_qp_delta_enabled_flag), pps.diff_cu_qp_delta_depth,
+        int(pps.transquant_bypass_enabled_flag),
+        int(pps.transform_skip_enabled_flag),
+        int(pps.sign_data_hiding_enabled_flag),
+        pps.log2_parallel_merge_level_minus2 + 2,
+        sh.slice_qp_y, slice_number, int(sh.is_i), int(sh.is_b),
+        sh.max_num_merge_cand,
+        sh.num_ref_idx_l0_active_minus1 + 1,
+        sh.num_ref_idx_l1_active_minus1 + 1,
+        int(sh.mvd_l1_zero_flag),
+        int(sh.slice_temporal_mvp_enabled_flag),
+        int(sh.collocated_from_l0_flag),
+        int(sh.slice_sao_luma_flag), int(sh.slice_sao_chroma_flag),
+        cur_poc, col.poc if col is not None else 0,
+        no_backward, has_col,
+    ], np.int32)
+    from turingcodec_tpu.cabac.engine import ctx_index
+    offs = np.array([ctx_index(e) for e in _PARSE_ELEMS], np.int32)
+    lib.tc_slice_setup(ptrs.ctypes.data, iparams.ctypes.data,
+                       offs.ctypes.data, ref_pocs.ctypes.data,
+                       ref_lt.ctypes.data)
+    return (ptr_arrays, ptrs, iparams, offs, ref_pocs, ref_lt, col)
+
+
+class WriterNative:
+    """Per-slice native CABAC writer: bins for whole CTUs plus terminate/
+    flush, into a growable byte buffer (encode/ctu_write.py oracle)."""
+
+    @staticmethod
+    def try_create(plan, geom, sh, slice_number):
+        if os.environ.get("TURING_TPU_NO_NATIVE_WRITE"):
+            return None
+        lib = get_lib()
+        if lib is None:
+            return None
+        sps = plan.sps
+        if sps.chroma_array_type != 1 or plan.pcm_samples:
+            return None
+        try:
+            return WriterNative(lib, plan, geom, sh, slice_number)
+        except Exception:
+            return None
+
+    def __init__(self, lib, plan, geom, sh, slice_number):
+        self.lib = lib
+        self._keep = _slice_setup(lib, plan, geom, sh, slice_number)
+        sps = plan.sps
+        cap = (sps.pic_width_in_luma_samples
+               * sps.pic_height_in_luma_samples * 4 + (1 << 16))
+        self.buf = np.zeros(cap, np.uint8)
+        self.cap_bits = cap * 8
+        self.bitpos = np.zeros(1, np.int64)
+        self.eng = np.zeros(4, np.int32)
+        self.qp_io = np.zeros(4, np.int32)
+        self.reset_engine()
+
+    def reset_engine(self):
+        """Fresh CabacEncoder state (low 0, range 510, first-bit discard)."""
+        self.eng[:] = (0, 510, 0, 1)
+
+    def write_ctu(self, ws, ctb_addr_rs: int):
+        self.qp_io[:] = (ws.qp_y_pred, ws.last_cu_qp,
+                         int(ws.is_cu_qp_delta_coded), ws.cu_qp_delta_val)
+        states = ws.ctx.states
+        ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
+        rc = self.lib.tc_write_ctu(
+            self.buf.ctypes.data, self.cap_bits, self.bitpos.ctypes.data,
+            self.eng.ctypes.data, ctx, ctb_addr_rs, self.qp_io.ctypes.data)
+        if rc != 0:
+            raise ValueError(f"native CTU write failed (rc={rc})")
+        ws.qp_y_pred = int(self.qp_io[0])
+        ws.last_cu_qp = int(self.qp_io[1])
+        ws.is_cu_qp_delta_coded = bool(self.qp_io[2])
+        ws.cu_qp_delta_val = int(self.qp_io[3])
+
+    def encode_terminate(self, bit: int):
+        rc = self.lib.tc_write_terminate(
+            self.buf.ctypes.data, self.cap_bits, self.bitpos.ctypes.data,
+            self.eng.ctypes.data, bit)
+        if rc != 0:
+            raise ValueError("native terminate failed")
+
+    def take_substream(self) -> bytes:
+        """Byte-align (zero padding) and return+reset the buffered bytes."""
+        nbytes = (int(self.bitpos[0]) + 7) >> 3
+        out = self.buf[:nbytes].tobytes()
+        self.buf[:nbytes] = 0
+        self.bitpos[0] = 0
+        self.reset_engine()
+        return out
+
 
 # must match the E_* enum order in slice_parse.cpp
 _PARSE_ELEMS = [
