@@ -97,6 +97,14 @@ class InterPictureEncoder(IntraPictureEncoder):
         self._restore(x0, y0, size, best_state)
         if self.plan.skip_flag[y0 >> 2, x0 >> 2]:
             return cost_best
+        # CFM (cbf fast mode, Speed.h cfm analogue; fast/medium presets):
+        # an inter winner with no coded coefficients predicts well enough
+        # that the intra trial is skipped
+        if self.rd_candidates <= 2 and not (
+                self.plan.cbf_y[y0 >> 2, x0 >> 2]
+                or self.plan.cbf_cb[y0 >> 2, x0 >> 2]
+                or self.plan.cbf_cr[y0 >> 2, x0 >> 2]):
+            return cost_best
         self._restore(x0, y0, size, state)
         cost_intra = super()._encode_cu(x0, y0, log2, depth) \
             + self.lam_bits * 2  # pred_mode flag bits

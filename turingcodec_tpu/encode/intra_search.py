@@ -187,6 +187,11 @@ class IntraPictureEncoder:
                 self._restore(x0, y0, size, here)
             return cost_here
         here = self._snapshot(x0, y0, size)
+        # ECU (early CU termination, Speed.h ecu analogue; fast/medium):
+        # a skip CU at this depth ends the split recursion
+        if (self.rd_candidates <= 2 and not self.sh.is_i
+                and self.plan.skip_flag[y0 >> 2, x0 >> 2]):
+            return cost_here
         self._restore(x0, y0, size, state)
 
         half = size >> 1

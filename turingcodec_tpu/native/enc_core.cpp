@@ -1219,6 +1219,14 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
         delete best_state;
         return cost_best;
     }
+    // CFM (cbf fast mode; fast/medium presets): inter winner without coded
+    // coefficients skips the intra trial
+    if (en.rd_candidates <= 2 && !g_sp.cbf_y[idx4(x0, y0)]
+        && !g_sp.cbf_cb[idx4(x0, y0)] && !g_sp.cbf_cr[idx4(x0, y0)]) {
+        delete state;
+        delete best_state;
+        return cost_best;
+    }
     snap_restore(*state, x0, y0, size);
     double cost_intra = encode_intra_cu(x0, y0, log2, depth)
                       + en.lam_bits * 2;  // pred_mode flag bits
@@ -1762,6 +1770,13 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     }
     Snap* here = new Snap;
     snap_save(*here, x0, y0, size);
+    // ECU (early CU termination; fast/medium): skip CU ends the recursion
+    if (en.rd_candidates <= 2 && !g_sp.is_i
+        && g_sp.skip_flag[idx4(x0, y0)]) {
+        delete here;
+        delete state;
+        return cost_here;
+    }
     snap_restore(*state, x0, y0, size);
     delete state;
 
