@@ -21,6 +21,10 @@ _EO_NEIGHBOURS = {
 
 def sao_picture(plan: PicturePlan, geom, deblocked):
     """Apply SAO to [y, cb, cr] deblocked planes; returns new planes."""
+    from turingcodec_tpu import native
+    res = native.sao_apply(plan, geom, deblocked)
+    if res is not None:
+        return res
     sps, pps = plan.sps, plan.pps
     out = [p.copy() for p in deblocked]
     ctb = sps.ctb_size_y

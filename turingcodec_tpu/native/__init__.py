@@ -153,6 +153,15 @@ def _build_and_load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_double, ctypes.c_double, ctypes.c_double]
 
+    lib.tc_sao_apply.restype = ctypes.c_int
+    lib.tc_sao_apply.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32]
+
     lib.tc_write_ctu.restype = ctypes.c_int
     lib.tc_write_ctu.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -363,6 +372,51 @@ def inter_recon(plan, geom, ref_lists, recon) -> bool:
     if rval != 0:
         raise ValueError(f"native inter recon failed (rc={rval})")
     return True
+
+
+def sao_apply(plan, geom, deblocked):
+    """Native SAO application; returns new planes or None (fallback)."""
+    if os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
+        return None
+    lib = get_lib()
+    sps, pps = plan.sps, plan.pps
+    if lib is None or sps.chroma_array_type != 1:
+        return None
+    for p in deblocked:
+        if p.dtype != np.int16 or not p.flags.c_contiguous:
+            return None
+    out = [p.copy() for p in deblocked]
+    skip = None
+    if sps.pcm_enabled_flag and sps.pcm_loop_filter_disabled_flag:
+        skip = plan.pcm_flag
+    if pps.transquant_bypass_enabled_flag:
+        skip = plan.tq_bypass if skip is None else (plan.tq_bypass
+                                                    | plan.pcm_flag)
+    if skip is not None:
+        skip = np.ascontiguousarray(skip, np.uint8)
+    n_sl = max(len(plan.slice_headers), 1)
+    sl_l = np.zeros(n_sl, np.int32)
+    sl_c = np.zeros(n_sl, np.int32)
+    sl_a = np.zeros(n_sl, np.int32)
+    for i, sh in enumerate(plan.slice_headers):
+        sl_l[i] = int(sh.slice_sao_luma_flag)
+        sl_c[i] = int(sh.slice_sao_chroma_flag)
+        sl_a[i] = int(sh.slice_loop_filter_across_slices_enabled_flag)
+    tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
+    src_ptrs = np.array([p.ctypes.data for p in deblocked], np.int64)
+    dst_ptrs = np.array([p.ctypes.data for p in out], np.int64)
+    lib.tc_sao_apply(
+        src_ptrs.ctypes.data, dst_ptrs.ctypes.data,
+        plan.sao_type.ctypes.data, plan.sao_class.ctypes.data,
+        plan.sao_offsets.ctypes.data, plan.slice_idx.ctypes.data,
+        tile_id.ctypes.data,
+        sps.pic_width_in_ctbs_y, sps.pic_height_in_ctbs_y, sps.ctb_size_y,
+        sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
+        sps.bit_depth_y, sps.bit_depth_c,
+        sl_l.ctypes.data, sl_c.ctypes.data, sl_a.ctypes.data, n_sl,
+        int(pps.loop_filter_across_tiles_enabled_flag),
+        skip.ctypes.data if skip is not None else 0, geom.w4)
+    return out
 
 
 def intra_recon(pr) -> bool:

@@ -764,6 +764,128 @@ int tc_inter_recon(const int64_t* ptrs, const int32_t* ip,
     return 0;
 }
 
+// Apply SAO to the three deblocked planes (spec 8.7.3; decode/sao.py
+// oracle). dst planes must be copies of src; filtered CTBs are
+// overwritten. Per-slice flag arrays are indexed by slice_idx.
+// skip_mask: (h4, w4) uint8 (pcm/tq-bypass samples keep src) or null.
+int tc_sao_apply(const int64_t* src_ptrs, const int64_t* dst_ptrs,
+                 int64_t sao_type_p, int64_t sao_class_p,
+                 int64_t sao_offsets_p, int64_t slice_idx_p,
+                 int64_t tile_id_p, int32_t wc, int32_t hc, int32_t ctb_y,
+                 int32_t pic_w, int32_t pic_h, int32_t bd_y, int32_t bd_c,
+                 const int32_t* sl_sao_luma, const int32_t* sl_sao_chroma,
+                 const int32_t* sl_across, int32_t n_sl,
+                 int32_t across_tiles, int64_t skip_p, int32_t w4) {
+    const uint8_t* sao_type = (const uint8_t*)sao_type_p;
+    const uint8_t* sao_class = (const uint8_t*)sao_class_p;
+    const int8_t* sao_offsets = (const int8_t*)sao_offsets_p;
+    const int32_t* slice_idx = (const int32_t*)slice_idx_p;
+    const int32_t* tile_id = (const int32_t*)tile_id_p;
+    const uint8_t* skip = (const uint8_t*)skip_p;
+    static const int eo_n[4][2][2] = {{{0, -1}, {0, 1}},
+                                      {{-1, 0}, {1, 0}},
+                                      {{-1, -1}, {1, 1}},
+                                      {{-1, 1}, {1, -1}}};
+    static const int remap[5] = {1, 2, 0, 3, 4};
+    int cl2 = 0;
+    while ((1 << cl2) < ctb_y)
+        cl2++;
+
+    for (int cy = 0; cy < hc; cy++)
+        for (int cx = 0; cx < wc; cx++) {
+            int64_t cur = (int64_t)cy * wc + cx;
+            int sidx = slice_idx[cur];
+            if (sidx < 0)
+                continue;
+            int scl = iclip(0, n_sl - 1, sidx);
+            for (int c_idx = 0; c_idx < 3; c_idx++) {
+                int t = sao_type[cur * 3 + c_idx];
+                if (t == 0)
+                    continue;
+                if (c_idx == 0 && !sl_sao_luma[scl])
+                    continue;
+                if (c_idx > 0 && !sl_sao_chroma[scl])
+                    continue;
+                const int sub = c_idx == 0 ? 1 : 2;
+                const int bd = c_idx == 0 ? bd_y : bd_c;
+                const int max_v = (1 << bd) - 1;
+                const int ctb = ctb_y / sub;
+                const int w = pic_w / sub, h = pic_h / sub;
+                const int16_t* src = (const int16_t*)src_ptrs[c_idx];
+                int16_t* dst = (int16_t*)dst_ptrs[c_idx];
+                int x0 = cx * ctb, y0 = cy * ctb;
+                int x1 = x0 + ctb < w ? x0 + ctb : w;
+                int y1 = y0 + ctb < h ? y0 + ctb : h;
+                const int8_t* offs = sao_offsets + cur * 12 + c_idx * 4;
+                if (t == 1) {  // band
+                    int shift = bd - 5;
+                    int band_pos = sao_class[cur * 3 + c_idx];
+                    int lut[32] = {};
+                    for (int k = 0; k < 4; k++)
+                        lut[(band_pos + k) & 31] = offs[k];
+                    for (int y = y0; y < y1; y++)
+                        for (int x = x0; x < x1; x++) {
+                            int v = src[(int64_t)y * w + x];
+                            int r = iclip(0, max_v, v + lut[v >> shift]);
+                            if (skip && skip[(int64_t)((y * sub) >> 2) * w4
+                                             + ((x * sub) >> 2)])
+                                r = v;
+                            dst[(int64_t)y * w + x] = (int16_t)r;
+                        }
+                } else {  // edge
+                    int eo = sao_class[cur * 3 + c_idx];
+                    int ady = eo_n[eo][0][0], adx = eo_n[eo][0][1];
+                    int bdy = eo_n[eo][1][0], bdx = eo_n[eo][1][1];
+                    int lut[5] = {0, offs[0], offs[1], offs[2], offs[3]};
+                    int cur_tile = tile_id[cur];
+                    for (int y = y0; y < y1; y++)
+                        for (int x = x0; x < x1; x++) {
+                            int v = src[(int64_t)y * w + x];
+                            int r = v;
+                            int ay = y + ady, ax = x + adx;
+                            int by = y + bdy, bx = x + bdx;
+                            bool valid = ay >= 0 && ay < h && ax >= 0
+                                      && ax < w && by >= 0 && by < h
+                                      && bx >= 0 && bx < w;
+                            if (valid) {
+                                // slice/tile boundary rule (mirrors
+                                // decode/sao._neighbour_ok)
+                                for (int nb = 0; nb < 2 && valid; nb++) {
+                                    int yn = nb ? by : ay;
+                                    int xn = nb ? bx : ax;
+                                    int ynl = iclip(0, pic_h - 1, yn * sub);
+                                    int xnl = iclip(0, pic_w - 1, xn * sub);
+                                    int64_t nc = (int64_t)(ynl >> cl2) * wc
+                                               + (xnl >> cl2);
+                                    bool ok = true;
+                                    if (!across_tiles
+                                        && tile_id[nc] != cur_tile)
+                                        ok = false;
+                                    if (slice_idx[nc] != sidx
+                                        && !sl_across[scl])
+                                        ok = false;
+                                    valid = ok;
+                                }
+                            }
+                            if (valid) {
+                                int av = src[(int64_t)ay * w + ax];
+                                int bv = src[(int64_t)by * w + bx];
+                                int sa = (v > av) - (v < av);
+                                int sb = (v > bv) - (v < bv);
+                                int e = remap[2 + sa + sb];
+                                r = iclip(0, max_v, v + lut[e]);
+                            }
+                            if (skip && skip[(int64_t)((y * sub) >> 2) * w4
+                                             + ((x * sub) >> 2)])
+                                r = v;
+                            dst[(int64_t)y * w + x] = (int16_t)r;
+                        }
+                }
+            }
+        }
+    return 0;
+}
+
 // Reconstruct intra CUs [start_cu, n_cu) in decode order via tc_intra_tu.
 // Same ptrs/ip/table layout as tc_inter_recon, plus zscan32 (int32, w4
 // stride at min-block granularity) and the strong-smoothing flag.
