@@ -84,10 +84,22 @@ class PictureReconstructor:
                     self._recon_intra_cu(cu)
             return self._loop_filters()
         if self.use_batched_inter:
+            import os
             from turingcodec_tpu import native
             from turingcodec_tpu.decode.recon_vec import reconstruct_inter_batch
-            reconstruct_inter_batch(plan, self.geom, self.ref_lists,
-                                    [self.ry, self.rcb, self.rcr])
+            done = False
+            if os.environ.get("TURING_TPU_DEVICE_RECON"):
+                from turingcodec_tpu.decode.device_recon import (
+                    reconstruct_inter_device)
+                try:
+                    reconstruct_inter_device(plan, self.geom, self.ref_lists,
+                                             [self.ry, self.rcb, self.rcr])
+                    done = True
+                except NotImplementedError:
+                    pass  # transform-skip / bypass stream: host path
+            if not done:
+                reconstruct_inter_batch(plan, self.geom, self.ref_lists,
+                                        [self.ry, self.rcb, self.rcr])
             if not native.intra_recon(self):
                 for cu in plan.cu_list:
                     if cu.pcm:

@@ -62,6 +62,54 @@ def interp_luma_all_phases(win: jax.Array, w: int, h: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("bs", "taps", "bit_depth"))
+def mc_block_grid(refs: jax.Array, ref_sel: jax.Array, xi: jax.Array,
+                  yi: jax.Array, xf: jax.Array, yf: jax.Array, bs: int,
+                  taps: int, bit_depth: int = 8) -> jax.Array:
+    """Per-block single-phase MC over stacked reference planes.
+
+    refs: (R, H, W) int; per-block (B,) arrays: ref_sel index into R,
+    xi/yi integer top-left sample position (mv integer part applied,
+    clamped gather — spec edge extension), xf/yf fractional phase.
+    Returns (B, bs, bs) 14-bit intermediate predictions; bit-exact with
+    decode.inter_pred.interp_luma/interp_chroma per block.
+
+    This is the decoder's device MC: every 4x4 luma (2x2 chroma) min-block
+    carries its PU's motion, so a whole picture is one uniform batch —
+    the TPU-native replacement for per-PU scalar interpolation.
+    """
+    shift1 = bit_depth - 8
+    shift2 = 6
+    shift3 = 14 - bit_depth
+    off = taps // 2 - 1
+    span = bs + taps - 1
+    _, hh, ww = refs.shape
+    filt = jnp.asarray(np.asarray(LUMA_FILTER if taps == 8
+                                  else CHROMA_FILTER, np.int32))
+    ys = jnp.clip(yi[:, None] - off + jnp.arange(span)[None, :], 0, hh - 1)
+    xs = jnp.clip(xi[:, None] - off + jnp.arange(span)[None, :], 0, ww - 1)
+    win = refs[ref_sel[:, None, None], ys[:, :, None],
+               xs[:, None, :]].astype(jnp.int32)        # (B, span, span)
+    fh = filt[xf]                                        # (B, taps)
+    fv = filt[yf]
+    cols = jnp.stack([win[:, :, k:k + bs] for k in range(taps)], axis=-1)
+    htmp = jnp.einsum("byxk,bk->byx", cols, fh,
+                      preferred_element_type=jnp.int32) >> shift1
+    rows = jnp.stack([htmp[:, k:k + bs, :] for k in range(taps)], axis=-1)
+    out2d = jnp.einsum("byxk,bk->byx", rows, fv,
+                       preferred_element_type=jnp.int32) >> shift2
+    h_only = htmp[:, off:off + bs, :]
+    vcols = jnp.stack([win[:, k:k + bs, off:off + bs] for k in range(taps)],
+                      axis=-1)
+    v_only = jnp.einsum("byxk,bk->byx", vcols, fv,
+                        preferred_element_type=jnp.int32) >> shift1
+    center = win[:, off:off + bs, off:off + bs] << shift3
+    zx = (xf == 0)[:, None, None]
+    zy = (yf == 0)[:, None, None]
+    return jnp.where(zx & zy, center,
+                     jnp.where(zy, h_only, jnp.where(zx, v_only, out2d)))
+
+
 def interp_luma_all_phases_np(win: np.ndarray, w: int, h: int,
                               bit_depth: int = 8) -> np.ndarray:
     """numpy oracle via the scalar decoder op on an inner window."""
