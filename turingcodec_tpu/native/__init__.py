@@ -714,81 +714,9 @@ class SliceNative:
     def __init__(self, lib, plan, geom, sh, slice_number, hook):
         self.lib = lib
         self.plan = plan
-        sps, pps = plan.sps, plan.pps
-
-        zscan = geom.zscan
-        assert zscan.dtype == np.int64 and zscan.flags.c_contiguous
-        tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
-
-        ref_pocs = np.zeros((2, 16), np.int32)
-        ref_lt = np.zeros((2, 16), np.uint8)
-        col = None
-        no_backward = 0
-        cur_poc = 0
-        if hook is not None:
-            cur_poc = hook.cur_poc
-            no_backward = int(hook.no_backward)
-            for l in (0, 1):
-                for i, p in enumerate(hook.ref_pocs[l][:16]):
-                    ref_pocs[l, i] = p
-                for i, lt in enumerate(hook.ref_lt[l][:16]):
-                    ref_lt[l, i] = int(lt)
-            col = hook.col_pic
-            if col is not None and col.plan is None:
-                col = None
-        has_col = int(col is not None)
-        cp = col.plan if col is not None else plan  # placeholder ptrs if none
-
-        p = plan
-        ptr_arrays = [
-            zscan, tile_id, p.slice_idx, p.ct_depth, p.cu_pred_mode,
-            p.part_mode, p.skip_flag, p.tq_bypass, p.pcm_flag, p.intra_mode_y,
-            p.intra_mode_c, p.mv, p.ref_idx, p.merge_flag, p.merge_idx,
-            p.mvd, p.mvp_flag, p.ref_poc, p.ref_is_lt, p.qp_y, p.cu_size_log2,
-            p.pu_id, p.cu_id, p.tu_log2, p.tu_id, p.cbf_y, p.cbf_cb, p.cbf_cr,
-            p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
-            p.coeff_y, p.coeff_cb, p.coeff_cr, p.sao_type, p.sao_class,
-            p.sao_offsets, cp.cu_pred_mode, cp.ref_idx, cp.mv, cp.ref_poc,
-            cp.ref_is_lt,
-        ]
-        for a in ptr_arrays:
-            assert a.flags.c_contiguous
-        ptrs = np.array([a.ctypes.data for a in ptr_arrays], np.int64)
-
-        iparams = np.array([
-            sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
-            geom.w4, geom.h4, geom.wc, geom.hc,
-            sps.ctb_log2_size_y, sps.min_cb_log2_size_y,
-            sps.max_tb_log2_size_y, sps.min_tb_log2_size_y,
-            sps.max_transform_hierarchy_depth_intra,
-            sps.max_transform_hierarchy_depth_inter,
-            int(sps.amp_enabled_flag),
-            sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
-            int(pps.cu_qp_delta_enabled_flag), pps.diff_cu_qp_delta_depth,
-            int(pps.transquant_bypass_enabled_flag),
-            int(pps.transform_skip_enabled_flag),
-            int(pps.sign_data_hiding_enabled_flag),
-            pps.log2_parallel_merge_level_minus2 + 2,
-            sh.slice_qp_y, slice_number, int(sh.is_i), int(sh.is_b),
-            sh.max_num_merge_cand,
-            sh.num_ref_idx_l0_active_minus1 + 1,
-            sh.num_ref_idx_l1_active_minus1 + 1,
-            int(sh.mvd_l1_zero_flag),
-            int(sh.slice_temporal_mvp_enabled_flag),
-            int(sh.collocated_from_l0_flag),
-            int(sh.slice_sao_luma_flag), int(sh.slice_sao_chroma_flag),
-            cur_poc, col.poc if col is not None else 0,
-            no_backward, has_col,
-        ], np.int32)
-
-        from turingcodec_tpu.cabac.engine import ctx_index
-        offs = np.array([ctx_index(e) for e in _PARSE_ELEMS], np.int32)
-
-        lib.tc_slice_setup(ptrs.ctypes.data, iparams.ctypes.data,
-                           offs.ctypes.data, ref_pocs.ctypes.data,
-                           ref_lt.ctypes.data)
+        sps = plan.sps
         # keep everything the C globals point at alive for this object's life
-        self._keep = (ptr_arrays, ptrs, iparams, offs, ref_pocs, ref_lt, col)
+        self._keep = _slice_setup(lib, plan, geom, sh, slice_number, hook)
 
         w = sps.pic_width_in_luma_samples
         h = sps.pic_height_in_luma_samples
@@ -886,77 +814,12 @@ class EncNative:
 
     def __init__(self, lib, enc, plan):
         self.lib = lib
-        sps, pps, sh, geom = enc.sps, enc.pps, enc.sh, enc.geom
+        sps = enc.sps
+        geom = enc.geom
+        sh = enc.sh
         ref_lists = getattr(enc, "ref_lists", None) or [[], []]
-        cur_poc = getattr(enc, "cur_poc", 0)
-
-        ref_pocs = np.zeros((2, 16), np.int32)
-        ref_lt = np.zeros((2, 16), np.uint8)
-        col = None
-        no_backward = 0
-        deriver = None
-        if not sh.is_i:
-            from turingcodec_tpu.decode.mvp import InterDeriver
-            deriver = enc._get_deriver()
-            no_backward = int(deriver.no_backward)
-            for l in (0, 1):
-                for i, poc in enumerate(deriver.ref_pocs[l][:16]):
-                    ref_pocs[l, i] = poc
-                for i, lt in enumerate(deriver.ref_lt[l][:16]):
-                    ref_lt[l, i] = int(lt)
-            col = deriver.col_pic
-            if col is not None and col.plan is None:
-                col = None
-        has_col = int(col is not None)
-        cp = col.plan if col is not None else plan
-
-        p = plan
-        zscan = geom.zscan
-        tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
-        ptr_arrays = [
-            zscan, tile_id, p.slice_idx, p.ct_depth, p.cu_pred_mode,
-            p.part_mode, p.skip_flag, p.tq_bypass, p.pcm_flag, p.intra_mode_y,
-            p.intra_mode_c, p.mv, p.ref_idx, p.merge_flag, p.merge_idx,
-            p.mvd, p.mvp_flag, p.ref_poc, p.ref_is_lt, p.qp_y, p.cu_size_log2,
-            p.pu_id, p.cu_id, p.tu_log2, p.tu_id, p.cbf_y, p.cbf_cb, p.cbf_cr,
-            p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
-            p.coeff_y, p.coeff_cb, p.coeff_cr, p.sao_type, p.sao_class,
-            p.sao_offsets, cp.cu_pred_mode, cp.ref_idx, cp.mv, cp.ref_poc,
-            cp.ref_is_lt,
-        ]
-        for a in ptr_arrays:
-            assert a.flags.c_contiguous
-        ptrs = np.array([a.ctypes.data for a in ptr_arrays], np.int64)
-        iparams = np.array([
-            sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
-            geom.w4, geom.h4, geom.wc, geom.hc,
-            sps.ctb_log2_size_y, sps.min_cb_log2_size_y,
-            sps.max_tb_log2_size_y, sps.min_tb_log2_size_y,
-            sps.max_transform_hierarchy_depth_intra,
-            sps.max_transform_hierarchy_depth_inter,
-            int(sps.amp_enabled_flag),
-            sps.bit_depth_y, sps.bit_depth_c, sps.qp_bd_offset_y,
-            int(pps.cu_qp_delta_enabled_flag), pps.diff_cu_qp_delta_depth,
-            int(pps.transquant_bypass_enabled_flag),
-            int(pps.transform_skip_enabled_flag),
-            int(pps.sign_data_hiding_enabled_flag),
-            pps.log2_parallel_merge_level_minus2 + 2,
-            sh.slice_qp_y, 0, int(sh.is_i), int(sh.is_b),
-            sh.max_num_merge_cand,
-            sh.num_ref_idx_l0_active_minus1 + 1,
-            sh.num_ref_idx_l1_active_minus1 + 1,
-            int(sh.mvd_l1_zero_flag),
-            int(sh.slice_temporal_mvp_enabled_flag),
-            int(sh.collocated_from_l0_flag),
-            int(sh.slice_sao_luma_flag), int(sh.slice_sao_chroma_flag),
-            cur_poc, col.poc if col is not None else 0,
-            no_backward, has_col,
-        ], np.int32)
-        from turingcodec_tpu.cabac.engine import ctx_index
-        offs = np.array([ctx_index(e) for e in _PARSE_ELEMS], np.int32)
-        lib.tc_slice_setup(ptrs.ctypes.data, iparams.ctypes.data,
-                           offs.ctypes.data, ref_pocs.ctypes.data,
-                           ref_lt.ctypes.data)
+        deriver = None if sh.is_i else enc._get_deriver()
+        keep_sp = _slice_setup(lib, plan, geom, sh, 0, deriver)
 
         # encoder-side setup
         self._orig = [np.ascontiguousarray(pl, np.int16) for pl in enc.orig]
@@ -989,9 +852,8 @@ class EncNative:
         lf, cf, _, _ = _recon_tables()
         lib.tc_enc_setup(eptrs.ctypes.data, eip.ctypes.data, qs.ctypes.data,
                          lf.ctypes.data, cf.ctypes.data)
-        self._keep = (ptr_arrays, ptrs, iparams, offs, ref_pocs, ref_lt,
-                      col, self._orig, rec, zscan32, keep_refs, eptrs, eip,
-                      qs, lf, cf, deriver)
+        self._keep = (keep_sp, self._orig, rec, zscan32, keep_refs, eptrs,
+                      eip, qs, lf, cf, deriver)
         self.ids = np.zeros(3, np.int32)
         self.sps = sps
 
