@@ -120,7 +120,7 @@ class Encoder:
             from turingcodec_tpu.encode.gop import _SOP_TABLES
             mix = {}
             m = 1 if (cfg.all_intra or cfg.gop_m == 1) else cfg.gop_m
-            for (_, tid, _, _, _) in _SOP_TABLES[m]:
+            for (_, tid, _, _, _, _) in _SOP_TABLES[m]:
                 mix[tid] = mix.get(tid, 0) + 1
             self._rc = SequenceRateController(cfg.bitrate, cfg.frame_rate,
                                               cfg.width, cfg.height, cfg.qp,
@@ -162,7 +162,7 @@ class Encoder:
         s.pcm_enabled_flag = 0
         s.short_term_rps = []
         s.long_term_ref_pics_present_flag = 0
-        s.sps_temporal_mvp_enabled_flag = 0
+        s.sps_temporal_mvp_enabled_flag = 1
         s.strong_intra_smoothing_enabled_flag = 1
         from turingcodec_tpu.hevc.params import VuiParameters
         s.vui = VuiParameters()
@@ -259,6 +259,11 @@ class Encoder:
             return sh
         sh.nal_unit_type = T.NalUnitType.TRAIL_R
         sh.slice_type = docket.slice_type
+        # TMVP on (Encoder.cpp:691, TaskEncodeInput.cpp:74): collocated
+        # picture = first entry of L1 for B (flag 0), L0 for P (inferred 1)
+        sh.slice_temporal_mvp_enabled_flag = 1
+        sh.collocated_from_l0_flag = 0 if docket.slice_type == 0 else 1
+        sh.collocated_ref_idx = 0
         poc = docket.poc
         sh.slice_pic_order_cnt_lsb = poc % self.sps.max_pic_order_cnt_lsb
         sh.short_term_ref_pic_set_sps_flag = 0
@@ -418,6 +423,25 @@ class Encoder:
                 max_cu_log2=self.cfg.max_cu_log2,
                 search_range=self.cfg.search_range,
                 use_rdoq=self.cfg.rdoq)
+        # picture lambda (Measure.h computeLambda parity): per-position
+        # qpFactor with the I-slice gopM scale and the non-anchor multiplier
+        import math
+        m = 1 if (self.cfg.all_intra or self.cfg.gop_m == 1) \
+            else self.cfg.gop_m
+        qp_pic = sh.slice_qp_y
+        if sh.is_i:
+            scale = 1.0 - min(max(0.05 * (m - 1.0), 0.0), 0.5)
+            qf = 0.57 * scale
+        else:
+            qf = docket.qp_factor
+        lam = qf * (2.0 ** ((qp_pic - 12.0) / 3.0))
+        if not sh.is_i and docket.poc % m:
+            lam *= min(max((qp_pic - 12.0) / 6.0, 2.0), 4.0)
+        enc.lam = lam
+        enc.lam_bits = lam
+        if hasattr(enc, "lam_me"):
+            enc.lam_me = math.sqrt(lam)
+        self._pic_lambda = lam
         if self.cfg.aq_strength > 0:
             from turingcodec_tpu.encode.aq import compute_aq_map
             dqp = compute_aq_map(np.asarray(yuv[0]), self.sps.ctb_log2_size_y,
@@ -455,8 +479,7 @@ class Encoder:
             import math
             from turingcodec_tpu.encode.sao_search import estimate_sao
             from turingcodec_tpu.decode.sao import sao_picture
-            lam = 0.85 * (2.0 ** ((sh.slice_qp_y - 12) / 3.0))
-            estimate_sao(plan, self.geom, yuv, recon, lam)
+            estimate_sao(plan, self.geom, yuv, recon, self._pic_lambda)
 
         # slice data: WPP entry point offsets go into the header.
         # Offsets count EBSP bytes; per-substream emulation prevention equals

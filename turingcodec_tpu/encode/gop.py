@@ -10,23 +10,25 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
-# (poc_off, tid, qp_off, refs_before, refs_after) — encode order
+# (poc_off, tid, qp_off, refs_before, refs_after, qp_factor) — encode
+# order; qp offsets and lambda qpFactors mirror the reference's SOP tables
+# (InputQueue.cpp:331-379: anchors 0.4420, mid levels 0.3536, leaves 0.6800)
 _SOP_TABLES = {
-    1: [(1, 0, 0, [1], [])],
-    2: [(2, 0, 1, [2], []),
-        (1, 1, 2, [1], [1])],
-    4: [(4, 0, 1, [4], []),
-        (2, 1, 2, [2], [2]),
-        (1, 2, 3, [1], [1, 3]),
-        (3, 2, 3, [1, 3], [1])],
-    8: [(8, 0, 1, [8], []),
-        (4, 1, 2, [4], [4]),
-        (2, 2, 3, [2], [2, 6]),
-        (1, 3, 4, [1], [1, 3, 7]),
-        (3, 3, 4, [1, 3], [1, 5]),
-        (6, 2, 3, [2, 6], [2]),
-        (5, 3, 4, [1, 5], [1, 3]),
-        (7, 3, 4, [1, 7], [1])],
+    1: [(1, 0, 1, [1], [], 0.4420)],
+    2: [(2, 0, 1, [2], [], 0.4420),
+        (1, 1, 2, [1], [1], 0.6800)],
+    4: [(4, 0, 1, [4], [], 0.4420),
+        (2, 1, 2, [2], [2], 0.3536),
+        (1, 2, 3, [1], [1, 3], 0.6800),
+        (3, 2, 3, [1, 3], [1], 0.6800)],
+    8: [(8, 0, 1, [8], [], 0.4420),
+        (4, 1, 2, [4], [4], 0.3536),
+        (2, 2, 3, [2], [2, 6], 0.3536),
+        (1, 3, 4, [1], [1, 3, 7], 0.6800),
+        (3, 3, 4, [1, 3], [1, 5], 0.6800),
+        (6, 2, 3, [2, 6], [2], 0.3536),
+        (5, 3, 4, [1, 5], [1, 3], 0.6800),
+        (7, 3, 4, [1, 7], [1], 0.6800)],
 }
 
 
@@ -39,6 +41,7 @@ class Docket:
     slice_type: int          # 0 B, 1 P, 2 I
     temporal_id: int = 0
     qp_offset: int = 0
+    qp_factor: float = 0.4420  # lambda factor (InputQueue qpFactor)
     refs_before: List[int] = field(default_factory=list)  # POCs
     refs_after: List[int] = field(default_factory=list)
     retain: List[int] = field(default_factory=list)  # POCs future pics need
@@ -108,7 +111,7 @@ class GopPlanner:
         batch = self.pending[:m]
         self.pending = self.pending[m:]
         out = []
-        for (off, tid, qp_off, rb, ra) in table:
+        for (off, tid, qp_off, rb, ra, qp_factor) in table:
             poc = base + off
             slice_type = 1 if self.low_delay else 0  # P in LD, B otherwise
             if not self.low_delay:
@@ -120,6 +123,7 @@ class GopPlanner:
             out.append(Docket(
                 input_index=batch[off - 1], poc=poc, is_idr=False,
                 slice_type=slice_type, temporal_id=tid, qp_offset=qp_off,
+                qp_factor=qp_factor,
                 refs_before=sorted(set(refs_before), reverse=True),
                 refs_after=sorted(set(refs_after))))
         # retention: each docket keeps what later dockets (and the next SOP

@@ -48,6 +48,7 @@ class InterPictureEncoder(IntraPictureEncoder):
                  use_rdoq=False):
         super().__init__(sps, pps, sh, geom, rd_candidates, max_cu_log2,
                          use_rdoq)
+        self.max_cu_inter_log2 = sps.ctb_log2_size_y
         self.ref_lists = ref_lists
         self.cur_poc = cur_poc
         self.search_range = search_range
@@ -105,6 +106,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                 or self.plan.cbf_cb[y0 >> 2, x0 >> 2]
                 or self.plan.cbf_cr[y0 >> 2, x0 >> 2]):
             return cost_best
+        if log2 > self.sps.max_tb_log2_size_y:
+            return cost_best  # 64x64: inter only (intra needs TU-split RDO)
         self._restore(x0, y0, size, state)
         cost_intra = super()._encode_cu(x0, y0, log2, depth) \
             + self.lam_bits * 2  # pred_mode flag bits
@@ -559,6 +562,147 @@ class InterPictureEncoder(IntraPictureEncoder):
         return dist + self.lam * rate
 
     # ------------------------------------------------------------------
+    def _finish_inter_cu_split_tt(self, x0, y0, log2, candidates,
+                                  merge_cands, orig_y, orig_cb, orig_cr
+                                  ) -> float:
+        """RD finish for CUs above the max TB size (64x64): the transform
+        tree is force-split once, so residuals are four TUs at log2-1
+        (chroma at log2-2 each)."""
+        plan, sps, sh = self.plan, self.sps, self.sh
+        size = 1 << log2
+        half = size >> 1
+        sl = (slice(y0 >> 2, (y0 + size) >> 2),
+              slice(x0 >> 2, (x0 + size) >> 2))
+        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
+        qh = half
+        ch = qh >> 1
+        best = None
+        for kind, idx, info, pred in candidates:
+            py, pcb, pcr = pred
+            dist = 0.0
+            rate = 0.0
+            lv_y = np.zeros((size, size), np.int32)
+            lv_cb = np.zeros((cs, cs), np.int32)
+            lv_cr = np.zeros((cs, cs), np.int32)
+            rec_y = np.zeros((size, size), np.int32)
+            rec_cb = np.zeros((cs, cs), np.int32)
+            rec_cr = np.zeros((cs, cs), np.int32)
+            for (dy, dx) in ((0, 0), (0, qh), (qh, 0), (qh, qh)):
+                oy = orig_y[dy:dy + qh, dx:dx + qh]
+                pq = py[dy:dy + qh, dx:dx + qh]
+                coeffs = forward_transform_np(oy - pq, self.bd, False)
+                levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
+                                     self.bd, log2 - 1, False)
+                if levels.any():
+                    d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
+                                      self.bd, log2 - 1)
+                    rq = np.clip(pq + inverse_transform(d, self.bd, False),
+                                 0, (1 << self.bd) - 1)
+                    rate += self._residual_bits(levels, log2 - 1, 0, 0,
+                                                False)
+                else:
+                    rq = pq
+                    rate += 1.0
+                lv_y[dy:dy + qh, dx:dx + qh] = levels
+                rec_y[dy:dy + qh, dx:dx + qh] = rq
+                dist += float(((rq - oy) ** 2).sum())
+                cdy, cdx = dy >> 1, dx >> 1
+                for (o_c, p_c, lvp, recp, qp_c) in (
+                        (orig_cb, pcb, lv_cb, rec_cb, self.qp_cb),
+                        (orig_cr, pcr, lv_cr, rec_cr, self.qp_cr)):
+                    oc = o_c[cdy:cdy + ch, cdx:cdx + ch]
+                    pc = p_c[cdy:cdy + ch, cdx:cdx + ch]
+                    cf = forward_transform_np(oc - pc, sps.bit_depth_c,
+                                              False)
+                    lv = quantize_np(cf, qp_c + sps.qp_bd_offset_c,
+                                     sps.bit_depth_c, log2 - 2, False)
+                    if lv.any():
+                        dd = dequant_block(lv, qp_c + sps.qp_bd_offset_c,
+                                           sps.bit_depth_c, log2 - 2)
+                        rc = np.clip(
+                            pc + inverse_transform(dd, sps.bit_depth_c,
+                                                   False),
+                            0, (1 << sps.bit_depth_c) - 1)
+                        rate += self._residual_bits(lv, log2 - 2,
+                                                    1 if lvp is lv_cb else 2,
+                                                    0, False)
+                    else:
+                        rc = pc
+                        rate += 1.0
+                    lvp[cdy:cdy + ch, cdx:cdx + ch] = lv
+                    recp[cdy:cdy + ch, cdx:cdx + ch] = rc
+                    dist += float(((rc - oc) ** 2).sum())
+            if kind == "merge":
+                rate += 1 + idx
+            else:
+                rate += 3
+                for lx, (mv_l, mvd_l, _) in info.items():
+                    rate += _mv_bits(*mvd_l)
+            cost = dist + self.lam * rate
+            has_coeff = bool(lv_y.any() or lv_cb.any() or lv_cr.any())
+            if best is None or cost < best[0]:
+                best = (cost, kind, idx, info, lv_y, lv_cb, lv_cr,
+                        rec_y, rec_cb, rec_cr, has_coeff)
+
+        (cost, kind, idx, info, lv_y, lv_cb, lv_cr, rec_y, rec_cb, rec_cr,
+         has_coeff) = best
+
+        # commit motion (identical to the single-TU path)
+        if kind == "merge":
+            c = merge_cands[idx]
+            plan.merge_flag[sl] = 1
+            plan.merge_idx[sl] = idx
+            plan.skip_flag[sl] = int(not has_coeff)
+            for lx in (0, 1):
+                if c.pred_flags[lx]:
+                    plan.ref_idx[(lx,) + sl] = c.ref_idx[lx]
+                    plan.mv[(lx,) + sl] = c.mv[lx]
+                    plan.ref_poc[(lx,) + sl] = \
+                        self.ref_lists[lx][c.ref_idx[lx]].poc
+                else:
+                    plan.ref_idx[(lx,) + sl] = -1
+                    plan.mv[(lx,) + sl] = 0
+        else:
+            plan.merge_flag[sl] = 0
+            plan.skip_flag[sl] = 0
+            for lx in (0, 1):
+                if lx in info:
+                    mv_l, mvd_l, mvp_f = info[lx]
+                    plan.ref_idx[(lx,) + sl] = 0
+                    plan.mv[(lx,) + sl] = mv_l
+                    plan.ref_poc[(lx,) + sl] = self.ref_lists[lx][0].poc
+                    plan.mvd[(lx,) + sl] = mvd_l
+                    plan.mvp_flag[(lx,) + sl] = mvp_f
+                else:
+                    plan.ref_idx[(lx,) + sl] = -1
+                    plan.mv[(lx,) + sl] = 0
+
+        plan.tu_log2[sl] = log2 - 1
+        # per-quadrant TU records + contexts in writer order (z-scan)
+        for (dy, dx) in ((0, 0), (0, qh), (qh, 0), (qh, qh)):
+            bl = (slice((y0 + dy) >> 2, (y0 + dy + qh) >> 2),
+                  slice((x0 + dx) >> 2, (x0 + dx + qh) >> 2))
+            plan.tu_id[bl] = self.next_id[2]
+            self.next_id[2] += 1
+            lq = lv_y[dy:dy + qh, dx:dx + qh]
+            cdy, cdx = dy >> 1, dx >> 1
+            lcb = lv_cb[cdy:cdy + ch, cdx:cdx + ch]
+            lcr = lv_cr[cdy:cdy + ch, cdx:cdx + ch]
+            plan.cbf_y[bl] = int(lq.any())
+            plan.cbf_cb[bl] = int(lcb.any())
+            plan.cbf_cr[bl] = int(lcr.any())
+            self._commit_residual_ctx(lq, log2 - 1, 0, 0, False)
+            self._commit_residual_ctx(lcb, log2 - 2, 1, 0, False)
+            self._commit_residual_ctx(lcr, log2 - 2, 2, 0, False)
+        plan.coeff_y[y0:y0 + size, x0:x0 + size] = lv_y
+        plan.coeff_cb[cy:cy + cs, cx:cx + cs] = lv_cb
+        plan.coeff_cr[cy:cy + cs, cx:cx + cs] = lv_cr
+        self.recon[0][y0:y0 + size, x0:x0 + size] = rec_y
+        self.recon[1][cy:cy + cs, cx:cx + cs] = rec_cb
+        self.recon[2][cy:cy + cs, cx:cx + cs] = rec_cr
+        return cost
+
+    # ------------------------------------------------------------------
     def _encode_inter_cu(self, x0, y0, log2, depth) -> float:
         plan, sps, sh = self.plan, self.sps, self.sh
         size = 1 << log2
@@ -636,6 +780,11 @@ class InterPictureEncoder(IntraPictureEncoder):
         candidates = [(kind, idx, info,
                        self._pred_for_motion(*motion, x0, y0, size, size))
                       for (_, kind, idx, info, motion) in scored[:keep]]
+
+        if log2 > sps.max_tb_log2_size_y:
+            return self._finish_inter_cu_split_tt(
+                x0, y0, log2, candidates, merge_cands, orig_y, orig_cb,
+                orig_cr)
 
         best = None
         for kind, idx, info, pred in candidates:

@@ -165,7 +165,12 @@ class IntraPictureEncoder:
                     cost += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1,
                                              depth + 1)
             return cost
-        if log2 > self.max_cu_log2:
+        # intra pictures cap CUs at max_cu_log2; inter pictures search the
+        # full CTB (64x64 skip/merge CUs are where B frames save bits —
+        # the reference does the same)
+        limit = self.max_cu_log2 if self.sh.is_i else \
+            getattr(self, "max_cu_inter_log2", self.max_cu_log2)
+        if log2 > limit:
             cost = 0.0
             half = size >> 1
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):

@@ -844,6 +844,7 @@ class EncNative:
         from turingcodec_tpu.cabac.tables import NUM_CONTEXTS
         eip = np.array([enc.rd_candidates,
                         enc.max_cu_log2,
+                        getattr(enc, "max_cu_inter_log2", enc.max_cu_log2),
                         getattr(enc, "search_range", 0),
                         int(sps.strong_intra_smoothing_enabled_flag != 0),
                         NUM_CONTEXTS], np.int32)

@@ -53,7 +53,7 @@ struct EN {
     int32_t quant_scales[6];
     int32_t luma_filt[4][8];
     int32_t chroma_filt[8][4];
-    int rd_candidates, max_cu_log2, search_range, strong;
+    int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
     int num_ctx;
     // per-CTU state (tc_enc_ctu args)
     uint8_t* ctx;
@@ -1227,6 +1227,12 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
         delete best_state;
         return cost_best;
     }
+    if (log2 > g_sp.max_tb_log2) {
+        // 64x64: inter only (intra would need TU-split RDO)
+        delete state;
+        delete best_state;
+        return cost_best;
+    }
     snap_restore(*state, x0, y0, size);
     double cost_intra = encode_intra_cu(x0, y0, log2, depth)
                       + en.lam_bits * 2;  // pred_mode flag bits
@@ -1557,6 +1563,241 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     double best_cost = 0;
     int best_i = -1;
     int b_nz_y = 0, b_nz_cb = 0, b_nz_cr = 0, b_has = 0;
+
+    if (log2 > g_sp.max_tb_log2) {
+        // CU above the max TB (64x64): forced one-level transform split —
+        // four TUs at log2-1, chroma at log2-2
+        // (inter_search._finish_inter_cu_split_tt oracle)
+        const int qh = size >> 1;
+        const int chh2 = qh >> 1;
+        static thread_local int16_t qlv[32 * 32], qlv_c[16 * 16];
+        static thread_local int32_t oy_b[32 * 32], pq_b[32 * 32],
+            rq_b[32 * 32];
+        static const int zoff[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+        for (int k = 0; k < keep; k++) {
+            const Scored& s = scored[order[k]];
+            pred_full_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size,
+                                 size, cpy, cpcb, cpcr);
+            double dist = 0.0, rate = 0.0;
+            int nz_y = 0, nz_cb = 0, nz_cr = 0;
+            int max_v = (1 << bd) - 1, max_c = (1 << bd_c) - 1;
+            for (int zi = 0; zi < 4; zi++) {
+                int dy = zoff[zi][0] * qh, dx = zoff[zi][1] * qh;
+                for (int y = 0; y < qh; y++)
+                    for (int x = 0; x < qh; x++) {
+                        oy_b[y * qh + x] = orig_y[(dy + y) * size + dx + x];
+                        pq_b[y * qh + x] = cpy[(dy + y) * size + dx + x];
+                        res[y * qh + x] = oy_b[y * qh + x]
+                                        - pq_b[y * qh + x];
+                    }
+                fwd_transform(res, qh, bd, 0, coeffs);
+                int nz = quantize(coeffs, qh, en.qp_full, bd, log2 - 1, 0,
+                                  qlv);
+                if (nz) {
+                    std::memcpy(rq_b, pq_b, qh * qh * 4);
+                    dequant_idct_add(qlv, qh, qh, log2 - 1, en.qp_full, bd,
+                                     0, rq_b);
+                    for (int i = 0; i < qh * qh; i++)
+                        rq_b[i] = clip3i(0, max_v, rq_b[i]);
+                    rate += residual_bits_est(qlv, nz, log2 - 1, 0, 0, 0);
+                } else {
+                    std::memcpy(rq_b, pq_b, qh * qh * 4);
+                    rate += 1.0;
+                }
+                nz_y += nz;
+                for (int y = 0; y < qh; y++)
+                    for (int x = 0; x < qh; x++) {
+                        lv_y[(dy + y) * size + dx + x] = qlv[y * qh + x];
+                        rec_y[(dy + y) * size + dx + x] = rq_b[y * qh + x];
+                        int64_t e = rq_b[y * qh + x] - oy_b[y * qh + x];
+                        dist += (double)(e * e);
+                    }
+                int cdy = dy >> 1, cdx = dx >> 1;
+                for (int ci = 0; ci < 2; ci++) {
+                    const int32_t* o_c = ci == 0 ? orig_cb : orig_cr;
+                    const int32_t* p_c = ci == 0 ? cpcb : cpcr;
+                    int16_t* lvp = ci == 0 ? lv_cb : lv_cr;
+                    int32_t* recp = ci == 0 ? rec_cb : rec_cr;
+                    int qp_c = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+                    for (int y = 0; y < chh2; y++)
+                        for (int x = 0; x < chh2; x++) {
+                            oy_b[y * chh2 + x] =
+                                o_c[(cdy + y) * cs + cdx + x];
+                            pq_b[y * chh2 + x] =
+                                p_c[(cdy + y) * cs + cdx + x];
+                            res[y * chh2 + x] = oy_b[y * chh2 + x]
+                                              - pq_b[y * chh2 + x];
+                        }
+                    fwd_transform(res, chh2, bd_c, 0, coeffs);
+                    int nzc = quantize(coeffs, chh2, qp_c, bd_c, log2 - 2,
+                                       0, qlv_c);
+                    if (nzc) {
+                        std::memcpy(rq_b, pq_b, chh2 * chh2 * 4);
+                        dequant_idct_add(qlv_c, chh2, chh2, log2 - 2, qp_c,
+                                         bd_c, 0, rq_b);
+                        for (int i = 0; i < chh2 * chh2; i++)
+                            rq_b[i] = clip3i(0, max_c, rq_b[i]);
+                        rate += residual_bits_est(qlv_c, nzc, log2 - 2,
+                                                  ci + 1, 0, 0);
+                    } else {
+                        std::memcpy(rq_b, pq_b, chh2 * chh2 * 4);
+                        rate += 1.0;
+                    }
+                    if (ci == 0)
+                        nz_cb += nzc;
+                    else
+                        nz_cr += nzc;
+                    for (int y = 0; y < chh2; y++)
+                        for (int x = 0; x < chh2; x++) {
+                            lvp[(cdy + y) * cs + cdx + x] =
+                                qlv_c[y * chh2 + x];
+                            recp[(cdy + y) * cs + cdx + x] =
+                                rq_b[y * chh2 + x];
+                            int64_t e = rq_b[y * chh2 + x]
+                                      - oy_b[y * chh2 + x];
+                            dist += (double)(e * e);
+                        }
+                }
+            }
+            if (s.kind == 0) {
+                rate += 1 + s.idx;
+            } else {
+                rate += 3;
+                for (int l = 0; l < 2; l++)
+                    if ((s.amvp_mask >> l) & 1)
+                        rate += mv_bits(s.mvd[l][0], s.mvd[l][1]);
+            }
+            double cost = dist + en.lam * rate;
+            int has_coeff = (nz_y || nz_cb || nz_cr) ? 1 : 0;
+            if (best_i < 0 || cost < best_cost) {
+                best_cost = cost;
+                best_i = order[k];
+                b_nz_y = nz_y;
+                b_nz_cb = nz_cb;
+                b_nz_cr = nz_cr;
+                b_has = has_coeff;
+                std::memcpy(b_lv_y, lv_y, size * size * 2);
+                std::memcpy(b_lv_cb, lv_cb, cs * cs * 2);
+                std::memcpy(b_lv_cr, lv_cr, cs * cs * 2);
+                std::memcpy(b_rec_y, rec_y, size * size * 4);
+                std::memcpy(b_rec_cb, rec_cb, cs * cs * 4);
+                std::memcpy(b_rec_cr, rec_cr, cs * cs * 4);
+            }
+        }
+        // commit motion (same as the single-TU path below)
+        const Scored& s = scored[best_i];
+        if (s.kind == 0) {
+            const Cand& c = merge_cands[s.idx];
+            fillq(g_sp.merge_flag, x0, y0, size, (uint8_t)1);
+            fillq(g_sp.merge_idx, x0, y0, size, (uint8_t)s.idx);
+            fillq(g_sp.skip_flag, x0, y0, size, (uint8_t)(b_has ? 0 : 1));
+            for (int l = 0; l < 2; l++) {
+                int pf = l ? c.pf1 : c.pf0;
+                int r = l ? c.r1 : c.r0;
+                int bx = x0 >> 2, by = y0 >> 2, nb = size >> 2;
+                for (int y = 0; y < nb; y++) {
+                    int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4
+                                + bx;
+                    for (int x = 0; x < nb; x++) {
+                        if (pf) {
+                            g_sp.ref_idx[row + x] = (int8_t)r;
+                            g_sp.mv[(row + x) * 2] = (int16_t)c.mvx(l);
+                            g_sp.mv[(row + x) * 2 + 1] = (int16_t)c.mvy(l);
+                            g_sp.ref_poc[row + x] = g_sp.ref_pocs[l][r];
+                        } else {
+                            g_sp.ref_idx[row + x] = -1;
+                            g_sp.mv[(row + x) * 2] = 0;
+                            g_sp.mv[(row + x) * 2 + 1] = 0;
+                        }
+                    }
+                }
+            }
+        } else {
+            fillq(g_sp.merge_flag, x0, y0, size, (uint8_t)0);
+            fillq(g_sp.skip_flag, x0, y0, size, (uint8_t)0);
+            for (int l = 0; l < 2; l++) {
+                int bx = x0 >> 2, by = y0 >> 2, nb = size >> 2;
+                bool on = (s.amvp_mask >> l) & 1;
+                for (int y = 0; y < nb; y++) {
+                    int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4
+                                + bx;
+                    for (int x = 0; x < nb; x++) {
+                        if (on) {
+                            g_sp.ref_idx[row + x] = 0;
+                            g_sp.mv[(row + x) * 2] = (int16_t)s.mv[l][0];
+                            g_sp.mv[(row + x) * 2 + 1] =
+                                (int16_t)s.mv[l][1];
+                            g_sp.ref_poc[row + x] = g_sp.ref_pocs[l][0];
+                            g_sp.mvd[(row + x) * 2] = (int16_t)s.mvd[l][0];
+                            g_sp.mvd[(row + x) * 2 + 1] =
+                                (int16_t)s.mvd[l][1];
+                            g_sp.mvp_flag[row + x] = (uint8_t)s.mvp_fl[l];
+                        } else {
+                            g_sp.ref_idx[row + x] = -1;
+                            g_sp.mv[(row + x) * 2] = 0;
+                            g_sp.mv[(row + x) * 2 + 1] = 0;
+                        }
+                    }
+                }
+            }
+        }
+        fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)(log2 - 1));
+        // per-quadrant TU records + contexts in writer order (z-scan)
+        for (int zi = 0; zi < 4; zi++) {
+            int dy = zoff[zi][0] * qh, dx = zoff[zi][1] * qh;
+            fillq(g_sp.tu_id, x0 + dx, y0 + dy, qh, en.ids[2]);
+            en.ids[2]++;
+            int nzq = 0, nzqb = 0, nzqr = 0;
+            for (int y = 0; y < qh && !nzq; y++)
+                for (int x = 0; x < qh; x++)
+                    if (b_lv_y[(dy + y) * size + dx + x]) {
+                        nzq = 1;
+                        break;
+                    }
+            int cdy = dy >> 1, cdx = dx >> 1;
+            for (int y = 0; y < chh2 && !nzqb; y++)
+                for (int x = 0; x < chh2; x++)
+                    if (b_lv_cb[(cdy + y) * cs + cdx + x]) {
+                        nzqb = 1;
+                        break;
+                    }
+            for (int y = 0; y < chh2 && !nzqr; y++)
+                for (int x = 0; x < chh2; x++)
+                    if (b_lv_cr[(cdy + y) * cs + cdx + x]) {
+                        nzqr = 1;
+                        break;
+                    }
+            fillq(g_sp.cbf_y, x0 + dx, y0 + dy, qh, (uint8_t)nzq);
+            fillq(g_sp.cbf_cb, x0 + dx, y0 + dy, qh, (uint8_t)nzqb);
+            fillq(g_sp.cbf_cr, x0 + dx, y0 + dy, qh, (uint8_t)nzqr);
+            if (nzq) {
+                for (int y = 0; y < qh; y++)
+                    std::memcpy(qlv + y * qh,
+                                b_lv_y + (dy + y) * size + dx, qh * 2);
+                commit_residual_ctx(qlv, 1, log2 - 1, 0, 0, 0);
+            }
+            if (nzqb) {
+                for (int y = 0; y < chh2; y++)
+                    std::memcpy(qlv_c + y * chh2,
+                                b_lv_cb + (cdy + y) * cs + cdx, chh2 * 2);
+                commit_residual_ctx(qlv_c, 1, log2 - 2, 1, 0, 0);
+            }
+            if (nzqr) {
+                for (int y = 0; y < chh2; y++)
+                    std::memcpy(qlv_c + y * chh2,
+                                b_lv_cr + (cdy + y) * cs + cdx, chh2 * 2);
+                commit_residual_ctx(qlv_c, 1, log2 - 2, 2, 0, 0);
+            }
+        }
+        scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, b_lv_y);
+        scatter_lv(g_sp.coeff_cb, cw_(), cx, cy, cs, b_lv_cb);
+        scatter_lv(g_sp.coeff_cr, cw_(), cx, cy, cs, b_lv_cr);
+        scatter16(en.rec[0], g_sp.pic_w, x0, y0, size, b_rec_y);
+        scatter16(en.rec[1], cw_(), cx, cy, cs, b_rec_cb);
+        scatter16(en.rec[2], cw_(), cx, cy, cs, b_rec_cr);
+        return best_cost;
+    }
+
     for (int k = 0; k < keep; k++) {
         const Scored& s = scored[order[k]];
         pred_full_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
@@ -1736,7 +1977,8 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
         }
         return cost;
     }
-    if (log2 > en.max_cu_log2) {
+    int cu_limit = g_sp.is_i ? en.max_cu_log2 : en.max_cu_inter;
+    if (log2 > cu_limit) {
         double cost = 0.0;
         int half = size >> 1;
         static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
@@ -2029,6 +2271,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     int j = 0;
     en.rd_candidates = ip[j++];
     en.max_cu_log2 = ip[j++];
+    en.max_cu_inter = ip[j++];
     en.search_range = ip[j++];
     en.strong = ip[j++];
     en.num_ctx = ip[j++];
