@@ -232,9 +232,14 @@ class InterPictureEncoder(IntraPictureEncoder):
         return np.clip(v, 0, (1 << bd) - 1).astype(np.int32)
 
     # ------------------------------------------------------------------
-    def _full_pel_search(self, orig, ref_plane, x0, y0, w, h, mvp):
+    def _full_pel_search(self, orig, ref_plane, x0, y0, w, h, mvp,
+                         seeds=()):
         """Diamond/step pattern integer search; returns best int MV (in
-        full-pel units) minimizing SAD + lam_me * mvd bits."""
+        full-pel units) minimizing SAD + lam_me * mvd bits.
+
+        seeds: extra quarter-pel MV hints (second MVP, merge candidates) —
+        the reference seeds its pattern search the same way
+        (Search.hpp:2064: zero, both MVPs, previous best)."""
         from turingcodec_tpu.encode.sweep import sad_many
         seen = {}
 
@@ -250,8 +255,11 @@ class InterPictureEncoder(IntraPictureEncoder):
                         4 * ix - mvp[0], 4 * iy - mvp[1])
             return [(seen[c], c) for c in cands]
 
-        # seeds: zero and mvp
-        best = min(costs_at(sorted({(0, 0), (mvp[0] >> 2, mvp[1] >> 2)})))
+        # seeds: zero, mvp, and the callers' extra hints
+        cand0 = {(0, 0), (mvp[0] >> 2, mvp[1] >> 2)}
+        for (mx, my) in seeds:
+            cand0.add((int(mx) >> 2, int(my) >> 2))
+        best = min(costs_at(sorted(cand0)))
         step = 16
         sr = self.search_range
         while step >= 1:
@@ -387,8 +395,10 @@ class InterPictureEncoder(IntraPictureEncoder):
         for lx in range(n_lists):
             mvps = deriver.amvp(px, py, pw, ph, lx, 0, cb_info)
             ref = self.ref_lists[lx][0]
+            seeds = [mvps[1]] + [c.mv[lx] for c in merge_cands
+                                 if c.pred_flags[lx]]
             int_mv, _ = self._full_pel_search(orig, ref.planes[0], px, py,
-                                              pw, ph, mvps[0])
+                                              pw, ph, mvps[0], seeds)
             mv = self._sub_pel_refine(orig, ref, px, py, pw, ph, int_mv,
                                       mvps[0])
             bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
@@ -641,8 +651,26 @@ class InterPictureEncoder(IntraPictureEncoder):
             cost = dist + self.lam * rate
             has_coeff = bool(lv_y.any() or lv_cb.any() or lv_cr.any())
             if best is None or cost < best[0]:
-                best = (cost, kind, idx, info, lv_y, lv_cb, lv_cr,
-                        rec_y, rec_cb, rec_cr, has_coeff)
+                best = (cost, kind, idx, info, lv_y.copy(), lv_cb.copy(),
+                        lv_cr.copy(), rec_y.copy(), rec_cb.copy(),
+                        rec_cr.copy(), has_coeff)
+            # zero-residual variant (skip / rqt_root_cbf=0 trial)
+            if has_coeff:
+                dist0 = float(((py - orig_y) ** 2).sum()) \
+                    + float(((pcb - orig_cb) ** 2).sum()) \
+                    + float(((pcr - orig_cr) ** 2).sum())
+                if kind == "merge":
+                    rate0 = 1.0 + idx
+                else:
+                    rate0 = 4.0
+                    for lx, (mv_l, mvd_l, _) in info.items():
+                        rate0 += _mv_bits(*mvd_l)
+                cost0 = dist0 + self.lam * rate0
+                if cost0 < best[0]:
+                    best = (cost0, kind, idx, info,
+                            np.zeros_like(lv_y), np.zeros_like(lv_cb),
+                            np.zeros_like(lv_cr), py.copy(), pcb.copy(),
+                            pcr.copy(), False)
 
         (cost, kind, idx, info, lv_y, lv_cb, lv_cr, rec_y, rec_cb, rec_cr,
          has_coeff) = best
@@ -751,8 +779,10 @@ class InterPictureEncoder(IntraPictureEncoder):
         for lx in range(n_lists):
             mvps = deriver.amvp(x0, y0, size, size, lx, 0, cb_info)
             ref = self.ref_lists[lx][0]
+            seeds = [mvps[1]] + [c.mv[lx] for c in merge_cands
+                                 if c.pred_flags[lx]]
             int_mv, _ = self._full_pel_search(orig_y, ref.planes[0], x0, y0,
-                                              size, size, mvps[0])
+                                              size, size, mvps[0], seeds)
             mv = self._sub_pel_refine(orig_y, ref, x0, y0, size, size, int_mv,
                                       mvps[0])
             bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
@@ -850,6 +880,26 @@ class InterPictureEncoder(IntraPictureEncoder):
             if best is None or cost < best[0]:
                 best = (cost, kind, idx, info, levels, levels_c,
                         rec_y, recs_c, has_coeff)
+            # zero-residual variant (the reference's skip / rqt_root_cbf=0
+            # trial, Search.hpp searchMerge2Nx2N + rqt_root_cbf RDO): same
+            # prediction, residual dropped entirely
+            if has_coeff:
+                dist0 = float(((py - orig_y) ** 2).sum()) \
+                    + float(((pcb - orig_cb) ** 2).sum()) \
+                    + float(((pcr - orig_cr) ** 2).sum())
+                if kind == "merge":
+                    rate0 = 1.0 + idx  # skip_flag + merge_idx
+                else:
+                    rate0 = 4.0  # motion + rqt_root_cbf
+                    for lx, (mv_l, mvd_l, _) in info.items():
+                        rate0 += _mv_bits(*mvd_l)
+                cost0 = dist0 + self.lam * rate0
+                if cost0 < best[0]:
+                    z = np.zeros_like(levels)
+                    zc = [np.zeros_like(levels_c[0]),
+                          np.zeros_like(levels_c[1])]
+                    best = (cost0, kind, idx, info, z, zc,
+                            py, [pcb, pcr], False)
 
         (cost, kind, idx, info, levels, levels_c, rec_y, recs_c,
          has_coeff) = best

@@ -845,7 +845,8 @@ struct FpCache {
 FpCache fp_cache;
 
 void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
-                     int lx, int ref, const int mvp[2], int* out_ix,
+                     int lx, int ref, const int mvp[2],
+                     const int (*seeds)[2], int n_seeds, int* out_ix,
                      int* out_iy) {
     PhaseTimer pt(4);
     const int16_t* plane = en.refs[lx][ref][0];
@@ -861,14 +862,20 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         }
         return c;
     };
-    // seeds: zero MV and the predictor (deduped)
+    // seeds: zero MV, the predictor, and the callers' extra hints
+    // (second MVP + merge candidate MVs); ties resolve on (ix, iy) so
+    // evaluation order is immaterial (= Python's min over sorted tuples)
     FpBest best{cost_at(0, 0), 0, 0};
-    int sx = mvp[0] >> 2, sy = mvp[1] >> 2;
-    if (sx != 0 || sy != 0) {
+    auto try_seed = [&](int sx, int sy) {
+        if (sx == 0 && sy == 0)
+            return;
         double c = cost_at(sx, sy);
         if (fp_better(c, sx, sy, best))
             best = {c, sx, sy};
-    }
+    };
+    try_seed(mvp[0] >> 2, mvp[1] >> 2);
+    for (int i = 0; i < n_seeds; i++)
+        try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
     const int sr = en.search_range;
     static const int dirs[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
                                    {1, 1}, {-1, -1}, {1, -1}, {-1, 1}};
@@ -1060,8 +1067,20 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
     for (int lx = 0; lx < n_lists; lx++) {
         int mvps[2][2];
         sp_amvp(px, py, pw, ph, lx, 0, cb_info, mvps);
+        int seeds[6][2];
+        int ns = 0;
+        seeds[ns][0] = mvps[1][0];
+        seeds[ns][1] = mvps[1][1];
+        ns++;
+        for (int mi = 0; mi < ncand; mi++)
+            if (cands[mi].pf(lx)) {
+                seeds[ns][0] = cands[mi].mvx(lx);
+                seeds[ns][1] = cands[mi].mvy(lx);
+                ns++;
+            }
         int ix, iy;
-        full_pel_search(orig, px, py, pw, ph, lx, 0, mvps[0], &ix, &iy);
+        full_pel_search(orig, px, py, pw, ph, lx, 0, mvps[0], seeds, ns,
+                        &ix, &iy);
         int mvx, mvy;
         sub_pel_refine(orig, px, py, pw, ph, lx, 0, ix, iy, mvps[0], &mvx,
                        &mvy);
@@ -1477,9 +1496,20 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     for (int lx = 0; lx < n_lists; lx++) {
         int mvps[2][2];
         sp_amvp(x0, y0, size, size, lx, 0, cb_info, mvps);
+        int seeds[6][2];
+        int ns = 0;
+        seeds[ns][0] = mvps[1][0];
+        seeds[ns][1] = mvps[1][1];
+        ns++;
+        for (int mi = 0; mi < n_merge; mi++)
+            if (merge_cands[mi].pf(lx)) {
+                seeds[ns][0] = merge_cands[mi].mvx(lx);
+                seeds[ns][1] = merge_cands[mi].mvy(lx);
+                ns++;
+            }
         int ix, iy;
-        full_pel_search(orig_y, x0, y0, size, size, lx, 0, mvps[0], &ix,
-                        &iy);
+        full_pel_search(orig_y, x0, y0, size, size, lx, 0, mvps[0], seeds,
+                        ns, &ix, &iy);
         int mvx, mvy;
         sub_pel_refine(orig_y, x0, y0, size, size, lx, 0, ix, iy, mvps[0],
                        &mvx, &mvy);
@@ -1683,6 +1713,49 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 std::memcpy(b_rec_cb, rec_cb, cs * cs * 4);
                 std::memcpy(b_rec_cr, rec_cr, cs * cs * 4);
             }
+            // zero-residual variant (skip / rqt_root_cbf=0 trial)
+            if (has_coeff) {
+                int64_t d0 = 0;
+                for (int i = 0; i < size * size; i++) {
+                    int64_t e = cpy[i] - orig_y[i];
+                    d0 += e * e;
+                }
+                double dist0 = (double)d0;
+                int64_t dc = 0;
+                for (int i = 0; i < cs * cs; i++) {
+                    int64_t e = cpcb[i] - orig_cb[i];
+                    dc += e * e;
+                }
+                dist0 += (double)dc;
+                dc = 0;
+                for (int i = 0; i < cs * cs; i++) {
+                    int64_t e = cpcr[i] - orig_cr[i];
+                    dc += e * e;
+                }
+                dist0 += (double)dc;
+                double rate0;
+                if (s.kind == 0) {
+                    rate0 = 1.0 + s.idx;
+                } else {
+                    rate0 = 4.0;
+                    for (int l = 0; l < 2; l++)
+                        if ((s.amvp_mask >> l) & 1)
+                            rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
+                }
+                double cost0 = dist0 + en.lam * rate0;
+                if (cost0 < best_cost) {
+                    best_cost = cost0;
+                    best_i = order[k];
+                    b_nz_y = b_nz_cb = b_nz_cr = 0;
+                    b_has = 0;
+                    std::memset(b_lv_y, 0, size * size * 2);
+                    std::memset(b_lv_cb, 0, cs * cs * 2);
+                    std::memset(b_lv_cr, 0, cs * cs * 2);
+                    std::memcpy(b_rec_y, cpy, size * size * 4);
+                    std::memcpy(b_rec_cb, cpcb, cs * cs * 4);
+                    std::memcpy(b_rec_cr, cpcr, cs * cs * 4);
+                }
+            }
         }
         // commit motion (same as the single-TU path below)
         const Scored& s = scored[best_i];
@@ -1883,6 +1956,50 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             std::memcpy(b_rec_y, rec_y, size * size * 4);
             std::memcpy(b_rec_cb, rec_cb, cs * cs * 4);
             std::memcpy(b_rec_cr, rec_cr, cs * cs * 4);
+        }
+        // zero-residual variant (skip / rqt_root_cbf=0 trial,
+        // inter_search._encode_inter_cu oracle)
+        if (has_coeff) {
+            int64_t d0 = 0;
+            for (int i = 0; i < size * size; i++) {
+                int64_t e = cpy[i] - orig_y[i];
+                d0 += e * e;
+            }
+            double dist0 = (double)d0;
+            int64_t dc = 0;
+            for (int i = 0; i < cs * cs; i++) {
+                int64_t e = cpcb[i] - orig_cb[i];
+                dc += e * e;
+            }
+            dist0 += (double)dc;
+            dc = 0;
+            for (int i = 0; i < cs * cs; i++) {
+                int64_t e = cpcr[i] - orig_cr[i];
+                dc += e * e;
+            }
+            dist0 += (double)dc;
+            double rate0;
+            if (s.kind == 0) {
+                rate0 = 1.0 + s.idx;
+            } else {
+                rate0 = 4.0;
+                for (int l = 0; l < 2; l++)
+                    if ((s.amvp_mask >> l) & 1)
+                        rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
+            }
+            double cost0 = dist0 + en.lam * rate0;
+            if (cost0 < best_cost) {
+                best_cost = cost0;
+                best_i = order[k];
+                b_nz_y = b_nz_cb = b_nz_cr = 0;
+                b_has = 0;
+                std::memset(b_lv_y, 0, size * size * 2);
+                std::memset(b_lv_cb, 0, cs * cs * 2);
+                std::memset(b_lv_cr, 0, cs * cs * 2);
+                std::memcpy(b_rec_y, cpy, size * size * 4);
+                std::memcpy(b_rec_cb, cpcb, cs * cs * 4);
+                std::memcpy(b_rec_cr, cpcr, cs * cs * 4);
+            }
         }
     }
 

@@ -54,8 +54,9 @@ def main(argv=None):
     from turingcodec_tpu.encode.encoder import Encoder, EncoderConfig
 
     w, h = (int(x) for x in args.input_res.split("x"))
-    presets = {  # rd_candidates, search_range (Speed.h:31-211 analogue)
-        "slow": (3, 48), "medium": (2, 32), "fast": (1, 16)}
+    presets = {  # rd_candidates, search_range (Speed.h:31-211 analogue;
+        # the reference's pattern-search window is 64, 32 in fast)
+        "slow": (3, 64), "medium": (2, 64), "fast": (1, 32)}
     rd, sr = presets[args.speed]
     if args.rd_candidates is not None:
         rd = args.rd_candidates
