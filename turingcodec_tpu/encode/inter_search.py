@@ -366,6 +366,53 @@ class InterPictureEncoder(IntraPictureEncoder):
                 best = c
         return best[1]
 
+    def _bi_refine(self, orig, x0, y0, w, h, mv_bi, uni_mvps):
+        """One alternating pass of bi-prediction refinement: for L1 then
+        L0, hold the other list's 14-bit prediction fixed and diamond-step
+        this list's MV at sub-pel on bi-combined SATD (the reference's
+        searchMotionBi, Search.hpp:1498)."""
+        from turingcodec_tpu.encode.sweep import satd_many
+        bd = self.bd
+        shift = 14 - bd
+        maxv = (1 << bd) - 1
+        blk = 8 if (min(w, h) >= 8 and w % 8 == 0 and h % 8 == 0) else 4
+        steps = (2, 1) if self.rd_candidates >= 2 else (2,)
+        mv_bi = [tuple(mv_bi[0]), tuple(mv_bi[1])]
+        for lx in (1, 0):
+            other = 1 - lx
+            o14 = self._interp_batch(self.ref_lists[other][0].planes[0],
+                                     x0, y0, w, h, [mv_bi[other]])[0]
+            plane = self.ref_lists[lx][0].planes[0]
+            mvp = uni_mvps[lx][0]
+            cache = {}
+
+            def costs(mvs):
+                fresh = [mv for mv in mvs if mv not in cache]
+                if fresh:
+                    t14 = self._interp_batch(plane, x0, y0, w, h, fresh)
+                    preds = np.clip(
+                        (t14 + (o14 + (1 << shift))) >> (shift + 1),
+                        0, maxv)
+                    sat = satd_many(orig, preds, blk)
+                    for mv, s in zip(fresh, sat):
+                        cache[mv] = float(s) + self.lam_me * _mv_bits(
+                            mv[0] - mvp[0], mv[1] - mvp[1])
+                return [(cache[mv], mv) for mv in mvs]
+
+            best = min(costs([mv_bi[lx]]))
+            for step in steps:
+                bx, by = best[1]
+                c = min(costs([(bx + dx, by + dy)
+                               for (dx, dy) in ((step, 0), (-step, 0),
+                                                (0, step), (0, -step),
+                                                (step, step), (-step, -step),
+                                                (step, -step),
+                                                (-step, step))]))
+                if c[0] < best[0]:
+                    best = c
+            mv_bi[lx] = best[1]
+        return mv_bi
+
     # ------------------------------------------------------------------
     def _search_pu(self, px, py, pw, ph, cb_info, part_idx, part_mode):
         """Pick motion for one PU by SATD + lambda_me * bits over the merge
@@ -775,9 +822,11 @@ class InterPictureEncoder(IntraPictureEncoder):
         # motion estimation (AMVP) per list
         cb_info = (x0, y0, size, size, size, 0)
         best_uni = {}  # lx -> (mv, mvd, mvp_flag)
+        uni_mvps = {}
         n_lists = 2 if (self.sh.is_b and self.ref_lists[1]) else 1
         for lx in range(n_lists):
             mvps = deriver.amvp(x0, y0, size, size, lx, 0, cb_info)
+            uni_mvps[lx] = mvps
             ref = self.ref_lists[lx][0]
             seeds = [mvps[1]] + [c.mv[lx] for c in merge_cands
                                  if c.pred_flags[lx]]
@@ -797,9 +846,23 @@ class InterPictureEncoder(IntraPictureEncoder):
                 + self.lam_me * (3 + min(bits0, bits1))
             scored.append((sc, "amvp", lx, {lx: (mv, mvd, mvp_flag)}, motion))
         if n_lists == 2:
-            # bi candidate: combine the two best uni motions
-            info = dict(best_uni)
-            motion = ((1, 1), (best_uni[0][0], best_uni[1][0]), (0, 0))
+            # bi candidate: start from the two best uni motions, then
+            # alternately re-optimize each list's sub-pel MV against the
+            # other's fixed 14-bit prediction (searchMotionBi,
+            # Search.hpp:1498)
+            mv_bi = [best_uni[0][0], best_uni[1][0]]
+            mv_bi = self._bi_refine(orig_y, x0, y0, size, size, mv_bi,
+                                    uni_mvps)
+            info = {}
+            for lx in (0, 1):
+                mv = mv_bi[lx]
+                mvps = uni_mvps[lx]
+                b0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])
+                b1 = _mv_bits(mv[0] - mvps[1][0], mv[1] - mvps[1][1])
+                fl = int(b1 < b0)
+                info[lx] = (mv, (mv[0] - mvps[fl][0], mv[1] - mvps[fl][1]),
+                            fl)
+            motion = ((1, 1), (mv_bi[0], mv_bi[1]), (0, 0))
             pl = self._pred_luma_for_motion(*motion, x0, y0, size, size)
             sc = satd_np(orig_y, pl, 8) + self.lam_me * 6
             scored.append((sc, "amvp", 2, info, motion))

@@ -1014,6 +1014,87 @@ void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
     *out_mvy = by;
 }
 
+// one alternating pass of bi-prediction refinement: L1 then L0, the other
+// list's 14-bit prediction held fixed (inter_search._bi_refine oracle)
+void bi_refine(const int32_t* orig, int x0, int y0, int w, int h,
+               int mv_bi[2][2], const int uni_mvps[2][2][2]) {
+    const int bd = g_sp.bit_depth_y;
+    const int shift = 14 - bd;
+    const int maxv = (1 << bd) - 1;
+    const int bs = (std::min(w, h) >= 8 && w % 8 == 0 && h % 8 == 0) ? 8 : 4;
+    const int n_steps = en.rd_candidates >= 2 ? 2 : 1;
+    const int steps[2] = {2, 1};
+    static const int dirs[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
+                                   {1, 1}, {-1, -1}, {1, -1}, {-1, 1}};
+    int32_t o14[64 * 64];
+    for (int pass = 0; pass < 2; pass++) {
+        const int lx = pass == 0 ? 1 : 0;
+        const int other = 1 - lx;
+        mc14_luma(other, 0, mv_bi[other][0], mv_bi[other][1], x0, y0, w, h,
+                  o14);
+        const int* mvp = uni_mvps[lx][0];
+        int cache_mv[24][2];
+        double cache_c[24];
+        int n_cache = 0;
+        auto cached = [&](int mvx, int mvy, double* c) {
+            for (int i = 0; i < n_cache; i++)
+                if (cache_mv[i][0] == mvx && cache_mv[i][1] == mvy) {
+                    *c = cache_c[i];
+                    return true;
+                }
+            return false;
+        };
+        auto raw_cost = [&](int mvx, int mvy) -> double {
+            int32_t t14[64 * 64], pred[64 * 64];
+            mc14_luma(lx, 0, mvx, mvy, x0, y0, w, h, t14);
+            for (int i = 0; i < w * h; i++)
+                pred[i] = clip3i(
+                    0, maxv,
+                    (t14[i] + (o14[i] + (1 << shift))) >> (shift + 1));
+            return (double)satd_region(orig, pred, w, h, bs)
+                 + en.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
+        };
+        int bx = mv_bi[lx][0], by = mv_bi[lx][1];
+        double bc = raw_cost(bx, by);
+        cache_mv[0][0] = bx;
+        cache_mv[0][1] = by;
+        cache_c[0] = bc;
+        n_cache = 1;
+        for (int si = 0; si < n_steps; si++) {
+            int step = steps[si];
+            double pc = 0;
+            int px = 0, py = 0;
+            bool have = false;
+            for (int d = 0; d < 8; d++) {
+                int mvx = bx + dirs[d][0] * step, mvy = by + dirs[d][1] * step;
+                double c;
+                if (!cached(mvx, mvy, &c)) {
+                    c = raw_cost(mvx, mvy);
+                    if (n_cache < 24) {
+                        cache_mv[n_cache][0] = mvx;
+                        cache_mv[n_cache][1] = mvy;
+                        cache_c[n_cache++] = c;
+                    }
+                }
+                if (!have || c < pc
+                    || (c == pc && (mvx < px || (mvx == px && mvy < py)))) {
+                    pc = c;
+                    px = mvx;
+                    py = mvy;
+                    have = true;
+                }
+            }
+            if (pc < bc) {
+                bc = pc;
+                bx = px;
+                by = py;
+            }
+        }
+        mv_bi[lx][0] = bx;
+        mv_bi[lx][1] = by;
+    }
+}
+
 // one PU's motion decision (inter_search._search_pu). Returns the choice.
 struct PuChoice {
     int kind;          // 0 merge, 1 amvp
@@ -1493,9 +1574,11 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     int cb_info[6] = {x0, y0, size, size, size, 0};
     int n_lists = (g_sp.is_b && g_sp.n_ref[1] > 0) ? 2 : 1;
     int uni_mv[2][2], uni_mvd[2][2], uni_mvp[2];
+    int uni_mvps[2][2][2];
     for (int lx = 0; lx < n_lists; lx++) {
         int mvps[2][2];
         sp_amvp(x0, y0, size, size, lx, 0, cb_info, mvps);
+        std::memcpy(uni_mvps[lx], mvps, sizeof(mvps));
         int seeds[6][2];
         int ns = 0;
         seeds[ns][0] = mvps[1][0];
@@ -1545,23 +1628,31 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         n_scored++;
     }
     if (n_lists == 2) {
+        int mv_bi[2][2] = {{uni_mv[0][0], uni_mv[0][1]},
+                           {uni_mv[1][0], uni_mv[1][1]}};
+        bi_refine(orig_y, x0, y0, size, size, mv_bi, uni_mvps);
         Scored& s = scored[n_scored];
         s.kind = 1;
         s.idx = 2;
         s.amvp_mask = 3;
         for (int l = 0; l < 2; l++) {
-            s.mv[l][0] = uni_mv[l][0];
-            s.mv[l][1] = uni_mv[l][1];
-            s.mvd[l][0] = uni_mvd[l][0];
-            s.mvd[l][1] = uni_mvd[l][1];
-            s.mvp_fl[l] = uni_mvp[l];
+            s.mv[l][0] = mv_bi[l][0];
+            s.mv[l][1] = mv_bi[l][1];
+            double b0 = mv_bits(mv_bi[l][0] - uni_mvps[l][0][0],
+                                mv_bi[l][1] - uni_mvps[l][0][1]);
+            double b1 = mv_bits(mv_bi[l][0] - uni_mvps[l][1][0],
+                                mv_bi[l][1] - uni_mvps[l][1][1]);
+            int fl = b1 < b0 ? 1 : 0;
+            s.mvd[l][0] = mv_bi[l][0] - uni_mvps[l][fl][0];
+            s.mvd[l][1] = mv_bi[l][1] - uni_mvps[l][fl][1];
+            s.mvp_fl[l] = fl;
         }
         s.pf[0] = s.pf[1] = 1;
         s.ref[0] = s.ref[1] = 0;
-        s.motion_mv[0][0] = uni_mv[0][0];
-        s.motion_mv[0][1] = uni_mv[0][1];
-        s.motion_mv[1][0] = uni_mv[1][0];
-        s.motion_mv[1][1] = uni_mv[1][1];
+        s.motion_mv[0][0] = mv_bi[0][0];
+        s.motion_mv[0][1] = mv_bi[0][1];
+        s.motion_mv[1][0] = mv_bi[1][0];
+        s.motion_mv[1][1] = mv_bi[1][1];
         pred_luma_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
                              pl);
         s.sc = (double)satd_region(orig_y, pl, size, size, 8)
