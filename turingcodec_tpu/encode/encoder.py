@@ -52,6 +52,8 @@ class EncoderConfig:
                                   # 2 checksum, None = no hash SEI
     rdoq: bool = False      # RDOQ-lite level optimization (opt-in: its
                             # simplified rate model trades slightly off-curve)
+    sdh: bool = False       # sign data hiding (reference: slow/medium
+                            # presets, Speed.h useSdh)
     search_range: int = 48
     bitrate: Optional[float] = None  # bits/s: enables CBR rate control
     frame_rate: float = 24.0
@@ -202,7 +204,7 @@ class Encoder:
         c = self.cfg
         p = Pps()
         p.init_qp_minus26 = c.qp - 26
-        p.sign_data_hiding_enabled_flag = 0
+        p.sign_data_hiding_enabled_flag = int(c.sdh)
         p.entropy_coding_sync_enabled_flag = int(c.wpp)
         p.cu_qp_delta_enabled_flag = int(c.aq_strength > 0)
         p.diff_cu_qp_delta_depth = 0

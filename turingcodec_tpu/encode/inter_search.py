@@ -562,8 +562,9 @@ class InterPictureEncoder(IntraPictureEncoder):
             oy = orig_y[dy:dy + qh, dx:dx + qh]
             pyq = pred_y[dy:dy + qh, dx:dx + qh]
             coeffs = forward_transform_np(oy - pyq, self.bd, False)
-            levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
-                                 self.bd, log2 - 1, False)
+            levels = self._quantize_rd(coeffs,
+                                       self.qp + sps.qp_bd_offset_y,
+                                       self.bd, log2 - 1, False, 0, 0)
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2 - 1)
@@ -594,8 +595,9 @@ class InterPictureEncoder(IntraPictureEncoder):
                 oc = o_c[cdy:cdy + ch, cdx:cdx + ch]
                 pc = p_c[cdy:cdy + ch, cdx:cdx + ch]
                 cf = forward_transform_np(oc - pc, sps.bit_depth_c, False)
-                lv = quantize_np(cf, qp_c + sps.qp_bd_offset_c,
-                                 sps.bit_depth_c, log2 - 2, False)
+                lv = self._quantize_rd(cf, qp_c + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, log2 - 2, False,
+                                       ci + 1, 0)
                 if lv.any():
                     dd = dequant_block(lv, qp_c + sps.qp_bd_offset_c,
                                        sps.bit_depth_c, log2 - 2)
@@ -648,8 +650,9 @@ class InterPictureEncoder(IntraPictureEncoder):
                 oy = orig_y[dy:dy + qh, dx:dx + qh]
                 pq = py[dy:dy + qh, dx:dx + qh]
                 coeffs = forward_transform_np(oy - pq, self.bd, False)
-                levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
-                                     self.bd, log2 - 1, False)
+                levels = self._quantize_rd(coeffs,
+                                           self.qp + sps.qp_bd_offset_y,
+                                           self.bd, log2 - 1, False, 0, 0)
                 if levels.any():
                     d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                       self.bd, log2 - 1)
@@ -671,8 +674,9 @@ class InterPictureEncoder(IntraPictureEncoder):
                     pc = p_c[cdy:cdy + ch, cdx:cdx + ch]
                     cf = forward_transform_np(oc - pc, sps.bit_depth_c,
                                               False)
-                    lv = quantize_np(cf, qp_c + sps.qp_bd_offset_c,
-                                     sps.bit_depth_c, log2 - 2, False)
+                    lv = self._quantize_rd(cf, qp_c + sps.qp_bd_offset_c,
+                                           sps.bit_depth_c, log2 - 2, False,
+                                           1 if lvp is lv_cb else 2, 0)
                     if lv.any():
                         dd = dequant_block(lv, qp_c + sps.qp_bd_offset_c,
                                            sps.bit_depth_c, log2 - 2)
@@ -885,13 +889,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             # luma residual
             res = orig_y - py
             coeffs = forward_transform_np(res, self.bd, False)
-            levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
-                                 self.bd, log2, False)
-            if self.use_rdoq and levels.any():
-                from turingcodec_tpu.encode.rdoq import rdoq_levels
-                levels = rdoq_levels(coeffs, levels,
-                                     self.qp + sps.qp_bd_offset_y,
-                                     log2, self.bd, self.lam)
+            levels = self._quantize_rd(coeffs, self.qp + sps.qp_bd_offset_y,
+                                       self.bd, log2, False, 0, 0)
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2)
@@ -902,16 +901,13 @@ class InterPictureEncoder(IntraPictureEncoder):
             # chroma residual
             recs_c = []
             levels_c = []
-            for (o, p, qp) in ((orig_cb, pcb, self.qp_cb),
-                               (orig_cr, pcr, self.qp_cr)):
+            for ci, (o, p, qp) in enumerate(((orig_cb, pcb, self.qp_cb),
+                                             (orig_cr, pcr, self.qp_cr))):
                 res_c = o - p
                 cf = forward_transform_np(res_c, sps.bit_depth_c, False)
-                lv = quantize_np(cf, qp + sps.qp_bd_offset_c,
-                                 sps.bit_depth_c, log2 - 1, False)
-                if self.use_rdoq and lv.any():
-                    from turingcodec_tpu.encode.rdoq import rdoq_levels
-                    lv = rdoq_levels(cf, lv, qp + sps.qp_bd_offset_c,
-                                     log2 - 1, sps.bit_depth_c, self.lam)
+                lv = self._quantize_rd(cf, qp + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, log2 - 1, False,
+                                       ci + 1, 0)
                 if lv.any():
                     dd = dequant_block(lv, qp + sps.qp_bd_offset_c,
                                        sps.bit_depth_c, log2 - 1)

@@ -44,6 +44,72 @@ def quantize_np(coeffs: np.ndarray, qp: int, bit_depth: int, log2_size: int,
     return np.where(coeffs < 0, -level, level).astype(np.int32)
 
 
+def apply_sdh(levels: np.ndarray, coeffs: np.ndarray, qp: int,
+              bit_depth: int, log2: int, scan_idx: int) -> np.ndarray:
+    """Encoder side of sign data hiding (turing/Rdoq.cpp:889 analogue).
+
+    For each 4x4 sub-block whose significant span exceeds 3 scan
+    positions, the sign of the scan-first coefficient is not written and
+    the decoder infers it from the parity of the sub-block's absolute-level
+    sum (spec 9.3.4.3 res semantics; our parser in ctu_parse). Enforce that
+    parity by a minimum-distortion +/-1 adjustment that provably preserves
+    the first/last significant positions (so the hidden condition and the
+    referenced sign never change under the fix)."""
+    if not levels.any():
+        return levels
+    from turingcodec_tpu.decode.ctu_parse import _scan
+    from turingcodec_tpu.hevc.tables import LEVEL_SCALE
+    n = 1 << log2
+    out = levels.copy()
+    pos = _scan(2, scan_idx)
+    ls16 = (int(LEVEL_SCALE[qp % 6]) << (qp // 6)) * 16
+    bd_shift = bit_depth + log2 - 5
+    rnd = 1 << (bd_shift - 1)
+
+    def dq(v):
+        return (v * ls16 + rnd) >> bd_shift
+
+    for ys in range(0, n, 4):
+        for xs in range(0, n, 4):
+            if not out[ys:ys + 4, xs:xs + 4].any():
+                continue
+            lv = [int(out[ys + int(pos[k, 1]), xs + int(pos[k, 0])])
+                  for k in range(16)]
+            nzk = [k for k in range(16) if lv[k]]
+            first, last = nzk[0], nzk[-1]
+            if last - first <= 3:
+                continue
+            sum_abs = sum(abs(v) for v in lv)
+            want = 1 if lv[first] < 0 else 0
+            if (sum_abs & 1) == want:
+                continue
+            best = None
+            for k in range(16):
+                x = xs + int(pos[k, 0])
+                y = ys + int(pos[k, 1])
+                v = int(out[y, x])
+                c = float(coeffs[y, x])
+                if k == first:
+                    deltas = (1 if v > 0 else -1,)  # grow, keep sign
+                elif first < k <= last:
+                    if v == 0:
+                        deltas = (1 if c >= 0 else -1,)
+                    elif abs(v) == 1:
+                        deltas = (1 if v > 0 else -1,)  # never zero a sig
+                    else:
+                        deltas = (1, -1)
+                else:
+                    continue
+                for d in deltas:
+                    cost = (float(dq(v + d)) - c) ** 2 \
+                        - (float(dq(v)) - c) ** 2
+                    if best is None or cost < best[0]:
+                        best = (cost, y, x, v + d)
+            _, y, x, nv = best
+            out[y, x] = nv
+    return out
+
+
 class IntraPictureEncoder:
     """Encodes one picture, all-intra, fixed QP."""
 
@@ -283,13 +349,8 @@ class IntraPictureEncoder:
             res = orig_y - pred
             use_dst = log2 == 2
             coeffs = forward_transform_np(res, self.bd, use_dst)
-            levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
-                                 self.bd, log2, True)
-            if self.use_rdoq and levels.any():
-                from turingcodec_tpu.encode.rdoq import rdoq_levels
-                levels = rdoq_levels(coeffs, levels,
-                                     self.qp + sps.qp_bd_offset_y,
-                                     log2, self.bd, self.lam)
+            levels = self._quantize_rd(coeffs, self.qp + sps.qp_bd_offset_y,
+                                       self.bd, log2, True, 0, mode)
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2)
@@ -329,13 +390,9 @@ class IntraPictureEncoder:
             pred = intra_predict(mode, rt_c, rl_c, c_c, cs, 1, sps.bit_depth_c)
             res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
             coeffs = forward_transform_np(res, sps.bit_depth_c, False)
-            levels = quantize_np(coeffs, qp + sps.qp_bd_offset_c,
-                                 sps.bit_depth_c, clog2, True)
-            if self.use_rdoq and levels.any():
-                from turingcodec_tpu.encode.rdoq import rdoq_levels
-                levels = rdoq_levels(coeffs, levels,
-                                     qp + sps.qp_bd_offset_c,
-                                     clog2, sps.bit_depth_c, self.lam)
+            levels = self._quantize_rd(coeffs, qp + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, clog2, True,
+                                       c_idx + 1, mode)
             if levels.any():
                 d = dequant_block(levels, qp + sps.qp_bd_offset_c,
                                   sps.bit_depth_c, clog2)
@@ -429,8 +486,9 @@ class IntraPictureEncoder:
                 pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
                 res = orig_b - pred
                 coeffs = forward_transform_np(res, self.bd, True)
-                levels = quantize_np(coeffs, self.qp + sps.qp_bd_offset_y,
-                                     self.bd, 2, True)
+                levels = self._quantize_rd(coeffs,
+                                           self.qp + sps.qp_bd_offset_y,
+                                           self.bd, 2, True, 0, mode)
                 if levels.any():
                     d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                       self.bd, 2)
@@ -472,8 +530,9 @@ class IntraPictureEncoder:
                                  sps.bit_depth_c)
             res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
             coeffs = forward_transform_np(res, sps.bit_depth_c, False)
-            levels = quantize_np(coeffs, qp + sps.qp_bd_offset_c,
-                                 sps.bit_depth_c, 2, True)
+            levels = self._quantize_rd(coeffs, qp + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, 2, True, c_idx + 1,
+                                       mode_c)
             if levels.any():
                 d = dequant_block(levels, qp + sps.qp_bd_offset_c,
                                   sps.bit_depth_c, 2)
@@ -492,6 +551,19 @@ class IntraPictureEncoder:
         return cost
 
     # ------------------------------------------------------------------
+    def _quantize_rd(self, coeffs, qp, bd, log2, intra, c_idx, mode):
+        """Quantize + optional RDOQ + sign-data-hiding parity fix — the
+        one quantization entry point of every search path."""
+        levels = quantize_np(coeffs, qp, bd, log2, intra)
+        if self.use_rdoq and levels.any():
+            from turingcodec_tpu.encode.rdoq import rdoq_levels
+            levels = rdoq_levels(coeffs, levels, qp, log2, bd, self.lam)
+        if self.pps.sign_data_hiding_enabled_flag and levels.any():
+            levels = apply_sdh(levels, coeffs, qp, bd, log2,
+                               self._scan_for(log2, c_idx, mode, intra))
+        return levels
+
+    # ------------------------------------------------------------------
     def _scan_for(self, log2: int, c_idx: int, mode: int, intra: bool) -> int:
         if intra and (log2 == 2 or (log2 == 3 and c_idx == 0)):
             if 6 <= mode <= 14:
@@ -507,14 +579,15 @@ class IntraPictureEncoder:
             return 1.0  # cbf bin
         from turingcodec_tpu import native
         scan = self._scan_for(log2, c_idx, mode, intra)
+        sdh = bool(self.pps.sign_data_hiding_enabled_flag)
         bits = native.residual_bits(self.rd_ctx.copy(), log2, c_idx, scan,
-                                    False, levels)
+                                    sdh, levels)
         if bits is not None:
             return bits + 1.0  # + cbf bin
         from turingcodec_tpu.cabac.rate import RateEstimator
         from turingcodec_tpu.encode.ctu_write import residual_core
         est = RateEstimator(self.rd_ctx.copy())
-        residual_core(est, levels, log2, c_idx, scan, False)
+        residual_core(est, levels, log2, c_idx, scan, sdh)
         return est.bits + 1.0  # + cbf bin
 
     def _commit_residual_ctx(self, levels, log2, c_idx, mode, intra):
@@ -525,7 +598,8 @@ class IntraPictureEncoder:
         from turingcodec_tpu import native
         scan = self._scan_for(log2, c_idx, mode, intra)
         if native.residual_bits(self.rd_ctx, log2, c_idx, scan,
-                                False, levels) is not None:
+                                bool(self.pps.sign_data_hiding_enabled_flag),
+                                levels) is not None:
             return
         from turingcodec_tpu.cabac.rate import RateEstimator
         from turingcodec_tpu.encode.ctu_write import residual_core

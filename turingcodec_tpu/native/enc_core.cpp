@@ -238,8 +238,8 @@ double residual_bits_est(const int16_t* levels, int nz, int log2, int c_idx,
     static thread_local uint8_t ctx_copy[512];
     std::memcpy(ctx_copy, en.ctx, en.num_ctx);
     int64_t frac = tc_residual_bits(ctx_copy, log2, c_idx,
-                                    scan_for(log2, c_idx, mode, intra), 0,
-                                    levels);
+                                    scan_for(log2, c_idx, mode, intra),
+                                    g_sp.sdh_enabled, levels);
     return (double)frac / 256.0 + 1.0;
 }
 
@@ -250,7 +250,7 @@ void commit_residual_ctx(const int16_t* levels, int nz, int log2, int c_idx,
     if (!nz)
         return;
     tc_residual_bits(en.ctx, log2, c_idx, scan_for(log2, c_idx, mode, intra),
-                     0, levels);
+                     g_sp.sdh_enabled, levels);
 }
 
 // ---------------------------------------------------------------- fills
@@ -491,6 +491,91 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
     return cnt;
 }
 
+// encoder side of sign data hiding: per-4x4-CG parity fix with a
+// minimum-distortion +/-1 adjustment that preserves the first/last
+// significant scan positions (intra_search.apply_sdh oracle, bit-exact)
+void apply_sdh_c(int16_t* lv, const int32_t* coeffs, int qp_full, int bd,
+                 int log2, int scan_idx) {
+    static const int LS[6] = {40, 45, 51, 57, 64, 72};
+    const int n = 1 << log2;
+    const int8_t* pos = g_scan[2][scan_idx];
+    const int64_t ls16 = ((int64_t)LS[qp_full % 6] << (qp_full / 6)) * 16;
+    const int bd_shift = bd + log2 - 5;
+    const int64_t rnd = (int64_t)1 << (bd_shift - 1);
+    auto dq = [&](int64_t v) -> int64_t {
+        return (v * ls16 + rnd) >> bd_shift;
+    };
+    for (int ys = 0; ys < n; ys += 4)
+        for (int xs = 0; xs < n; xs += 4) {
+            int lvs[16];
+            int any = 0;
+            for (int k = 0; k < 16; k++) {
+                lvs[k] = lv[(ys + pos[2 * k + 1]) * n + xs + pos[2 * k]];
+                any |= lvs[k];
+            }
+            if (!any)
+                continue;
+            int first = -1, last = -1;
+            int sum_abs = 0;
+            for (int k = 0; k < 16; k++) {
+                if (lvs[k]) {
+                    if (first < 0)
+                        first = k;
+                    last = k;
+                }
+                sum_abs += lvs[k] < 0 ? -lvs[k] : lvs[k];
+            }
+            if (last - first <= 3)
+                continue;
+            int want = lvs[first] < 0 ? 1 : 0;
+            if ((sum_abs & 1) == want)
+                continue;
+            double best_cost = 0;
+            int b_y = -1, b_x = -1, b_nv = 0;
+            bool have = false;
+            for (int k = 0; k < 16; k++) {
+                int x = xs + pos[2 * k];
+                int y = ys + pos[2 * k + 1];
+                int v = lvs[k];
+                double c = (double)coeffs[y * n + x];
+                int deltas[2];
+                int nd;
+                if (k == first) {
+                    deltas[0] = v > 0 ? 1 : -1;  // grow, keep sign
+                    nd = 1;
+                } else if (k > first && k <= last) {
+                    if (v == 0) {
+                        deltas[0] = c >= 0 ? 1 : -1;
+                        nd = 1;
+                    } else if (v == 1 || v == -1) {
+                        deltas[0] = v > 0 ? 1 : -1;  // never zero a sig
+                        nd = 1;
+                    } else {
+                        deltas[0] = 1;
+                        deltas[1] = -1;
+                        nd = 2;
+                    }
+                } else {
+                    continue;
+                }
+                for (int di = 0; di < nd; di++) {
+                    int d = deltas[di];
+                    double e_new = (double)dq(v + d) - c;
+                    double e_old = (double)dq(v) - c;
+                    double cost = e_new * e_new - e_old * e_old;
+                    if (!have || cost < best_cost) {
+                        best_cost = cost;
+                        b_y = y;
+                        b_x = x;
+                        b_nv = v + d;
+                        have = true;
+                    }
+                }
+            }
+            lv[b_y * n + b_x] = (int16_t)b_nv;
+        }
+}
+
 // one intra TB trial: predict + transform + quant + recon; returns dist and
 // fills levels/rec. pred is the exact (edge-filtered) prediction.
 struct TbTrial {
@@ -501,12 +586,15 @@ struct TbTrial {
 };
 
 void try_tb(const int32_t* orig_b, const int32_t* pred, int n, int log2,
-            int qp_full, int bd, int use_dst, int intra, TbTrial& t) {
+            int qp_full, int bd, int use_dst, int intra, int scan_idx,
+            TbTrial& t) {
     static thread_local int32_t res[32 * 32], coeffs[32 * 32];
     for (int i = 0; i < n * n; i++)
         res[i] = orig_b[i] - pred[i];
     fwd_transform(res, n, bd, use_dst, coeffs);
     t.nz = quantize(coeffs, n, qp_full, bd, log2, intra, t.levels);
+    if (t.nz && g_sp.sdh_enabled)
+        apply_sdh_c(t.levels, coeffs, qp_full, bd, log2, scan_idx);
     int max_val = (1 << bd) - 1;
     if (t.nz) {
         std::memcpy(t.rec, pred, n * n * 4);
@@ -567,7 +655,8 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int mode,
         build_intra_refs(plane_r, cw_(), chh_(), en.zscan32, g_sp.w4, cx, cy,
                          cs, 2, bd_c, rt, rl, &corner);
         intra_predict_core(mode, rt, rl, corner, cs, 1, bd_c, 0, pred);
-        try_tb(orig_c, pred, cs, clog2, qp, bd_c, 0, 1, t);
+        try_tb(orig_c, pred, cs, clog2, qp, bd_c, 0, 1,
+               scan_for(clog2, ci + 1, mode, 1), t);
         scatter_lv(coeffp, cw_(), cx, cy, cs, t.levels);
         fillq(cbfp, x0, y0, size, (uint8_t)(t.nz ? 1 : 0));
         double cbits = residual_bits_est(t.levels, t.nz, clog2, ci + 1, mode,
@@ -617,7 +706,8 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
         fc = corner;
         filter_intra_refs(frt, frl, &fc, size, mode, en.strong, bd);
         intra_predict_core(mode, frt, frl, fc, size, 0, bd, 0, pred);
-        try_tb(orig_y, pred, size, log2, en.qp_full, bd, use_dst, 1, trial);
+        try_tb(orig_y, pred, size, log2, en.qp_full, bd, use_dst, 1,
+               scan_for(log2, 0, mode, 1), trial);
         int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
         double rate = residual_bits_est(trial.levels, trial.nz, log2, 0,
                                         mode, 1) + (in_mpm ? 2 : 6);
@@ -682,7 +772,8 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
         for (int k = 0; k < ncand; k++) {
             int mode = cands[k];
             intra_predict_core(mode, rt, rl, corner, half, 0, bd, 0, pred);
-            try_tb(orig_b, pred, half, 2, en.qp_full, bd, 1, 1, trial);
+            try_tb(orig_b, pred, half, 2, en.qp_full, bd, 1, 1,
+                   scan_for(2, 0, mode, 1), trial);
             int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
             double rate = residual_bits_est(trial.levels, trial.nz, 2, 0,
                                             mode, 1) + (in_mpm ? 2 : 6);
@@ -1430,6 +1521,8 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
             }
         fwd_transform(res, qh, bd, 0, coeffs);
         int nz = quantize(coeffs, qh, en.qp_full, bd, log2 - 1, 0, levels);
+        if (nz && g_sp.sdh_enabled)
+            apply_sdh_c(levels, coeffs, en.qp_full, bd, log2 - 1, 0);
         int max_v = (1 << bd) - 1;
         if (nz) {
             std::memcpy(rec_b, py_b, qh * qh * 4);
@@ -1476,6 +1569,8 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
             fwd_transform(res, chh2, bd_c, 0, coeffs);
             int nzc = quantize(coeffs, chh2, qp_c, bd_c, log2 - 2, 0,
                                levels);
+            if (nzc && g_sp.sdh_enabled)
+                apply_sdh_c(levels, coeffs, qp_c, bd_c, log2 - 2, 0);
             if (nzc) {
                 std::memcpy(rec_b, py_b, chh2 * chh2 * 4);
                 dequant_idct_add(levels, chh2, chh2, log2 - 2, qp_c, bd_c, 0,
@@ -1714,6 +1809,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 fwd_transform(res, qh, bd, 0, coeffs);
                 int nz = quantize(coeffs, qh, en.qp_full, bd, log2 - 1, 0,
                                   qlv);
+                if (nz && g_sp.sdh_enabled)
+                    apply_sdh_c(qlv, coeffs, en.qp_full, bd, log2 - 1, 0);
                 if (nz) {
                     std::memcpy(rq_b, pq_b, qh * qh * 4);
                     dequant_idct_add(qlv, qh, qh, log2 - 1, en.qp_full, bd,
@@ -1752,6 +1849,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                     fwd_transform(res, chh2, bd_c, 0, coeffs);
                     int nzc = quantize(coeffs, chh2, qp_c, bd_c, log2 - 2,
                                        0, qlv_c);
+                    if (nzc && g_sp.sdh_enabled)
+                        apply_sdh_c(qlv_c, coeffs, qp_c, bd_c, log2 - 2, 0);
                     if (nzc) {
                         std::memcpy(rq_b, pq_b, chh2 * chh2 * 4);
                         dequant_idct_add(qlv_c, chh2, chh2, log2 - 2, qp_c,
@@ -1971,6 +2070,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             res[i] = orig_y[i] - cpy[i];
         fwd_transform(res, size, bd, 0, coeffs);
         int nz_y = quantize(coeffs, size, en.qp_full, bd, log2, 0, lv_y);
+        if (nz_y && g_sp.sdh_enabled)
+            apply_sdh_c(lv_y, coeffs, en.qp_full, bd, log2, 0);
         int max_v = (1 << bd) - 1;
         if (nz_y) {
             std::memcpy(rec_y, cpy, size * size * 4);
@@ -1994,6 +2095,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 res[i] = o[i] - p[i];
             fwd_transform(res, cs, bd_c, 0, coeffs);
             int nzc = quantize(coeffs, cs, qp_c, bd_c, log2 - 1, 0, lv);
+            if (nzc && g_sp.sdh_enabled)
+                apply_sdh_c(lv, coeffs, qp_c, bd_c, log2 - 1, 0);
             if (nzc) {
                 std::memcpy(rc2, p, cs * cs * 4);
                 dequant_idct_add(lv, cs, cs, log2 - 1, qp_c, bd_c, 0, rc2);

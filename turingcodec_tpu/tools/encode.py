@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--no-wpp", action="store_true")
     ap.add_argument("--hash", type=int, default=0, choices=[0, 1, 2])
     ap.add_argument("--rdoq", action="store_true")
+    ap.add_argument("--sdh", action="store_true", default=None,
+                    help="sign data hiding (default: on at slow/medium, "
+                         "matching the reference Speed.h useSdh)")
+    ap.add_argument("--no-sdh", dest="sdh", action="store_false")
     ap.add_argument("--wp-luma", default=None, metavar="W:D:O",
                     help="explicit weighted prediction for P slices: "
                          "weight:log2_denom:offset (e.g. 59:6:0)")
@@ -60,6 +64,7 @@ def main(argv=None):
     rd, sr = presets[args.speed]
     if args.rd_candidates is not None:
         rd = args.rd_candidates
+    sdh = args.sdh if args.sdh is not None else args.speed != "fast"
     cfg = EncoderConfig(width=w, height=h, qp=args.qp,
                         bit_depth=args.bit_depth,
                         rd_candidates=rd, search_range=sr,
@@ -67,7 +72,8 @@ def main(argv=None):
                         bitrate=args.bitrate, frame_rate=args.frame_rate,
                         shot_change=args.shot_change,
                         wpp=not args.no_wpp, hash_type=args.hash,
-                        rdoq=args.rdoq, amp=args.amp, slices=args.slices,
+                        rdoq=args.rdoq, sdh=sdh, amp=args.amp,
+                        slices=args.slices,
                         dependent_slices=args.dependent_slices,
                         wp_luma=tuple(int(x) for x in args.wp_luma.split(":"))
                         if args.wp_luma else None,
