@@ -75,3 +75,50 @@ def test_residual_decode_matches_python():
         del os.environ["TURING_TPU_NO_NATIVE"]
         native._TRIED, native._LIB = False, None
     assert h_native == h_python
+
+
+def test_satd_simd_matches_scalar():
+    """The AVX2 SATD (enc_core satd8/4_avx2) must be bit-identical to the
+    scalar Hadamard (satd_block_t), incl. 10-bit-range inputs."""
+    import ctypes
+    lib = native.get_lib()
+    lib.tc_test_satd.restype = ctypes.c_int64
+    lib.tc_test_satd.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int]
+    lib.tc_test_satd_scalar.restype = ctypes.c_int64
+    lib.tc_test_satd_scalar.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_int]
+    for bs in (4, 8):
+        for lo, hi in ((0, 256), (0, 1024)):
+            for _ in range(100):
+                a = np.ascontiguousarray(
+                    rng.integers(lo, hi, (bs, bs)), np.int32)
+                b = np.ascontiguousarray(
+                    rng.integers(lo, hi, (bs, bs)), np.int32)
+                va = lib.tc_test_satd(a.ctypes.data, b.ctypes.data, bs)
+                vs = lib.tc_test_satd_scalar(a.ctypes.data, b.ctypes.data,
+                                             bs)
+                assert va == vs
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32])
+@pytest.mark.parametrize("bd", [8, 10])
+def test_fwd_transform_folded_matches_oracle(n, bd):
+    """Even/odd-folded native forward DCT (and DST4) == numpy oracle."""
+    import ctypes
+    from turingcodec_tpu.ops.transform import forward_transform_np
+    lib = native.get_lib()
+    lib.tc_test_fwd_transform.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p]
+    hi = (1 << bd) - 1
+    for use_dst in ([0, 1] if n == 4 else [0]):
+        for _ in range(25):
+            res = np.ascontiguousarray(
+                rng.integers(-hi, hi + 1, (n, n)), np.int32)
+            out = np.zeros((n, n), np.int32)
+            lib.tc_test_fwd_transform(res.ctypes.data, n, bd, use_dst,
+                                      out.ctypes.data)
+            ref = np.asarray(forward_transform_np(res, bd, bool(use_dst)),
+                             np.int32)
+            assert np.array_equal(out, ref)

@@ -14,4 +14,14 @@ A from-scratch re-design of the capabilities of the Turing codec
   (reference ThreadPool/TaskEncode* equivalents, SURVEY.md §2.7).
 """
 
+import os as _os
+
+# OpenBLAS worker threads spin-wait after every numpy call and steal a core
+# from the native codec loops on small hosts; the codec does its own
+# threading (OpenMP / wavefront rows), so pin BLAS to one thread unless the
+# user overrides. Must happen before numpy first loads the BLAS library.
+for _v in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 __version__ = "0.1.0"

@@ -43,6 +43,8 @@ def _build_and_load():
         # reference's xbyak JIT), so -march=native is safe
         cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
                "-o", so + ".tmp"] + srcs
+        if os.environ.get("TURING_TPU_NATIVE_PROF"):
+            cmd.insert(1, "-DTC_ENC_PROF")
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(so + ".tmp", so)
     lib = ctypes.CDLL(so)

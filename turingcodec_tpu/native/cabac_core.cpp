@@ -292,26 +292,89 @@ void inverse_transform_add(const int16_t* coeff, int cw, long long ls,
             d[y * n + x] = iclip(-32768, 32767,
                                  ((long long)coeff[y * cw + x] * ls + rnd)
                                      >> bd_shift);
-    // stage 1: g = clip((M^T @ d + 64) >> 7); int32 exact
-    // (|acc| <= 32 * 90 * 32767 < 2^27)
-    for (int y = 0; y < n; y++)
-        for (int x = 0; x < n; x++) {
-            int32_t acc = 0;
-            for (int k = 0; k < n; k++)
-                acc += m[k * n + y] * d[k * n + x];
-            g[y * n + x] = iclip(-32768, 32767, (acc + 64) >> 7);
-        }
-    // stage 2: r = clip((g @ M + rnd2) >> (20 - bd)); int32 exact
     int sh2 = 20 - bit_depth;
     int32_t rnd2 = 1 << (sh2 - 1);
-    for (int y = 0; y < n; y++)
-        for (int x = 0; x < n; x++) {
-            int32_t acc = 0;
-            for (int k = 0; k < n; k++)
-                acc += g[y * n + k] * m[k * n + x];
-            pred[y * n + x] +=
-                iclip(-32768, 32767, (acc + rnd2) >> sh2);
+    if (n == 4) {  // DST4 (no even/odd symmetry) and 4x4 DCT: naive
+        // stage 1: g = clip((M^T @ d + 64) >> 7); int32 exact
+        // (|acc| <= 32 * 90 * 32767 < 2^27)
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++) {
+                int32_t acc = 0;
+                for (int k = 0; k < n; k++)
+                    acc += m[k * n + y] * d[k * n + x];
+                g[y * n + x] = iclip(-32768, 32767, (acc + 64) >> 7);
+            }
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++) {
+                int32_t acc = 0;
+                for (int k = 0; k < n; k++)
+                    acc += g[y * n + k] * m[k * n + x];
+                pred[y * n + x] +=
+                    iclip(-32768, 32767, (acc + rnd2) >> sh2);
+            }
+        return;
+    }
+    // DCT 8/16/32: cosine symmetry m[k][n-1-y] == +/- m[k][y] (+ even k,
+    // - odd k) lets each output pair (y, n-1-y) share one half-length sum:
+    // out[y] = E + O, out[n-1-y] = E - O — exact integer regrouping, so
+    // results stay bit-identical to the plain matrix product.
+    const int h = n >> 1;
+    // stage 1: g[y][x] = clip((sum_k m[k][y] d[k][x] + 64) >> 7)
+    // x stays the contiguous inner (vector) dimension
+    {
+        static thread_local int32_t accE[32], accO[32];
+        for (int y = 0; y < h; y++) {
+            for (int x = 0; x < n; x++) {
+                accE[x] = 0;
+                accO[x] = 0;
+            }
+            for (int k = 0; k < n; k += 2) {
+                const int32_t ce = m[k * n + y];
+                const int32_t co = m[(k + 1) * n + y];
+                const int32_t* de = d + k * n;
+                const int32_t* dd = d + (k + 1) * n;
+                for (int x = 0; x < n; x++) {
+                    accE[x] += ce * de[x];
+                    accO[x] += co * dd[x];
+                }
+            }
+            int32_t* gy = g + y * n;
+            int32_t* gm = g + (n - 1 - y) * n;
+            for (int x = 0; x < n; x++) {
+                gy[x] = iclip(-32768, 32767, (accE[x] + accO[x] + 64) >> 7);
+                gm[x] = iclip(-32768, 32767, (accE[x] - accO[x] + 64) >> 7);
+            }
         }
+    }
+    // stage 2: r[y][x] = clip((sum_k g[y][k] m[k][x] + rnd2) >> sh2);
+    // fold over x: E[x]/O[x] for x < h, outputs at x and n-1-x
+    {
+        static thread_local int32_t accE[16], accO[16];
+        for (int y = 0; y < n; y++) {
+            const int32_t* gy = g + y * n;
+            for (int x = 0; x < h; x++) {
+                accE[x] = 0;
+                accO[x] = 0;
+            }
+            for (int k = 0; k < n; k += 2) {
+                const int32_t ge = gy[k];
+                const int32_t go = gy[k + 1];
+                const int32_t* me = m + k * n;
+                const int32_t* mo = m + (k + 1) * n;
+                for (int x = 0; x < h; x++) {
+                    accE[x] += ge * me[x];
+                    accO[x] += go * mo[x];
+                }
+            }
+            int32_t* py = pred + y * n;
+            for (int x = 0; x < h; x++) {
+                py[x] += iclip(-32768, 32767,
+                               (accE[x] + accO[x] + rnd2) >> sh2);
+                py[n - 1 - x] += iclip(-32768, 32767,
+                                       (accE[x] - accO[x] + rnd2) >> sh2);
+            }
+        }
+    }
 }
 
 }  // namespace

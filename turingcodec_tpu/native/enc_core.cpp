@@ -21,11 +21,16 @@
 #include <cstring>
 #include <ctime>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include "core.h"
 
 // coarse phase timers (ns): [inter_cu, smp, intra_cu, snap, full_pel,
-// subpel, stage1_satd, stage2_rd]
-static int64_t g_enc_ns[8];
+// subpel, fwd_xform, quantize, rate_est, pred_full, pred_luma, satd,
+// spare, spare, spare, spare]
+static int64_t g_enc_ns[16];
 static inline int64_t now_ns() {
     timespec t;
     clock_gettime(CLOCK_MONOTONIC, &t);
@@ -37,6 +42,16 @@ struct PhaseTimer {
     PhaseTimer(int idx) : i(idx), t0(now_ns()) {}
     ~PhaseTimer() { g_enc_ns[i] += now_ns() - t0; }
 };
+// leaf-kernel timers: clock_gettime in the per-block kernels costs ~5-8% of
+// the whole encode, so they compile to nothing unless TC_ENC_PROF is set
+// (g++ -DTC_ENC_PROF via TURING_TPU_NATIVE_PROF=1 at build time)
+#ifdef TC_ENC_PROF
+using LeafTimer = PhaseTimer;
+#else
+struct LeafTimer {
+    LeafTimer(int) {}
+};
+#endif
 extern "C" void tc_enc_counters(int64_t* out) {
     std::memcpy(out, g_enc_ns, sizeof(g_enc_ns));
     std::memset(g_enc_ns, 0, sizeof(g_enc_ns));
@@ -109,15 +124,118 @@ static int64_t satd_block_t(const int32_t* a, const int32_t* b, int stride_a,
     return BS == 8 ? (s + 2) >> 2 : (s + 1) >> 1;
 }
 
+#ifdef __AVX2__
+// 8x8 Hadamard SATD with whole rows as 8-lane int32 vectors: the butterfly
+// levels become register add/sub pairs and only the transpose shuffles.
+// Same exact integer arithmetic as satd_block_t<8> (bit-identical result).
+static int64_t satd8_avx2(const int32_t* a, const int32_t* b, int stride_a,
+                          int stride_b) {
+    __m256i r[8];
+    for (int y = 0; y < 8; y++)
+        r[y] = _mm256_sub_epi32(
+            _mm256_loadu_si256((const __m256i*)(a + y * stride_a)),
+            _mm256_loadu_si256((const __m256i*)(b + y * stride_b)));
+    auto butterfly = [&r]() {
+        for (int len = 1; len < 8; len <<= 1)
+            for (int i = 0; i < 8; i += len << 1)
+                for (int j = i; j < i + len; j++) {
+                    __m256i u = r[j], v = r[j + len];
+                    r[j] = _mm256_add_epi32(u, v);
+                    r[j + len] = _mm256_sub_epi32(u, v);
+                }
+    };
+    butterfly();
+    // 8x8 int32 transpose
+    __m256i t0 = _mm256_unpacklo_epi32(r[0], r[1]);
+    __m256i t1 = _mm256_unpackhi_epi32(r[0], r[1]);
+    __m256i t2 = _mm256_unpacklo_epi32(r[2], r[3]);
+    __m256i t3 = _mm256_unpackhi_epi32(r[2], r[3]);
+    __m256i t4 = _mm256_unpacklo_epi32(r[4], r[5]);
+    __m256i t5 = _mm256_unpackhi_epi32(r[4], r[5]);
+    __m256i t6 = _mm256_unpacklo_epi32(r[6], r[7]);
+    __m256i t7 = _mm256_unpackhi_epi32(r[6], r[7]);
+    __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+    __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+    __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+    __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+    __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+    __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+    __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+    __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+    r[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+    r[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+    r[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+    r[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+    r[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+    r[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+    r[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+    r[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+    butterfly();
+    __m256i acc = _mm256_abs_epi32(r[0]);
+    for (int y = 1; y < 8; y++)
+        acc = _mm256_add_epi32(acc, _mm256_abs_epi32(r[y]));
+    __m128i lo = _mm256_castsi256_si128(acc);
+    __m128i hi = _mm256_extracti128_si256(acc, 1);
+    __m128i s4 = _mm_add_epi32(lo, hi);
+    __m128i s2 = _mm_add_epi32(s4, _mm_srli_si128(s4, 8));
+    __m128i s1 = _mm_add_epi32(s2, _mm_srli_si128(s2, 4));
+    int64_t s = (int64_t)_mm_cvtsi128_si32(s1);
+    return (s + 2) >> 2;
+}
+
+// 4x4 variant: rows as 4-lane int32 vectors
+static int64_t satd4_avx2(const int32_t* a, const int32_t* b, int stride_a,
+                          int stride_b) {
+    __m128i r[4];
+    for (int y = 0; y < 4; y++)
+        r[y] = _mm_sub_epi32(
+            _mm_loadu_si128((const __m128i*)(a + y * stride_a)),
+            _mm_loadu_si128((const __m128i*)(b + y * stride_b)));
+    auto butterfly = [&r]() {
+        __m128i u0 = _mm_add_epi32(r[0], r[1]);
+        __m128i u1 = _mm_sub_epi32(r[0], r[1]);
+        __m128i u2 = _mm_add_epi32(r[2], r[3]);
+        __m128i u3 = _mm_sub_epi32(r[2], r[3]);
+        r[0] = _mm_add_epi32(u0, u2);
+        r[2] = _mm_sub_epi32(u0, u2);
+        r[1] = _mm_add_epi32(u1, u3);
+        r[3] = _mm_sub_epi32(u1, u3);
+    };
+    butterfly();
+    __m128i t0 = _mm_unpacklo_epi32(r[0], r[1]);
+    __m128i t1 = _mm_unpackhi_epi32(r[0], r[1]);
+    __m128i t2 = _mm_unpacklo_epi32(r[2], r[3]);
+    __m128i t3 = _mm_unpackhi_epi32(r[2], r[3]);
+    r[0] = _mm_unpacklo_epi64(t0, t2);
+    r[1] = _mm_unpackhi_epi64(t0, t2);
+    r[2] = _mm_unpacklo_epi64(t1, t3);
+    r[3] = _mm_unpackhi_epi64(t1, t3);
+    butterfly();
+    __m128i acc = _mm_abs_epi32(r[0]);
+    for (int y = 1; y < 4; y++)
+        acc = _mm_add_epi32(acc, _mm_abs_epi32(r[y]));
+    __m128i s2 = _mm_add_epi32(acc, _mm_srli_si128(acc, 8));
+    __m128i s1 = _mm_add_epi32(s2, _mm_srli_si128(s2, 4));
+    int64_t s = (int64_t)_mm_cvtsi128_si32(s1);
+    return (s + 1) >> 1;
+}
+#endif
+
 inline int64_t satd_block(const int32_t* a, const int32_t* b, int stride_a,
                           int stride_b, int bs) {
+#ifdef __AVX2__
+    return bs == 8 ? satd8_avx2(a, b, stride_a, stride_b)
+                   : satd4_avx2(a, b, stride_a, stride_b);
+#else
     return bs == 8 ? satd_block_t<8>(a, b, stride_a, stride_b)
                    : satd_block_t<4>(a, b, stride_a, stride_b);
+#endif
 }
 
 // SATD over an (h, w) region partitioned into bs x bs blocks
 int64_t satd_region(const int32_t* a, const int32_t* b, int w, int h,
                     int bs) {
+    LeafTimer pt(11);
     int64_t total = 0;
     for (int y = 0; y < h; y += bs)
         for (int x = 0; x < w; x += bs)
@@ -155,40 +273,97 @@ int64_t sad_at(const int32_t* orig, int bw, int bh, const int16_t* ref,
     return s;
 }
 
-// HM forward transform (ops/transform.forward_transform_np)
+// HM forward transform (ops/transform.forward_transform_np).
+// DCT path exploits the cosine symmetry m[r][n-1-j] == +/- m[r][j]
+// (+ for even rows, - for odd): each output needs only a half-length dot
+// against the even/odd folded input. Sums are regrouped exact-integer, so
+// results stay bit-identical to the plain matrix product.
 void fwd_transform(const int32_t* res, int n, int bit_depth, int use_dst,
                    int32_t* out) {
+    LeafTimer pt(6);
     int log2n = 0;
     while ((1 << log2n) < n)
         log2n++;
     const int32_t* m = dct_matrix_for(log2n, use_dst);
-    int shift1 = log2n + bit_depth - 9;
-    int shift2 = log2n + 6;
+    const int shift1 = log2n + bit_depth - 9;
+    const int shift2 = log2n + 6;
     static thread_local int32_t t[32 * 32];
-    // t = res @ m^T (int32 exact: |acc| <= 32 * 90 * 1023 < 2^22)
-    for (int y = 0; y < n; y++)
-        for (int i = 0; i < n; i++) {
-            int32_t acc = 0;
-            for (int x = 0; x < n; x++)
-                acc += res[y * n + x] * m[i * n + x];
-            t[y * n + i] = shift1 > 0
-                ? (acc + (1 << (shift1 - 1))) >> shift1
-                : acc << -shift1;
+    if (use_dst) {  // 4x4 DST: no even/odd symmetry; n == 4, cheap
+        for (int y = 0; y < n; y++)
+            for (int i = 0; i < n; i++) {
+                int32_t acc = 0;
+                for (int x = 0; x < n; x++)
+                    acc += res[y * n + x] * m[i * n + x];
+                t[y * n + i] = shift1 > 0
+                    ? (acc + (1 << (shift1 - 1))) >> shift1
+                    : acc << -shift1;
+            }
+        for (int j = 0; j < n; j++)
+            for (int i = 0; i < n; i++) {
+                int32_t acc = 0;
+                for (int y = 0; y < n; y++)
+                    acc += m[j * n + y] * t[y * n + i];
+                out[j * n + i] = (acc + (1 << (shift2 - 1))) >> shift2;
+            }
+        return;
+    }
+    const int h = n >> 1;
+    const int32_t r1 = shift1 > 0 ? 1 << (shift1 - 1) : 0;
+    // pass 1 (rows): t[y][r] = sum_j m[r][j] res[y][j]
+    for (int y = 0; y < n; y++) {
+        const int32_t* x = res + y * n;
+        int32_t e[16], o[16];
+        for (int j = 0; j < h; j++) {
+            e[j] = x[j] + x[n - 1 - j];
+            o[j] = x[j] - x[n - 1 - j];
         }
-    // c = m @ t (int32 exact: |acc| <= 32 * 90 * 46k < 2^28)
-    for (int j = 0; j < n; j++)
-        for (int i = 0; i < n; i++) {
+        int32_t* ty = t + y * n;
+        for (int r = 0; r < n; r++) {
+            const int32_t* mr = m + r * n;
+            const int32_t* src = (r & 1) ? o : e;
             int32_t acc = 0;
-            for (int y = 0; y < n; y++)
-                acc += m[j * n + y] * t[y * n + i];
-            out[j * n + i] = (acc + (1 << (shift2 - 1))) >> shift2;
+            for (int j = 0; j < h; j++)
+                acc += mr[j] * src[j];
+            ty[r] = shift1 > 0 ? (acc + r1) >> shift1 : acc << -shift1;
         }
+    }
+    // pass 2 (columns): out[r][i] = sum_y m[r][y] t[y][i]; fold y even/odd
+    // and keep i as the (contiguous, vectorizable) inner dimension
+    static thread_local int32_t te[16 * 32], to[16 * 32];
+    for (int j = 0; j < h; j++) {
+        const int32_t* a = t + j * n;
+        const int32_t* b = t + (n - 1 - j) * n;
+        int32_t* ej = te + j * n;
+        int32_t* oj = to + j * n;
+        for (int i = 0; i < n; i++) {
+            ej[i] = a[i] + b[i];
+            oj[i] = a[i] - b[i];
+        }
+    }
+    const int32_t r2 = 1 << (shift2 - 1);
+    static thread_local int32_t accv[32];
+    for (int r = 0; r < n; r++) {
+        const int32_t* mr = m + r * n;
+        const int32_t* src = (r & 1) ? to : te;
+        for (int i = 0; i < n; i++)
+            accv[i] = 0;
+        for (int y = 0; y < h; y++) {
+            const int32_t c = mr[y];
+            const int32_t* sy = src + y * n;
+            for (int i = 0; i < n; i++)
+                accv[i] += c * sy[i];
+        }
+        int32_t* orow = out + r * n;
+        for (int i = 0; i < n; i++)
+            orow[i] = (accv[i] + r2) >> shift2;
+    }
 }
 
 // HM quantization with 1/3 (intra) / 1/6 rounding
 // (intra_search.quantize_np). Returns nonzero count.
 int quantize(const int32_t* coeffs, int n, int qp, int bit_depth, int log2,
              int intra, int16_t* levels) {
+    LeafTimer pt(7);
     int t_shift = 15 - bit_depth - log2;
     int q_shift = 14 + qp / 6 + t_shift;
     int64_t f = en.quant_scales[qp % 6];
@@ -235,6 +410,7 @@ double residual_bits_est(const int16_t* levels, int nz, int log2, int c_idx,
                          int mode, int intra) {
     if (!nz)
         return 1.0;
+    LeafTimer pt(8);
     static thread_local uint8_t ctx_copy[512];
     std::memcpy(ctx_copy, en.ctx, en.num_ctx);
     int64_t frac = tc_residual_bits(ctx_copy, log2, c_idx,
@@ -324,6 +500,25 @@ struct Snap {
     int32_t ids[3];
     uint8_t ctx[512];
 };
+
+// free-list pool: decide_cqt allocates two Snaps (~37 KB each) per quadtree
+// node; recursion depth <= 4 and <= 2 live per level, so a small pool
+// removes the malloc/free traffic from the hot recursion
+struct SnapPool {
+    static const int N = 16;
+    Snap* slots[N];
+    int n = 0;
+    Snap* get() { return n ? slots[--n] : new Snap; }
+    void put(Snap* s) {
+        if (n < N)
+            slots[n++] = s;
+        else
+            delete s;
+    }
+};
+thread_local SnapPool g_snap_pool;
+inline Snap* snap_new() { return g_snap_pool.get(); }
+inline void snap_free(Snap* s) { g_snap_pool.put(s); }
 
 void snap_save(Snap& s, int x0, int y0, int size) {
     PhaseTimer pt(3);
@@ -444,6 +639,7 @@ void snap_restore(const Snap& s, int x0, int y0, int size) {
 int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
                int* out_cands) {
+    LeafTimer pt(12);
     static thread_local int32_t preds[35][32 * 32];
     const int bd = g_sp.bit_depth_y;
     int32_t frt[64], frl[64], fc = corner;
@@ -841,6 +1037,7 @@ void finalize14(const int32_t* p0, const int32_t* p1, int w, int h, int bd,
 void pred_luma_for_motion(const int pf[2], const int mv[2][2],
                           const int ref[2], int x0, int y0, int w, int h,
                           int32_t* out) {
+    LeafTimer pt(10);
     static thread_local int32_t p14[2][64 * 64];
     const int32_t* parts[2] = {nullptr, nullptr};
     for (int l = 0; l < 2; l++)
@@ -855,6 +1052,7 @@ void pred_luma_for_motion(const int pf[2], const int mv[2][2],
 void pred_full_for_motion(const int pf[2], const int mv[2][2],
                           const int ref[2], int x0, int y0, int w, int h,
                           int32_t* oy, int32_t* ocb, int32_t* ocr) {
+    LeafTimer pt(9);
     static thread_local int32_t py[2][64 * 64], pcb[2][32 * 32],
         pcr[2][32 * 32];
     const int32_t *ay[2] = {nullptr, nullptr}, *ab[2] = {nullptr, nullptr},
@@ -1378,8 +1576,8 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
     if (g_sp.is_i)
         return encode_intra_cu(x0, y0, log2, depth);
     int size = 1 << log2;
-    Snap* state = new Snap;
-    Snap* best_state = new Snap;
+    Snap* state = snap_new();
+    Snap* best_state = snap_new();
     snap_save(*state, x0, y0, size);
     double cost_best = encode_inter_cu(x0, y0, log2, depth);
     snap_save(*best_state, x0, y0, size);
@@ -1406,22 +1604,22 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
     // early skip: best inter choice is a skip CU -> no intra trial
     snap_restore(*best_state, x0, y0, size);
     if (g_sp.skip_flag[idx4(x0, y0)]) {
-        delete state;
-        delete best_state;
+        snap_free(state);
+        snap_free(best_state);
         return cost_best;
     }
     // CFM (cbf fast mode; fast/medium presets): inter winner without coded
     // coefficients skips the intra trial
     if (en.rd_candidates <= 2 && !g_sp.cbf_y[idx4(x0, y0)]
         && !g_sp.cbf_cb[idx4(x0, y0)] && !g_sp.cbf_cr[idx4(x0, y0)]) {
-        delete state;
-        delete best_state;
+        snap_free(state);
+        snap_free(best_state);
         return cost_best;
     }
     if (log2 > g_sp.max_tb_log2) {
         // 64x64: inter only (intra would need TU-split RDO)
-        delete state;
-        delete best_state;
+        snap_free(state);
+        snap_free(best_state);
         return cost_best;
     }
     snap_restore(*state, x0, y0, size);
@@ -1429,12 +1627,12 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
                       + en.lam_bits * 2;  // pred_mode flag bits
     if (cost_best <= cost_intra) {
         snap_restore(*best_state, x0, y0, size);
-        delete state;
-        delete best_state;
+        snap_free(state);
+        snap_free(best_state);
         return cost_best;
     }
-    delete state;
-    delete best_state;
+    snap_free(state);
+    snap_free(best_state);
     return cost_intra;
 }
 
@@ -2299,39 +2497,39 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
         return cost;
     }
 
-    Snap* state = new Snap;
+    Snap* state = snap_new();
     snap_save(*state, x0, y0, size);
     double cost_here = encode_cu_dispatch(x0, y0, log2, depth)
                      + en.lam_bits * 2;
     if (log2 == g_sp.min_cb_log2) {
         if (g_sp.is_i || g_sp.cu_pred_mode[idx4(x0, y0)] == 1) {
-            Snap* here = new Snap;
+            Snap* here = snap_new();
             snap_save(*here, x0, y0, size);
             snap_restore(*state, x0, y0, size);
             double cost_nxn = encode_intra_nxn(x0, y0, log2, depth)
                             + en.lam_bits * 2;
             if (cost_nxn < cost_here) {
-                delete here;
-                delete state;
+                snap_free(here);
+                snap_free(state);
                 return cost_nxn;
             }
             snap_restore(*here, x0, y0, size);
-            delete here;
+            snap_free(here);
         }
-        delete state;
+        snap_free(state);
         return cost_here;
     }
-    Snap* here = new Snap;
+    Snap* here = snap_new();
     snap_save(*here, x0, y0, size);
     // ECU (early CU termination; fast/medium): skip CU ends the recursion
     if (en.rd_candidates <= 2 && !g_sp.is_i
         && g_sp.skip_flag[idx4(x0, y0)]) {
-        delete here;
-        delete state;
+        snap_free(here);
+        snap_free(state);
         return cost_here;
     }
     snap_restore(*state, x0, y0, size);
-    delete state;
+    snap_free(state);
 
     int half = size >> 1;
     double cost_split = en.lam_bits * 2;
@@ -2341,10 +2539,10 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
                                  log2 - 1, depth + 1);
     if (cost_here <= cost_split) {
         snap_restore(*here, x0, y0, size);
-        delete here;
+        snap_free(here);
         return cost_here;
     }
-    delete here;
+    snap_free(here);
     return cost_split;
 }
 
@@ -2492,6 +2690,19 @@ void sao_apply(uint8_t* sao_type, uint8_t* sao_class, int8_t* sao_offsets,
 // ---------------------------------------------------------------- ctypes
 
 extern "C" {
+
+// kernel parity test shims (tests/test_native.py)
+int64_t tc_test_satd(const int32_t* a, const int32_t* b, int bs) {
+    return satd_block(a, b, bs, bs, bs);
+}
+int64_t tc_test_satd_scalar(const int32_t* a, const int32_t* b, int bs) {
+    return bs == 8 ? satd_block_t<8>(a, b, bs, bs)
+                   : satd_block_t<4>(a, b, bs, bs);
+}
+void tc_test_fwd_transform(const int32_t* res, int n, int bit_depth,
+                           int use_dst, int32_t* out) {
+    fwd_transform(res, n, bit_depth, use_dst, out);
+}
 
 // SAO parameter estimation for the whole picture (sao_search.estimate_sao
 // oracle): luma independent, chroma joint-type. Writes plan.sao_* directly.
