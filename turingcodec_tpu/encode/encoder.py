@@ -55,6 +55,9 @@ class EncoderConfig:
     sdh: bool = False       # sign data hiding (reference: slow/medium
                             # presets, Speed.h useSdh)
     search_range: int = 48
+    rcudepth: Optional[bool] = None  # RCU-depth CU-range pruning
+                                     # (Speed.h useRcuDepth; None = on at
+                                     # medium/fast i.e. rd_candidates <= 2)
     bitrate: Optional[float] = None  # bits/s: enables CBR rate control
     frame_rate: float = 24.0
     shot_change: bool = False  # shot-change-triggered IDR placement
@@ -425,6 +428,10 @@ class Encoder:
                 max_cu_log2=self.cfg.max_cu_log2,
                 search_range=self.cfg.search_range,
                 use_rdoq=self.cfg.rdoq)
+            # RCU-depth (Speed.h useRcuDepth: medium/fast default)
+            enc.rcudepth = (self.cfg.rcudepth
+                            if self.cfg.rcudepth is not None
+                            else self.cfg.rd_candidates <= 2)
         # picture lambda (Measure.h computeLambda parity): per-position
         # qpFactor with the I-slice gopM scale and the non-anchor multiplier
         import math

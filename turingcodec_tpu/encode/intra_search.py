@@ -127,6 +127,11 @@ class IntraPictureEncoder:
                                sps.max_tb_log2_size_y)
         self.rd_candidates = rd_candidates
         self.use_rdoq = use_rdoq
+        # RCU-depth CU-range pruning (reference Search.hpp:721-806,
+        # Speed.h useRcuDepth: on at medium/fast). Inter slices only; set
+        # by the encoder facade. 0 = off.
+        self.rcudepth = False
+        self._rcu_status = 0
         # HM-style lambda for intra, fixed QP
         self.lam = 0.57 * (2.0 ** ((self.qp - 12) / 3.0))
         self.lam_bits = self.lam
@@ -220,6 +225,38 @@ class IntraPictureEncoder:
         sps = self.sps
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         size = 1 << log2
+        if depth == 0:
+            # RCU-depth status from neighbour CtDepths at the CTU root
+            # (Search.hpp:721-790). Out-of-picture neighbours read as
+            # depth 0 (the reference's snake storage zero-initializes), so
+            # top-row / left-column CTUs land on status 1.
+            self._rcu_status = 0
+            if self.rcudepth and not self.sh.is_i and (x0 or y0):
+                ct = self.plan.ct_depth
+                h4, w4 = ct.shape
+
+                def d(px, py):
+                    if px < 0 or py < 0:
+                        return 0
+                    return int(ct[min(py >> 2, h4 - 1),
+                                  min(px >> 2, w4 - 1)])
+
+                if x0 and y0:
+                    stepx = 32 if x0 + size <= w else 16
+                    stepy = 32 if y0 + size <= h else 16
+                    ds = (d(x0, y0 - 1) + d(x0 + stepx, y0 - 1)
+                          + d(x0 - 1, y0) + d(x0 - 1, y0 + stepy)
+                          + d(x0 - 1, y0 - 1))
+                    self._rcu_status = 1 if ds < 6 else (2 if ds < 14
+                                                         else 3)
+                elif x0:
+                    stepx = 32 if x0 + size <= w else 16
+                    ds = d(x0, y0 - 1) + d(x0 + stepx, y0 - 1)
+                    self._rcu_status = 1 if ds < 4 else 2
+                else:
+                    stepy = 32 if y0 + size <= h else 16
+                    ds = d(x0 - 1, y0) + d(x0 - 1, y0 + stepy)
+                    self._rcu_status = 1 if ds < 4 else 2
         in_pic = x0 + size <= w and y0 + size <= h
         if not in_pic:
             if x0 >= w or y0 >= h:
@@ -243,6 +280,18 @@ class IntraPictureEncoder:
                 cost += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1, depth + 1)
             return cost
 
+        # RCU-depth gates (Search.hpp:798-806): status 2/3 skips the
+        # 64x64 full-CU trial, status 3 also skips 32x32; status 1 stops
+        # the recursion below 16x16
+        st = self._rcu_status
+        if st and ((depth == 0 and st >= 2) or (depth == 1 and st == 3)):
+            half = size >> 1
+            cost_split = self.lam_bits * 2
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                cost_split += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1,
+                                               depth + 1)
+            return cost_split
+
         # candidate: no-split at this size
         state = self._snapshot(x0, y0, size)
         cost_here = self._encode_cu(x0, y0, log2, depth) + self.lam_bits * 2
@@ -262,6 +311,9 @@ class IntraPictureEncoder:
         # a skip CU at this depth ends the split recursion
         if (self.rd_candidates <= 2 and not self.sh.is_i
                 and self.plan.skip_flag[y0 >> 2, x0 >> 2]):
+            return cost_here
+        # RCU-depth: status 1 keeps the 16x16 result without trying 8x8
+        if st == 1 and depth == 2:
             return cost_here
         self._restore(x0, y0, size, state)
 

@@ -849,7 +849,8 @@ class EncNative:
                         getattr(enc, "max_cu_inter_log2", enc.max_cu_log2),
                         getattr(enc, "search_range", 0),
                         int(sps.strong_intra_smoothing_enabled_flag != 0),
-                        NUM_CONTEXTS], np.int32)
+                        NUM_CONTEXTS,
+                        int(getattr(enc, "rcudepth", False))], np.int32)
         from turingcodec_tpu.hevc.tables import QUANT_SCALES
         qs = np.ascontiguousarray(QUANT_SCALES, np.int32)
         lf, cf, _, _ = _recon_tables()

@@ -69,7 +69,7 @@ struct EN {
     int32_t luma_filt[4][8];
     int32_t chroma_filt[8][4];
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
-    int num_ctx;
+    int num_ctx, rcudepth;
     // per-CTU state (tc_enc_ctu args)
     uint8_t* ctx;
     int32_t* ids;   // [cu, pu, tu]
@@ -2468,10 +2468,50 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
 }
 
 // ---------------------------------------------------------------- quadtree
+// RCU-depth status for the current CTU (intra_search._rcu_status twin;
+// reference Search.hpp:721-790). Out-of-picture neighbours read as depth 0.
+thread_local int g_rcu_status = 0;
+
+inline int rcu_ctdepth_at(int px, int py) {
+    if (px < 0 || py < 0)
+        return 0;
+    int bx = px >> 2, by = py >> 2;
+    if (bx > g_sp.w4 - 1)
+        bx = g_sp.w4 - 1;
+    if (by > g_sp.h4 - 1)
+        by = g_sp.h4 - 1;
+    return g_sp.ct_depth[(int64_t)by * g_sp.w4 + bx];
+}
+
 // intra_search._decide_cqt: recursive split RDO with snapshot/restore
 double decide_cqt(int x0, int y0, int log2, int depth) {
     const int w = g_sp.pic_w, h = g_sp.pic_h;
     const int size = 1 << log2;
+    if (depth == 0) {
+        g_rcu_status = 0;
+        if (en.rcudepth && !g_sp.is_i && (x0 || y0)) {
+            if (x0 && y0) {
+                int stepx = x0 + size <= w ? 32 : 16;
+                int stepy = y0 + size <= h ? 32 : 16;
+                int ds = rcu_ctdepth_at(x0, y0 - 1)
+                       + rcu_ctdepth_at(x0 + stepx, y0 - 1)
+                       + rcu_ctdepth_at(x0 - 1, y0)
+                       + rcu_ctdepth_at(x0 - 1, y0 + stepy)
+                       + rcu_ctdepth_at(x0 - 1, y0 - 1);
+                g_rcu_status = ds < 6 ? 1 : (ds < 14 ? 2 : 3);
+            } else if (x0) {
+                int stepx = x0 + size <= w ? 32 : 16;
+                int ds = rcu_ctdepth_at(x0, y0 - 1)
+                       + rcu_ctdepth_at(x0 + stepx, y0 - 1);
+                g_rcu_status = ds < 4 ? 1 : 2;
+            } else {
+                int stepy = y0 + size <= h ? 32 : 16;
+                int ds = rcu_ctdepth_at(x0 - 1, y0)
+                       + rcu_ctdepth_at(x0 - 1, y0 + stepy);
+                g_rcu_status = ds < 4 ? 1 : 2;
+            }
+        }
+    }
     bool in_pic = x0 + size <= w && y0 + size <= h;
     if (!in_pic) {
         if (x0 >= w || y0 >= h)
@@ -2495,6 +2535,21 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
             cost += decide_cqt(x0 + q[i][0] * half, y0 + q[i][1] * half,
                                log2 - 1, depth + 1);
         return cost;
+    }
+
+    // RCU-depth gates (Search.hpp:798-806): status 2/3 skips the 64x64
+    // full-CU trial, status 3 also skips 32x32
+    const int rcu_st = g_rcu_status;
+    if (rcu_st && ((depth == 0 && rcu_st >= 2)
+                   || (depth == 1 && rcu_st == 3))) {
+        int half_r = size >> 1;
+        double cost_split = en.lam_bits * 2;
+        static const int qr[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+        for (int i = 0; i < 4; i++)
+            cost_split += decide_cqt(x0 + qr[i][0] * half_r,
+                                     y0 + qr[i][1] * half_r, log2 - 1,
+                                     depth + 1);
+        return cost_split;
     }
 
     Snap* state = snap_new();
@@ -2524,6 +2579,12 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     // ECU (early CU termination; fast/medium): skip CU ends the recursion
     if (en.rd_candidates <= 2 && !g_sp.is_i
         && g_sp.skip_flag[idx4(x0, y0)]) {
+        snap_free(here);
+        snap_free(state);
+        return cost_here;
+    }
+    // RCU-depth: status 1 keeps the 16x16 result without trying 8x8
+    if (rcu_st == 1 && depth == 2) {
         snap_free(here);
         snap_free(state);
         return cost_here;
@@ -2797,6 +2858,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     en.search_range = ip[j++];
     en.strong = ip[j++];
     en.num_ctx = ip[j++];
+    en.rcudepth = ip[j++];
     std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
     std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));

@@ -44,6 +44,10 @@ def main(argv=None):
                          "weight:log2_denom:offset (e.g. 59:6:0)")
     ap.add_argument("--wp-chroma", default=None, metavar="DW:DO",
                     help="chroma WP deltas (requires --wp-luma)")
+    ap.add_argument("--rcudepth", action="store_true", default=None,
+                    help="RCU-depth CU-range pruning (default: on at "
+                         "medium/fast, matching the reference Speed.h)")
+    ap.add_argument("--no-rcudepth", dest="rcudepth", action="store_false")
     ap.add_argument("--amp", action="store_true",
                     help="asymmetric motion partitions (slow preset)")
     ap.add_argument("--slices", type=int, default=1,
@@ -68,6 +72,7 @@ def main(argv=None):
     cfg = EncoderConfig(width=w, height=h, qp=args.qp,
                         bit_depth=args.bit_depth,
                         rd_candidates=rd, search_range=sr,
+                        rcudepth=args.rcudepth,
                         gop_m=args.gop_m, intra_period=args.intra_period,
                         bitrate=args.bitrate, frame_rate=args.frame_rate,
                         shot_change=args.shot_change,
