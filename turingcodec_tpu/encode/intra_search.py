@@ -187,6 +187,15 @@ class IntraPictureEncoder:
         wc = sps.pic_width_in_ctbs_y
         snap_rx = 1 if wc > 1 else 0
         row_slice = getattr(self, "slice_row_map", None)  # (hc,) slice of row
+        if nat is not None and row_slice is None:
+            # whole-picture native walk (one ctypes call; WPP + AQ inside)
+            plan.slice_idx[:] = slice_number
+            if self.qp_map is not None:
+                rep = ctb >> 2
+                qm = np.repeat(np.repeat(self.qp_map, rep, 0), rep, 1)
+                plan.qp_y[:] = qm[:plan.qp_y.shape[0], :plan.qp_y.shape[1]]
+            nat.encode_picture_all(self)
+            return plan, self.recon
         for ry in range(sps.pic_height_in_ctbs_y):
             for rx in range(wc):
                 if wpp and rx == 0 and ry > 0:

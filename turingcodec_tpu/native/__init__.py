@@ -150,6 +150,10 @@ def _build_and_load():
 
     lib.tc_enc_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_enc_ctu.restype = ctypes.c_double
+    lib.tc_enc_picture.restype = ctypes.c_double
+    lib.tc_enc_picture.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
     lib.tc_enc_ctu.argtypes = [
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -860,6 +864,62 @@ class EncNative:
                       eip, qs, lf, cf, deriver)
         self.ids = np.zeros(3, np.int32)
         self.sps = sps
+
+    def encode_picture_all(self, enc) -> float:
+        """Whole-picture CTU walk in one native call (WPP rate-context
+        inheritance + per-CTB AQ QP/lambda included) — replaces the
+        per-CTU Python loop when no per-row slice map is in use."""
+        sps, pps = self.sps, enc.pps
+        wc = sps.pic_width_in_ctbs_y
+        hc = sps.pic_height_in_ctbs_y
+        n = hc * wc
+        qp3 = np.empty((n, 3), np.int32)
+        lam3 = np.empty((n, 3), np.float64)
+        lam_me0 = float(getattr(enc, "lam_me", 0.0))
+        has_me = hasattr(enc, "lam_me")
+        if enc.qp_map is None:
+            qp3[:, 0] = enc.qp + sps.qp_bd_offset_y
+            qp3[:, 1] = enc.qp_cb + sps.qp_bd_offset_c
+            qp3[:, 2] = enc.qp_cr + sps.qp_bd_offset_c
+            lam3[:, 0] = enc.lam
+            lam3[:, 1] = enc.lam_bits
+            lam3[:, 2] = lam_me0
+        else:
+            from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
+            qs = np.asarray(enc.qp_map, np.int64).reshape(-1)
+            lam0 = getattr(enc, "_lam0", enc.lam)
+            lam = lam0 * 2.0 ** ((qs - enc._base_lam_qp) / 3.0)
+            lam3[:, 0] = lam
+            lam3[:, 1] = lam
+            lam3[:, 2] = np.sqrt(lam) if has_me else 0.0
+            qp3[:, 0] = qs + sps.qp_bd_offset_y
+            lo = -sps.qp_bd_offset_c
+
+            def cq(off):
+                return np.array(
+                    [chroma_qp_from_luma(int(max(lo, min(57, q + off))))
+                     for q in qs], np.int32) + sps.qp_bd_offset_c
+
+            qp3[:, 1] = cq(pps.pps_cb_qp_offset)
+            qp3[:, 2] = cq(pps.pps_cr_qp_offset)
+            # mirror the sequential loop's trailing _set_ctb_qp state
+            enc._set_ctb_qp(int(qs[-1]))
+        wpp = int(bool(pps.entropy_coding_sync_enabled_flag))
+        snap_rx = 1 if wc > 1 else 0
+        from turingcodec_tpu.cabac.engine import ContextPool
+        init = ContextPool()
+        init.initialize(enc.sh.init_type(), enc.sh.slice_qp_y)
+        init_states = bytes(init.states)
+        self.ids[:] = enc.next_id
+        states = enc.rd_ctx.states
+        ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
+        cost = self.lib.tc_enc_picture(
+            ctx, self.ids.ctypes.data, qp3.ctypes.data, lam3.ctypes.data,
+            wpp, snap_rx, init_states)
+        if cost < 0:
+            raise RuntimeError("native picture encode failed")
+        enc.next_id[:] = [int(v) for v in self.ids]
+        return cost
 
     def encode_ctu(self, enc, x0, y0) -> float:
         """Full RDO for the CTU at (x0, y0); advances enc.rd_ctx/next_id."""

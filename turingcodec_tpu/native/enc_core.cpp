@@ -2864,6 +2864,50 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));
 }
 
+// Encode a whole picture's CTUs (full RDO), replacing the per-CTU Python
+// loop (intra_search.encode_picture): WPP rate-context inheritance, per-CTB
+// QP/lambda (AQ), and the CTU raster walk all run natively in one call.
+// qp3: (hc*wc, 3) int32 [qp_y_full, qp_cb_full, qp_cr_full] per CTB;
+// lam3: (hc*wc, 3) double [lam, lam_bits, lam_me] per CTB;
+// init_states: fresh CABAC rate-context pool for WPP/slice re-init.
+// Returns total RD cost; negative on error.
+double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
+                      const double* lam3, int32_t wpp, int32_t snap_rx,
+                      const uint8_t* init_states) {
+    en.ctx = ctx;
+    en.ids = ids;
+    en.err = 0;
+    const int wc = (g_sp.pic_w + (1 << g_sp.ctb_log2) - 1) >> g_sp.ctb_log2;
+    const int hc = (g_sp.pic_h + (1 << g_sp.ctb_log2) - 1) >> g_sp.ctb_log2;
+    static thread_local uint8_t snap_ctx[512];
+    bool have_snap = false;
+    double total = 0.0;
+    for (int ry = 0; ry < hc; ry++)
+        for (int rx = 0; rx < wc; rx++) {
+            if (wpp && rx == 0 && ry > 0) {
+                // mirror the writer's WPP context inheritance
+                std::memcpy(ctx, have_snap ? snap_ctx : init_states,
+                            en.num_ctx);
+            }
+            const int64_t i = (int64_t)ry * wc + rx;
+            en.qp_full = qp3[i * 3];
+            en.qp_cb_full = qp3[i * 3 + 1];
+            en.qp_cr_full = qp3[i * 3 + 2];
+            en.lam = lam3[i * 3];
+            en.lam_bits = lam3[i * 3 + 1];
+            en.lam_me = lam3[i * 3 + 2];
+            total += decide_cqt(rx << g_sp.ctb_log2, ry << g_sp.ctb_log2,
+                                g_sp.ctb_log2, 0);
+            if (en.err)
+                return -1.0;
+            if (wpp && rx == snap_rx) {
+                std::memcpy(snap_ctx, ctx, en.num_ctx);
+                have_snap = true;
+            }
+        }
+    return total;
+}
+
 // Encode one CTU (full RDO). Returns the RD cost; negative on error.
 double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
                   int32_t qp_full, int32_t qp_cb_full, int32_t qp_cr_full,
