@@ -197,8 +197,17 @@ def get_lib():
         return None
     try:
         _LIB = _build_and_load()
-    except Exception:
-        _LIB = None  # fall back to the pure-Python path
+    except Exception as e:
+        # fall back to the pure-Python path, but never silently: a broken
+        # native build otherwise shows up only as a huge slowdown
+        import traceback
+        msg = str(e)
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            msg = e.stderr.decode(errors="replace")[-2000:]
+        print("turingcodec_tpu: native core unavailable, pure-Python "
+              "fallback in use:\n" + msg, file=sys.stderr)
+        traceback.print_exc(limit=2, file=sys.stderr)
+        _LIB = None
     return _LIB
 
 

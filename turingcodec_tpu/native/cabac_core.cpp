@@ -268,13 +268,15 @@ int residual_decode_core(Engine& e, uint8_t* ctx, int log2_size, int c_idx,
 // is z-order serial (each TU predicts from previous reconstructions), so it
 // stays on the host like the reference's native Decode path.
 
+// angle tables shared with the encoder's sweep kernel (core.h extern)
+int8_t g_angle[35];
+int16_t g_inv_angle[35];
+
 namespace {
 
 const int32_t* g_dct[6];  // log2 2..5 -> DCT matrix, [5]=DST4
 int32_t g_mat_store[4 * 4 + 8 * 8 + 16 * 16 + 32 * 32 + 16];
 int32_t g_level_scale[6];
-int8_t g_angle[35];
-int16_t g_inv_angle[35];
 
 inline int iclip(int lo, int hi, long long v) {
     return v < lo ? lo : (v > hi ? hi : (int)v);

@@ -206,6 +206,9 @@ void filter_intra_refs(int32_t* rt, int32_t* rl, int32_t* corner, int n,
 void intra_predict_core(int mode, const int32_t* rt, const int32_t* rl,
                         int32_t corner, int n, int c_idx, int bit_depth,
                         int disable_edge, int32_t* pred);
+// Angular prediction tables (spec 8.4.4.2.6; installed by tc_init_intra).
+extern int8_t g_angle[35];
+extern int16_t g_inv_angle[35];
 
 // Exact CABAC fractional-bit rate of residual_coding (cabac_core.cpp),
 // mutating ctx like the writer. -1 on an all-zero block.

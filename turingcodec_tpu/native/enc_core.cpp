@@ -636,11 +636,46 @@ void snap_restore(const Snap& s, int x0, int y0, int size) {
 
 // SATD-rank all 35 modes (intra_search._rank_modes). Returns candidate
 // count; cands filled in rank order.
+// Sweep-only angular prediction in scan-major layout: output rows are
+// always indexed by dpos, so for modes < 18 the block is the TRANSPOSE of
+// the spec layout. Contiguous stores for every mode; Hadamard SATD is
+// transpose-invariant, so ranking costs are bit-identical when compared
+// against the transposed original (intra_predict_core twin, spec 8.4.4.2.6
+// with disable_edge semantics).
+static void sweep_angular(int mode, const int32_t* rt, const int32_t* rl,
+                          int32_t corner, int n, int32_t* pred) {
+    const int angle = g_angle[mode];
+    int32_t main_arr[130];  // index offset n: ref[-n .. 2n+1]
+    const int32_t* ref_main = (mode >= 18) ? rt : rl;
+    const int32_t* ref_other = (mode >= 18) ? rl : rt;
+    main_arr[n] = corner;
+    for (int i = 0; i < 2 * n; i++)
+        main_arr[n + 1 + i] = ref_main[i];
+    main_arr[3 * n + 1] = ref_main[2 * n - 1];
+    if (angle < 0) {
+        int inv = g_inv_angle[mode];
+        int lo = (n * angle) >> 5;
+        for (int x = -1; x > lo - 1; x--) {
+            int idx = ((x * inv + 128) >> 8) - 1;
+            main_arr[n + x] = idx < 0 ? corner
+                : ref_other[idx < 2 * n - 1 ? idx : 2 * n - 1];
+        }
+    }
+    for (int dpos = 1; dpos <= n; dpos++) {
+        const int i_idx = (dpos * angle) >> 5;
+        const int i_fact = (dpos * angle) & 31;
+        const int32_t* m0 = main_arr + n + 1 + i_idx;
+        int32_t* row = pred + (dpos - 1) * n;
+        for (int j = 0; j < n; j++)
+            row[j] = ((32 - i_fact) * m0[j] + i_fact * m0[j + 1] + 16) >> 5;
+    }
+}
+
 int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
                int* out_cands) {
     LeafTimer pt(12);
-    static thread_local int32_t preds[35][32 * 32];
+    static thread_local int32_t pred[32 * 32], orig_t[32 * 32];
     const int bd = g_sp.bit_depth_y;
     int32_t frt[64], frl[64], fc = corner;
     bool have_f = n > 4;
@@ -651,24 +686,31 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
     }
     const int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
     int bs = n >= 8 ? 8 : 4;
+    // transposed original for the scan-major (mode < 18) comparisons
+    for (int y = 0; y < n; y++)
+        for (int x = 0; x < n; x++)
+            orig_t[x * n + y] = orig_b[y * n + x];
     struct MC {
         double cost;
         int mode;
     } mc[35];
-    // modes are independent; same per-mode values as the sequential sweep
-    #pragma omp parallel for schedule(dynamic, 4) if (n >= 8)
     for (int mode = 0; mode < 35; mode++) {
         bool filt = have_f && mode != 1
                  && (mode == 0
                      || std::min(std::abs(mode - 26), std::abs(mode - 10))
                             > thres);
-        if (filt)
-            intra_predict_core(mode, frt, frl, fc, n, 0, bd, 1,
-                               preds[mode]);
-        else
-            intra_predict_core(mode, rt, rl, corner, n, 0, bd, 1,
-                               preds[mode]);
-        int64_t satd = satd_region(orig_b, preds[mode], n, n, bs);
+        const int32_t* urt = filt ? frt : rt;
+        const int32_t* url = filt ? frl : rl;
+        const int32_t uc = filt ? fc : corner;
+        const int32_t* cmp = orig_b;
+        if (mode < 2) {
+            intra_predict_core(mode, urt, url, uc, n, 0, bd, 1, pred);
+        } else {
+            sweep_angular(mode, urt, url, uc, n, pred);
+            if (mode < 18)
+                cmp = orig_t;
+        }
+        int64_t satd = satd_region(cmp, pred, n, n, bs);
         int in_mpm = mode == cands_mpm[0] || mode == cands_mpm[1]
                   || mode == cands_mpm[2];
         mc[mode].cost = (double)satd + en.lam_bits * (in_mpm ? 2 : 6);
