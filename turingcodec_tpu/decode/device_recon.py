@@ -49,6 +49,16 @@ def _mc_plane(refs, ref_sel, mvx, mvy, bx4, by4, on, bs, taps, shift_mv,
                          mvy & frac_mask, bs, taps, bd)
 
 
+def _pad_pow2(n: int, lo: int = 16) -> int:
+    """Next power-of-two >= max(n, lo): batch dims are padded to these
+    buckets so XLA compiles one program per bucket instead of one per
+    picture (a tunneled TPU pays seconds per compile)."""
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
 def reconstruct_inter_device(plan, geom, ref_lists, recon):
     """Device twin of recon_vec.reconstruct_inter_batch: MC + residual add
     for all inter CUs, writing into the [y, cb, cr] int16 planes."""
@@ -64,22 +74,38 @@ def reconstruct_inter_device(plan, geom, ref_lists, recon):
     ref_stacks = []
     for lx in (0, 1):
         lst = ref_lists[lx] if lx < len(ref_lists) else []
-        planes = [np.stack([p.planes[c] for p in lst]) if lst else
-                  np.zeros((1, *recon[c].shape), np.int16) for c in range(3)]
+        rpad = _pad_pow2(max(len(lst), 1), 1)
+        planes = []
+        for c in range(3):
+            st = (np.stack([p.planes[c] for p in lst]) if lst else
+                  np.zeros((1, *recon[c].shape), np.int16))
+            if st.shape[0] < rpad:
+                st = np.concatenate(
+                    [st, np.zeros((rpad - st.shape[0], *st.shape[1:]),
+                                  np.int16)])
+            planes.append(st)
         ref_stacks.append(planes)
 
     by4, bx4 = np.nonzero(inter)
+    nb = len(bx4)
+    bpad = _pad_pow2(nb, 128)
+
+    def padded(a, fill=0):
+        out = np.full(bpad, fill, np.int32)
+        out[:nb] = a
+        return jnp.asarray(out)
+
     on = [None, None]
     p14_y = [None, None]
     p14_c = [[None, None], [None, None]]  # [cb/cr][list]
     for lx in (0, 1):
         r = plan.ref_idx[lx, by4, bx4].astype(np.int32)
-        on_l = jnp.asarray(r >= 0)
-        mvx = jnp.asarray(plan.mv[lx, by4, bx4, 0].astype(np.int32))
-        mvy = jnp.asarray(plan.mv[lx, by4, bx4, 1].astype(np.int32))
-        sel = jnp.asarray(np.maximum(r, 0))
-        jb_x = jnp.asarray(bx4.astype(np.int32))
-        jb_y = jnp.asarray(by4.astype(np.int32))
+        on_l = padded(r >= 0) > 0
+        mvx = padded(plan.mv[lx, by4, bx4, 0].astype(np.int32))
+        mvy = padded(plan.mv[lx, by4, bx4, 1].astype(np.int32))
+        sel = padded(np.maximum(r, 0))
+        jb_x = padded(bx4.astype(np.int32))
+        jb_y = padded(by4.astype(np.int32))
         on[lx] = on_l
         p14_y[lx] = _mc_plane(jnp.asarray(ref_stacks[lx][0]), sel, mvx, mvy,
                               jb_x, jb_y, on_l, 4, 8, 2, bd_y)
@@ -92,9 +118,10 @@ def reconstruct_inter_device(plan, geom, ref_lists, recon):
     pred_cb = _combine_uni_bi(p14_c[0][0], p14_c[0][1], on[0], on[1], bd_c)
     pred_cr = _combine_uni_bi(p14_c[1][0], p14_c[1][1], on[0], on[1], bd_c)
 
-    # scatter the (B, bs, bs) blocks into the planes (blocks are disjoint)
-    py, pcb, pcr = (np.asarray(pred_y), np.asarray(pred_cb),
-                    np.asarray(pred_cr))
+    # scatter the (B, bs, bs) blocks into the planes (blocks are disjoint;
+    # padded tail discarded)
+    py, pcb, pcr = (np.asarray(pred_y)[:nb], np.asarray(pred_cb)[:nb],
+                    np.asarray(pred_cr)[:nb])
     recon[0].reshape(h4, 4, w4, 4).transpose(0, 2, 1, 3)[by4, bx4] = py
     recon[1].reshape(h4, 2, w4, 2).transpose(0, 2, 1, 3)[by4, bx4] = pcb
     recon[2].reshape(h4, 2, w4, 2).transpose(0, 2, 1, 3)[by4, bx4] = pcr
@@ -154,13 +181,17 @@ def _inter_residuals_device(plan, recon):
         max_v = (1 << bd) - 1
         xs = np.array([t[0] for t in items])
         ys = np.array([t[1] for t in items])
-        qps = jnp.asarray(np.array([t[2] for t in items], np.int32))
-        blocks = jnp.asarray(np.stack(
-            [coeffp[y:y + n, x:x + n] for x, y in zip(xs, ys)]
-        ).astype(np.int32))
-        d = dequant_batch(blocks, qps, bd, log2)
+        nblk = len(items)
+        npad = _pad_pow2(nblk, 16)
+        qpa = np.zeros(npad, np.int32)
+        qpa[:nblk] = [t[2] for t in items]
+        qpa[nblk:] = qpa[0]  # padded blocks: zero levels, any valid qp
+        stacked = np.zeros((npad, n, n), np.int32)
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            stacked[k] = coeffp[y:y + n, x:x + n]
+        d = dequant_batch(jnp.asarray(stacked), jnp.asarray(qpa), bd, log2)
         res = inverse_transform_batch(d, bd, False)
-        res = np.asarray(res)
+        res = np.asarray(res)[:nblk]
         for k, (x, y) in enumerate(zip(xs, ys)):
             blk = rplane[y:y + n, x:x + n].astype(np.int32) + res[k]
             rplane[y:y + n, x:x + n] = np.clip(blk, 0, max_v)
