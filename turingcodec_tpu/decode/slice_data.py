@@ -50,6 +50,12 @@ def parse_slice_segment_data(plan, geom: PictureGeometry,
     ctb_addr_ts = int(geom.rs_to_ts[sh.slice_segment_address])
     snap_rx = 1 if wc > 1 else 0
 
+    if nat is not None:
+        # whole-slice native loop (WPP/tile substreams handled inside)
+        nat.parse_slice(ps, geom, sh, ctb_addr_ts)
+        nat.finish()
+        return ps.ctx.copy(), ps.last_cu_qp
+
     while True:
         ctb_addr_rs = geom.tile_scan_ctus[ctb_addr_ts]
         rx, ry = ctb_addr_rs % wc, ctb_addr_rs // wc

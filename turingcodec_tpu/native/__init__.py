@@ -185,6 +185,14 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.tc_parse_slice.restype = ctypes.c_int
+    lib.tc_parse_slice.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
     return lib
 
 
@@ -750,6 +758,49 @@ class SliceNative:
         self._cu_ptr = self.cu_rec.ctypes.data
         self._tu_ptr = self.tu_rec.ctypes.data
         self._counts_ptr = self.counts.ctypes.data
+
+    def parse_slice(self, ps, geom, sh, start_ts: int) -> int:
+        """Drive the whole slice_segment_data loop natively (WPP/tile
+        substream handling included). Returns the ts after the last CTU;
+        advances ps.dec / ps QP-chain / ps.ctx exactly like the Python
+        loop."""
+        dec = ps.dec
+        sps = self.plan.sps
+        self.qp_io[0] = ps.qp_y_pred
+        self.qp_io[1] = ps.last_cu_qp
+        self.qp_io[2] = int(ps.is_cu_qp_delta_coded)
+        self.qp_io[3] = ps.cu_qp_delta_val
+        states = dec.ctx.states
+        ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
+        pos = ctypes.c_int64(dec.pos)
+        rng = ctypes.c_int32(dec.range)
+        off = ctypes.c_int32(dec.offset)
+        end_ts = ctypes.c_int32(0)
+        from turingcodec_tpu.cabac.engine import ContextPool
+        init = ContextPool()
+        init.initialize(sh.init_type(), sh.slice_qp_y)
+        init_states = bytes(init.states)
+        tsc = np.ascontiguousarray(geom.tile_scan_ctus, np.int32)
+        wpp = int(bool(self.plan.pps.entropy_coding_sync_enabled_flag))
+        rc = self.lib.tc_parse_slice(
+            dec.data, 8 * len(dec.data), ctypes.byref(pos),
+            ctypes.byref(rng), ctypes.byref(off), ctx, start_ts, wpp,
+            len(states), init_states, tsc.ctypes.data, self._qp_ptr,
+            self._ids_ptr, self._cu_ptr, self._tu_ptr, self._counts_ptr,
+            ctypes.byref(end_ts))
+        if rc != 0:
+            raise ValueError(f"native slice parse failed (rc={rc}; "
+                             "corrupt stream?)")
+        dec.pos = pos.value
+        dec.range = rng.value
+        dec.offset = off.value
+        dec._cache = 0
+        dec._cache_bits = 0
+        ps.qp_y_pred = int(self.qp_io[0])
+        ps.last_cu_qp = int(self.qp_io[1])
+        ps.is_cu_qp_delta_coded = bool(self.qp_io[2])
+        ps.cu_qp_delta_val = int(self.qp_io[3])
+        return int(end_ts.value)
 
     def parse_ctu(self, ps, ctb_addr_rs: int):
         """Parse one CTU natively, advancing ps.dec and ps QP-chain state."""

@@ -1400,4 +1400,113 @@ int tc_parse_ctu(const uint8_t* data, int64_t nbits, int64_t* io_pos,
     return ps.err;
 }
 
+// Drive the whole slice_segment_data() CTU loop natively — the C++ twin of
+// decode/slice_data.parse_slice_segment_data (spec 7.3.8.1, 9.3.1): WPP
+// row context inheritance + snapshot, tile re-init, end_of_slice /
+// end_of_subset terminate bins and the byte-aligned substream restart.
+// init_states: fresh context pool (init_type, slice qp) for re-inits.
+// tile_scan_ctus: ts -> rs map (geom.tile_scan_ctus). Returns 0 on
+// success; out_end_ts gets the ts AFTER the last parsed CTU.
+int tc_parse_slice(const uint8_t* data, int64_t nbits, int64_t* io_pos,
+                   int32_t* io_range, int32_t* io_offset, uint8_t* ctx,
+                   int32_t start_ts, int32_t wpp, int32_t num_ctx,
+                   const uint8_t* init_states, const int32_t* tile_scan_ctus,
+                   int32_t* io_qp, int32_t* io_ids, int32_t* cu_rec,
+                   int32_t* tu_rec, int32_t* counts, int32_t* out_end_ts) {
+    PS ps{{data, nbits, *io_pos, (uint32_t)*io_range, (uint32_t)*io_offset},
+          ctx};
+    ps.qp_y_pred = io_qp[0];
+    ps.last_cu_qp = io_qp[1];
+    ps.qp_coded = io_qp[2];
+    ps.qp_delta = io_qp[3];
+    ps.ids = io_ids;
+    ps.cu_rec = cu_rec;
+    ps.tu_rec = tu_rec;
+    ps.counts = counts;
+    ps.err = 0;
+
+    const int wc = g_sp.wc, hc = g_sp.hc;
+    const int snap_rx = wc > 1 ? 1 : 0;
+    const int tiles = g_sp.tile_id != nullptr;
+    static thread_local uint8_t wpp_saved[512];
+    bool have_saved = false;
+    int64_t ts = start_ts;
+
+    while (true) {
+        const int rs = tile_scan_ctus[ts];
+        const int rx = rs % wc, ry = rs / wc;
+
+        if (wpp && rx == 0 && ry > 0 && ts > 0) {
+            // WPP row start: inherit from the above-right CTU's snapshot
+            // when that CTU is in the same slice and tile
+            int nx = wc > 1 ? 1 : 0;
+            bool ok = have_saved
+                && g_sp.slice_idx[(int64_t)(ry - 1) * wc + nx]
+                       == g_sp.slice_number
+                && (!tiles
+                    || g_sp.tile_id[(int64_t)(ry - 1) * wc + nx]
+                           == g_sp.tile_id[(int64_t)ry * wc + rx]);
+            std::memcpy(ctx, ok ? wpp_saved : init_states, num_ctx);
+            ps.qp_y_pred = g_sp.slice_qp_y;
+            ps.last_cu_qp = g_sp.slice_qp_y;
+        } else if (tiles && ts > 0 && !(wpp && rx == 0)) {
+            const int prs = tile_scan_ctus[ts - 1];
+            if (g_sp.tile_id[(int64_t)(prs / wc) * wc + prs % wc]
+                    != g_sp.tile_id[(int64_t)ry * wc + rx]) {
+                std::memcpy(ctx, init_states, num_ctx);
+                ps.qp_y_pred = g_sp.slice_qp_y;
+                ps.last_cu_qp = g_sp.slice_qp_y;
+            }
+        }
+
+        ps.last_pu_merge = 0;
+        g_sp.slice_idx[(int64_t)ry * wc + rx] = g_sp.slice_number;
+        if (g_sp.sao_luma || g_sp.sao_chroma)
+            parse_sao(ps, rx, ry);
+        parse_coding_quadtree(ps, rx << g_sp.ctb_log2, ry << g_sp.ctb_log2,
+                              g_sp.ctb_log2, 0);
+        if (ps.err)
+            break;
+
+        if (wpp && rx == snap_rx) {
+            std::memcpy(wpp_saved, ctx, num_ctx);
+            have_saved = true;
+        }
+
+        int end_of_slice = ps.e.decode_terminate();
+        ts++;
+        if (end_of_slice)
+            break;
+        if (ts >= (int64_t)wc * hc) {
+            ps.err = 2;  // slice data overruns picture
+            break;
+        }
+        const int nrs = tile_scan_ctus[ts];
+        bool new_tile = tiles
+            && g_sp.tile_id[(int64_t)(nrs / wc) * wc + nrs % wc]
+                   != g_sp.tile_id[(int64_t)ry * wc + rx];
+        bool new_row = wpp && (nrs % wc == 0);
+        if (new_tile || new_row) {
+            // end_of_subset_one_bit (must be 1), then restart the engine
+            // at the next byte boundary (alignment-bit semantics of
+            // BitReader.byte_alignment at pos-1)
+            if (ps.e.decode_terminate() != 1) {
+                ps.err = 3;
+                break;
+            }
+            ps.e.restart_at((ps.e.pos + 7) & ~(int64_t)7);
+        }
+    }
+
+    io_qp[0] = ps.qp_y_pred;
+    io_qp[1] = ps.last_cu_qp;
+    io_qp[2] = ps.qp_coded;
+    io_qp[3] = ps.qp_delta;
+    *io_pos = ps.e.pos;
+    *io_range = (int32_t)ps.e.range;
+    *io_offset = (int32_t)ps.e.offset;
+    *out_end_ts = (int32_t)ts;
+    return ps.err;
+}
+
 }  // extern "C"
