@@ -21,6 +21,66 @@ import numpy as np
 from turingcodec_tpu.hevc.params import Pps, SliceSegmentHeader, Sps
 
 
+class CuRecordList(list):
+    """plan.cu_list: CuInfo entries, materialized lazily.
+
+    The native slice parser leaves its raw (n, 8) cu / (m, 9) tu int32
+    record arrays in `.parts`; the native reconstruction paths consume
+    those directly (no Python objects). Any list-style access (iteration,
+    len, indexing — e.g. the numpy fallbacks, device_recon, WP path)
+    materializes CuInfo entries on first use. Record layout:
+    cu = (x0, y0, log2, pred_mode, part_mode, skip, tq_bypass, n_tus),
+    tu = (x0, y0, log2, blk_idx, x_base, y_base, cbf_y, cbf_cb, cbf_cr).
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.parts = []
+
+    def _materialize(self):
+        if not self.parts:
+            return
+        from turingcodec_tpu.decode.ctu_parse import CuInfo
+        parts, self.parts = self.parts, []
+        for cu_arr, tu_arr in parts:
+            tu_list = [tuple(t) for t in tu_arr.tolist()]
+            ti = 0
+            for (x0, y0, log2, pred, pm, skip, tqb, ntus) in \
+                    cu_arr.tolist():
+                cu = CuInfo()
+                cu.x0, cu.y0, cu.log2_size = x0, y0, log2
+                cu.pred_mode = pred
+                cu.part_mode = pm
+                cu.skip = bool(skip)
+                cu.tq_bypass = bool(tqb)
+                cu.tus = tu_list[ti:ti + ntus]
+                ti += ntus
+                self.append(cu)
+
+    def __iter__(self):
+        self._materialize()
+        return super().__iter__()
+
+    def __len__(self):
+        self._materialize()
+        return super().__len__()
+
+    def __getitem__(self, i):
+        self._materialize()
+        return super().__getitem__(i)
+
+    def record_arrays(self):
+        """(cu, tu) concatenated int32 record arrays, or None when the
+        records came from the Python parser as CuInfo objects."""
+        if not self.parts or super().__len__():
+            return None
+        cu = (np.concatenate([p[0] for p in self.parts])
+              if len(self.parts) > 1 else self.parts[0][0])
+        tu = (np.concatenate([p[1] for p in self.parts])
+              if len(self.parts) > 1 else self.parts[0][1])
+        return cu, tu
+
+
 @dataclass
 class PicturePlan:
     sps: Sps
@@ -66,13 +126,15 @@ class PicturePlan:
     # PCM raw samples (rare); list of (x0, y0, log2size, y, cb, cr arrays)
     pcm_samples: list = field(default_factory=list)
     # decode-order CU records (with TU leaf lists) for reconstruction replay
-    cu_list: list = field(default_factory=list)
+    cu_list: list = None  # CuRecordList, set in __post_init__
     # SAO: (Hc, Wc, 3) type  0=off 1=band 2=edge; class: edge dir or band pos
     sao_type: np.ndarray = None
     sao_class: np.ndarray = None       # (Hc, Wc, 3)
     sao_offsets: np.ndarray = None     # (Hc, Wc, 3, 4) int8
 
     def __post_init__(self):
+        if self.cu_list is None:
+            self.cu_list = CuRecordList()
         sps = self.sps
         w, h = sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples
         w4, h4 = w // 4, h // 4

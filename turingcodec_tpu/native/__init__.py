@@ -342,6 +342,47 @@ def _cu_tu_records(cus):
     return cu_arr, tu_arr
 
 
+def _recon_records(plan, pred_mode):
+    """(cu_arr, tu_arr) in the recon layout (x0, y0, log2, part, skip,
+    tqb, ntus, 0) for CUs of the given pred_mode, straight from the native
+    parser's record arrays when available (no CuInfo materialization).
+    Native parse never emits PCM CUs (try_create gates pcm streams)."""
+    raw = (plan.cu_list.record_arrays()
+           if hasattr(plan.cu_list, "record_arrays") else None)
+    if raw is None:
+        cus = [cu for cu in plan.cu_list
+               if cu.pred_mode == pred_mode and not cu.pcm]
+        if not cus:
+            return None, None
+        return _cu_tu_records(cus)
+    cu, tu = raw
+    sel = np.nonzero(cu[:, 3] == pred_mode)[0]
+    if not len(sel):
+        return None, None
+    ntus_all = cu[:, 7]
+    starts_all = np.zeros(len(cu), np.int64)
+    np.cumsum(ntus_all[:-1], out=starts_all[1:])
+    lengths = ntus_all[sel].astype(np.int64)
+    starts = starts_all[sel]
+    total = int(lengths.sum())
+    if total:
+        ends = np.cumsum(lengths)
+        idx = (np.arange(total, dtype=np.int64)
+               + np.repeat(starts - np.concatenate(([0], ends[:-1])),
+                           lengths))
+        tu_sel = np.ascontiguousarray(tu[idx])
+    else:
+        tu_sel = np.zeros((1, 9), np.int32)
+    out = np.empty((len(sel), 8), np.int32)
+    out[:, 0:3] = cu[sel, 0:3]
+    out[:, 3] = cu[sel, 4]
+    out[:, 4] = cu[sel, 5]
+    out[:, 5] = cu[sel, 6]
+    out[:, 6] = ntus_all[sel]
+    out[:, 7] = 0
+    return out, tu_sel
+
+
 def inter_recon(plan, geom, ref_lists, recon) -> bool:
     """MC + residual add for all inter CUs natively. False -> caller falls
     back to the numpy path (lib unavailable / unsupported stream shape)."""
@@ -354,11 +395,10 @@ def inter_recon(plan, geom, ref_lists, recon) -> bool:
     if sps.chroma_array_type != 1 or sps.scaling_list_enabled_flag:
         return False
 
-    cus = [cu for cu in plan.cu_list if cu.pred_mode == 0 and not cu.pcm]
-    if not cus:
+    cu_arr, tu_arr = _recon_records(plan, 0)
+    if cu_arr is None:
         return True
-    n_cu = len(cus)
-    cu_arr, tu_arr = _cu_tu_records(cus)
+    n_cu = len(cu_arr)
 
     ry, rcb, rcr = recon
     ref_ptrs = np.zeros(2 * 16 * 3, np.int64)
@@ -456,11 +496,10 @@ def intra_recon(pr) -> bool:
     if (sps.chroma_array_type != 1 or pr.scaling is not None
             or plan.pcm_samples or pr.refs._complex_bounds()):
         return False
-    cus = [cu for cu in plan.cu_list if cu.pred_mode == 1 and not cu.pcm]
-    if not cus:
+    cu_arr, tu_arr = _recon_records(plan, 1)
+    if cu_arr is None:
         return True
-    cu_arr, tu_arr = _cu_tu_records(cus)
-    tu_starts = np.zeros(len(cus) + 1, np.int64)
+    tu_starts = np.zeros(len(cu_arr) + 1, np.int64)
     np.cumsum(cu_arr[:, 6], out=tu_starts[1:])
 
     p = plan
@@ -480,7 +519,23 @@ def intra_recon(pr) -> bool:
     zscan32 = np.ascontiguousarray(geom.zscan, np.int32)
     strong = int(sps.strong_intra_smoothing_enabled_flag != 0)
 
-    n_cu = len(cus)
+    def cu_at(k):
+        # minimal CuInfo for the Python oracle (modes/QP come from the
+        # plan tensors, not the record)
+        from turingcodec_tpu.decode.ctu_parse import CuInfo
+        cu = CuInfo()
+        row = cu_arr[k]
+        cu.x0, cu.y0, cu.log2_size = int(row[0]), int(row[1]), int(row[2])
+        cu.pred_mode = 1
+        cu.part_mode = int(row[3])
+        cu.skip = bool(row[4])
+        cu.tq_bypass = bool(row[5])
+        s = int(tu_starts[k])
+        cu.tus = [tuple(t)
+                  for t in tu_arr[s:s + int(row[6])].tolist()]
+        return cu
+
+    n_cu = len(cu_arr)
     idx = 0
     while idx < n_cu:
         nxt = lib.tc_intra_recon(
@@ -491,7 +546,7 @@ def intra_recon(pr) -> bool:
             int(tu_starts[idx]), len(cb_off))
         if nxt >= n_cu:
             break
-        pr._recon_intra_cu(cus[nxt])  # unsupported CU: Python oracle
+        pr._recon_intra_cu(cu_at(nxt))  # unsupported CU: Python oracle
         idx = nxt + 1
     return True
 
@@ -832,24 +887,20 @@ class SliceNative:
         ps.cu_qp_delta_val = int(self.qp_io[3])
 
     def finish(self):
-        """Convert the CU/TU records into plan.cu_list CuInfo entries."""
-        from turingcodec_tpu.decode.ctu_parse import CuInfo
+        """Hand the raw CU/TU record arrays to the plan (materialized into
+        CuInfo lazily; the native recon paths read them directly)."""
         plan = self.plan
         n_cu, n_tu = int(self.counts[0]), int(self.counts[1])
         plan.id_counters[:] = [int(v) for v in self.ids]
-        cu_recs = self.cu_rec[:n_cu * 8].reshape(n_cu, 8).tolist()
-        tu_recs = self.tu_rec[:n_tu * 9].reshape(n_tu, 9).tolist()
-        ti = 0
-        for (x0, y0, log2, pred, pm, skip, tqb, ntus) in cu_recs:
-            cu = CuInfo()
-            cu.x0, cu.y0, cu.log2_size = x0, y0, log2
-            cu.pred_mode = pred
-            cu.part_mode = pm
-            cu.skip = bool(skip)
-            cu.tq_bypass = bool(tqb)
-            cu.tus = [tuple(t) for t in tu_recs[ti:ti + ntus]]
-            ti += ntus
-            plan.cu_list.append(cu)
+        cu_arr = self.cu_rec[:n_cu * 8].reshape(n_cu, 8).copy()
+        tu_arr = self.tu_rec[:n_tu * 9].reshape(n_tu, 9).copy()
+        if hasattr(plan.cu_list, "parts"):
+            plan.cu_list.parts.append((cu_arr, tu_arr))
+        else:  # plain list (defensive)
+            from turingcodec_tpu.decode.plan import CuRecordList
+            holder = CuRecordList()
+            holder.parts.append((cu_arr, tu_arr))
+            plan.cu_list.extend(holder)
 
 
 # ---- native encoder search core (enc_core.cpp) -----------------------------
