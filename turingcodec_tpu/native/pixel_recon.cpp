@@ -236,22 +236,61 @@ void residual_add(const int16_t* coeff, int cstride, int x0, int y0, int n,
         return;
     }
     const int32_t* m = rc.mats[log2];
-    for (int y = 0; y < n; y++)
+    // Two-stage IDCT with the cosine even/odd fold (m[k][n-1-j] ==
+    // +/- m[k][j]): half-length sums, int32 accumulators (|acc| <=
+    // 16*90*32767 per half < 2^26), contiguous inner dims. Exact integer
+    // regrouping — bit-identical to the plain product.
+    const int hn = n >> 1;
+    static thread_local int32_t accE[32], accO[32];
+    // stage 1: gg[y][x] = clip((sum_k m[k][y] d[k][x] + 64) >> 7)
+    for (int y = 0; y < hn; y++) {
         for (int x = 0; x < n; x++) {
-            int64_t acc = 0;
-            for (int k = 0; k < n; k++)
-                acc += (int64_t)m[k * n + y] * d[k * n + x];
-            gg[y * n + x] = iclip(-32768, 32767, (int)((acc + 64) >> 7));
+            accE[x] = 0;
+            accO[x] = 0;
         }
-    for (int y = 0; y < n; y++)
+        for (int k = 0; k < n; k += 2) {
+            const int32_t ce = m[k * n + y];
+            const int32_t co = m[(k + 1) * n + y];
+            const int32_t* de = d + k * n;
+            const int32_t* dd = d + (k + 1) * n;
+            for (int x = 0; x < n; x++) {
+                accE[x] += ce * de[x];
+                accO[x] += co * dd[x];
+            }
+        }
+        int32_t* gy = gg + y * n;
+        int32_t* gm = gg + (n - 1 - y) * n;
         for (int x = 0; x < n; x++) {
-            int64_t acc = 0;
-            for (int k = 0; k < n; k++)
-                acc += (int64_t)gg[y * n + k] * m[k * n + x];
-            int r = iclip(-32768, 32767, (int)((acc + rnd2) >> sh2));
-            int64_t i = (int64_t)(y0 + y) * pstride + (x0 + x);
-            plane[i] = (int16_t)iclip(0, max_v, plane[i] + r);
+            gy[x] = iclip(-32768, 32767, (accE[x] + accO[x] + 64) >> 7);
+            gm[x] = iclip(-32768, 32767, (accE[x] - accO[x] + 64) >> 7);
         }
+    }
+    // stage 2 (folded over x), fused with the strided plane add+clip
+    for (int y = 0; y < n; y++) {
+        const int32_t* gy = gg + y * n;
+        for (int x = 0; x < hn; x++) {
+            accE[x] = 0;
+            accO[x] = 0;
+        }
+        for (int k = 0; k < n; k += 2) {
+            const int32_t ge = gy[k];
+            const int32_t go = gy[k + 1];
+            const int32_t* me = m + k * n;
+            const int32_t* mo = m + (k + 1) * n;
+            for (int x = 0; x < hn; x++) {
+                accE[x] += ge * me[x];
+                accO[x] += go * mo[x];
+            }
+        }
+        int16_t* prow = plane + (int64_t)(y0 + y) * pstride + x0;
+        for (int x = 0; x < hn; x++) {
+            int r1 = iclip(-32768, 32767, (accE[x] + accO[x] + rnd2) >> sh2);
+            int r2 = iclip(-32768, 32767, (accE[x] - accO[x] + rnd2) >> sh2);
+            prow[x] = (int16_t)iclip(0, max_v, prow[x] + r1);
+            prow[n - 1 - x] =
+                (int16_t)iclip(0, max_v, prow[n - 1 - x] + r2);
+        }
+    }
 }
 
 // PU geometry per part mode (spec 6.4.1 partition table)
