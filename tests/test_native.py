@@ -122,3 +122,44 @@ def test_fwd_transform_folded_matches_oracle(n, bd):
             ref = np.asarray(forward_transform_np(res, bd, bool(use_dst)),
                              np.int32)
             assert np.array_equal(out, ref)
+
+
+def test_wpp_row_threads_bit_identical():
+    """Wavefront row threading (tc_enc_picture nthreads>1) produces the
+    byte-identical bitstream and reconstruction as the sequential walk —
+    the analogue of the reference signature rows sharing one expected hash
+    across thread counts (signature.cpp:228-237)."""
+    import hashlib
+
+    from turingcodec_tpu.encode.encoder import (EncoderConfig,
+                                                encode_yuv_stream)
+    if native.get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng2 = np.random.default_rng(7)
+    w, h = 192, 192  # 3x3 CTUs: enough rows for a real wavefront
+    n_frames = 4
+    base = rng2.integers(0, 256, (h, w), np.int32)
+    frames = []
+    for i in range(n_frames):
+        y = np.clip(np.roll(base, (2 * i, 3 * i), (0, 1))
+                    + rng2.integers(-4, 5, (h, w)), 0, 255)
+        u = np.clip(rng2.integers(100, 156, (h // 2, w // 2)), 0, 255)
+        frames.append(y.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes())
+    raw = b"".join(frames)
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=1,
+                        search_range=32, sdh=False)
+    results = {}
+    old = os.environ.get("TURING_TPU_ENC_THREADS")
+    try:
+        for t in (1, 3):
+            os.environ["TURING_TPU_ENC_THREADS"] = str(t)
+            bs, md5 = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+            results[t] = (hashlib.md5(bs).hexdigest(), md5)
+    finally:
+        if old is None:
+            os.environ.pop("TURING_TPU_ENC_THREADS", None)
+        else:
+            os.environ["TURING_TPU_ENC_THREADS"] = old
+    assert results[1] == results[3]

@@ -20,17 +20,18 @@ _LIB = None
 _TRIED = False
 
 
-def _build_and_load():
-    # The encoder's candidate loops carry OpenMP pragmas; on small/shared
-    # hosts the region overhead outweighs 2-way gains, so default to one
-    # thread. Set TURING_TPU_ENC_THREADS (or OMP_NUM_THREADS) to scale on
-    # real multi-core machines.
-    os.environ.setdefault("OMP_WAIT_POLICY", "PASSIVE")
+def enc_threads() -> int:
+    """WPP row threads for the native picture encode (TaskEncodeSubstream
+    analogue). Default = CPU count; output is bit-identical at any count
+    (reference signature.cpp's threads-1 row asserts the same invariant).
+    Override with TURING_TPU_ENC_THREADS (1 = sequential walk)."""
     nthr = os.environ.get("TURING_TPU_ENC_THREADS")
     if nthr:
-        os.environ["OMP_NUM_THREADS"] = nthr
-    else:
-        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        return max(1, int(nthr))
+    return os.cpu_count() or 1
+
+
+def _build_and_load():
     here = os.path.dirname(__file__)
     srcs = [os.path.join(here, f)
             for f in ("cabac_core.cpp", "slice_parse.cpp",
@@ -41,7 +42,7 @@ def _build_and_load():
     if not os.path.exists(so) or os.path.getmtime(so) < newest:
         # compiled at runtime on the host machine (the analogue of the
         # reference's xbyak JIT), so -march=native is safe
-        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                "-o", so + ".tmp"] + srcs
         if os.environ.get("TURING_TPU_NATIVE_PROF"):
             cmd.insert(1, "-DTC_ENC_PROF")
@@ -153,7 +154,7 @@ def _build_and_load():
     lib.tc_enc_picture.restype = ctypes.c_double
     lib.tc_enc_picture.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
     lib.tc_enc_ctu.argtypes = [
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -1026,7 +1027,7 @@ class EncNative:
         ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
         cost = self.lib.tc_enc_picture(
             ctx, self.ids.ctypes.data, qp3.ctypes.data, lam3.ctypes.data,
-            wpp, snap_rx, init_states)
+            wpp, snap_rx, init_states, enc_threads())
         if cost < 0:
             raise RuntimeError("native picture encode failed")
         enc.next_id[:] = [int(v) for v in self.ids]

@@ -21,6 +21,11 @@
 #include <cstring>
 #include <ctime>
 
+#include <array>
+#include <atomic>
+#include <thread>
+#include <vector>
+
 #ifdef __AVX2__
 #include <immintrin.h>
 #endif
@@ -70,7 +75,16 @@ struct EN {
     int32_t chroma_filt[8][4];
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
     int num_ctx, rcudepth;
-    // per-CTU state (tc_enc_ctu args)
+};
+
+EN en;
+
+// Per-CTU mutable state. thread_local so WPP rows can run on independent
+// threads (tc_enc_picture nthreads>1): each row thread owns its own CABAC
+// rate contexts, id counters, and lambda/QP operating point — the analogue
+// of the reference's one-TaskEncodeSubstream-per-row state
+// (TaskEncodeSubstream.cpp:151).
+struct EnCur {
     uint8_t* ctx;
     int32_t* ids;   // [cu, pu, tu]
     int qp_full, qp_cb_full, qp_cr_full;
@@ -78,7 +92,7 @@ struct EN {
     int err;
 };
 
-EN en;
+thread_local EnCur cur;
 
 inline int cw_() { return g_sp.pic_w >> 1; }
 inline int chh_() { return g_sp.pic_h >> 1; }
@@ -412,7 +426,7 @@ double residual_bits_est(const int16_t* levels, int nz, int log2, int c_idx,
         return 1.0;
     LeafTimer pt(8);
     static thread_local uint8_t ctx_copy[512];
-    std::memcpy(ctx_copy, en.ctx, en.num_ctx);
+    std::memcpy(ctx_copy, cur.ctx, en.num_ctx);
     int64_t frac = tc_residual_bits(ctx_copy, log2, c_idx,
                                     scan_for(log2, c_idx, mode, intra),
                                     g_sp.sdh_enabled, levels);
@@ -425,7 +439,7 @@ void commit_residual_ctx(const int16_t* levels, int nz, int log2, int c_idx,
                          int mode, int intra) {
     if (!nz)
         return;
-    tc_residual_bits(en.ctx, log2, c_idx, scan_for(log2, c_idx, mode, intra),
+    tc_residual_bits(cur.ctx, log2, c_idx, scan_for(log2, c_idx, mode, intra),
                      g_sp.sdh_enabled, levels);
 }
 
@@ -571,9 +585,9 @@ void snap_save(Snap& s, int x0, int y0, int size) {
             }
         }
     }
-    s.ids[0] = en.ids[0];
-    s.ids[1] = en.ids[1];
-    s.ids[2] = en.ids[2];
+    s.ids[0] = cur.ids[0];
+    s.ids[1] = cur.ids[1];
+    s.ids[2] = cur.ids[2];
 }
 
 void snap_restore(const Snap& s, int x0, int y0, int size) {
@@ -624,9 +638,9 @@ void snap_restore(const Snap& s, int x0, int y0, int size) {
             }
         }
     }
-    en.ids[0] = s.ids[0];
-    en.ids[1] = s.ids[1];
-    en.ids[2] = s.ids[2];
+    cur.ids[0] = s.ids[0];
+    cur.ids[1] = s.ids[1];
+    cur.ids[2] = s.ids[2];
     // NOTE: the rate-estimation context pool is deliberately NOT restored —
     // the Python oracle (intra_search._restore) lets transitions from
     // discarded trials accumulate, and the writer-side estimates track that.
@@ -713,7 +727,7 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
         int64_t satd = satd_region(cmp, pred, n, n, bs);
         int in_mpm = mode == cands_mpm[0] || mode == cands_mpm[1]
                   || mode == cands_mpm[2];
-        mc[mode].cost = (double)satd + en.lam_bits * (in_mpm ? 2 : 6);
+        mc[mode].cost = (double)satd + cur.lam_bits * (in_mpm ? 2 : 6);
         mc[mode].mode = mode;
     }
     std::stable_sort(mc, mc + 35,
@@ -888,7 +902,7 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int mode,
         int16_t* plane_r = en.rec[ci + 1];
         int16_t* coeffp = ci == 0 ? g_sp.coeff_cb : g_sp.coeff_cr;
         uint8_t* cbfp = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
-        int qp = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+        int qp = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
         gather32(plane_o, cw_(), cx, cy, cs, orig_c);
         build_intra_refs(plane_r, cw_(), chh_(), en.zscan32, g_sp.w4, cx, cy,
                          cs, 2, bd_c, rt, rl, &corner);
@@ -900,7 +914,7 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int mode,
         double cbits = residual_bits_est(t.levels, t.nz, clog2, ci + 1, mode,
                                          1);
         commit_residual_ctx(t.levels, t.nz, clog2, ci + 1, mode, 1);
-        cost += t.dist + en.lam * cbits;
+        cost += t.dist + cur.lam * cbits;
         scatter16(plane_r, cw_(), cx, cy, cs, t.rec);
     }
     return cost;
@@ -915,10 +929,10 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)1);
     fillq(g_sp.part_mode, x0, y0, size, (uint8_t)0);
     fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
-    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
-    fillq(g_sp.pu_id, x0, y0, size, en.ids[1]);
-    en.ids[0]++;
-    en.ids[1]++;
+    fillq(g_sp.cu_id, x0, y0, size, cur.ids[0]);
+    fillq(g_sp.pu_id, x0, y0, size, cur.ids[1]);
+    cur.ids[0]++;
+    cur.ids[1]++;
 
     static thread_local int32_t orig_y[64 * 64], pred[64 * 64];
     gather32(en.orig[0], g_sp.pic_w, x0, y0, size, orig_y);
@@ -944,12 +958,12 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
         fc = corner;
         filter_intra_refs(frt, frl, &fc, size, mode, en.strong, bd);
         intra_predict_core(mode, frt, frl, fc, size, 0, bd, 0, pred);
-        try_tb(orig_y, pred, size, log2, en.qp_full, bd, use_dst, 1,
+        try_tb(orig_y, pred, size, log2, cur.qp_full, bd, use_dst, 1,
                scan_for(log2, 0, mode, 1), trial);
         int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
         double rate = residual_bits_est(trial.levels, trial.nz, log2, 0,
                                         mode, 1) + (in_mpm ? 2 : 6);
-        double cost = trial.dist + en.lam * rate;
+        double cost = trial.dist + cur.lam * rate;
         if (best_mode < 0 || cost < best_cost) {
             best_cost = cost;
             best_mode = mode;
@@ -960,8 +974,8 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     fillq(g_sp.intra_mode_y, x0, y0, size, (uint8_t)best_mode);
     fillq(g_sp.intra_mode_c, x0, y0, size, (uint8_t)best_mode);
     fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)log2);
-    fillq(g_sp.tu_id, x0, y0, size, en.ids[2]);
-    en.ids[2]++;
+    fillq(g_sp.tu_id, x0, y0, size, cur.ids[2]);
+    cur.ids[2]++;
     scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, best_t.levels);
     fillq(g_sp.cbf_y, x0, y0, size, (uint8_t)(best_t.nz ? 1 : 0));
     scatter16(en.rec[0], g_sp.pic_w, x0, y0, size, best_t.rec);
@@ -981,8 +995,8 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
     fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)1);
     fillq(g_sp.part_mode, x0, y0, size, (uint8_t)3);  // PART_NxN
     fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
-    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
-    en.ids[0]++;
+    fillq(g_sp.cu_id, x0, y0, size, cur.ids[0]);
+    cur.ids[0]++;
     fillq(g_sp.ref_idx, x0, y0, size, (int8_t)-1);
     fillq(g_sp.ref_idx + plane4, x0, y0, size, (int8_t)-1);
 
@@ -994,8 +1008,8 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
     for (int i = 0; i < 4; i++) {
         int xb = x0 + (i & 1) * half;
         int yb = y0 + (i >> 1) * half;
-        fillq(g_sp.pu_id, xb, yb, half, en.ids[1]);
-        en.ids[1]++;
+        fillq(g_sp.pu_id, xb, yb, half, cur.ids[1]);
+        cur.ids[1]++;
         gather32(en.orig[0], g_sp.pic_w, xb, yb, half, orig_b);
         build_intra_refs(en.rec[0], g_sp.pic_w, g_sp.pic_h, en.zscan32,
                          g_sp.w4, xb, yb, half, 1, bd, rt, rl, &corner);
@@ -1010,12 +1024,12 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
         for (int k = 0; k < ncand; k++) {
             int mode = cands[k];
             intra_predict_core(mode, rt, rl, corner, half, 0, bd, 0, pred);
-            try_tb(orig_b, pred, half, 2, en.qp_full, bd, 1, 1,
+            try_tb(orig_b, pred, half, 2, cur.qp_full, bd, 1, 1,
                    scan_for(2, 0, mode, 1), trial);
             int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
             double rate = residual_bits_est(trial.levels, trial.nz, 2, 0,
                                             mode, 1) + (in_mpm ? 2 : 6);
-            double c = trial.dist + en.lam * rate;
+            double c = trial.dist + cur.lam * rate;
             if (best_mode < 0 || c < best_cost) {
                 best_cost = c;
                 best_mode = mode;
@@ -1027,8 +1041,8 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
         modes[i] = best_mode;
         fillq(g_sp.intra_mode_y, xb, yb, half, (uint8_t)best_mode);
         fillq(g_sp.tu_log2, xb, yb, half, (uint8_t)2);
-        fillq(g_sp.tu_id, xb, yb, half, en.ids[2]);
-        en.ids[2]++;
+        fillq(g_sp.tu_id, xb, yb, half, cur.ids[2]);
+        cur.ids[2]++;
         scatter_lv(g_sp.coeff_y, g_sp.pic_w, xb, yb, half, best_t.levels);
         fillq(g_sp.cbf_y, xb, yb, half, (uint8_t)(best_t.nz ? 1 : 0));
         scatter16(en.rec[0], g_sp.pic_w, xb, yb, half, best_t.rec);
@@ -1173,7 +1187,9 @@ struct FpCache {
     }
 };
 
-FpCache fp_cache;
+// thread_local: concurrent WPP row threads each run their own ME; a shared
+// cache would let one row's probe costs leak into another's search
+thread_local FpCache fp_cache;
 
 void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
                      int lx, int ref, const int mvp[2],
@@ -1188,7 +1204,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             int64_t sad = sad_at(orig, w, h, plane, g_sp.pic_w, g_sp.pic_h,
                                  x0 + ix, y0 + iy);
             c = (double)sad
-              + en.lam_me * mv_bits(4 * ix - mvp[0], 4 * iy - mvp[1]);
+              + cur.lam_me * mv_bits(4 * ix - mvp[0], 4 * iy - mvp[1]);
             fp_cache.put(ix, iy, c);
         }
         return c;
@@ -1225,8 +1241,6 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
                 np_++;
             }
             double pc[8];
-            // probes are independent; values identical to sequential
-            #pragma omp parallel for schedule(static) if (np_ > 2 && (int64_t)w * h >= 32 * 32)
             for (int i = 0; i < np_; i++) {
                 double c;
                 if (!fp_cache.get(pix[i], piy[i], &c)) {
@@ -1234,7 +1248,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
                                          g_sp.pic_h, x0 + pix[i],
                                          y0 + piy[i]);
                     c = (double)sad
-                      + en.lam_me * mv_bits(4 * pix[i] - mvp[0],
+                      + cur.lam_me * mv_bits(4 * pix[i] - mvp[0],
                                             4 * piy[i] - mvp[1]);
                 }
                 pc[i] = c;
@@ -1287,7 +1301,7 @@ void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
             pred[i] = clip3i(0, max_v, (p14[i] + (1 << (sh4 - 1))) >> sh4);
         int64_t satd = satd_region(orig, pred, w, h, bs);
         return (double)satd
-             + en.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
+             + cur.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
     };
     static const int dirs[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
                                    {1, 1}, {-1, -1}, {1, -1}, {-1, 1}};
@@ -1309,9 +1323,6 @@ void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
             pmy[d] = by + dirs[d][1] * step;
             fresh[d] = !cached(pmx[d], pmy[d], &pcs[d]);
         }
-        // probes are independent; values identical to sequential
-        #pragma omp parallel for schedule(dynamic, 1) \
-            if ((int64_t)w * h >= 32 * 32)
         for (int d = 0; d < 8; d++)
             if (fresh[d])
                 pcs[d] = raw_cost(pmx[d], pmy[d]);
@@ -1383,7 +1394,7 @@ void bi_refine(const int32_t* orig, int x0, int y0, int w, int h,
                     0, maxv,
                     (t14[i] + (o14[i] + (1 << shift))) >> (shift + 1));
             return (double)satd_region(orig, pred, w, h, bs)
-                 + en.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
+                 + cur.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
         };
         int bx = mv_bi[lx][0], by = mv_bi[lx][1];
         double bc = raw_cost(bx, by);
@@ -1466,7 +1477,7 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
         int ref[2] = {c.r0 < 0 ? 0 : c.r0, c.r1 < 0 ? 0 : c.r1};
         pred_luma_for_motion(pf, mv, ref, px, py, pw, ph, pred);
         double cost = (double)satd_region(orig, pred, pw, ph, bs)
-                    + en.lam_me * (2 + mi);
+                    + cur.lam_me * (2 + mi);
         if (!have || cost < best_cost) {
             best_cost = cost;
             best.kind = 0;
@@ -1505,7 +1516,7 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
         int ref[2] = {0, 0};
         pred_luma_for_motion(pf, mv, ref, px, py, pw, ph, pred);
         double cost = (double)satd_region(orig, pred, pw, ph, bs)
-                    + en.lam_me * (3 + std::min(bits0, bits1));
+                    + cur.lam_me * (3 + std::min(bits0, bits1));
         if (!have || cost < best_cost) {
             best_cost = cost;
             best.kind = 1;
@@ -1666,7 +1677,7 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
     }
     snap_restore(*state, x0, y0, size);
     double cost_intra = encode_intra_cu(x0, y0, log2, depth)
-                      + en.lam_bits * 2;  // pred_mode flag bits
+                      + cur.lam_bits * 2;  // pred_mode flag bits
     if (cost_best <= cost_intra) {
         snap_restore(*best_state, x0, y0, size);
         snap_free(state);
@@ -1689,9 +1700,9 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
     fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)0);
     fillq(g_sp.part_mode, x0, y0, size, (uint8_t)part);
     fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
-    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
+    fillq(g_sp.cu_id, x0, y0, size, cur.ids[0]);
     fillq(g_sp.skip_flag, x0, y0, size, (uint8_t)0);
-    en.ids[0]++;
+    cur.ids[0]++;
 
     int geo[4][4];
     int n_pu = pu_rects(x0, y0, size, part, geo);
@@ -1703,8 +1714,8 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
     for (int pi = 0; pi < n_pu; pi++) {
         int px = geo[pi][0], py = geo[pi][1], pw = geo[pi][2],
             ph = geo[pi][3];
-        fillq_wh(g_sp.pu_id, px, py, pw, ph, en.ids[1]);
-        en.ids[1]++;
+        fillq_wh(g_sp.pu_id, px, py, pw, ph, cur.ids[1]);
+        cur.ids[1]++;
         int cb_info[6] = {x0, y0, size, pw, ph, pi};
         PuChoice ch;
         search_pu(px, py, pw, ph, cb_info, pi, part, &ch);
@@ -1760,13 +1771,13 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
                 res[y * qh + x] = oy_b[y * qh + x] - py_b[y * qh + x];
             }
         fwd_transform(res, qh, bd, 0, coeffs);
-        int nz = quantize(coeffs, qh, en.qp_full, bd, log2 - 1, 0, levels);
+        int nz = quantize(coeffs, qh, cur.qp_full, bd, log2 - 1, 0, levels);
         if (nz && g_sp.sdh_enabled)
-            apply_sdh_c(levels, coeffs, en.qp_full, bd, log2 - 1, 0);
+            apply_sdh_c(levels, coeffs, cur.qp_full, bd, log2 - 1, 0);
         int max_v = (1 << bd) - 1;
         if (nz) {
             std::memcpy(rec_b, py_b, qh * qh * 4);
-            dequant_idct_add(levels, qh, qh, log2 - 1, en.qp_full, bd, 0,
+            dequant_idct_add(levels, qh, qh, log2 - 1, cur.qp_full, bd, 0,
                              rec_b);
             for (int i = 0; i < qh * qh; i++)
                 rec_b[i] = clip3i(0, max_v, rec_b[i]);
@@ -1780,8 +1791,8 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
         scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0 + dx, y0 + dy, qh, levels);
         fillq(g_sp.cbf_y, x0 + dx, y0 + dy, qh, (uint8_t)(nz ? 1 : 0));
         fillq(g_sp.tu_log2, x0 + dx, y0 + dy, qh, (uint8_t)(log2 - 1));
-        fillq(g_sp.tu_id, x0 + dx, y0 + dy, qh, en.ids[2]);
-        en.ids[2]++;
+        fillq(g_sp.tu_id, x0 + dx, y0 + dy, qh, cur.ids[2]);
+        cur.ids[2]++;
         for (int i = 0; i < qh * qh; i++) {
             int64_t e = rec_b[i] - oy_b[i];
             dist += (double)(e * e);
@@ -1796,7 +1807,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
             int16_t* rplane = en.rec[ci + 1];
             int16_t* coeff_pl = ci == 0 ? g_sp.coeff_cb : g_sp.coeff_cr;
             uint8_t* cbf_pl = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
-            int qp_c = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+            int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
             for (int y = 0; y < chh2; y++)
                 for (int x = 0; x < chh2; x++) {
                     oy_b[y * chh2 + x] =
@@ -1833,7 +1844,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
             }
         }
     }
-    return dist + en.lam * rate;
+    return dist + cur.lam * rate;
 }
 
 // inter_search._encode_inter_cu: 2Nx2N merge/skip/AMVP decision
@@ -1853,10 +1864,10 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     fillq(g_sp.cu_pred_mode, x0, y0, size, (uint8_t)0);
     fillq(g_sp.part_mode, x0, y0, size, (uint8_t)0);
     fillq(g_sp.cu_size_log2, x0, y0, size, (uint8_t)log2);
-    fillq(g_sp.cu_id, x0, y0, size, en.ids[0]);
-    fillq(g_sp.pu_id, x0, y0, size, en.ids[1]);
-    en.ids[0]++;
-    en.ids[1]++;
+    fillq(g_sp.cu_id, x0, y0, size, cur.ids[0]);
+    fillq(g_sp.pu_id, x0, y0, size, cur.ids[1]);
+    cur.ids[0]++;
+    cur.ids[1]++;
 
     Cand merge_cands[5];
     int n_merge = sp_merge_candidates(x0, y0, size, x0, y0, size, size, 0, 0,
@@ -1902,7 +1913,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         pred_luma_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
                              pl);
         s.sc = (double)satd_region(orig_y, pl, size, size, 8)
-             + en.lam_me * (2 + mi);
+             + cur.lam_me * (2 + mi);
         n_scored++;
     }
     // AMVP per list + bi
@@ -1959,7 +1970,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         pred_luma_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
                              pl);
         s.sc = (double)satd_region(orig_y, pl, size, size, 8)
-             + en.lam_me * (3 + std::min(bits0, bits1));
+             + cur.lam_me * (3 + std::min(bits0, bits1));
         n_scored++;
     }
     if (n_lists == 2) {
@@ -1991,7 +2002,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         pred_luma_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
                              pl);
         s.sc = (double)satd_region(orig_y, pl, size, size, 8)
-             + en.lam_me * 6;
+             + cur.lam_me * 6;
         n_scored++;
     }
 
@@ -2047,13 +2058,13 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                                         - pq_b[y * qh + x];
                     }
                 fwd_transform(res, qh, bd, 0, coeffs);
-                int nz = quantize(coeffs, qh, en.qp_full, bd, log2 - 1, 0,
+                int nz = quantize(coeffs, qh, cur.qp_full, bd, log2 - 1, 0,
                                   qlv);
                 if (nz && g_sp.sdh_enabled)
-                    apply_sdh_c(qlv, coeffs, en.qp_full, bd, log2 - 1, 0);
+                    apply_sdh_c(qlv, coeffs, cur.qp_full, bd, log2 - 1, 0);
                 if (nz) {
                     std::memcpy(rq_b, pq_b, qh * qh * 4);
-                    dequant_idct_add(qlv, qh, qh, log2 - 1, en.qp_full, bd,
+                    dequant_idct_add(qlv, qh, qh, log2 - 1, cur.qp_full, bd,
                                      0, rq_b);
                     for (int i = 0; i < qh * qh; i++)
                         rq_b[i] = clip3i(0, max_v, rq_b[i]);
@@ -2076,7 +2087,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                     const int32_t* p_c = ci == 0 ? cpcb : cpcr;
                     int16_t* lvp = ci == 0 ? lv_cb : lv_cr;
                     int32_t* recp = ci == 0 ? rec_cb : rec_cr;
-                    int qp_c = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+                    int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
                     for (int y = 0; y < chh2; y++)
                         for (int x = 0; x < chh2; x++) {
                             oy_b[y * chh2 + x] =
@@ -2127,7 +2138,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                     if ((s.amvp_mask >> l) & 1)
                         rate += mv_bits(s.mvd[l][0], s.mvd[l][1]);
             }
-            double cost = dist + en.lam * rate;
+            double cost = dist + cur.lam * rate;
             int has_coeff = (nz_y || nz_cb || nz_cr) ? 1 : 0;
             if (best_i < 0 || cost < best_cost) {
                 best_cost = cost;
@@ -2172,7 +2183,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                         if ((s.amvp_mask >> l) & 1)
                             rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
                 }
-                double cost0 = dist0 + en.lam * rate0;
+                double cost0 = dist0 + cur.lam * rate0;
                 if (cost0 < best_cost) {
                     best_cost = cost0;
                     best_i = order[k];
@@ -2248,8 +2259,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         // per-quadrant TU records + contexts in writer order (z-scan)
         for (int zi = 0; zi < 4; zi++) {
             int dy = zoff[zi][0] * qh, dx = zoff[zi][1] * qh;
-            fillq(g_sp.tu_id, x0 + dx, y0 + dy, qh, en.ids[2]);
-            en.ids[2]++;
+            fillq(g_sp.tu_id, x0 + dx, y0 + dy, qh, cur.ids[2]);
+            cur.ids[2]++;
             int nzq = 0, nzqb = 0, nzqr = 0;
             for (int y = 0; y < qh && !nzq; y++)
                 for (int x = 0; x < qh; x++)
@@ -2309,13 +2320,13 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         for (int i = 0; i < size * size; i++)
             res[i] = orig_y[i] - cpy[i];
         fwd_transform(res, size, bd, 0, coeffs);
-        int nz_y = quantize(coeffs, size, en.qp_full, bd, log2, 0, lv_y);
+        int nz_y = quantize(coeffs, size, cur.qp_full, bd, log2, 0, lv_y);
         if (nz_y && g_sp.sdh_enabled)
-            apply_sdh_c(lv_y, coeffs, en.qp_full, bd, log2, 0);
+            apply_sdh_c(lv_y, coeffs, cur.qp_full, bd, log2, 0);
         int max_v = (1 << bd) - 1;
         if (nz_y) {
             std::memcpy(rec_y, cpy, size * size * 4);
-            dequant_idct_add(lv_y, size, size, log2, en.qp_full, bd, 0,
+            dequant_idct_add(lv_y, size, size, log2, cur.qp_full, bd, 0,
                              rec_y);
             for (int i = 0; i < size * size; i++)
                 rec_y[i] = clip3i(0, max_v, rec_y[i]);
@@ -2330,7 +2341,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             const int32_t* p = ci == 0 ? cpcb : cpcr;
             int16_t* lv = ci == 0 ? lv_cb : lv_cr;
             int32_t* rc2 = ci == 0 ? rec_cb : rec_cr;
-            int qp_c = ci == 0 ? en.qp_cb_full : en.qp_cr_full;
+            int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
             for (int i = 0; i < cs * cs; i++)
                 res[i] = o[i] - p[i];
             fwd_transform(res, cs, bd_c, 0, coeffs);
@@ -2374,7 +2385,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 if ((s.amvp_mask >> l) & 1)
                     rate += mv_bits(s.mvd[l][0], s.mvd[l][1]);
         }
-        double cost = dist + en.lam * rate;
+        double cost = dist + cur.lam * rate;
         int has_coeff = (nz_y || nz_cb || nz_cr) ? 1 : 0;
         // (Python subtracts lam*(coeff_rate(zero)-1) == 0 for merge-skip)
         if (best_i < 0 || cost < best_cost) {
@@ -2421,7 +2432,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                     if ((s.amvp_mask >> l) & 1)
                         rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
             }
-            double cost0 = dist0 + en.lam * rate0;
+            double cost0 = dist0 + cur.lam * rate0;
             if (cost0 < best_cost) {
                 best_cost = cost0;
                 best_i = order[k];
@@ -2492,8 +2503,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     }
     int tl = log2 < g_sp.max_tb_log2 ? log2 : g_sp.max_tb_log2;
     fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)tl);
-    fillq(g_sp.tu_id, x0, y0, size, en.ids[2]);
-    en.ids[2]++;
+    fillq(g_sp.tu_id, x0, y0, size, cur.ids[2]);
+    cur.ids[2]++;
     commit_residual_ctx(b_lv_y, b_nz_y, log2, 0, 0, 0);
     commit_residual_ctx(b_lv_cb, b_nz_cb, log2 - 1, 1, 0, 0);
     commit_residual_ctx(b_lv_cr, b_nz_cr, log2 - 1, 2, 0, 0);
@@ -2585,7 +2596,7 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     if (rcu_st && ((depth == 0 && rcu_st >= 2)
                    || (depth == 1 && rcu_st == 3))) {
         int half_r = size >> 1;
-        double cost_split = en.lam_bits * 2;
+        double cost_split = cur.lam_bits * 2;
         static const int qr[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
         for (int i = 0; i < 4; i++)
             cost_split += decide_cqt(x0 + qr[i][0] * half_r,
@@ -2597,14 +2608,14 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     Snap* state = snap_new();
     snap_save(*state, x0, y0, size);
     double cost_here = encode_cu_dispatch(x0, y0, log2, depth)
-                     + en.lam_bits * 2;
+                     + cur.lam_bits * 2;
     if (log2 == g_sp.min_cb_log2) {
         if (g_sp.is_i || g_sp.cu_pred_mode[idx4(x0, y0)] == 1) {
             Snap* here = snap_new();
             snap_save(*here, x0, y0, size);
             snap_restore(*state, x0, y0, size);
             double cost_nxn = encode_intra_nxn(x0, y0, log2, depth)
-                            + en.lam_bits * 2;
+                            + cur.lam_bits * 2;
             if (cost_nxn < cost_here) {
                 snap_free(here);
                 snap_free(state);
@@ -2635,7 +2646,7 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     snap_free(state);
 
     int half = size >> 1;
-    double cost_split = en.lam_bits * 2;
+    double cost_split = cur.lam_bits * 2;
     static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
     for (int i = 0; i < 4; i++)
         cost_split += decide_cqt(x0 + q[i][0] * half, y0 + q[i][1] * half,
@@ -2788,6 +2799,97 @@ void sao_apply(uint8_t* sao_type, uint8_t* sao_class, int8_t* sao_offsets,
     }
 }
 
+// ------------------------------------------------- wavefront row threading
+// The TaskEncodeSubstream analogue (reference TaskEncodeSubstream.cpp:55-184,
+// SURVEY §2.7 axis 1): one logical task per CTU row, scheduled round-robin
+// over nthreads OS threads with the standard WPP wavefront lag — CTU
+// (rx, ry) may start once the row above has finished CTU rx+1 (top-right
+// neighbour rule, TaskEncodeSubstream.cpp:62-69). Decisions are
+// bit-identical to the sequential walk: the rate contexts evolve per row
+// exactly as WPP inheritance dictates, and every cross-row read (intra
+// reference samples, merge/AMVP neighbours, ct_depth pruning) stays behind
+// the wavefront. Only the cu/pu/tu id numbering differs (per-CTU bases);
+// ids are only ever compared for equality across block edges, so the
+// bitstream and reconstruction are byte-identical with the 1-thread walk
+// (asserted in tests/test_native.py).
+struct RowProgress {
+    std::atomic<int> done{0};
+    char pad[64 - sizeof(std::atomic<int>)];  // avoid false sharing
+};
+
+double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
+                      const double* lam3, int snap_rx,
+                      const uint8_t* init_states, int nthreads, int wc,
+                      int hc) {
+    const int T = std::min(nthreads, hc);
+    const int nctx = en.num_ctx;
+    std::vector<RowProgress> prog(hc);
+    std::vector<std::array<uint8_t, 512>> snaps(hc);
+    std::vector<double> ctu_cost((size_t)wc * hc, 0.0);
+    std::atomic<int> err{0};
+
+    auto worker = [&](int tid) {
+        alignas(64) uint8_t myctx[512];
+        int32_t myids[3];
+        for (int ry = tid; ry < hc; ry += T) {
+            if (ry == 0)
+                std::memcpy(myctx, ctx, nctx);
+            cur.ctx = myctx;
+            cur.ids = myids;
+            for (int rx = 0; rx < wc; rx++) {
+                if (ry > 0) {
+                    const int need = std::min(wc, rx + 2);
+                    while (prog[ry - 1].done.load(std::memory_order_acquire)
+                           < need) {
+                        if (err.load(std::memory_order_relaxed))
+                            return;
+                        std::this_thread::yield();
+                    }
+                    if (rx == 0)  // WPP inheritance from the row above
+                        std::memcpy(myctx, snaps[ry - 1].data(), nctx);
+                }
+                const int64_t i = (int64_t)ry * wc + rx;
+                cur.qp_full = qp3[i * 3];
+                cur.qp_cb_full = qp3[i * 3 + 1];
+                cur.qp_cr_full = qp3[i * 3 + 2];
+                cur.lam = lam3[i * 3];
+                cur.lam_bits = lam3[i * 3 + 1];
+                cur.lam_me = lam3[i * 3 + 2];
+                // per-CTU id bases keep ids unique without a shared counter
+                myids[0] = myids[1] = myids[2] = (int32_t)(i * 512);
+                cur.err = 0;
+                ctu_cost[i] = decide_cqt(rx << g_sp.ctb_log2,
+                                         ry << g_sp.ctb_log2,
+                                         g_sp.ctb_log2, 0);
+                if (cur.err) {
+                    err.store(1, std::memory_order_relaxed);
+                    return;
+                }
+                if (rx == snap_rx)
+                    std::memcpy(snaps[ry].data(), myctx, nctx);
+                prog[ry].done.store(rx + 1, std::memory_order_release);
+            }
+            if (ry == hc - 1)  // caller continues from the last row's state
+                std::memcpy(ctx, myctx, nctx);
+        }
+    };
+
+    std::vector<std::thread> threads;
+    threads.reserve(T - 1);
+    for (int t = 1; t < T; t++)
+        threads.emplace_back(worker, t);
+    worker(0);
+    for (auto& th : threads)
+        th.join();
+    if (err.load())
+        return -1.0;
+    ids[0] = ids[1] = ids[2] = (int32_t)((int64_t)wc * hc * 512);
+    double total = 0.0;  // raster-order sum: identical FP result
+    for (size_t i = 0; i < ctu_cost.size(); i++)
+        total += ctu_cost[i];
+    return total;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------- ctypes
@@ -2915,12 +3017,15 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
 // Returns total RD cost; negative on error.
 double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                       const double* lam3, int32_t wpp, int32_t snap_rx,
-                      const uint8_t* init_states) {
-    en.ctx = ctx;
-    en.ids = ids;
-    en.err = 0;
+                      const uint8_t* init_states, int32_t nthreads) {
     const int wc = (g_sp.pic_w + (1 << g_sp.ctb_log2) - 1) >> g_sp.ctb_log2;
     const int hc = (g_sp.pic_h + (1 << g_sp.ctb_log2) - 1) >> g_sp.ctb_log2;
+    if (nthreads > 1 && wpp && hc > 1)
+        return enc_picture_mt(ctx, ids, qp3, lam3, snap_rx, init_states,
+                              nthreads, wc, hc);
+    cur.ctx = ctx;
+    cur.ids = ids;
+    cur.err = 0;
     static thread_local uint8_t snap_ctx[512];
     bool have_snap = false;
     double total = 0.0;
@@ -2932,15 +3037,15 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                             en.num_ctx);
             }
             const int64_t i = (int64_t)ry * wc + rx;
-            en.qp_full = qp3[i * 3];
-            en.qp_cb_full = qp3[i * 3 + 1];
-            en.qp_cr_full = qp3[i * 3 + 2];
-            en.lam = lam3[i * 3];
-            en.lam_bits = lam3[i * 3 + 1];
-            en.lam_me = lam3[i * 3 + 2];
+            cur.qp_full = qp3[i * 3];
+            cur.qp_cb_full = qp3[i * 3 + 1];
+            cur.qp_cr_full = qp3[i * 3 + 2];
+            cur.lam = lam3[i * 3];
+            cur.lam_bits = lam3[i * 3 + 1];
+            cur.lam_me = lam3[i * 3 + 2];
             total += decide_cqt(rx << g_sp.ctb_log2, ry << g_sp.ctb_log2,
                                 g_sp.ctb_log2, 0);
-            if (en.err)
+            if (cur.err)
                 return -1.0;
             if (wpp && rx == snap_rx) {
                 std::memcpy(snap_ctx, ctx, en.num_ctx);
@@ -2954,17 +3059,17 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
 double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
                   int32_t qp_full, int32_t qp_cb_full, int32_t qp_cr_full,
                   double lam, double lam_bits, double lam_me) {
-    en.ctx = ctx;
-    en.ids = ids;
-    en.qp_full = qp_full;
-    en.qp_cb_full = qp_cb_full;
-    en.qp_cr_full = qp_cr_full;
-    en.lam = lam;
-    en.lam_bits = lam_bits;
-    en.lam_me = lam_me;
-    en.err = 0;
+    cur.ctx = ctx;
+    cur.ids = ids;
+    cur.qp_full = qp_full;
+    cur.qp_cb_full = qp_cb_full;
+    cur.qp_cr_full = qp_cr_full;
+    cur.lam = lam;
+    cur.lam_bits = lam_bits;
+    cur.lam_me = lam_me;
+    cur.err = 0;
     double cost = decide_cqt(x0, y0, g_sp.ctb_log2, 0);
-    return en.err ? -1.0 : cost;
+    return cur.err ? -1.0 : cost;
 }
 
 }  // extern "C"
