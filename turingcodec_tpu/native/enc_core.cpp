@@ -680,6 +680,29 @@ static void sweep_angular(int mode, const int32_t* rt, const int32_t* rl,
         const int i_fact = (dpos * angle) & 31;
         const int32_t* m0 = main_arr + n + 1 + i_idx;
         int32_t* row = pred + (dpos - 1) * n;
+        if (i_fact == 0) {
+            std::memcpy(row, m0, n * 4);
+            continue;
+        }
+#ifdef __AVX2__
+        if (n >= 8) {
+            const __m256i vf = _mm256_set1_epi32(i_fact);
+            const __m256i vif = _mm256_set1_epi32(32 - i_fact);
+            const __m256i half = _mm256_set1_epi32(16);
+            for (int j = 0; j < n; j += 8) {
+                __m256i a = _mm256_loadu_si256((const __m256i*)(m0 + j));
+                __m256i b =
+                    _mm256_loadu_si256((const __m256i*)(m0 + j + 1));
+                __m256i v = _mm256_add_epi32(
+                    _mm256_add_epi32(_mm256_mullo_epi32(vif, a),
+                                     _mm256_mullo_epi32(vf, b)),
+                    half);
+                _mm256_storeu_si256((__m256i*)(row + j),
+                                    _mm256_srai_epi32(v, 5));
+            }
+            continue;
+        }
+#endif
         for (int j = 0; j < n; j++)
             row[j] = ((32 - i_fact) * m0[j] + i_fact * m0[j + 1] + 16) >> 5;
     }
