@@ -38,7 +38,9 @@ def _build_and_load():
                       "pixel_recon.cpp", "enc_core.cpp", "write_core.cpp")]
     newest = max(os.path.getmtime(s) for s in
                  srcs + [os.path.join(here, "core.h")])
-    so = os.path.join(here, f"_cabac_core_{sys.implementation.cache_tag}.so")
+    prof = bool(os.environ.get("TURING_TPU_NATIVE_PROF"))
+    so = os.path.join(here, f"_cabac_core_{sys.implementation.cache_tag}"
+                            f"{'_prof' if prof else ''}.so")
     if not os.path.exists(so) or os.path.getmtime(so) < newest:
         # compiled at runtime on the host machine (the analogue of the
         # reference's xbyak JIT), so -march=native is safe

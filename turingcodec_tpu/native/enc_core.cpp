@@ -197,14 +197,10 @@ static int64_t satd8_avx2(const int32_t* a, const int32_t* b, int stride_a,
     return (s + 2) >> 2;
 }
 
-// 4x4 variant: rows as 4-lane int32 vectors
-static int64_t satd4_avx2(const int32_t* a, const int32_t* b, int stride_a,
-                          int stride_b) {
-    __m128i r[4];
-    for (int y = 0; y < 4; y++)
-        r[y] = _mm_sub_epi32(
-            _mm_loadu_si128((const __m128i*)(a + y * stride_a)),
-            _mm_loadu_si128((const __m128i*)(b + y * stride_b)));
+// 4x4 hadamard core on difference rows already in registers
+static inline int64_t satd4_rows(__m128i r0, __m128i r1, __m128i r2,
+                                 __m128i r3) {
+    __m128i r[4] = {r0, r1, r2, r3};
     auto butterfly = [&r]() {
         __m128i u0 = _mm_add_epi32(r[0], r[1]);
         __m128i u1 = _mm_sub_epi32(r[0], r[1]);
@@ -232,6 +228,17 @@ static int64_t satd4_avx2(const int32_t* a, const int32_t* b, int stride_a,
     __m128i s1 = _mm_add_epi32(s2, _mm_srli_si128(s2, 4));
     int64_t s = (int64_t)_mm_cvtsi128_si32(s1);
     return (s + 1) >> 1;
+}
+
+// 4x4 variant: rows as 4-lane int32 vectors
+static int64_t satd4_avx2(const int32_t* a, const int32_t* b, int stride_a,
+                          int stride_b) {
+    __m128i r[4];
+    for (int y = 0; y < 4; y++)
+        r[y] = _mm_sub_epi32(
+            _mm_loadu_si128((const __m128i*)(a + y * stride_a)),
+            _mm_loadu_si128((const __m128i*)(b + y * stride_b)));
+    return satd4_rows(r[0], r[1], r[2], r[3]);
 }
 #endif
 
@@ -292,9 +299,141 @@ int64_t sad_at(const int32_t* orig, int bw, int bh, const int16_t* ref,
 // (+ for even rows, - for odd): each output needs only a half-length dot
 // against the even/odd folded input. Sums are regrouped exact-integer, so
 // results stay bit-identical to the plain matrix product.
+#ifdef __AVX2__
+// Specialized 4x4 forward transform (DCT4 / DST4): both passes as SSE 4x4
+// matrix products. Plain matrix products are bit-identical to the folded
+// scalar path (integer adds regroup exactly; rounding only at the shifts).
+struct Fwd4Mats {
+    alignas(16) int32_t mt[2][4][4];  // [dst][x][i] = m[i][x] (transposed)
+    alignas(16) int32_t mr[2][4][4];  // [dst][j][y] = m[j][y]
+    Fwd4Mats() {
+        for (int d = 0; d < 2; d++) {
+            const int32_t* m = dct_matrix_for(2, d);
+            for (int i = 0; i < 4; i++)
+                for (int x = 0; x < 4; x++) {
+                    mt[d][x][i] = m[i * 4 + x];
+                    mr[d][i][x] = m[i * 4 + x];
+                }
+        }
+    }
+};
+
+static void fwd_transform4(const int32_t* res, int bit_depth, int use_dst,
+                           int32_t* out) {
+    static const Fwd4Mats fm;
+    const int shift1 = bit_depth - 7;  // log2n + bit_depth - 9
+    const __m128i r1v =
+        _mm_set1_epi32(shift1 > 0 ? 1 << (shift1 - 1) : 0);
+    const __m128i r2v = _mm_set1_epi32(1 << 7);  // shift2 = 8
+    const int d = use_dst ? 1 : 0;
+    __m128i t[4];
+    for (int y = 0; y < 4; y++) {
+        const int32_t* x = res + y * 4;
+        __m128i acc = _mm_mullo_epi32(
+            _mm_set1_epi32(x[0]),
+            _mm_load_si128((const __m128i*)fm.mt[d][0]));
+        for (int j = 1; j < 4; j++)
+            acc = _mm_add_epi32(
+                acc, _mm_mullo_epi32(
+                         _mm_set1_epi32(x[j]),
+                         _mm_load_si128((const __m128i*)fm.mt[d][j])));
+        t[y] = shift1 > 0
+                   ? _mm_srai_epi32(_mm_add_epi32(acc, r1v), shift1)
+                   : _mm_slli_epi32(acc, -shift1);
+    }
+    for (int j = 0; j < 4; j++) {
+        const int32_t* mj = fm.mr[d][j];
+        __m128i acc = _mm_mullo_epi32(_mm_set1_epi32(mj[0]), t[0]);
+        for (int y = 1; y < 4; y++)
+            acc = _mm_add_epi32(
+                acc, _mm_mullo_epi32(_mm_set1_epi32(mj[y]), t[y]));
+        _mm_storeu_si128((__m128i*)(out + j * 4),
+                         _mm_srai_epi32(_mm_add_epi32(acc, r2v), 8));
+    }
+}
+
+// Specialized 8x8 pass 1: the even/odd-folded row transform as two
+// interleaved 4x4 matrix products (even output rows from the folded sums,
+// odd rows from the folded differences), exactly the scalar folding.
+struct Fwd8Mats {
+    alignas(16) int32_t met[4][4];  // [x][k] = m[2k][x]
+    alignas(16) int32_t mot[4][4];  // [x][k] = m[2k+1][x]
+    Fwd8Mats() {
+        const int32_t* m = dct_matrix_for(3, 0);
+        for (int k = 0; k < 4; k++)
+            for (int x = 0; x < 4; x++) {
+                met[x][k] = m[(2 * k) * 8 + x];
+                mot[x][k] = m[(2 * k + 1) * 8 + x];
+            }
+    }
+};
+
+static void fwd_transform8_pass1(const int32_t* res, int shift1,
+                                 int32_t* t) {
+    static const Fwd8Mats fm;
+    const __m128i r1v =
+        _mm_set1_epi32(shift1 > 0 ? 1 << (shift1 - 1) : 0);
+    for (int y = 0; y < 8; y++) {
+        const int32_t* x = res + y * 8;
+        __m128i lo = _mm_loadu_si128((const __m128i*)x);
+        __m128i hi = _mm_loadu_si128((const __m128i*)(x + 4));
+        __m128i hir = _mm_shuffle_epi32(hi, _MM_SHUFFLE(0, 1, 2, 3));
+        __m128i e = _mm_add_epi32(lo, hir);
+        __m128i o = _mm_sub_epi32(lo, hir);
+        __m128i acc_e = _mm_mullo_epi32(
+            _mm_shuffle_epi32(e, 0x00),
+            _mm_load_si128((const __m128i*)fm.met[0]));
+        __m128i acc_o = _mm_mullo_epi32(
+            _mm_shuffle_epi32(o, 0x00),
+            _mm_load_si128((const __m128i*)fm.mot[0]));
+        acc_e = _mm_add_epi32(
+            acc_e, _mm_mullo_epi32(
+                       _mm_shuffle_epi32(e, 0x55),
+                       _mm_load_si128((const __m128i*)fm.met[1])));
+        acc_o = _mm_add_epi32(
+            acc_o, _mm_mullo_epi32(
+                       _mm_shuffle_epi32(o, 0x55),
+                       _mm_load_si128((const __m128i*)fm.mot[1])));
+        acc_e = _mm_add_epi32(
+            acc_e, _mm_mullo_epi32(
+                       _mm_shuffle_epi32(e, 0xAA),
+                       _mm_load_si128((const __m128i*)fm.met[2])));
+        acc_o = _mm_add_epi32(
+            acc_o, _mm_mullo_epi32(
+                       _mm_shuffle_epi32(o, 0xAA),
+                       _mm_load_si128((const __m128i*)fm.mot[2])));
+        acc_e = _mm_add_epi32(
+            acc_e, _mm_mullo_epi32(
+                       _mm_shuffle_epi32(e, 0xFF),
+                       _mm_load_si128((const __m128i*)fm.met[3])));
+        acc_o = _mm_add_epi32(
+            acc_o, _mm_mullo_epi32(
+                       _mm_shuffle_epi32(o, 0xFF),
+                       _mm_load_si128((const __m128i*)fm.mot[3])));
+        if (shift1 > 0) {
+            acc_e = _mm_srai_epi32(_mm_add_epi32(acc_e, r1v), shift1);
+            acc_o = _mm_srai_epi32(_mm_add_epi32(acc_o, r1v), shift1);
+        } else {
+            acc_e = _mm_slli_epi32(acc_e, -shift1);
+            acc_o = _mm_slli_epi32(acc_o, -shift1);
+        }
+        _mm_storeu_si128((__m128i*)(t + y * 8),
+                         _mm_unpacklo_epi32(acc_e, acc_o));
+        _mm_storeu_si128((__m128i*)(t + y * 8 + 4),
+                         _mm_unpackhi_epi32(acc_e, acc_o));
+    }
+}
+#endif
+
 void fwd_transform(const int32_t* res, int n, int bit_depth, int use_dst,
                    int32_t* out) {
     LeafTimer pt(6);
+#ifdef __AVX2__
+    if (n == 4) {
+        fwd_transform4(res, bit_depth, use_dst, out);
+        return;
+    }
+#endif
     int log2n = 0;
     while ((1 << log2n) < n)
         log2n++;
@@ -324,6 +463,11 @@ void fwd_transform(const int32_t* res, int n, int bit_depth, int use_dst,
     const int h = n >> 1;
     const int32_t r1 = shift1 > 0 ? 1 << (shift1 - 1) : 0;
     // pass 1 (rows): t[y][r] = sum_j m[r][j] res[y][j]
+#ifdef __AVX2__
+    if (n == 8) {
+        fwd_transform8_pass1(res, shift1, t);
+    } else
+#endif
     for (int y = 0; y < n; y++) {
         const int32_t* x = res + y * n;
         int32_t e[16], o[16];
@@ -708,6 +852,51 @@ static void sweep_angular(int mode, const int32_t* rt, const int32_t* rl,
     }
 }
 
+// Batched n=4 all-angular-mode sweep. Canonical 17-entry reference layout:
+// ext[0..7] = left (rl), ext[8] = corner, ext[9..16] = top (rt). Each of an
+// angular mode's 16 predicted pixels is a fixed 2-tap blend of two ext
+// entries ((32-f)*a + f*b + 16) >> 5 — exactly sweep_angular's arithmetic,
+// including its projected negative-index fill — so the (index, fraction)
+// triplets depend only on the mode tables and are precomputed once.
+// Predictions (and therefore rankings) are bit-identical to sweep_angular.
+struct Sweep4Tables {
+    alignas(32) int32_t idxa[33][16], idxb[33][16];
+    alignas(32) int32_t frac[33][16], ifrac[33][16];
+    Sweep4Tables() {
+        for (int mode = 2; mode < 35; mode++) {
+            const int angle = g_angle[mode];
+            const int inv = g_inv_angle[mode];
+            const bool top = mode >= 18;
+            // ext index of main_arr[4 + k] in sweep_angular's layout
+            auto ext_of = [&](int k) -> int32_t {
+                if (k == 0)
+                    return 8;  // corner
+                if (k >= 1 && k <= 8)
+                    return top ? 8 + k : k - 1;  // main reference
+                if (k >= 9)
+                    return top ? 16 : 7;  // clamped top-right / bottom-left
+                int idx = ((k * inv + 128) >> 8) - 1;  // projected side ref
+                if (idx < 0)
+                    return 8;
+                if (idx > 7)
+                    idx = 7;
+                return top ? idx : 9 + idx;
+            };
+            for (int dpos = 1; dpos <= 4; dpos++) {
+                const int i_idx = (dpos * angle) >> 5;
+                const int i_fact = (dpos * angle) & 31;
+                for (int j = 0; j < 4; j++) {
+                    const int p = (dpos - 1) * 4 + j;
+                    idxa[mode - 2][p] = ext_of(1 + i_idx + j);
+                    idxb[mode - 2][p] = ext_of(2 + i_idx + j);
+                    frac[mode - 2][p] = i_fact;
+                    ifrac[mode - 2][p] = 32 - i_fact;
+                }
+            }
+        }
+    }
+};
+
 int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
                int* out_cands) {
@@ -731,7 +920,84 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
         double cost;
         int mode;
     } mc[35];
-    for (int mode = 0; mode < 35; mode++) {
+    auto score = [&](int mode, int64_t satd) {
+        int in_mpm = mode == cands_mpm[0] || mode == cands_mpm[1]
+                  || mode == cands_mpm[2];
+        mc[mode].cost = (double)satd + cur.lam_bits * (in_mpm ? 2 : 6);
+        mc[mode].mode = mode;
+    };
+    int mode_begin = 0;
+    if (n == 4) {
+        // planar + DC via the generic path (no edge filtering at n=4)
+        for (int mode = 0; mode < 2; mode++) {
+            intra_predict_core(mode, rt, rl, corner, 4, 0, bd, 1, pred);
+            score(mode, satd_region(orig_b, pred, 4, 4, 4));
+        }
+        // all 33 angular modes via the precomputed 2-tap blend tables
+        static const Sweep4Tables s4;
+        alignas(32) int32_t ext[24];
+        std::memcpy(ext, rl, 8 * 4);
+        ext[8] = corner;
+        std::memcpy(ext + 9, rt, 8 * 4);
+#ifdef __AVX2__
+        const __m256i vhalf = _mm256_set1_epi32(16);
+        const __m256i o0 = _mm256_loadu_si256((const __m256i*)orig_b);
+        const __m256i o1 = _mm256_loadu_si256((const __m256i*)(orig_b + 8));
+        const __m256i t0 = _mm256_loadu_si256((const __m256i*)orig_t);
+        const __m256i t1 = _mm256_loadu_si256((const __m256i*)(orig_t + 8));
+        for (int mode = 2; mode < 35; mode++) {
+            const int m = mode - 2;
+            __m256i a0 = _mm256_i32gather_epi32(
+                ext, _mm256_load_si256((const __m256i*)s4.idxa[m]), 4);
+            __m256i a1 = _mm256_i32gather_epi32(
+                ext, _mm256_load_si256((const __m256i*)(s4.idxa[m] + 8)),
+                4);
+            __m256i b0 = _mm256_i32gather_epi32(
+                ext, _mm256_load_si256((const __m256i*)s4.idxb[m]), 4);
+            __m256i b1 = _mm256_i32gather_epi32(
+                ext, _mm256_load_si256((const __m256i*)(s4.idxb[m] + 8)),
+                4);
+            __m256i p0 = _mm256_srai_epi32(
+                _mm256_add_epi32(
+                    _mm256_add_epi32(
+                        _mm256_mullo_epi32(
+                            _mm256_load_si256(
+                                (const __m256i*)s4.ifrac[m]), a0),
+                        _mm256_mullo_epi32(
+                            _mm256_load_si256(
+                                (const __m256i*)s4.frac[m]), b0)),
+                    vhalf), 5);
+            __m256i p1 = _mm256_srai_epi32(
+                _mm256_add_epi32(
+                    _mm256_add_epi32(
+                        _mm256_mullo_epi32(
+                            _mm256_load_si256(
+                                (const __m256i*)(s4.ifrac[m] + 8)), a1),
+                        _mm256_mullo_epi32(
+                            _mm256_load_si256(
+                                (const __m256i*)(s4.frac[m] + 8)), b1)),
+                    vhalf), 5);
+            __m256i d0 = _mm256_sub_epi32(p0, mode < 18 ? t0 : o0);
+            __m256i d1 = _mm256_sub_epi32(p1, mode < 18 ? t1 : o1);
+            score(mode, satd4_rows(_mm256_castsi256_si128(d0),
+                                   _mm256_extracti128_si256(d0, 1),
+                                   _mm256_castsi256_si128(d1),
+                                   _mm256_extracti128_si256(d1, 1)));
+        }
+#else
+        for (int mode = 2; mode < 35; mode++) {
+            const int m = mode - 2;
+            int32_t pr[16];
+            for (int p = 0; p < 16; p++)
+                pr[p] = (s4.ifrac[m][p] * ext[s4.idxa[m][p]]
+                         + s4.frac[m][p] * ext[s4.idxb[m][p]] + 16) >> 5;
+            const int32_t* cmp = mode < 18 ? orig_t : orig_b;
+            score(mode, satd_region(cmp, pr, 4, 4, 4));
+        }
+#endif
+        mode_begin = 35;
+    }
+    for (int mode = mode_begin; mode < 35; mode++) {
         bool filt = have_f && mode != 1
                  && (mode == 0
                      || std::min(std::abs(mode - 26), std::abs(mode - 10))
@@ -747,15 +1013,23 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
             if (mode < 18)
                 cmp = orig_t;
         }
-        int64_t satd = satd_region(cmp, pred, n, n, bs);
-        int in_mpm = mode == cands_mpm[0] || mode == cands_mpm[1]
-                  || mode == cands_mpm[2];
-        mc[mode].cost = (double)satd + cur.lam_bits * (in_mpm ? 2 : 6);
-        mc[mode].mode = mode;
+        score(mode, satd_region(cmp, pred, n, n, bs));
     }
-    std::stable_sort(mc, mc + 35,
-                     [](const MC& a, const MC& b) { return a.cost < b.cost; });
     int cnt = count < 35 ? count : 35;
+    // stable partial selection: element i = i-th smallest with ties kept in
+    // mode order — the exact prefix std::stable_sort produced, without the
+    // full-array merge sort per call
+    for (int i = 0; i < cnt; i++) {
+        int best = i;
+        for (int j = i + 1; j < 35; j++)
+            if (mc[j].cost < mc[best].cost)
+                best = j;
+        if (best != i) {
+            MC tmp = mc[best];
+            std::memmove(mc + i + 1, mc + i, (best - i) * sizeof(MC));
+            mc[i] = tmp;
+        }
+    }
     bool has_planar = false;
     for (int i = 0; i < cnt; i++) {
         out_cands[i] = mc[i].mode;
@@ -863,6 +1137,7 @@ struct TbTrial {
 void try_tb(const int32_t* orig_b, const int32_t* pred, int n, int log2,
             int qp_full, int bd, int use_dst, int intra, int scan_idx,
             TbTrial& t) {
+    LeafTimer pt(14);
     static thread_local int32_t res[32 * 32], coeffs[32 * 32];
     for (int i = 0; i < n * n; i++)
         res[i] = orig_b[i] - pred[i];
@@ -1010,6 +1285,7 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
 
 // intra_search._encode_cu_nxn: four 4x4 PUs/TUs + 4x4 chroma pair
 double encode_intra_nxn(int x0, int y0, int log2, int depth) {
+    PhaseTimer pt(13);
     const int size = 1 << log2;
     const int half = size >> 1;
     const int bd = g_sp.bit_depth_y;
