@@ -287,8 +287,10 @@ class Encoder:
         sh.explicit_rps = rps
         sh.num_ref_idx_l0_active_minus1 = 0
         sh.num_ref_idx_l1_active_minus1 = 0
-        sh.five_minus_max_num_merge_cand = 0
-        sh.max_num_merge_cand = 5
+        # Speed.h setMaxNumMergeCand: 5 at slow/medium, 2 at fast — fewer
+        # merge candidates to derive, SATD-rank and signal
+        sh.max_num_merge_cand = 5 if self.cfg.rd_candidates >= 2 else 2
+        sh.five_minus_max_num_merge_cand = 5 - sh.max_num_merge_cand
         if self.cfg.wp_luma is not None and sh.is_p:
             w, d, o = self.cfg.wp_luma
             entry = {"delta_luma_weight": w - (1 << d), "luma_offset": o}
