@@ -197,6 +197,65 @@ static int64_t satd8_avx2(const int32_t* a, const int32_t* b, int stride_a,
     return (s + 2) >> 2;
 }
 
+#ifdef __AVX512F__
+// AVX-512 8x8 SATD: two rows per zmm, and the second (horizontal) hadamard
+// runs via in-register lane shuffles instead of a transpose — the abs-sum
+// is order-invariant, so the values match the transpose-based kernel.
+static inline __m512i satd8_load2(const int32_t* p, int stride) {
+    __m256i lo = _mm256_loadu_si256((const __m256i*)p);
+    __m256i hi = _mm256_loadu_si256((const __m256i*)(p + stride));
+    return _mm512_inserti64x4(_mm512_castsi256_si512(lo), hi, 1);
+}
+
+static int64_t satd8_avx512(const int32_t* a, const int32_t* b,
+                            int stride_a, int stride_b) {
+    __m512i r[4];
+    for (int i = 0; i < 4; i++)
+        r[i] = _mm512_sub_epi32(satd8_load2(a + 2 * i * stride_a, stride_a),
+                                satd8_load2(b + 2 * i * stride_b, stride_b));
+    // vertical stage 1: the distance-1 row pair lives in the two 256-bit
+    // halves of each register
+    for (int i = 0; i < 4; i++) {
+        __m512i t = _mm512_shuffle_i64x2(r[i], r[i],
+                                         _MM_SHUFFLE(1, 0, 3, 2));
+        r[i] = _mm512_mask_sub_epi32(_mm512_add_epi32(r[i], t),
+                                     (__mmask16)0xFF00, t, r[i]);
+    }
+    // vertical stages 2 and 3 across registers
+    __m512i u;
+    u = _mm512_add_epi32(r[0], r[1]);
+    r[1] = _mm512_sub_epi32(r[0], r[1]);
+    r[0] = u;
+    u = _mm512_add_epi32(r[2], r[3]);
+    r[3] = _mm512_sub_epi32(r[2], r[3]);
+    r[2] = u;
+    u = _mm512_add_epi32(r[0], r[2]);
+    r[2] = _mm512_sub_epi32(r[0], r[2]);
+    r[0] = u;
+    u = _mm512_add_epi32(r[1], r[3]);
+    r[3] = _mm512_sub_epi32(r[1], r[3]);
+    r[1] = u;
+    // horizontal stages within each 8-lane row
+    for (int i = 0; i < 4; i++) {
+        __m512i x = r[i], t;
+        t = _mm512_shuffle_epi32(x, (_MM_PERM_ENUM)0xB1);  // distance 1
+        x = _mm512_mask_sub_epi32(_mm512_add_epi32(x, t), (__mmask16)0xAAAA,
+                                  t, x);
+        t = _mm512_shuffle_epi32(x, (_MM_PERM_ENUM)0x4E);  // distance 2
+        x = _mm512_mask_sub_epi32(_mm512_add_epi32(x, t), (__mmask16)0xCCCC,
+                                  t, x);
+        t = _mm512_shuffle_i64x2(x, x, _MM_SHUFFLE(2, 3, 0, 1));  // dist 4
+        x = _mm512_mask_sub_epi32(_mm512_add_epi32(x, t), (__mmask16)0xF0F0,
+                                  t, x);
+        r[i] = _mm512_abs_epi32(x);
+    }
+    __m512i acc = _mm512_add_epi32(_mm512_add_epi32(r[0], r[1]),
+                                   _mm512_add_epi32(r[2], r[3]));
+    int64_t s = (int64_t)_mm512_reduce_add_epi32(acc);
+    return (s + 2) >> 2;
+}
+#endif
+
 // 4x4 hadamard core on difference rows already in registers
 static inline int64_t satd4_rows(__m128i r0, __m128i r1, __m128i r2,
                                  __m128i r3) {
@@ -244,7 +303,10 @@ static int64_t satd4_avx2(const int32_t* a, const int32_t* b, int stride_a,
 
 inline int64_t satd_block(const int32_t* a, const int32_t* b, int stride_a,
                           int stride_b, int bs) {
-#ifdef __AVX2__
+#if defined(__AVX512F__)
+    return bs == 8 ? satd8_avx512(a, b, stride_a, stride_b)
+                   : satd4_avx2(a, b, stride_a, stride_b);
+#elif defined(__AVX2__)
     return bs == 8 ? satd8_avx2(a, b, stride_a, stride_b)
                    : satd4_avx2(a, b, stride_a, stride_b);
 #else
