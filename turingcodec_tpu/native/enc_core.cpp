@@ -315,6 +315,32 @@ inline int64_t satd_block(const int32_t* a, const int32_t* b, int stride_a,
 #endif
 }
 
+// exact int64 sum of squared differences over contiguous int32 buffers
+// (widening products keep vectorization; integer sums are order-exact)
+inline int64_t ssd_i32(const int32_t* a, const int32_t* b, int len) {
+    int64_t s = 0;
+    int i = 0;
+#ifdef __AVX2__
+    __m256i acc = _mm256_setzero_si256();  // 4 int64 lanes
+    for (; i + 8 <= len; i += 8) {
+        __m256i d = _mm256_sub_epi32(
+            _mm256_loadu_si256((const __m256i*)(a + i)),
+            _mm256_loadu_si256((const __m256i*)(b + i)));
+        acc = _mm256_add_epi64(acc, _mm256_mul_epi32(d, d));
+        __m256i o = _mm256_srli_epi64(d, 32);
+        acc = _mm256_add_epi64(acc, _mm256_mul_epi32(o, o));
+    }
+    alignas(32) int64_t buf[4];
+    _mm256_store_si256((__m256i*)buf, acc);
+    s = buf[0] + buf[1] + buf[2] + buf[3];
+#endif
+    for (; i < len; i++) {
+        int64_t e = a[i] - b[i];
+        s += e * e;
+    }
+    return s;
+}
+
 // SATD over an (h, w) region partitioned into bs x bs blocks
 int64_t satd_region(const int32_t* a, const int32_t* b, int w, int h,
                     int bs) {
@@ -487,6 +513,82 @@ static void fwd_transform8_pass1(const int32_t* res, int shift1,
 }
 #endif
 
+#ifdef __AVX2__
+// Pass 1 for n=16/32 as a broadcast GEMM over the even/odd folded halves:
+// t[y][2k] = sum_j MET[j][k]*e[j], t[y][2k+1] = sum_j MOT[j][k]*o[j].
+// Exactly the scalar folding's integer sums, fully vectorized over k.
+struct FwdFoldMats {
+    alignas(32) int32_t met16[8][8], mot16[8][8];
+    alignas(32) int32_t met32[16][16], mot32[16][16];
+    FwdFoldMats() {
+        const int32_t* m16 = dct_matrix_for(4, 0);
+        for (int j = 0; j < 8; j++)
+            for (int k = 0; k < 8; k++) {
+                met16[j][k] = m16[(2 * k) * 16 + j];
+                mot16[j][k] = m16[(2 * k + 1) * 16 + j];
+            }
+        const int32_t* m32 = dct_matrix_for(5, 0);
+        for (int j = 0; j < 16; j++)
+            for (int k = 0; k < 16; k++) {
+                met32[j][k] = m32[(2 * k) * 32 + j];
+                mot32[j][k] = m32[(2 * k + 1) * 32 + j];
+            }
+    }
+};
+
+// VECS = accumulator vectors per half (1 for n=16, 2 for n=32)
+template <int VECS>
+static void fwd_pass1_folded(const int32_t* res, int n, int shift1,
+                             const int32_t (*met)[8 * VECS],
+                             const int32_t (*mot)[8 * VECS], int32_t* t) {
+    const int h = n >> 1;
+    const __m256i r1v =
+        _mm256_set1_epi32(shift1 > 0 ? 1 << (shift1 - 1) : 0);
+    for (int y = 0; y < n; y++) {
+        const int32_t* x = res + y * n;
+        __m256i ae[VECS], ao[VECS];
+        for (int v = 0; v < VECS; v++) {
+            ae[v] = _mm256_setzero_si256();
+            ao[v] = _mm256_setzero_si256();
+        }
+        for (int j = 0; j < h; j++) {
+            const __m256i be = _mm256_set1_epi32(x[j] + x[n - 1 - j]);
+            const __m256i bo = _mm256_set1_epi32(x[j] - x[n - 1 - j]);
+            for (int v = 0; v < VECS; v++) {
+                ae[v] = _mm256_add_epi32(
+                    ae[v], _mm256_mullo_epi32(
+                               be, _mm256_load_si256(
+                                       (const __m256i*)(met[j] + 8 * v))));
+                ao[v] = _mm256_add_epi32(
+                    ao[v], _mm256_mullo_epi32(
+                               bo, _mm256_load_si256(
+                                       (const __m256i*)(mot[j] + 8 * v))));
+            }
+        }
+        int32_t* ty = t + y * n;
+        for (int v = 0; v < VECS; v++) {
+            __m256i e = ae[v], o = ao[v];
+            if (shift1 > 0) {
+                e = _mm256_srai_epi32(_mm256_add_epi32(e, r1v), shift1);
+                o = _mm256_srai_epi32(_mm256_add_epi32(o, r1v), shift1);
+            } else {
+                e = _mm256_slli_epi32(e, -shift1);
+                o = _mm256_slli_epi32(o, -shift1);
+            }
+            // interleave even/odd outputs: [e0,o0,e1,o1,...]
+            __m256i lo = _mm256_unpacklo_epi32(e, o);
+            __m256i hi = _mm256_unpackhi_epi32(e, o);
+            _mm256_storeu_si256(
+                (__m256i*)(ty + 16 * v),
+                _mm256_permute2x128_si256(lo, hi, 0x20));
+            _mm256_storeu_si256(
+                (__m256i*)(ty + 16 * v + 8),
+                _mm256_permute2x128_si256(lo, hi, 0x31));
+        }
+    }
+}
+#endif
+
 void fwd_transform(const int32_t* res, int n, int bit_depth, int use_dst,
                    int32_t* out) {
     LeafTimer pt(6);
@@ -528,6 +630,12 @@ void fwd_transform(const int32_t* res, int n, int bit_depth, int use_dst,
 #ifdef __AVX2__
     if (n == 8) {
         fwd_transform8_pass1(res, shift1, t);
+    } else if (n == 16 || n == 32) {
+        static const FwdFoldMats ffm;
+        if (n == 16)
+            fwd_pass1_folded<1>(res, 16, shift1, ffm.met16, ffm.mot16, t);
+        else
+            fwd_pass1_folded<2>(res, 32, shift1, ffm.met32, ffm.mot32, t);
     } else
 #endif
     for (int y = 0; y < n; y++) {
@@ -1217,12 +1325,7 @@ void try_tb(const int32_t* orig_b, const int32_t* pred, int n, int log2,
         for (int i = 0; i < n * n; i++)
             t.rec[i] = clip3i(0, max_val, pred[i]);
     }
-    int64_t d = 0;
-    for (int i = 0; i < n * n; i++) {
-        int64_t e = t.rec[i] - orig_b[i];
-        d += e * e;
-    }
-    t.dist = (double)d;
+    t.dist = (double)ssd_i32(t.rec, orig_b, n * n);
 }
 
 // gather an (n, n) int16 plane region into int32
@@ -2154,10 +2257,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
         fillq(g_sp.tu_log2, x0 + dx, y0 + dy, qh, (uint8_t)(log2 - 1));
         fillq(g_sp.tu_id, x0 + dx, y0 + dy, qh, cur.ids[2]);
         cur.ids[2]++;
-        for (int i = 0; i < qh * qh; i++) {
-            int64_t e = rec_b[i] - oy_b[i];
-            dist += (double)(e * e);
-        }
+        dist += (double)ssd_i32(rec_b, oy_b, qh * qh);
 
         // chroma TUs at log2-2
         int chh2 = qh >> 1;
@@ -2199,10 +2299,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
             scatter16(rplane, cw_(), cx + cdx, cy + cdy, chh2, rec_b);
             scatter_lv(coeff_pl, cw_(), cx + cdx, cy + cdy, chh2, levels);
             fillq(cbf_pl, x0 + dx, y0 + dy, qh, (uint8_t)(nzc ? 1 : 0));
-            for (int i = 0; i < chh2 * chh2; i++) {
-                int64_t e = rec_b[i] - oy_b[i];
-                dist += (double)(e * e);
-            }
+            dist += (double)ssd_i32(rec_b, oy_b, chh2 * chh2);
         }
     }
     return dist + cur.lam * rate;
@@ -2435,13 +2532,13 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                     rate += 1.0;
                 }
                 nz_y += nz;
-                for (int y = 0; y < qh; y++)
-                    for (int x = 0; x < qh; x++) {
-                        lv_y[(dy + y) * size + dx + x] = qlv[y * qh + x];
-                        rec_y[(dy + y) * size + dx + x] = rq_b[y * qh + x];
-                        int64_t e = rq_b[y * qh + x] - oy_b[y * qh + x];
-                        dist += (double)(e * e);
-                    }
+                for (int y = 0; y < qh; y++) {
+                    std::memcpy(lv_y + (dy + y) * size + dx, qlv + y * qh,
+                                qh * 2);
+                    std::memcpy(rec_y + (dy + y) * size + dx, rq_b + y * qh,
+                                qh * 4);
+                }
+                dist += (double)ssd_i32(rq_b, oy_b, qh * qh);
                 int cdy = dy >> 1, cdx = dx >> 1;
                 for (int ci = 0; ci < 2; ci++) {
                     const int32_t* o_c = ci == 0 ? orig_cb : orig_cr;
@@ -2479,16 +2576,13 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                         nz_cb += nzc;
                     else
                         nz_cr += nzc;
-                    for (int y = 0; y < chh2; y++)
-                        for (int x = 0; x < chh2; x++) {
-                            lvp[(cdy + y) * cs + cdx + x] =
-                                qlv_c[y * chh2 + x];
-                            recp[(cdy + y) * cs + cdx + x] =
-                                rq_b[y * chh2 + x];
-                            int64_t e = rq_b[y * chh2 + x]
-                                      - oy_b[y * chh2 + x];
-                            dist += (double)(e * e);
-                        }
+                    for (int y = 0; y < chh2; y++) {
+                        std::memcpy(lvp + (cdy + y) * cs + cdx,
+                                    qlv_c + y * chh2, chh2 * 2);
+                        std::memcpy(recp + (cdy + y) * cs + cdx,
+                                    rq_b + y * chh2, chh2 * 4);
+                    }
+                    dist += (double)ssd_i32(rq_b, oy_b, chh2 * chh2);
                 }
             }
             if (s.kind == 0) {
@@ -2517,24 +2611,9 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             }
             // zero-residual variant (skip / rqt_root_cbf=0 trial)
             if (has_coeff) {
-                int64_t d0 = 0;
-                for (int i = 0; i < size * size; i++) {
-                    int64_t e = cpy[i] - orig_y[i];
-                    d0 += e * e;
-                }
-                double dist0 = (double)d0;
-                int64_t dc = 0;
-                for (int i = 0; i < cs * cs; i++) {
-                    int64_t e = cpcb[i] - orig_cb[i];
-                    dc += e * e;
-                }
-                dist0 += (double)dc;
-                dc = 0;
-                for (int i = 0; i < cs * cs; i++) {
-                    int64_t e = cpcr[i] - orig_cr[i];
-                    dc += e * e;
-                }
-                dist0 += (double)dc;
+                double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
+                             + (double)ssd_i32(cpcb, orig_cb, cs * cs)
+                             + (double)ssd_i32(cpcr, orig_cr, cs * cs);
                 double rate0;
                 if (s.kind == 0) {
                     rate0 = 1.0 + s.idx;
@@ -2722,19 +2801,9 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             else
                 nz_cr = nzc;
         }
-        double dist = 0;
-        for (int i = 0; i < size * size; i++) {
-            int64_t e = rec_y[i] - orig_y[i];
-            dist += (double)(e * e);
-        }
-        for (int i = 0; i < cs * cs; i++) {
-            int64_t e = rec_cb[i] - orig_cb[i];
-            dist += (double)(e * e);
-        }
-        for (int i = 0; i < cs * cs; i++) {
-            int64_t e = rec_cr[i] - orig_cr[i];
-            dist += (double)(e * e);
-        }
+        double dist = (double)ssd_i32(rec_y, orig_y, size * size)
+                    + (double)ssd_i32(rec_cb, orig_cb, cs * cs)
+                    + (double)ssd_i32(rec_cr, orig_cr, cs * cs);
         double rate = residual_bits_est(lv_y, nz_y, log2, 0, 0, 0)
                     + residual_bits_est(lv_cb, nz_cb, log2 - 1, 1, 0, 0)
                     + residual_bits_est(lv_cr, nz_cr, log2 - 1, 2, 0, 0);
@@ -2766,24 +2835,9 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         // zero-residual variant (skip / rqt_root_cbf=0 trial,
         // inter_search._encode_inter_cu oracle)
         if (has_coeff) {
-            int64_t d0 = 0;
-            for (int i = 0; i < size * size; i++) {
-                int64_t e = cpy[i] - orig_y[i];
-                d0 += e * e;
-            }
-            double dist0 = (double)d0;
-            int64_t dc = 0;
-            for (int i = 0; i < cs * cs; i++) {
-                int64_t e = cpcb[i] - orig_cb[i];
-                dc += e * e;
-            }
-            dist0 += (double)dc;
-            dc = 0;
-            for (int i = 0; i < cs * cs; i++) {
-                int64_t e = cpcr[i] - orig_cr[i];
-                dc += e * e;
-            }
-            dist0 += (double)dc;
+            double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
+                         + (double)ssd_i32(cpcb, orig_cb, cs * cs)
+                         + (double)ssd_i32(cpcr, orig_cr, cs * cs);
             double rate0;
             if (s.kind == 0) {
                 rate0 = 1.0 + s.idx;
