@@ -113,7 +113,11 @@ class GopPlanner:
         out = []
         for (off, tid, qp_off, rb, ra, qp_factor) in table:
             poc = base + off
-            slice_type = 1 if self.low_delay else 0  # P in LD, B otherwise
+            # always B: low delay codes generalized P-B (GPB) slices with
+            # L0 == L1 == {previous}, like the reference (InputQueue.cpp:327
+            # lastPicture=='P' dockets become TRAIL_R B slices; bi-prediction
+            # of two same-list MC blocks acts as a denoising 2-tap filter)
+            slice_type = 0
             if not self.low_delay:
                 refs_before = [poc - d for d in rb if poc - d >= 0]
                 refs_after = [poc + d for d in ra if base + m >= poc + d]

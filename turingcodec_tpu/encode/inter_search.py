@@ -260,25 +260,93 @@ class InterPictureEncoder(IntraPictureEncoder):
         for (mx, my) in seeds:
             cand0.add((int(mx) >> 2, int(my) >> 2))
         best = min(costs_at(sorted(cand0)))
-        step = 16
-        sr = self.search_range
-        while step >= 1:
-            improved = True
-            while improved:
-                improved = False
-                bx, by = best[1]
-                probes = [(bx + dx, by + dy)
-                          for (dx, dy) in ((step, 0), (-step, 0),
-                                           (0, step), (0, -step),
-                                           (step, step), (-step, -step),
-                                           (step, -step), (-step, step))
-                          if abs(bx + dx) <= sr and abs(by + dy) <= sr]
-                if probes:
-                    c = min(costs_at(probes))
-                    if c[0] < best[0]:
-                        best = c
-                        improved = True
-            step >>= 1
+        # probes are bounded only by the native cache radius; search_range
+        # selects the star window / raster extent (the reference's
+        # searchWindow caps one pass's distances around the chained center,
+        # not the absolute MV range)
+        sr = 128
+
+        # HM-style star search (Search.hpp:2202-2301 fullPelMotionEstimation,
+        # native twin full_pel_search): 16-point diamond at doubling
+        # distances around a fixed center, raster fallback when the winning
+        # distance was large, star refinement until converged. Patterns are
+        # in a quarter-pel basis; (entry*dist) >> 2 is integer for the
+        # (step, dist) pairs used.
+        star16 = ((0, -4), (1, -3), (2, -2), (3, -1), (4, 0), (3, 1),
+                  (2, 2), (1, 3), (0, 4), (-1, 3), (-2, 2), (-3, 1),
+                  (-4, 0), (-3, -1), (-2, -2), (-1, -3))
+        square4 = ((-4, -4), (-4, 4), (4, 4), (4, -4))
+
+        def consider(cx, cy, pat, step, dist):
+            nonlocal best
+            probes = []
+            for i in range(0, len(pat), step):
+                ix = cx + ((pat[i][0] * dist) >> 2)
+                iy = cy + ((pat[i][1] * dist) >> 2)
+                if abs(ix) <= sr and abs(iy) <= sr:
+                    probes.append((ix, iy))
+            if not probes:
+                return False
+            pb = min(costs_at(probes))
+            if pb[0] < best[0]:
+                best = pb
+                return True
+            return False
+
+        window = 64 if self.search_range >= 64 else 32
+        max_counter = 3 if self.search_range >= 64 else 2
+        raster_q = 240 if self.search_range >= 64 else 120
+
+        # initial star around the seed winner (fixed center)
+        cx, cy = best[1]
+        dist_best = 0
+        counter = 0
+        step = 4
+        dist = 1
+        while dist <= window and counter < max_counter:
+            if dist in (2, 8):
+                step >>= 1
+            if consider(cx, cy, star16, step, dist):
+                dist_best = dist
+                counter = 0
+            else:
+                counter += 1
+            dist <<= 1
+        if dist_best == 1:
+            dist_best = 0
+            consider(best[1][0], best[1][1], square4, 1, 1)
+        if dist_best > 5:
+            # raster sweep on a 5-pel grid (quarter-pel +/-raster_q)
+            probes = []
+            for qy in range(-raster_q, raster_q + 1, 20):
+                for qx in range(-raster_q, raster_q + 1, 20):
+                    ix, iy = qx >> 2, qy >> 2
+                    if abs(ix) <= sr and abs(iy) <= sr:
+                        probes.append((ix, iy))
+            rb = min(costs_at(probes))
+            if rb[0] < best[0]:
+                best = rb
+            dist_best = 5
+        # star refinement until no distance improves
+        while dist_best > 0:
+            rx, ry = best[1]
+            dist_best = 0
+            step = 4
+            dist = 1
+            while dist <= window:
+                if dist in (2, 8):
+                    step >>= 1
+                if consider(rx, ry, star16, step, dist):
+                    dist_best = dist
+                dist <<= 1
+            if dist_best == 1:
+                consider(rx, ry, square4, 1, 1)
+                dist_best = 0
+        if self.search_range >= 64:
+            # final +/-1 cross descent (slow/medium; Search.hpp:2300-2335)
+            cross4 = ((0, -4), (-4, 0), (0, 4), (4, 0))
+            while consider(best[1][0], best[1][1], cross4, 1, 1):
+                pass
         return best[1], best[0]
 
     def _interp_batch(self, plane, x0, y0, w, h, mvs):
@@ -444,6 +512,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             ref = self.ref_lists[lx][0]
             seeds = [mvps[1]] + [c.mv[lx] for c in merge_cands
                                  if c.pred_flags[lx]]
+            if lx in self._prev_int_mv:
+                seeds.append(self._prev_int_mv[lx])
             int_mv, _ = self._full_pel_search(orig, ref.planes[0], px, py,
                                               pw, ph, mvps[0], seeds)
             mv = self._sub_pel_refine(orig, ref, px, py, pw, ph, int_mv,
@@ -834,8 +904,13 @@ class InterPictureEncoder(IntraPictureEncoder):
             ref = self.ref_lists[lx][0]
             seeds = [mvps[1]] + [c.mv[lx] for c in merge_cands
                                  if c.pred_flags[lx]]
+            if lx in self._prev_int_mv:
+                # previous 2Nx2N integer best (mvPreviousInteger2Nx2N seed;
+                # row-local so WPP thread counts don't change results)
+                seeds.append(self._prev_int_mv[lx])
             int_mv, _ = self._full_pel_search(orig_y, ref.planes[0], x0, y0,
                                               size, size, mvps[0], seeds)
+            self._prev_int_mv[lx] = (4 * int_mv[0], 4 * int_mv[1])
             mv = self._sub_pel_refine(orig_y, ref, x0, y0, size, size, int_mv,
                                       mvps[0])
             bits0 = _mv_bits(mv[0] - mvps[0][0], mv[1] - mvps[0][1])

@@ -144,6 +144,9 @@ class IntraPictureEncoder:
         self._rd_ctx_wpp = None
         self.qp_map = None  # per-CTB QP (adaptive quantization)
         self._base_lam_qp = self.qp
+        # last 2Nx2N integer-search best per list (mvPreviousInteger2Nx2N
+        # ME seed); row-local — reset at each CTU row start
+        self._prev_int_mv = {}
 
     def set_qp_map(self, qp_map):
         self.qp_map = qp_map
@@ -198,6 +201,9 @@ class IntraPictureEncoder:
             return plan, self.recon
         for ry in range(sps.pic_height_in_ctbs_y):
             for rx in range(wc):
+                if rx == 0:
+                    # ME seed state is row-local (thread-count invariant)
+                    self._prev_int_mv = {}
                 if wpp and rx == 0 and ry > 0:
                     # mirror the writer's WPP context inheritance
                     if self._rd_ctx_wpp is not None:
@@ -614,8 +620,13 @@ class IntraPictureEncoder:
     # ------------------------------------------------------------------
     def _quantize_rd(self, coeffs, qp, bd, log2, intra, c_idx, mode):
         """Quantize + optional RDOQ + sign-data-hiding parity fix — the
-        one quantization entry point of every search path."""
-        levels = quantize_np(coeffs, qp, bd, log2, intra)
+        one quantization entry point of every search path.
+
+        The deadzone offset follows the SLICE type, not the CU prediction
+        mode: 1/3 in I slices, 1/6 in P/B (Reconstruct.cpp:439
+        `h[slice_type()] == I ? 171 : 85` — intra CUs inside inter
+        pictures use the inter deadzone)."""
+        levels = quantize_np(coeffs, qp, bd, log2, self.sh.is_i)
         if self.use_rdoq and levels.any():
             from turingcodec_tpu.encode.rdoq import rdoq_levels
             levels = rdoq_levels(coeffs, levels, qp, log2, bd, self.lam)

@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <ctime>
 
@@ -90,6 +91,11 @@ struct EnCur {
     int qp_full, qp_cb_full, qp_cr_full;
     double lam, lam_bits, lam_me;
     int err;
+    // last 2Nx2N integer-search best (quarter-pel), per list — ME seed
+    // (Search.hpp mvPreviousInteger2Nx2N); reset per CTU row so results
+    // are identical at any WPP thread count
+    int prev_int_mv[2][2];
+    int prev_int_valid[2];
 };
 
 thread_local EnCur cur;
@@ -350,6 +356,78 @@ int64_t satd_region(const int32_t* a, const int32_t* b, int w, int h,
         for (int x = 0; x < w; x += bs)
             total += satd_block(a + y * w + x, b + y * w + x, w, w, bs);
     return total;
+}
+
+// int16-vs-int16 SAD over an interior (no clamping) window: the original
+// block is packed to int16 once per motion search, halving loads and
+// doubling lane width vs the int32 path. Sums are exact (|d| <= 2^bd).
+static int64_t sad16_interior(const int16_t* o, int bw, int bh,
+                              const int16_t* ref, int rw, int x0, int y0) {
+    int64_t s = 0;
+#if defined(__AVX512BW__)
+    const __m512i one16 = _mm512_set1_epi16(1);
+    __m512i acc = _mm512_setzero_si512();
+    __m256i acc2 = _mm256_setzero_si256();
+    for (int y = 0; y < bh; y++) {
+        const int16_t* r = ref + (int64_t)(y0 + y) * rw + x0;
+        const int16_t* a = o + y * bw;
+        int x = 0;
+        for (; x + 32 <= bw; x += 32) {
+            __m512i d = _mm512_sub_epi16(
+                _mm512_loadu_si512((const void*)(a + x)),
+                _mm512_loadu_si512((const void*)(r + x)));
+            acc = _mm512_add_epi32(
+                acc, _mm512_madd_epi16(_mm512_abs_epi16(d), one16));
+        }
+        for (; x + 16 <= bw; x += 16) {
+            __m256i d = _mm256_sub_epi16(
+                _mm256_loadu_si256((const __m256i*)(a + x)),
+                _mm256_loadu_si256((const __m256i*)(r + x)));
+            acc2 = _mm256_add_epi32(
+                acc2, _mm256_madd_epi16(_mm256_abs_epi16(d),
+                                        _mm256_set1_epi16(1)));
+        }
+        for (; x < bw; x++) {
+            int d = a[x] - r[x];
+            s += d < 0 ? -d : d;
+        }
+    }
+    s += _mm512_reduce_add_epi32(acc);
+    alignas(32) int32_t b8[8];
+    _mm256_store_si256((__m256i*)b8, acc2);
+    for (int i = 0; i < 8; i++)
+        s += b8[i];
+#elif defined(__AVX2__)
+    const __m256i one16 = _mm256_set1_epi16(1);
+    __m256i acc = _mm256_setzero_si256();
+    for (int y = 0; y < bh; y++) {
+        const int16_t* r = ref + (int64_t)(y0 + y) * rw + x0;
+        const int16_t* a = o + y * bw;
+        int x = 0;
+        for (; x + 16 <= bw; x += 16) {
+            __m256i d = _mm256_sub_epi16(
+                _mm256_loadu_si256((const __m256i*)(a + x)),
+                _mm256_loadu_si256((const __m256i*)(r + x)));
+            acc = _mm256_add_epi32(
+                acc, _mm256_madd_epi16(_mm256_abs_epi16(d), one16));
+        }
+        for (; x < bw; x++) {
+            int d = a[x] - r[x];
+            s += d < 0 ? -d : d;
+        }
+    }
+    alignas(32) int32_t b8[8];
+    _mm256_store_si256((__m256i*)b8, acc);
+    for (int i = 0; i < 8; i++)
+        s += b8[i];
+#else
+    for (int y = 0; y < bh; y++)
+        for (int x = 0; x < bw; x++) {
+            int d = o[y * bw + x] - ref[(int64_t)(y0 + y) * rw + x0 + x];
+            s += d < 0 ? -d : d;
+        }
+#endif
+    return s;
 }
 
 // SAD of orig (int32, bh x bw) vs a clamped window of the int16 ref plane
@@ -695,7 +773,9 @@ int quantize(const int32_t* coeffs, int n, int qp, int bit_depth, int log2,
     int t_shift = 15 - bit_depth - log2;
     int q_shift = 14 + qp / 6 + t_shift;
     int64_t f = en.quant_scales[qp % 6];
-    int64_t rnd = (1LL << q_shift) / (intra ? 3 : 6);
+    // deadzone offset keyed on SLICE type (Reconstruct.cpp:439: 171/512 in
+    // I slices, 85/512 in P/B — even for intra CUs inside inter pictures)
+    int64_t rnd = (1LL << q_shift) / (g_sp.is_i ? 3 : 6);
     int nz = 0;
     for (int i = 0; i < n * n; i++) {
         int c = coeffs[i];
@@ -1662,11 +1742,20 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     PhaseTimer pt(4);
     const int16_t* plane = en.refs[lx][ref][0];
     fp_cache.reset();
+    static thread_local int16_t orig16[64 * 64];
+    for (int i = 0; i < w * h; i++)
+        orig16[i] = (int16_t)orig[i];
     auto cost_at = [&](int ix, int iy) -> double {
         double c;
         if (!fp_cache.get(ix, iy, &c)) {
-            int64_t sad = sad_at(orig, w, h, plane, g_sp.pic_w, g_sp.pic_h,
-                                 x0 + ix, y0 + iy);
+            int64_t sad;
+            if (x0 + ix >= 0 && y0 + iy >= 0 && x0 + ix + w <= g_sp.pic_w
+                && y0 + iy + h <= g_sp.pic_h)
+                sad = sad16_interior(orig16, w, h, plane, g_sp.pic_w,
+                                     x0 + ix, y0 + iy);
+            else
+                sad = sad_at(orig, w, h, plane, g_sp.pic_w, g_sp.pic_h,
+                             x0 + ix, y0 + iy);
             c = (double)sad
               + cur.lam_me * mv_bits(4 * ix - mvp[0], 4 * iy - mvp[1]);
             fp_cache.put(ix, iy, c);
@@ -1687,49 +1776,105 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     try_seed(mvp[0] >> 2, mvp[1] >> 2);
     for (int i = 0; i < n_seeds; i++)
         try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
-    const int sr = en.search_range;
-    static const int dirs[8][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1},
-                                   {1, 1}, {-1, -1}, {1, -1}, {-1, 1}};
-    for (int step = 16; step >= 1; step >>= 1) {
-        bool improved = true;
-        while (improved) {
-            improved = false;
-            int bx = best.ix, by = best.iy;
-            int pix[8], piy[8], np_ = 0;
-            for (int d = 0; d < 8; d++) {
-                int ix = bx + dirs[d][0] * step, iy = by + dirs[d][1] * step;
-                if (std::abs(ix) > sr || std::abs(iy) > sr)
-                    continue;
-                pix[np_] = ix;
-                piy[np_] = iy;
-                np_++;
+
+    // HM-style star search (Search.hpp:2202-2301 fullPelMotionEstimation):
+    // 16-point diamond scanned at doubling distances around a fixed center,
+    // raster fallback when the best improvement came from far away, then
+    // star refinement passes until converged.
+    // the search window caps star DISTANCES around the (seed-chained)
+    // center, like the reference (searchWindow only bounds one pass;
+    // LimitFullPelMv clamps to picture/wavefront reach, not to an absolute
+    // range) — probes themselves are bounded only by the dense cache radius
+    const int sr = 128;
+    // quarter-pel basis patterns; (entry*dist)>>2 is always an integer for
+    // the (step, dist) pairs used
+    static const int STAR16[16][2] = {
+        {0, -4}, {1, -3}, {2, -2}, {3, -1}, {4, 0}, {3, 1}, {2, 2}, {1, 3},
+        {0, 4}, {-1, 3}, {-2, 2}, {-3, 1}, {-4, 0}, {-3, -1}, {-2, -2},
+        {-1, -3}};
+    static const int SQUARE4[4][2] = {{-4, -4}, {-4, 4}, {4, 4}, {4, -4}};
+    auto consider_pattern = [&](int cx, int cy, const int (*pat)[2],
+                                int npat, int step, int dist) -> bool {
+        FpBest pb{0.0, 0, 0};
+        bool have = false;
+        for (int i = 0; i < npat; i += step) {
+            int ix = cx + ((pat[i][0] * dist) >> 2);
+            int iy = cy + ((pat[i][1] * dist) >> 2);
+            if (std::abs(ix) > sr || std::abs(iy) > sr)
+                continue;
+            double c = cost_at(ix, iy);
+            if (!have || fp_better(c, ix, iy, pb)) {
+                pb = {c, ix, iy};
+                have = true;
             }
-            double pc[8];
-            for (int i = 0; i < np_; i++) {
-                double c;
-                if (!fp_cache.get(pix[i], piy[i], &c)) {
-                    int64_t sad = sad_at(orig, w, h, plane, g_sp.pic_w,
-                                         g_sp.pic_h, x0 + pix[i],
-                                         y0 + piy[i]);
-                    c = (double)sad
-                      + cur.lam_me * mv_bits(4 * pix[i] - mvp[0],
-                                            4 * piy[i] - mvp[1]);
-                }
-                pc[i] = c;
+        }
+        if (have && pb.cost < best.cost) {
+            best = pb;
+            return true;
+        }
+        return false;
+    };
+    const int search_window = en.search_range >= 64 ? 64 : 32;
+    const int max_counter = en.search_range >= 64 ? 3 : 2;
+    const int raster_q = en.search_range >= 64 ? 240 : 120;
+    {  // initial star around the seed winner (fixed center)
+        const int cx = best.ix, cy = best.iy;
+        int dist_best = 0, counter = 0, step = 4;
+        for (int dist = 1; dist <= search_window && counter < max_counter;
+             dist <<= 1) {
+            if (dist == 2 || dist == 8)
+                step >>= 1;
+            if (consider_pattern(cx, cy, STAR16, 16, step, dist)) {
+                dist_best = dist;
+                counter = 0;
+            } else {
+                counter++;
             }
-            FpBest probe_best{0, 0, 0};
+        }
+        if (dist_best == 1) {
+            dist_best = 0;
+            consider_pattern(best.ix, best.iy, SQUARE4, 4, 1, 1);
+        }
+        if (dist_best > 5) {
+            // raster sweep on a 5-pel grid (quarter-pel +/-raster_q)
+            FpBest rb{0.0, 0, 0};
             bool have = false;
-            for (int i = 0; i < np_; i++) {
-                fp_cache.put(pix[i], piy[i], pc[i]);
-                if (!have || fp_better(pc[i], pix[i], piy[i], probe_best)) {
-                    probe_best = {pc[i], pix[i], piy[i]};
-                    have = true;
+            for (int qy = -raster_q; qy <= raster_q; qy += 20)
+                for (int qx = -raster_q; qx <= raster_q; qx += 20) {
+                    int ix = qx >> 2, iy = qy >> 2;
+                    if (std::abs(ix) > sr || std::abs(iy) > sr)
+                        continue;
+                    double c = cost_at(ix, iy);
+                    if (!have || fp_better(c, ix, iy, rb)) {
+                        rb = {c, ix, iy};
+                        have = true;
+                    }
                 }
+            if (have && rb.cost < best.cost)
+                best = rb;
+            dist_best = 5;
+        }
+        // star refinement until no distance improves
+        while (dist_best > 0) {
+            const int rx = best.ix, ry = best.iy;
+            dist_best = 0;
+            step = 4;
+            for (int dist = 1; dist <= search_window; dist <<= 1) {
+                if (dist == 2 || dist == 8)
+                    step >>= 1;
+                if (consider_pattern(rx, ry, STAR16, 16, step, dist))
+                    dist_best = dist;
             }
-            if (have && probe_best.cost < best.cost) {
-                best = probe_best;
-                improved = true;
+            if (dist_best == 1) {
+                consider_pattern(rx, ry, SQUARE4, 4, 1, 1);
+                dist_best = 0;
             }
+        }
+    }
+    if (en.search_range >= 64) {
+        // final +/-1 cross descent (slow/medium; Search.hpp:2300-2335)
+        static const int CROSS4[4][2] = {{0, -4}, {-4, 0}, {0, 4}, {4, 0}};
+        while (consider_pattern(best.ix, best.iy, CROSS4, 4, 1, 1)) {
         }
     }
     *out_ix = best.ix;
@@ -1954,7 +2099,7 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
     for (int lx = 0; lx < n_lists; lx++) {
         int mvps[2][2];
         sp_amvp(px, py, pw, ph, lx, 0, cb_info, mvps);
-        int seeds[6][2];
+        int seeds[8][2];
         int ns = 0;
         seeds[ns][0] = mvps[1][0];
         seeds[ns][1] = mvps[1][1];
@@ -1965,6 +2110,11 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
                 seeds[ns][1] = cands[mi].mvy(lx);
                 ns++;
             }
+        if (cur.prev_int_valid[lx]) {
+            seeds[ns][0] = cur.prev_int_mv[lx][0];
+            seeds[ns][1] = cur.prev_int_mv[lx][1];
+            ns++;
+        }
         int ix, iy;
         full_pel_search(orig, px, py, pw, ph, lx, 0, mvps[0], seeds, ns,
                         &ix, &iy);
@@ -2133,7 +2283,7 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
         snap_free(best_state);
         return cost_best;
     }
-    if (log2 > g_sp.max_tb_log2) {
+    if (log2 > g_sp.max_tb_log2 || getenv("TC_NO_II")) {
         // 64x64: inter only (intra would need TU-split RDO)
         snap_free(state);
         snap_free(best_state);
@@ -2383,7 +2533,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         int mvps[2][2];
         sp_amvp(x0, y0, size, size, lx, 0, cb_info, mvps);
         std::memcpy(uni_mvps[lx], mvps, sizeof(mvps));
-        int seeds[6][2];
+        int seeds[8][2];
         int ns = 0;
         seeds[ns][0] = mvps[1][0];
         seeds[ns][1] = mvps[1][1];
@@ -2394,9 +2544,18 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 seeds[ns][1] = merge_cands[mi].mvy(lx);
                 ns++;
             }
+        if (cur.prev_int_valid[lx]) {
+            // previous 2Nx2N integer best (mvPreviousInteger2Nx2N seed)
+            seeds[ns][0] = cur.prev_int_mv[lx][0];
+            seeds[ns][1] = cur.prev_int_mv[lx][1];
+            ns++;
+        }
         int ix, iy;
         full_pel_search(orig_y, x0, y0, size, size, lx, 0, mvps[0], seeds,
                         ns, &ix, &iy);
+        cur.prev_int_mv[lx][0] = 4 * ix;
+        cur.prev_int_mv[lx][1] = 4 * iy;
+        cur.prev_int_valid[lx] = 1;
         int mvx, mvy;
         sub_pel_refine(orig_y, x0, y0, size, size, lx, 0, ix, iy, mvps[0],
                        &mvx, &mvy);
@@ -3251,6 +3410,7 @@ double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                 std::memcpy(myctx, ctx, nctx);
             cur.ctx = myctx;
             cur.ids = myids;
+            cur.prev_int_valid[0] = cur.prev_int_valid[1] = 0;
             for (int rx = 0; rx < wc; rx++) {
                 if (ry > 0) {
                     const int need = std::min(wc, rx + 2);
@@ -3446,6 +3606,8 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
     double total = 0.0;
     for (int ry = 0; ry < hc; ry++)
         for (int rx = 0; rx < wc; rx++) {
+            if (rx == 0)  // ME seed state is row-local (thread-count inv.)
+                cur.prev_int_valid[0] = cur.prev_int_valid[1] = 0;
             if (wpp && rx == 0 && ry > 0) {
                 // mirror the writer's WPP context inheritance
                 std::memcpy(ctx, have_snap ? snap_ctx : init_states,
@@ -3474,6 +3636,8 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
 double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
                   int32_t qp_full, int32_t qp_cb_full, int32_t qp_cr_full,
                   double lam, double lam_bits, double lam_me) {
+    if (x0 == 0)  // ME seed state is row-local
+        cur.prev_int_valid[0] = cur.prev_int_valid[1] = 0;
     cur.ctx = ctx;
     cur.ids = ids;
     cur.qp_full = qp_full;
