@@ -405,7 +405,12 @@ class IntraPictureEncoder:
         ps = _PS()
         ps.plan, ps.geom, ps.sps = plan, self.geom, sps
         mpm = _intra_mpm(ps, x0, y0)
-        cands = self._rank_modes(orig_y, rt, rl, corner, size, mpm)
+        # Speed.h nCandidatesIntraRefinement: slow 8; medium 3 above 8x8
+        # else 8; fast 3 above 8x8 else 4
+        ncand = 8 if self.rd_candidates >= 3 else (
+            3 if log2 > 3 else (8 if self.rd_candidates == 2 else 4))
+        cands = self._rank_modes(orig_y, rt, rl, corner, size, mpm,
+                                 count=ncand)
 
         best = None
         for mode in cands:
@@ -547,7 +552,8 @@ class IntraPictureEncoder:
                                              self.bd)
             mpm = _intra_mpm(ps, xb, yb)
             cands = self._rank_modes(orig_b, rt, rl, corner, half, mpm,
-                                     count=max(2, self.rd_candidates))
+                                     count=8 if self.rd_candidates >= 2
+                                     else 4)
             best = None
             for mode in cands:
                 pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)

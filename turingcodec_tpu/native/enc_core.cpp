@@ -1486,8 +1486,12 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     int mpm[3];
     sp_intra_mpm(x0, y0, mpm);
     int cands[35];
-    int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm,
-                           en.rd_candidates, cands);
+    // RD-refinement candidate count (Speed.h nCandidatesIntraRefinement:
+    // slow 8; medium 3 above 8x8 else 8; fast 3 above 8x8 else 4)
+    int ncand_want = en.rd_candidates >= 3
+        ? 8 : (log2 > 3 ? 3 : (en.rd_candidates == 2 ? 8 : 4));
+    int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm, ncand_want,
+                           cands);
 
     static thread_local TbTrial trial, best_t;
     double best_cost = 0.0;
@@ -1559,7 +1563,9 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
                          g_sp.w4, xb, yb, half, 1, bd, rt, rl, &corner);
         int mpm[3];
         sp_intra_mpm(xb, yb, mpm);
-        int count = en.rd_candidates > 2 ? en.rd_candidates : 2;
+        // 4x4 partitions: 8 candidates at slow/medium, 4 at fast
+        // (Speed.h nCandidatesIntraRefinement, log2PartitionSize == 2)
+        int count = en.rd_candidates >= 2 ? 8 : 4;
         int cands[35];
         int ncand = rank_modes(orig_b, rt, rl, corner, half, mpm, count,
                                cands);
