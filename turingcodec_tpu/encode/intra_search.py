@@ -440,7 +440,6 @@ class IntraPictureEncoder:
         cost, mode, levels, rec = best
         self._commit_residual_ctx(levels, log2, 0, mode, True)
         plan.intra_mode_y[sl] = mode
-        plan.intra_mode_c[sl] = mode  # DM chroma
         plan.tu_log2[sl] = log2
         plan.tu_id[sl] = self.next_id[2]
         self.next_id[2] += 1
@@ -448,38 +447,8 @@ class IntraPictureEncoder:
         plan.cbf_y[sl] = int(levels.any())
         self.recon[0][y0:y0 + size, x0:x0 + size] = rec
 
-        # chroma (DM mode, half res)
-        cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
-        clog2 = log2 - 1
-        total_crate = 0.0
-        for c_idx, (plane_o, plane_r, coeffp, cbfp, qp) in enumerate((
-                (self.orig[1], self.recon[1], plan.coeff_cb, plan.cbf_cb,
-                 self.qp_cb),
-                (self.orig[2], self.recon[2], plan.coeff_cr, plan.cbf_cr,
-                 self.qp_cr))):
-            rt_c, rl_c, c_c = self.refs.build(plane_r, cx, cy, cs, 1,
-                                              sps.bit_depth_c)
-            pred = intra_predict(mode, rt_c, rl_c, c_c, cs, 1, sps.bit_depth_c)
-            res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
-            coeffs = forward_transform_np(res, sps.bit_depth_c, False)
-            levels = self._quantize_rd(coeffs, qp + sps.qp_bd_offset_c,
-                                       sps.bit_depth_c, clog2, True,
-                                       c_idx + 1, mode)
-            if levels.any():
-                d = dequant_block(levels, qp + sps.qp_bd_offset_c,
-                                  sps.bit_depth_c, clog2)
-                rec_res = inverse_transform(d, sps.bit_depth_c, False)
-                rec_c = np.clip(pred + rec_res, 0, (1 << sps.bit_depth_c) - 1)
-            else:
-                rec_c = np.clip(pred, 0, (1 << sps.bit_depth_c) - 1)
-            coeffp[cy:cy + cs, cx:cx + cs] = levels
-            cbfp[sl] = int(levels.any())
-            dist_c = float(((rec_c - plane_o[cy:cy + cs, cx:cx + cs]) ** 2).sum())
-            cbits = self._residual_bits(levels, clog2, c_idx + 1, mode, True)
-            self._commit_residual_ctx(levels, clog2, c_idx + 1, mode, True)
-            total_crate += cbits
-            cost += dist_c + self.lam * cbits
-            plane_r[cy:cy + cs, cx:cx + cs] = rec_c
+        # chroma: candidate-searched mode, half res
+        cost += self._encode_chroma(plan, sl, x0, y0, size, mode, log2 - 1)
         return cost
 
     # ------------------------------------------------------------------
@@ -588,40 +557,66 @@ class IntraPictureEncoder:
             self.recon[0][yb:yb + half, xb:xb + half] = rec
             lumas.append(rec)
 
-        # chroma: one 4x4 TB pair for the CU, DM mode from PU0
-        mode_c = modes[0]
-        plan.intra_mode_c[sl] = mode_c
+        # chroma: candidate-searched mode, one 4x4 TB pair for the CU
+        cost += self._encode_chroma(plan, sl, x0, y0, size, modes[0], 2)
+        return cost
+
+    # ------------------------------------------------------------------
+    def _encode_chroma(self, plan, sl, x0, y0, size, dm, clog2):
+        """Chroma mode search (searchIntraChroma, Search.hpp:271): DM +
+        planar/vertical/horizontal/DC (34 substituted for a DM duplicate),
+        each fully reconstructed and RD-costed; mode bits 1 (DM) / 3 (list
+        entry) match the writer's binarization. Sets intra_mode_c and
+        returns dist + lam * bits (native twin: intra_chroma)."""
+        sps = self.sps
         cx, cy, cs = x0 >> 1, y0 >> 1, size >> 1
-        for c_idx, (plane_o, plane_r, coeffp, cbfp, qp) in enumerate((
-                (self.orig[1], self.recon[1], plan.coeff_cb, plan.cbf_cb,
-                 self.qp_cb),
-                (self.orig[2], self.recon[2], plan.coeff_cr, plan.cbf_cr,
-                 self.qp_cr))):
-            rt, rl, corner = self.refs.build(plane_r, cx, cy, cs, 1,
-                                             sps.bit_depth_c)
-            pred = intra_predict(mode_c, rt, rl, corner, cs, 1,
-                                 sps.bit_depth_c)
-            res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
-            coeffs = forward_transform_np(res, sps.bit_depth_c, False)
-            levels = self._quantize_rd(coeffs, qp + sps.qp_bd_offset_c,
-                                       sps.bit_depth_c, 2, True, c_idx + 1,
-                                       mode_c)
-            if levels.any():
-                d = dequant_block(levels, qp + sps.qp_bd_offset_c,
-                                  sps.bit_depth_c, 2)
-                rec_c = np.clip(pred + inverse_transform(d, sps.bit_depth_c,
-                                                         False),
-                                0, (1 << sps.bit_depth_c) - 1)
-            else:
-                rec_c = np.clip(pred, 0, (1 << sps.bit_depth_c) - 1)
+        cand = [dm, 0, 26, 10, 1]
+        cand[1:] = [34 if c == dm else c for c in cand[1:]]
+        planes = ((self.orig[1], self.recon[1], plan.coeff_cb, plan.cbf_cb,
+                   self.qp_cb),
+                  (self.orig[2], self.recon[2], plan.coeff_cr, plan.cbf_cr,
+                   self.qp_cr))
+        refs = [self.refs.build(p[1], cx, cy, cs, 1, sps.bit_depth_c)
+                for p in planes]
+        best = None
+        for k, m in enumerate(cand):
+            ck = 0.0
+            trials = []
+            for c_idx, (plane_o, _r, _c, _f, qp) in enumerate(planes):
+                rt_c, rl_c, c_c = refs[c_idx]
+                pred = intra_predict(m, rt_c, rl_c, c_c, cs, 1,
+                                     sps.bit_depth_c)
+                res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
+                coeffs = forward_transform_np(res, sps.bit_depth_c, False)
+                levels = self._quantize_rd(coeffs, qp + sps.qp_bd_offset_c,
+                                           sps.bit_depth_c, clog2, True,
+                                           c_idx + 1, m)
+                if levels.any():
+                    d = dequant_block(levels, qp + sps.qp_bd_offset_c,
+                                      sps.bit_depth_c, clog2)
+                    rec_c = np.clip(
+                        pred + inverse_transform(d, sps.bit_depth_c, False),
+                        0, (1 << sps.bit_depth_c) - 1)
+                else:
+                    rec_c = np.clip(pred, 0, (1 << sps.bit_depth_c) - 1)
+                dist_c = float(
+                    ((rec_c - plane_o[cy:cy + cs, cx:cx + cs]) ** 2).sum())
+                cbits = self._residual_bits(levels, clog2, c_idx + 1, m,
+                                            True)
+                ck += dist_c + self.lam * cbits
+                trials.append((levels, rec_c))
+            ck += self.lam_bits * (1.0 if k == 0 else 3.0)
+            if best is None or ck < best[0]:
+                best = (ck, m, trials)
+        ck, m, trials = best
+        plan.intra_mode_c[sl] = m
+        for c_idx, (_o, plane_r, coeffp, cbfp, _q) in enumerate(planes):
+            levels, rec_c = trials[c_idx]
             coeffp[cy:cy + cs, cx:cx + cs] = levels
             cbfp[sl] = int(levels.any())
-            cbits = self._residual_bits(levels, 2, c_idx + 1, mode_c, True)
-            self._commit_residual_ctx(levels, 2, c_idx + 1, mode_c, True)
-            dist_c = float(((rec_c - plane_o[cy:cy + cs, cx:cx + cs]) ** 2).sum())
-            cost += dist_c + self.lam * cbits
+            self._commit_residual_ctx(levels, clog2, c_idx + 1, m, True)
             plane_r[cy:cy + cs, cx:cx + cs] = rec_c
-        return cost
+        return ck
 
     # ------------------------------------------------------------------
     def _quantize_rd(self, coeffs, qp, bd, log2, intra, c_idx, mode):

@@ -1431,36 +1431,62 @@ inline void scatter_lv(int16_t* plane, int stride, int x0, int y0, int n,
                     n * 2);
 }
 
-// chroma half of an intra CU (shared by 2Nx2N and NxN paths):
-// one TB per plane at (cx, cy) size cs, DM mode. Returns dist + lam * bits.
-double intra_chroma(int cx, int cy, int cs, int clog2, int mode,
+// chroma half of an intra CU: candidate-searched chroma mode
+// (searchIntraChroma, Search.hpp:271): DM + planar/vertical/horizontal/DC
+// (34 substituted for a DM duplicate), each fully reconstructed and
+// RD-costed; mode bits 1 (DM) / 3 (list entry) match the writer's
+// binarization. Sets intra_mode_c; returns dist + lam * bits.
+double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
                     int x0, int y0, int size) {
     const int bd_c = g_sp.bit_depth_c;
-    double cost = 0.0;
-    static thread_local int32_t orig_c[32 * 32], pred[32 * 32];
-    int32_t rt[64], rl[64], corner;
-    TbTrial t;
+    int cand[5] = {dm, 0, 26, 10, 1};
+    for (int i = 1; i < 5; i++)
+        if (cand[i] == dm)
+            cand[i] = 34;
+    static thread_local int32_t orig_c[2][32 * 32], pred[32 * 32];
+    int32_t rt[2][64], rl[2][64], corner[2];
     for (int ci = 0; ci < 2; ci++) {
-        const int16_t* plane_o = en.orig[ci + 1];
-        int16_t* plane_r = en.rec[ci + 1];
+        gather32(en.orig[ci + 1], cw_(), cx, cy, cs, orig_c[ci]);
+        build_intra_refs(en.rec[ci + 1], cw_(), chh_(), en.zscan32, g_sp.w4,
+                         cx, cy, cs, 2, bd_c, rt[ci], rl[ci], &corner[ci]);
+    }
+    static thread_local TbTrial cur_t[2], best_t[2];
+    double best_cost = 0.0;
+    int best_k = -1;
+    for (int k = 0; k < 5; k++) {
+        int m = cand[k];
+        double ck = 0.0;
+        for (int ci = 0; ci < 2; ci++) {
+            int qp = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
+            intra_predict_core(m, rt[ci], rl[ci], corner[ci], cs, 1, bd_c,
+                               0, pred);
+            try_tb(orig_c[ci], pred, cs, clog2, qp, bd_c, 0, 1,
+                   scan_for(clog2, ci + 1, m, 1), cur_t[ci]);
+            ck += cur_t[ci].dist
+                + cur.lam * residual_bits_est(cur_t[ci].levels,
+                                              cur_t[ci].nz, clog2, ci + 1,
+                                              m, 1);
+        }
+        ck += cur.lam_bits * (k == 0 ? 1.0 : 3.0);
+        if (best_k < 0 || ck < best_cost) {
+            best_cost = ck;
+            best_k = k;
+            best_t[0] = cur_t[0];
+            best_t[1] = cur_t[1];
+        }
+    }
+    const int m = cand[best_k];
+    fillq(g_sp.intra_mode_c, x0, y0, size, (uint8_t)m);
+    for (int ci = 0; ci < 2; ci++) {
         int16_t* coeffp = ci == 0 ? g_sp.coeff_cb : g_sp.coeff_cr;
         uint8_t* cbfp = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
-        int qp = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
-        gather32(plane_o, cw_(), cx, cy, cs, orig_c);
-        build_intra_refs(plane_r, cw_(), chh_(), en.zscan32, g_sp.w4, cx, cy,
-                         cs, 2, bd_c, rt, rl, &corner);
-        intra_predict_core(mode, rt, rl, corner, cs, 1, bd_c, 0, pred);
-        try_tb(orig_c, pred, cs, clog2, qp, bd_c, 0, 1,
-               scan_for(clog2, ci + 1, mode, 1), t);
-        scatter_lv(coeffp, cw_(), cx, cy, cs, t.levels);
-        fillq(cbfp, x0, y0, size, (uint8_t)(t.nz ? 1 : 0));
-        double cbits = residual_bits_est(t.levels, t.nz, clog2, ci + 1, mode,
-                                         1);
-        commit_residual_ctx(t.levels, t.nz, clog2, ci + 1, mode, 1);
-        cost += t.dist + cur.lam * cbits;
-        scatter16(plane_r, cw_(), cx, cy, cs, t.rec);
+        scatter_lv(coeffp, cw_(), cx, cy, cs, best_t[ci].levels);
+        fillq(cbfp, x0, y0, size, (uint8_t)(best_t[ci].nz ? 1 : 0));
+        commit_residual_ctx(best_t[ci].levels, best_t[ci].nz, clog2, ci + 1,
+                            m, 1);
+        scatter16(en.rec[ci + 1], cw_(), cx, cy, cs, best_t[ci].rec);
     }
-    return cost;
+    return best_cost;
 }
 
 // intra_search._encode_cu: best 2Nx2N intra CU at (x0, y0)
@@ -1519,7 +1545,6 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     }
     commit_residual_ctx(best_t.levels, best_t.nz, log2, 0, best_mode, 1);
     fillq(g_sp.intra_mode_y, x0, y0, size, (uint8_t)best_mode);
-    fillq(g_sp.intra_mode_c, x0, y0, size, (uint8_t)best_mode);
     fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)log2);
     fillq(g_sp.tu_id, x0, y0, size, cur.ids[2]);
     cur.ids[2]++;
@@ -1597,7 +1622,6 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
         fillq(g_sp.cbf_y, xb, yb, half, (uint8_t)(best_t.nz ? 1 : 0));
         scatter16(en.rec[0], g_sp.pic_w, xb, yb, half, best_t.rec);
     }
-    fillq(g_sp.intra_mode_c, x0, y0, size, (uint8_t)modes[0]);
     return cost + intra_chroma(x0 >> 1, y0 >> 1, size >> 1, 2, modes[0],
                                x0, y0, size);
 }
