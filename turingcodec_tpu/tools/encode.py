@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--no-wpp", action="store_true")
     ap.add_argument("--hash", type=int, default=0, choices=[0, 1, 2])
     ap.add_argument("--rdoq", action="store_true")
+    ap.add_argument("--sao", dest="sao", action="store_true", default=None,
+                    help="force SAO on (default: preset; fast disables)")
+    ap.add_argument("--no-sao", dest="sao", action="store_false",
+                    help="force SAO off")
     ap.add_argument("--sdh", action="store_true", default=None,
                     help="sign data hiding (default: on at slow/medium, "
                          "matching the reference Speed.h useSdh)")
@@ -69,7 +73,9 @@ def main(argv=None):
     if args.rd_candidates is not None:
         rd = args.rd_candidates
     sdh = args.sdh if args.sdh is not None else args.speed != "fast"
-    cfg = EncoderConfig(width=w, height=h, qp=args.qp,
+    # Speed.h useSao: slow/medium only (fast runs without SAO)
+    sao = args.sao if args.sao is not None else args.speed != "fast"
+    cfg = EncoderConfig(width=w, height=h, qp=args.qp, sao=sao,
                         bit_depth=args.bit_depth,
                         rd_candidates=rd, search_range=sr,
                         rcudepth=args.rcudepth,
