@@ -634,7 +634,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             coeffs = forward_transform_np(oy - pyq, self.bd, False)
             levels = self._quantize_rd(coeffs,
                                        self.qp + sps.qp_bd_offset_y,
-                                       self.bd, log2 - 1, False, 0, 0)
+                                       self.bd, log2 - 1, False, 0, 0,
+                                       cbf=("cbf_luma", 0))
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2 - 1)
@@ -667,7 +668,7 @@ class InterPictureEncoder(IntraPictureEncoder):
                 cf = forward_transform_np(oc - pc, sps.bit_depth_c, False)
                 lv = self._quantize_rd(cf, qp_c + sps.qp_bd_offset_c,
                                        sps.bit_depth_c, log2 - 2, False,
-                                       ci + 1, 0)
+                                       ci + 1, 0, cbf=("cbf_chroma", 1))
                 if lv.any():
                     dd = dequant_block(lv, qp_c + sps.qp_bd_offset_c,
                                        sps.bit_depth_c, log2 - 2)
@@ -722,7 +723,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                 coeffs = forward_transform_np(oy - pq, self.bd, False)
                 levels = self._quantize_rd(coeffs,
                                            self.qp + sps.qp_bd_offset_y,
-                                           self.bd, log2 - 1, False, 0, 0)
+                                           self.bd, log2 - 1, False, 0, 0,
+                                           cbf=("cbf_luma", 0))
                 if levels.any():
                     d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                       self.bd, log2 - 1)
@@ -746,7 +748,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                                               False)
                     lv = self._quantize_rd(cf, qp_c + sps.qp_bd_offset_c,
                                            sps.bit_depth_c, log2 - 2, False,
-                                           1 if lvp is lv_cb else 2, 0)
+                                           1 if lvp is lv_cb else 2, 0,
+                                           cbf=("cbf_chroma", 1))
                     if lv.any():
                         dd = dequant_block(lv, qp_c + sps.qp_bd_offset_c,
                                            sps.bit_depth_c, log2 - 2)
@@ -965,7 +968,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             res = orig_y - py
             coeffs = forward_transform_np(res, self.bd, False)
             levels = self._quantize_rd(coeffs, self.qp + sps.qp_bd_offset_y,
-                                       self.bd, log2, False, 0, 0)
+                                       self.bd, log2, False, 0, 0,
+                                       cbf=("rqt_root_cbf", 0))
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2)
@@ -982,7 +986,7 @@ class InterPictureEncoder(IntraPictureEncoder):
                 cf = forward_transform_np(res_c, sps.bit_depth_c, False)
                 lv = self._quantize_rd(cf, qp + sps.qp_bd_offset_c,
                                        sps.bit_depth_c, log2 - 1, False,
-                                       ci + 1, 0)
+                                       ci + 1, 0, cbf=("cbf_chroma", 0))
                 if lv.any():
                     dd = dequant_block(lv, qp + sps.qp_bd_offset_c,
                                        sps.bit_depth_c, log2 - 1)

@@ -422,7 +422,8 @@ class IntraPictureEncoder:
             use_dst = log2 == 2
             coeffs = forward_transform_np(res, self.bd, use_dst)
             levels = self._quantize_rd(coeffs, self.qp + sps.qp_bd_offset_y,
-                                       self.bd, log2, True, 0, mode)
+                                       self.bd, log2, True, 0, mode,
+                                       cbf=("cbf_luma", 1))
             if levels.any():
                 d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                   self.bd, log2)
@@ -530,7 +531,8 @@ class IntraPictureEncoder:
                 coeffs = forward_transform_np(res, self.bd, True)
                 levels = self._quantize_rd(coeffs,
                                            self.qp + sps.qp_bd_offset_y,
-                                           self.bd, 2, True, 0, mode)
+                                           self.bd, 2, True, 0, mode,
+                                           cbf=("cbf_luma", 0))
                 if levels.any():
                     d = dequant_block(levels, self.qp + sps.qp_bd_offset_y,
                                       self.bd, 2)
@@ -590,7 +592,8 @@ class IntraPictureEncoder:
                 coeffs = forward_transform_np(res, sps.bit_depth_c, False)
                 levels = self._quantize_rd(coeffs, qp + sps.qp_bd_offset_c,
                                            sps.bit_depth_c, clog2, True,
-                                           c_idx + 1, m)
+                                           c_idx + 1, m,
+                                           cbf=("cbf_chroma", 0))
                 if levels.any():
                     d = dequant_block(levels, qp + sps.qp_bd_offset_c,
                                       sps.bit_depth_c, clog2)
@@ -619,18 +622,25 @@ class IntraPictureEncoder:
         return ck
 
     # ------------------------------------------------------------------
-    def _quantize_rd(self, coeffs, qp, bd, log2, intra, c_idx, mode):
-        """Quantize + optional RDOQ + sign-data-hiding parity fix — the
-        one quantization entry point of every search path.
+    def _quantize_rd(self, coeffs, qp, bd, log2, intra, c_idx, mode,
+                     cbf=("cbf_luma", 0)):
+        """Quantize (plain or HM RDOQ) + sign-data-hiding parity fix —
+        the one quantization entry point of every search path.
 
-        The deadzone offset follows the SLICE type, not the CU prediction
-        mode: 1/3 in I slices, 1/6 in P/B (Reconstruct.cpp:439
-        `h[slice_type()] == I ? 171 : 85` — intra CUs inside inter
-        pictures use the inter deadzone)."""
-        levels = quantize_np(coeffs, qp, bd, log2, self.sh.is_i)
-        if self.use_rdoq and levels.any():
-            from turingcodec_tpu.encode.rdoq import rdoq_levels
-            levels = rdoq_levels(coeffs, levels, qp, log2, bd, self.lam)
+        Plain path: deadzone offset follows the SLICE type, not the CU
+        prediction mode: 1/3 in I slices, 1/6 in P/B (Reconstruct.cpp:439
+        `h[slice_type()] == I ? 171 : 85`). RDOQ path: full HM RDOQ
+        (encode/rdoq.py; Rdoq.cpp:35-444) against the live rate-context
+        pool; `cbf` names the flag gating an all-zero TU."""
+        if self.use_rdoq:
+            from turingcodec_tpu.cabac.engine import ctx_index
+            from turingcodec_tpu.encode.rdoq import rdoq_quantize
+            levels = rdoq_quantize(
+                coeffs, qp, bd, log2, c_idx,
+                self._scan_for(log2, c_idx, mode, intra),
+                ctx_index(cbf[0]) + cbf[1], self.rd_ctx.states, self.lam)
+        else:
+            levels = quantize_np(coeffs, qp, bd, log2, self.sh.is_i)
         if self.pps.sign_data_hiding_enabled_flag and levels.any():
             levels = apply_sdh(levels, coeffs, qp, bd, log2,
                                self._scan_for(log2, c_idx, mode, intra))

@@ -920,7 +920,7 @@ class EncNative:
         if lib is None:
             return None
         sps, pps = enc.sps, enc.pps
-        if (enc.use_rdoq or getattr(enc, "wp", None) is not None
+        if (getattr(enc, "wp", None) is not None
                 or getattr(enc, "slice_row_map", None) is not None
                 or sps.chroma_array_type != 1
                 or sps.scaling_list_enabled_flag
@@ -968,7 +968,8 @@ class EncNative:
                         getattr(enc, "search_range", 0),
                         int(sps.strong_intra_smoothing_enabled_flag != 0),
                         NUM_CONTEXTS,
-                        int(getattr(enc, "rcudepth", False))], np.int32)
+                        int(getattr(enc, "rcudepth", False)),
+                        int(getattr(enc, "use_rdoq", False))], np.int32)
         from turingcodec_tpu.hevc.tables import QUANT_SCALES
         qs = np.ascontiguousarray(QUANT_SCALES, np.int32)
         lf, cf, _, _ = _recon_tables()

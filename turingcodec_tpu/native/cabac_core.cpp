@@ -628,9 +628,9 @@ int tc_intra_tu(int16_t* plane, int pw, int ph, const int32_t* zscan, int zw,
 // same context transitions as the writer — the C++ twin of
 // encode/ctu_write.residual_core driven by cabac/rate.RateEstimator.
 
-namespace {
 int32_t g_rate_bits[128][2];
 
+namespace {
 struct RateEst {
     uint8_t* ctx;
     int64_t frac = 0;

@@ -16,6 +16,7 @@ extern uint8_t g_next_lps[128];
 extern uint8_t g_sig4x4[16];
 extern int32_t g_off_sig, g_off_csbf, g_off_lastx, g_off_lasty, g_off_gt1,
     g_off_gt2;
+extern int32_t g_rate_bits[128][2];  // fractional bits (1/256) per state+bin
 // scan tables: g_scan[s][idx] for grid log2 s in 0..3, scan idx 0..2;
 // entries are (x, y) pairs in scan order, (1 << 2s) of them.
 extern int8_t g_scan[4][3][2 * 64];

@@ -17,6 +17,7 @@
 // exact residual rate (cabac_core.cpp), MC interpolation (pixel_recon.cpp).
 #include <algorithm>
 #include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -75,7 +76,7 @@ struct EN {
     int32_t luma_filt[4][8];
     int32_t chroma_filt[8][4];
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
-    int num_ctx, rcudepth;
+    int num_ctx, rcudepth, rdoq;
 };
 
 EN en;
@@ -1375,6 +1376,339 @@ void apply_sdh_c(int16_t* lv, const int32_t* coeffs, int qp_full, int bd,
         }
 }
 
+// ---------------------------------------------------------------- RDOQ
+// HM-style rate-distortion optimized quantization (turing/Rdoq.cpp:35-444):
+// per-coefficient level adjustment against context-exact CABAC rate
+// estimates, 4x4 coefficient-group zeroing decisions, and an RD-optimal
+// last-significant-position sweep. Reads (never mutates) the live
+// rate-context pool; rates are 1/256-bit units, costs double
+// (err^2 * 2^-(2*transformShift + 2*(bd-8)) + lambda * bits).
+
+inline int32_t rdoq_est(int ctx_idx, int bin) {
+    return g_rate_bits[cur.ctx[ctx_idx]][bin];
+}
+
+// lambda * rate of coding |level| (Rdoq::getLevelRateCost; 1 sign bit incl.)
+inline double rdoq_level_cost(double lam, int level, int g1_ctx, int g2_ctx,
+                              int rice, int g1_cnt, int g2_cnt) {
+    int64_t rate = 256;  // sign
+    const int base = g1_cnt < 8 ? (2 + (g2_cnt < 1)) : 1;
+    if (level >= base) {
+        int symbol = level - base;
+        if (symbol < (3 << rice)) {
+            rate += (int64_t)((symbol >> rice) + 1 + rice) << 8;
+        } else {
+            int length = rice;
+            symbol -= 3 << rice;
+            while (symbol >= (1 << length))
+                symbol -= 1 << length++;
+            rate += (int64_t)(3 + length + 1 - rice + length) << 8;
+        }
+        if (g1_cnt < 8) {
+            rate += rdoq_est(g1_ctx, 1);
+            if (g2_cnt < 1)
+                rate += rdoq_est(g2_ctx, 1);
+        }
+    } else if (level == 1) {
+        rate += rdoq_est(g1_ctx, 0);
+    } else if (level == 2) {
+        rate += rdoq_est(g1_ctx, 1);
+        rate += rdoq_est(g2_ctx, 0);
+    }
+    return lam * ((double)rate / 256.0);
+}
+
+// lambda * rate of the last-significant-position syntax
+// (Rdoq::getLastSigCoeffPosRateCost)
+inline double rdoq_last_cost(double lam, int xc, int yc, int c_idx,
+                             int log2) {
+    static const int blen[32] = {0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7,
+                                 7, 7, 8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9,
+                                 9, 9, 9, 9};
+    const int ctx_off = c_idx ? 15 : (3 * (log2 - 2) + ((log2 - 1) >> 2));
+    const int ctx_shift = c_idx ? (log2 - 2) : ((log2 + 1) >> 2);
+    int64_t rate = 0;
+    const int lx = blen[xc], ly = blen[yc];
+    for (int i = 0; i < lx; i++)
+        rate += rdoq_est(
+            g_off_lastx + clip3i(0, 17, (i >> ctx_shift) + ctx_off), 1);
+    if (lx < 9)
+        rate += rdoq_est(
+            g_off_lastx + clip3i(0, 17, (lx >> ctx_shift) + ctx_off), 0);
+    for (int i = 0; i < ly; i++)
+        rate += rdoq_est(
+            g_off_lasty + clip3i(0, 17, (i >> ctx_shift) + ctx_off), 1);
+    if (ly < 9)
+        rate += rdoq_est(
+            g_off_lasty + clip3i(0, 17, (ly >> ctx_shift) + ctx_off), 0);
+    if (lx > 3)
+        rate += (int64_t)((lx - 2) >> 1) << 8;
+    if (ly > 3)
+        rate += (int64_t)((ly - 2) >> 1) << 8;
+    return lam * ((double)rate / 256.0);
+}
+
+// Rdoq::runQuantisation. cbf_ctx_idx: absolute rate-pool index of the flag
+// that gates an all-zero TU (rqt_root_cbf for a depth-0 inter luma TU,
+// cbf_luma/cbf_cb/cbf_cr otherwise). Returns the nonzero count.
+int rdoq_quantize(const int32_t* coeffs, int qp, int bd, int log2,
+                  int c_idx, int scan_idx, int cbf_ctx_idx,
+                  int16_t* levels) {
+    const int count = 1 << (2 * log2);
+    const int ts = 15 - bd - log2;
+    const double lam = cur.lam;
+    const double err_scale = std::ldexp(1.0, -(2 * ts + 2 * (bd - 8)));
+    const int q_shift = 14 + qp / 6 + ts;
+    const int64_t q_scale = en.quant_scales[qp % 6];
+    static const int LS[6] = {40, 45, 51, 57, 64, 72};
+    const int inv_scale = LS[qp % 6] << (qp / 6);
+    const int inv_shift = bd + log2 - 9;
+    const int inv_offset = 1 << (inv_shift - 1);
+    const int g1_off = g_off_gt1 + (c_idx > 0 ? 16 : 0);
+    const int g2_off = g_off_gt2 + (c_idx > 0 ? 4 : 0);
+    const int8_t* cg_scan = g_scan[log2 - 2][scan_idx];
+    const int8_t* in_scan = g_scan[2][scan_idx];
+    const int total_cg = count >> 4;
+    const int cgw = 1 << (log2 - 2);
+
+    static thread_local double dist0[32 * 32], rd_coeff[32 * 32],
+        rate_sig[32 * 32];
+    double rate_cg_sig[64] = {0.0};
+    int csbf[64] = {0};
+    double dist0_total = 0.0, rd_cost_tu = 0.0;
+    int last_sp = -1, last_cg = -1;
+    int context_set = 0, g1_idx = 1, g1_cnt = 0, g2_cnt = 0, rice = 0;
+
+    // step 1: per-coefficient level adjustment + per-CG zeroing
+    for (int cgs = total_cg - 1; cgs >= 0; cgs--) {
+        const int cg_x = cg_scan[2 * cgs], cg_y = cg_scan[2 * cgs + 1];
+        const int cg_pos = cg_y * cgw + cg_x;
+        int prev_csbf = 0;
+        if (cg_x < cgw - 1)
+            prev_csbf += csbf[cg_y * cgw + cg_x + 1];
+        if (cg_y < cgw - 1)
+            prev_csbf += csbf[(cg_y + 1) * cgw + cg_x] << 1;
+        int nz_before_pos0 = 0;
+        double cg_dist0 = 0.0, cg_rate_sig = 0.0, cg_rate_sig_pos0 = 0.0,
+               cg_rd_coeff = 0.0;
+        for (int k = 15; k >= 0; k--) {
+            const int sp = cgs * 16 + k;
+            const int xc = (cg_x << 2) + in_scan[2 * k];
+            const int yc = (cg_y << 2) + in_scan[2 * k + 1];
+            const int pos = (yc << log2) + xc;
+            const int src = coeffs[pos];
+            const int abs_src = src < 0 ? -src : src;
+            int q_lv = (int)(((int64_t)abs_src * q_scale
+                              + (1LL << (q_shift - 1))) >> q_shift);
+            if (q_lv > 32767)
+                q_lv = 32767;
+            dist0[sp] = (double)abs_src * abs_src * err_scale;
+            dist0_total += dist0[sp];
+            rd_coeff[sp] = 0.0;
+            rate_sig[sp] = 0.0;
+            levels[pos] = (int16_t)q_lv;
+            if (q_lv > 0 && last_sp < 0) {
+                last_sp = sp;
+                context_set = (sp < 16 || c_idx != 0) ? 0 : 2;
+                last_cg = cgs;
+            }
+            if (last_sp >= 0) {
+                const int g1_ctx = g1_off + 4 * context_set + g1_idx;
+                const int g2_ctx = g2_off + context_set;
+                const int sig_idx =
+                    g_off_sig + sig_ctx(log2, c_idx, scan_idx, xc, yc,
+                                        xc & 3, yc & 3, xc >> 2, yc >> 2,
+                                        prev_csbf);
+                const bool is_last = sp == last_sp;
+                // getAdjustedQuantLevel
+                int adj = 0;
+                double rd_here, rate_sig_here;
+                if (!is_last && q_lv < 3) {
+                    rate_sig_here =
+                        lam * ((double)rdoq_est(sig_idx, 0) / 256.0);
+                    rd_here = dist0[sp] + rate_sig_here;
+                } else {
+                    rd_here = std::numeric_limits<double>::max();
+                    rate_sig_here = 0.0;
+                }
+                if (q_lv != 0 || is_last || q_lv >= 3) {
+                    double sig_cost1 =
+                        is_last ? 0.0
+                                : lam * ((double)rdoq_est(sig_idx, 1)
+                                         / 256.0);
+                    const int min_lv = q_lv > 1 ? q_lv - 1 : 1;
+                    for (int lv = q_lv; lv >= min_lv; lv--) {
+                        int cl = lv > 32767 ? 32767 : lv;
+                        int recon = (cl * inv_scale + inv_offset)
+                                    >> inv_shift;
+                        recon = clip3i(-32768, 32767, recon);
+                        const double err = (double)(abs_src - recon);
+                        double c = err * err * err_scale
+                                 + rdoq_level_cost(lam, lv, g1_ctx, g2_ctx,
+                                                   rice, g1_cnt, g2_cnt)
+                                 + sig_cost1;
+                        if (c < rd_here) {
+                            adj = lv;
+                            rd_here = c;
+                            rate_sig_here = sig_cost1;
+                        }
+                    }
+                }
+                levels[pos] = (int16_t)adj;
+                rd_coeff[sp] = rd_here;
+                rate_sig[sp] = rate_sig_here;
+                rd_cost_tu += rd_here;
+                // updateEntropyCodingEngine
+                const int base = g1_cnt < 8 ? (2 + (g2_cnt < 1)) : 1;
+                if (adj >= base && adj > 3 * (1 << rice))
+                    rice = std::min(rice + 1, 4);
+                if (adj >= 1)
+                    g1_cnt++;
+                if (adj > 1) {
+                    g1_idx = 0;
+                    g2_cnt++;
+                } else if (g1_idx < 3 && g1_idx > 0 && adj) {
+                    g1_idx++;
+                }
+                if ((sp % 16 == 0) && sp > 0) {
+                    rice = 0;
+                    g1_cnt = 0;
+                    g2_cnt = 0;
+                    context_set = (sp == 16 || c_idx != 0) ? 0 : 2;
+                    if (g1_idx == 0)
+                        context_set++;
+                    g1_idx = 1;
+                }
+            } else {
+                rd_cost_tu += dist0[sp];
+            }
+            cg_rate_sig += rate_sig[sp];
+            if (k == 0)
+                cg_rate_sig_pos0 = rate_sig[sp];
+            if (levels[pos]) {
+                csbf[cg_pos] = 1;
+                cg_rd_coeff += rd_coeff[sp] - rate_sig[sp];
+                cg_dist0 += dist0[sp];
+                if (k != 0)
+                    nz_before_pos0++;
+            }
+        }
+        // step 2: all-zero CG decision
+        if (last_cg >= 0) {
+            if (cgs) {
+                int cc = 0;
+                if (cg_x < cgw - 1)
+                    cc += csbf[cg_y * cgw + cg_x + 1];
+                if (cg_y < cgw - 1)
+                    cc += csbf[(cg_y + 1) * cgw + cg_x];
+                const int csbf_idx =
+                    g_off_csbf + std::min(cc, 1) + (c_idx ? 2 : 0);
+                if (csbf[cg_pos] == 0) {
+                    const double cost0 =
+                        lam * ((double)rdoq_est(csbf_idx, 0) / 256.0);
+                    rd_cost_tu += cost0 - cg_rate_sig;
+                    rate_cg_sig[cgs] = cost0;
+                } else if (cgs < last_cg) {
+                    if (nz_before_pos0 == 0) {
+                        rd_cost_tu -= cg_rate_sig_pos0;
+                        cg_rate_sig -= cg_rate_sig_pos0;
+                    }
+                    const double r0 =
+                        lam * ((double)rdoq_est(csbf_idx, 0) / 256.0);
+                    const double r1 =
+                        lam * ((double)rdoq_est(csbf_idx, 1) / 256.0);
+                    double rd_zero = rd_cost_tu;
+                    rd_cost_tu += r1;
+                    rd_zero += r0;
+                    rate_cg_sig[cgs] = r1;
+                    rd_zero += cg_dist0;
+                    rd_zero -= cg_rd_coeff;
+                    rd_zero -= cg_rate_sig;
+                    if (rd_zero < rd_cost_tu) {
+                        csbf[cg_pos] = 0;
+                        rd_cost_tu = rd_zero;
+                        rate_cg_sig[cgs] = r0;
+                        for (int j = 15; j >= 0; j--) {
+                            const int xj = (cg_x << 2) + in_scan[2 * j];
+                            const int yj = (cg_y << 2) + in_scan[2 * j + 1];
+                            const int pj = (yj << log2) + xj;
+                            const int sj = cgs * 16 + j;
+                            if (levels[pj]) {
+                                levels[pj] = 0;
+                                rd_coeff[sj] = dist0[sj];
+                                rate_sig[sj] = 0.0;
+                            }
+                        }
+                    }
+                }
+            } else {
+                csbf[cg_pos] = 1;
+            }
+        }
+    }
+    if (last_sp < 0)
+        return 0;
+
+    // step 3: cbf gate + RD-optimal last significant position
+    double rd_best = dist0_total
+                   + lam * ((double)rdoq_est(cbf_ctx_idx, 0) / 256.0);
+    rd_cost_tu += lam * ((double)rdoq_est(cbf_ctx_idx, 1) / 256.0);
+    int last_pos_idx = 0;
+    bool found = false;
+    for (int cgs = last_cg; cgs >= 0 && !found; cgs--) {
+        const int cg_x = cg_scan[2 * cgs], cg_y = cg_scan[2 * cgs + 1];
+        rd_cost_tu -= rate_cg_sig[cgs];
+        if (!csbf[cg_y * cgw + cg_x])
+            continue;
+        for (int k = 15; k >= 0; k--) {
+            const int sp = cgs * 16 + k;
+            if (sp > last_sp)
+                continue;
+            const int xc = (cg_x << 2) + in_scan[2 * k];
+            const int yc = (cg_y << 2) + in_scan[2 * k + 1];
+            const int pos = (yc << log2) + xc;
+            if (levels[pos]) {
+                const double rate_last =
+                    scan_idx == 2
+                        ? rdoq_last_cost(lam, yc, xc, c_idx, log2)
+                        : rdoq_last_cost(lam, xc, yc, c_idx, log2);
+                const double total = rd_cost_tu + rate_last - rate_sig[sp];
+                if (total < rd_best) {
+                    last_pos_idx = sp + 1;
+                    rd_best = total;
+                }
+                if (levels[pos] > 1) {
+                    found = true;
+                    break;
+                }
+                rd_cost_tu -= rd_coeff[sp];
+                rd_cost_tu += dist0[sp];
+            } else {
+                rd_cost_tu -= rate_sig[sp];
+            }
+        }
+    }
+
+    // finalize: recover signs below last_pos_idx, zero the rest
+    int nz = 0;
+    for (int sp = 0; sp <= last_sp; sp++) {
+        const int cgs = sp >> 4, k = sp & 15;
+        const int xc = (cg_scan[2 * cgs] << 2) + in_scan[2 * k];
+        const int yc = (cg_scan[2 * cgs + 1] << 2) + in_scan[2 * k + 1];
+        const int pos = (yc << log2) + xc;
+        if (sp < last_pos_idx) {
+            const int lv = levels[pos];
+            if (lv) {
+                nz++;
+                levels[pos] = (int16_t)(coeffs[pos] < 0 ? -lv : lv);
+            }
+        } else {
+            levels[pos] = 0;
+        }
+    }
+    return nz;
+}
+
 // one intra TB trial: predict + transform + quant + recon; returns dist and
 // fills levels/rec. pred is the exact (edge-filtered) prediction.
 struct TbTrial {
@@ -1386,13 +1720,16 @@ struct TbTrial {
 
 void try_tb(const int32_t* orig_b, const int32_t* pred, int n, int log2,
             int qp_full, int bd, int use_dst, int intra, int scan_idx,
-            TbTrial& t) {
+            int c_idx, int cbf_ctx, TbTrial& t) {
     LeafTimer pt(14);
     static thread_local int32_t res[32 * 32], coeffs[32 * 32];
     for (int i = 0; i < n * n; i++)
         res[i] = orig_b[i] - pred[i];
     fwd_transform(res, n, bd, use_dst, coeffs);
-    t.nz = quantize(coeffs, n, qp_full, bd, log2, intra, t.levels);
+    t.nz = en.rdoq
+        ? rdoq_quantize(coeffs, qp_full, bd, log2, c_idx, scan_idx,
+                        cbf_ctx, t.levels)
+        : quantize(coeffs, n, qp_full, bd, log2, intra, t.levels);
     if (t.nz && g_sp.sdh_enabled)
         apply_sdh_c(t.levels, coeffs, qp_full, bd, log2, scan_idx);
     int max_val = (1 << bd) - 1;
@@ -1461,7 +1798,8 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
             intra_predict_core(m, rt[ci], rl[ci], corner[ci], cs, 1, bd_c,
                                0, pred);
             try_tb(orig_c[ci], pred, cs, clog2, qp, bd_c, 0, 1,
-                   scan_for(clog2, ci + 1, m, 1), cur_t[ci]);
+                   scan_for(clog2, ci + 1, m, 1), ci + 1,
+                   g_sp.off[E_CBF_CHROMA], cur_t[ci]);
             ck += cur_t[ci].dist
                 + cur.lam * residual_bits_est(cur_t[ci].levels,
                                               cur_t[ci].nz, clog2, ci + 1,
@@ -1532,7 +1870,8 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
         filter_intra_refs(frt, frl, &fc, size, mode, en.strong, bd);
         intra_predict_core(mode, frt, frl, fc, size, 0, bd, 0, pred);
         try_tb(orig_y, pred, size, log2, cur.qp_full, bd, use_dst, 1,
-               scan_for(log2, 0, mode, 1), trial);
+               scan_for(log2, 0, mode, 1), 0,
+               g_sp.off[E_CBF_LUMA] + 1, trial);
         int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
         double rate = residual_bits_est(trial.levels, trial.nz, log2, 0,
                                         mode, 1) + (in_mpm ? 2 : 6);
@@ -1600,7 +1939,8 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
             int mode = cands[k];
             intra_predict_core(mode, rt, rl, corner, half, 0, bd, 0, pred);
             try_tb(orig_b, pred, half, 2, cur.qp_full, bd, 1, 1,
-                   scan_for(2, 0, mode, 1), trial);
+                   scan_for(2, 0, mode, 1), 0,
+                   g_sp.off[E_CBF_LUMA], trial);
             int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
             double rate = residual_bits_est(trial.levels, trial.nz, 2, 0,
                                             mode, 1) + (in_mpm ? 2 : 6);
@@ -2415,7 +2755,10 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
                 res[y * qh + x] = oy_b[y * qh + x] - py_b[y * qh + x];
             }
         fwd_transform(res, qh, bd, 0, coeffs);
-        int nz = quantize(coeffs, qh, cur.qp_full, bd, log2 - 1, 0, levels);
+        int nz = en.rdoq
+            ? rdoq_quantize(coeffs, cur.qp_full, bd, log2 - 1, 0, 0,
+                            g_sp.off[E_CBF_LUMA], levels)
+            : quantize(coeffs, qh, cur.qp_full, bd, log2 - 1, 0, levels);
         if (nz && g_sp.sdh_enabled)
             apply_sdh_c(levels, coeffs, cur.qp_full, bd, log2 - 1, 0);
         int max_v = (1 << bd) - 1;
@@ -2459,8 +2802,10 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
                                       - py_b[y * chh2 + x];
                 }
             fwd_transform(res, chh2, bd_c, 0, coeffs);
-            int nzc = quantize(coeffs, chh2, qp_c, bd_c, log2 - 2, 0,
-                               levels);
+            int nzc = en.rdoq
+                ? rdoq_quantize(coeffs, qp_c, bd_c, log2 - 2, ci + 1, 0,
+                                g_sp.off[E_CBF_CHROMA] + 1, levels)
+                : quantize(coeffs, chh2, qp_c, bd_c, log2 - 2, 0, levels);
             if (nzc && g_sp.sdh_enabled)
                 apply_sdh_c(levels, coeffs, qp_c, bd_c, log2 - 2, 0);
             if (nzc) {
@@ -2705,8 +3050,11 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                                         - pq_b[y * qh + x];
                     }
                 fwd_transform(res, qh, bd, 0, coeffs);
-                int nz = quantize(coeffs, qh, cur.qp_full, bd, log2 - 1, 0,
-                                  qlv);
+                int nz = en.rdoq
+                    ? rdoq_quantize(coeffs, cur.qp_full, bd, log2 - 1, 0, 0,
+                                    g_sp.off[E_CBF_LUMA], qlv)
+                    : quantize(coeffs, qh, cur.qp_full, bd, log2 - 1, 0,
+                               qlv);
                 if (nz && g_sp.sdh_enabled)
                     apply_sdh_c(qlv, coeffs, cur.qp_full, bd, log2 - 1, 0);
                 if (nz) {
@@ -2745,8 +3093,12 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                                               - pq_b[y * chh2 + x];
                         }
                     fwd_transform(res, chh2, bd_c, 0, coeffs);
-                    int nzc = quantize(coeffs, chh2, qp_c, bd_c, log2 - 2,
-                                       0, qlv_c);
+                    int nzc = en.rdoq
+                        ? rdoq_quantize(coeffs, qp_c, bd_c, log2 - 2,
+                                        ci + 1, 0,
+                                        g_sp.off[E_CBF_CHROMA] + 1, qlv_c)
+                        : quantize(coeffs, chh2, qp_c, bd_c, log2 - 2, 0,
+                                   qlv_c);
                     if (nzc && g_sp.sdh_enabled)
                         apply_sdh_c(qlv_c, coeffs, qp_c, bd_c, log2 - 2, 0);
                     if (nzc) {
@@ -2949,7 +3301,10 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         for (int i = 0; i < size * size; i++)
             res[i] = orig_y[i] - cpy[i];
         fwd_transform(res, size, bd, 0, coeffs);
-        int nz_y = quantize(coeffs, size, cur.qp_full, bd, log2, 0, lv_y);
+        int nz_y = en.rdoq
+            ? rdoq_quantize(coeffs, cur.qp_full, bd, log2, 0, 0,
+                            g_sp.off[E_RQT_ROOT], lv_y)
+            : quantize(coeffs, size, cur.qp_full, bd, log2, 0, lv_y);
         if (nz_y && g_sp.sdh_enabled)
             apply_sdh_c(lv_y, coeffs, cur.qp_full, bd, log2, 0);
         int max_v = (1 << bd) - 1;
@@ -2974,7 +3329,10 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             for (int i = 0; i < cs * cs; i++)
                 res[i] = o[i] - p[i];
             fwd_transform(res, cs, bd_c, 0, coeffs);
-            int nzc = quantize(coeffs, cs, qp_c, bd_c, log2 - 1, 0, lv);
+            int nzc = en.rdoq
+                ? rdoq_quantize(coeffs, qp_c, bd_c, log2 - 1, ci + 1, 0,
+                                g_sp.off[E_CBF_CHROMA], lv)
+                : quantize(coeffs, cs, qp_c, bd_c, log2 - 1, 0, lv);
             if (nzc && g_sp.sdh_enabled)
                 apply_sdh_c(lv, coeffs, qp_c, bd_c, log2 - 1, 0);
             if (nzc) {
@@ -3608,6 +3966,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     en.strong = ip[j++];
     en.num_ctx = ip[j++];
     en.rcudepth = ip[j++];
+    en.rdoq = ip[j++];
     std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
     std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));

@@ -34,7 +34,10 @@ def main(argv=None):
     ap.add_argument("--shot-change", action="store_true")
     ap.add_argument("--no-wpp", action="store_true")
     ap.add_argument("--hash", type=int, default=0, choices=[0, 1, 2])
-    ap.add_argument("--rdoq", action="store_true")
+    ap.add_argument("--rdoq", dest="rdoq", action="store_true", default=None,
+                    help="force RDOQ on (default: on at every preset)")
+    ap.add_argument("--no-rdoq", dest="rdoq", action="store_false",
+                    help="force RDOQ off")
     ap.add_argument("--sao", dest="sao", action="store_true", default=None,
                     help="force SAO on (default: preset; fast disables)")
     ap.add_argument("--no-sao", dest="sao", action="store_false",
@@ -72,7 +75,11 @@ def main(argv=None):
     rd, sr = presets[args.speed]
     if args.rd_candidates is not None:
         rd = args.rd_candidates
-    sdh = args.sdh if args.sdh is not None else args.speed != "fast"
+    # HM RDOQ is native and cheap here, so it defaults ON at every preset
+    # (the reference enables it at slow/medium only, Speed.h useRdoq) —
+    # fast+RDOQ beats the reference fast preset's BD-rate
+    rdoq = args.rdoq if args.rdoq is not None else True
+    sdh = args.sdh if args.sdh is not None else rdoq
     # Speed.h useSao: slow/medium only (fast runs without SAO)
     sao = args.sao if args.sao is not None else args.speed != "fast"
     cfg = EncoderConfig(width=w, height=h, qp=args.qp, sao=sao,
@@ -83,7 +90,7 @@ def main(argv=None):
                         bitrate=args.bitrate, frame_rate=args.frame_rate,
                         shot_change=args.shot_change,
                         wpp=not args.no_wpp, hash_type=args.hash,
-                        rdoq=args.rdoq, sdh=sdh, amp=args.amp,
+                        rdoq=rdoq, sdh=sdh, amp=args.amp,
                         slices=args.slices,
                         dependent_slices=args.dependent_slices,
                         wp_luma=tuple(int(x) for x in args.wp_luma.split(":"))
