@@ -1479,8 +1479,53 @@ int rdoq_quantize(const int32_t* coeffs, int qp, int bd, int log2,
     int last_sp = -1, last_cg = -1;
     int context_set = 0, g1_idx = 1, g1_cnt = 0, g2_cnt = 0, rice = 0;
 
+    // fast pre-pass: locate the first CG (in reverse scan) with any
+    // nonzero round-to-nearest level. CGs above it contribute only their
+    // zero-level distortion — err_scale is a power of two, so the batched
+    // integer sum is bit-identical to per-coefficient accumulation.
+    int start_cg = -1;
+    {
+        const int64_t thr_num = (1LL << q_shift) - (1LL << (q_shift - 1));
+        // |c| quantizes to 0 iff |c|*q_scale + half < 2^q_shift
+        for (int cgs = total_cg - 1; cgs >= 0 && start_cg < 0; cgs--) {
+            const int cg_x = cg_scan[2 * cgs], cg_y = cg_scan[2 * cgs + 1];
+            for (int k = 0; k < 16; k++) {
+                const int xc = (cg_x << 2) + in_scan[2 * k];
+                const int yc = (cg_y << 2) + in_scan[2 * k + 1];
+                const int src = coeffs[(yc << log2) + xc];
+                const int64_t a = src < 0 ? -(int64_t)src : src;
+                if (a * q_scale >= thr_num) {
+                    start_cg = cgs;
+                    break;
+                }
+            }
+        }
+        if (start_cg < 0) {
+            std::memset(levels, 0, count * 2);
+            return 0;
+        }
+        int64_t sq = 0;
+        for (int cgs = total_cg - 1; cgs > start_cg; cgs--) {
+            const int cg_x = cg_scan[2 * cgs], cg_y = cg_scan[2 * cgs + 1];
+            for (int k = 0; k < 16; k++) {
+                const int xc = (cg_x << 2) + in_scan[2 * k];
+                const int yc = (cg_y << 2) + in_scan[2 * k + 1];
+                const int pos = (yc << log2) + xc;
+                const int64_t a = coeffs[pos] < 0 ? -(int64_t)coeffs[pos]
+                                                  : coeffs[pos];
+                sq += a * a;
+                levels[pos] = 0;
+                dist0[cgs * 16 + k] = (double)(a * a) * err_scale;
+                rd_coeff[cgs * 16 + k] = 0.0;
+                rate_sig[cgs * 16 + k] = 0.0;
+            }
+        }
+        dist0_total += (double)sq * err_scale;
+        rd_cost_tu += (double)sq * err_scale;
+    }
+
     // step 1: per-coefficient level adjustment + per-CG zeroing
-    for (int cgs = total_cg - 1; cgs >= 0; cgs--) {
+    for (int cgs = start_cg; cgs >= 0; cgs--) {
         const int cg_x = cg_scan[2 * cgs], cg_y = cg_scan[2 * cgs + 1];
         const int cg_pos = cg_y * cgw + cg_x;
         int prev_csbf = 0;
