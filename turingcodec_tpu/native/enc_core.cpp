@@ -2251,6 +2251,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             consider_pattern(best.ix, best.iy, SQUARE4, 4, 1, 1);
         }
         if (dist_best > 5) {
+            LeafTimer pt15(15);
             // raster sweep on a 5-pel grid (quarter-pel +/-raster_q)
             FpBest rb{0.0, 0, 0};
             bool have = false;
