@@ -431,6 +431,66 @@ static int64_t sad16_interior(const int16_t* o, int bw, int bh,
     return s;
 }
 
+// 4 interior SADs sharing the original block's loads (the reference's
+// havoc_sad_multiref / functionSad4 analogue). Per-position arithmetic is
+// identical to sad16_interior, so results are bit-equal.
+static void sad16_interior_x4(const int16_t* o, int bw, int bh,
+                              const int16_t* ref, int rw, const int* px,
+                              const int* py, int64_t out[4]) {
+    int64_t s[4] = {0, 0, 0, 0};
+#if defined(__AVX512BW__)
+    const __m512i one16 = _mm512_set1_epi16(1);
+    __m512i acc[4] = {_mm512_setzero_si512(), _mm512_setzero_si512(),
+                      _mm512_setzero_si512(), _mm512_setzero_si512()};
+    __m256i acc2[4] = {_mm256_setzero_si256(), _mm256_setzero_si256(),
+                       _mm256_setzero_si256(), _mm256_setzero_si256()};
+    for (int yy = 0; yy < bh; yy++) {
+        const int16_t* a = o + yy * bw;
+        const int16_t* r[4];
+        for (int j = 0; j < 4; j++)
+            r[j] = ref + (int64_t)(py[j] + yy) * rw + px[j];
+        int xx = 0;
+        for (; xx + 32 <= bw; xx += 32) {
+            const __m512i av =
+                _mm512_loadu_si512((const void*)(a + xx));
+            for (int j = 0; j < 4; j++) {
+                __m512i d = _mm512_sub_epi16(
+                    av, _mm512_loadu_si512((const void*)(r[j] + xx)));
+                acc[j] = _mm512_add_epi32(
+                    acc[j], _mm512_madd_epi16(_mm512_abs_epi16(d), one16));
+            }
+        }
+        for (; xx + 16 <= bw; xx += 16) {
+            const __m256i av =
+                _mm256_loadu_si256((const __m256i*)(a + xx));
+            for (int j = 0; j < 4; j++) {
+                __m256i d = _mm256_sub_epi16(
+                    av, _mm256_loadu_si256((const __m256i*)(r[j] + xx)));
+                acc2[j] = _mm256_add_epi32(
+                    acc2[j], _mm256_madd_epi16(_mm256_abs_epi16(d),
+                                               _mm256_set1_epi16(1)));
+            }
+        }
+        for (; xx < bw; xx++)
+            for (int j = 0; j < 4; j++) {
+                int d = a[xx] - r[j][xx];
+                s[j] += d < 0 ? -d : d;
+            }
+    }
+    for (int j = 0; j < 4; j++) {
+        s[j] += _mm512_reduce_add_epi32(acc[j]);
+        alignas(32) int32_t b8[8];
+        _mm256_store_si256((__m256i*)b8, acc2[j]);
+        for (int i = 0; i < 8; i++)
+            s[j] += b8[i];
+        out[j] = s[j];
+    }
+#else
+    for (int j = 0; j < 4; j++)
+        out[j] = sad16_interior(o, bw, bh, ref, rw, px[j], py[j]);
+#endif
+}
+
 // SAD of orig (int32, bh x bw) vs a clamped window of the int16 ref plane
 int64_t sad_at(const int32_t* orig, int bw, int bh, const int16_t* ref,
                int rw, int rh, int x0, int y0) {
@@ -2208,18 +2268,64 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         {0, 4}, {-1, 3}, {-2, 2}, {-3, 1}, {-4, 0}, {-3, -1}, {-2, -2},
         {-1, -3}};
     static const int SQUARE4[4][2] = {{-4, -4}, {-4, 4}, {4, 4}, {4, -4}};
+    // batch-evaluate uncached interior points 4 at a time (multiref SAD);
+    // per-point arithmetic is identical to cost_at, so costs are bit-equal
+    auto eval_batch = [&](const int (*pts)[2], int npts) {
+        int bx[20], by[20];
+        int nb = 0;
+        double c;
+        for (int i = 0; i < npts; i++) {
+            const int ix = pts[i][0], iy = pts[i][1];
+            if (fp_cache.get(ix, iy, &c))
+                continue;
+            if (x0 + ix >= 0 && y0 + iy >= 0 && x0 + ix + w <= g_sp.pic_w
+                && y0 + iy + h <= g_sp.pic_h) {
+                bx[nb] = ix;
+                by[nb] = iy;
+                nb++;
+            } else {
+                cost_at(ix, iy);  // clamped path, cached inside
+            }
+        }
+        for (int i = 0; i < nb; i += 4) {
+            int px[4], py[4];
+            for (int j = 0; j < 4; j++) {
+                const int k = i + j < nb ? i + j : nb - 1;  // pad
+                px[j] = x0 + bx[k];
+                py[j] = y0 + by[k];
+            }
+            int64_t sads[4];
+            sad16_interior_x4(orig16, w, h, plane, g_sp.pic_w, px, py,
+                              sads);
+            for (int j = 0; j < 4 && i + j < nb; j++) {
+                const int ix = bx[i + j], iy = by[i + j];
+                fp_cache.put(ix, iy,
+                             (double)sads[j]
+                                 + cur.lam_me * mv_bits(4 * ix - mvp[0],
+                                                        4 * iy - mvp[1]));
+            }
+        }
+    };
     auto consider_pattern = [&](int cx, int cy, const int (*pat)[2],
                                 int npat, int step, int dist) -> bool {
-        FpBest pb{0.0, 0, 0};
-        bool have = false;
+        int pts[16][2];
+        int np_ = 0;
         for (int i = 0; i < npat; i += step) {
             int ix = cx + ((pat[i][0] * dist) >> 2);
             int iy = cy + ((pat[i][1] * dist) >> 2);
             if (std::abs(ix) > sr || std::abs(iy) > sr)
                 continue;
-            double c = cost_at(ix, iy);
-            if (!have || fp_better(c, ix, iy, pb)) {
-                pb = {c, ix, iy};
+            pts[np_][0] = ix;
+            pts[np_][1] = iy;
+            np_++;
+        }
+        eval_batch(pts, np_);
+        FpBest pb{0.0, 0, 0};
+        bool have = false;
+        for (int i = 0; i < np_; i++) {
+            double c = cost_at(pts[i][0], pts[i][1]);
+            if (!have || fp_better(c, pts[i][0], pts[i][1], pb)) {
+                pb = {c, pts[i][0], pts[i][1]};
                 have = true;
             }
         }
@@ -2252,20 +2358,30 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         }
         if (dist_best > 5) {
             LeafTimer pt15(15);
-            // raster sweep on a 5-pel grid (quarter-pel +/-raster_q)
+            // raster sweep on a 5-pel grid (quarter-pel +/-raster_q),
+            // batched row by row through the multiref SAD
             FpBest rb{0.0, 0, 0};
             bool have = false;
-            for (int qy = -raster_q; qy <= raster_q; qy += 20)
+            for (int qy = -raster_q; qy <= raster_q; qy += 20) {
+                int pts[16][2];
+                int np_ = 0;
                 for (int qx = -raster_q; qx <= raster_q; qx += 20) {
                     int ix = qx >> 2, iy = qy >> 2;
                     if (std::abs(ix) > sr || std::abs(iy) > sr)
                         continue;
-                    double c = cost_at(ix, iy);
-                    if (!have || fp_better(c, ix, iy, rb)) {
-                        rb = {c, ix, iy};
+                    pts[np_][0] = ix;
+                    pts[np_][1] = iy;
+                    np_++;
+                }
+                eval_batch(pts, np_);
+                for (int i = 0; i < np_; i++) {
+                    double c = cost_at(pts[i][0], pts[i][1]);
+                    if (!have || fp_better(c, pts[i][0], pts[i][1], rb)) {
+                        rb = {c, pts[i][0], pts[i][1]};
                         have = true;
                     }
                 }
+            }
             if (have && rb.cost < best.cost)
                 best = rb;
             dist_best = 5;
