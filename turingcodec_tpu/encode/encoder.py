@@ -58,6 +58,11 @@ class EncoderConfig:
     rcudepth: Optional[bool] = None  # RCU-depth CU-range pruning
                                      # (Speed.h useRcuDepth; None = on at
                                      # medium/fast i.e. rd_candidates <= 2)
+    met: Optional[bool] = None   # ME early termination (Speed.h useMet;
+                                 # None = on at medium/fast)
+    fdam: Optional[bool] = None  # fast decision for merge/all modes
+                                 # (Speed.h useFdm/useFdam; None = on at
+                                 # medium/fast)
     bitrate: Optional[float] = None  # bits/s: enables CBR rate control
     frame_rate: float = 24.0
     shot_change: bool = False  # shot-change-triggered IDR placement
@@ -434,6 +439,10 @@ class Encoder:
             enc.rcudepth = (self.cfg.rcudepth
                             if self.cfg.rcudepth is not None
                             else self.cfg.rd_candidates <= 2)
+            enc.met = (self.cfg.met if self.cfg.met is not None
+                       else self.cfg.rd_candidates <= 2)
+            enc.fdam = (self.cfg.fdam if self.cfg.fdam is not None
+                        else self.cfg.rd_candidates <= 2)
         # picture lambda (Measure.h computeLambda parity): per-position
         # qpFactor with the I-slice gopM scale and the non-anchor multiplier
         import math

@@ -58,6 +58,11 @@ class InterPictureEncoder(IntraPictureEncoder):
         self.lam = 0.85 * (2.0 ** ((self.qp - 12) / 3.0))
         self.lam_bits = self.lam
         self.lam_me = math.sqrt(self.lam)
+        # Speed.h useMet / useFdm+useFdam analogues (set by the Encoder
+        # facade per preset; default off so direct construction keeps the
+        # exhaustive search)
+        self.met = False
+        self.fdam = False
 
     def encode_picture(self, orig, slice_number=0):
         self.deriver = None  # created lazily (needs plan)
@@ -255,11 +260,10 @@ class InterPictureEncoder(IntraPictureEncoder):
                         4 * ix - mvp[0], 4 * iy - mvp[1])
             return [(seen[c], c) for c in cands]
 
-        # seeds: zero, mvp, and the callers' extra hints
-        cand0 = {(0, 0), (mvp[0] >> 2, mvp[1] >> 2)}
-        for (mx, my) in seeds:
-            cand0.add((int(mx) >> 2, int(my) >> 2))
-        best = min(costs_at(sorted(cand0)))
+        # seed 0: zero MV (further seeds are evaluated below, after the
+        # pattern helpers, so MET probes can interleave with them exactly
+        # as in the reference and the native twin)
+        best = costs_at([(0, 0)])[0]
         # probes are bounded only by the native cache radius; search_range
         # selects the star window / raster extent (the reference's
         # searchWindow caps one pass's distances around the chained center,
@@ -296,6 +300,38 @@ class InterPictureEncoder(IntraPictureEncoder):
         window = 64 if self.search_range >= 64 else 32
         max_counter = 3 if self.search_range >= 64 else 2
         raster_q = 240 if self.search_range >= 64 else 120
+
+        def met_probe():
+            # MET probe (Speed.h useMet fast/medium, Search.hpp:2110-2124):
+            # +/-1 cross around the current best, +/-2 hexagon too for 32+
+            # blocks; False = best is a local optimum
+            cross4 = ((0, -4), (-4, 0), (0, 4), (4, 0))
+            improved = consider(best[1][0], best[1][1], cross4, 1, 1)
+            if not improved and (w >= 32 or h >= 32):
+                hex6 = ((0, -8), (8, -4), (8, 4), (0, 8), (-8, 4), (-8, -4))
+                improved = consider(best[1][0], best[1][1], hex6, 1, 1)
+            return improved
+
+        # remaining seeds (mvp, then the callers' hints), with the
+        # reference's per-seed MET flow (Search.hpp:2104-2194): after any
+        # seed that improves the running best — the zero MV always does —
+        # probe around it; no improvement from the probe stops the whole
+        # search there
+        met_stop = self.met and not met_probe()
+        if not met_stop:
+            seq = [(mvp[0] >> 2, mvp[1] >> 2)] \
+                + [(int(mx) >> 2, int(my) >> 2) for (mx, my) in seeds]
+            for (sx, sy) in seq:
+                if (sx, sy) == (0, 0):
+                    continue
+                ((c, cand),) = costs_at([(sx, sy)])
+                if (c, cand) < best:
+                    best = (c, cand)
+                    if self.met and not met_probe():
+                        met_stop = True
+                        break
+        if met_stop:
+            return best[1], best[0]
 
         # initial star around the seed winner (fixed center)
         cx, cy = best[1]
@@ -709,6 +745,26 @@ class InterPictureEncoder(IntraPictureEncoder):
         best = None
         for kind, idx, info, pred in candidates:
             py, pcb, pcr = pred
+            # FDM/FDAM: zero-residual champion -> zero-residual-only trial
+            # (same rule as _encode_inter_cu's stage-2 loop)
+            if self.fdam and best is not None and not best[10]:
+                dist0 = float(((py - orig_y) ** 2).sum()) \
+                    + float(((pcb - orig_cb) ** 2).sum()) \
+                    + float(((pcr - orig_cr) ** 2).sum())
+                if kind == "merge":
+                    rate0 = 1.0 + idx
+                else:
+                    rate0 = 4.0
+                    for lx, (mv_l, mvd_l, _) in info.items():
+                        rate0 += _mv_bits(*mvd_l)
+                cost0 = dist0 + self.lam * rate0
+                if cost0 < best[0]:
+                    best = (cost0, kind, idx, info,
+                            np.zeros((size, size), np.int32),
+                            np.zeros((cs, cs), np.int32),
+                            np.zeros((cs, cs), np.int32),
+                            py.copy(), pcb.copy(), pcr.copy(), False)
+                continue
             dist = 0.0
             rate = 0.0
             lv_y = np.zeros((size, size), np.int32)
@@ -964,6 +1020,27 @@ class InterPictureEncoder(IntraPictureEncoder):
         best = None
         for kind, idx, info, pred in candidates:
             py, pcb, pcr = pred
+            # FDM/FDAM (Speed.h useFdm/useFdam, Search.hpp:990,1008): once
+            # a zero-residual champion exists, later candidates are
+            # evaluated zero-residual only (no transform/quant trial)
+            if self.fdam and best is not None and not best[8]:
+                dist0 = float(((py - orig_y) ** 2).sum()) \
+                    + float(((pcb - orig_cb) ** 2).sum()) \
+                    + float(((pcr - orig_cr) ** 2).sum())
+                if kind == "merge":
+                    rate0 = 1.0 + idx
+                else:
+                    rate0 = 4.0
+                    for lx, (mv_l, mvd_l, _) in info.items():
+                        rate0 += _mv_bits(*mvd_l)
+                cost0 = dist0 + self.lam * rate0
+                if cost0 < best[0]:
+                    z = np.zeros((size, size), np.int32)
+                    zc = [np.zeros((size >> 1, size >> 1), np.int32),
+                          np.zeros((size >> 1, size >> 1), np.int32)]
+                    best = (cost0, kind, idx, info, z, zc,
+                            py, [pcb, pcr], False)
+                continue
             # luma residual
             res = orig_y - py
             coeffs = forward_transform_np(res, self.bd, False)

@@ -969,7 +969,9 @@ class EncNative:
                         int(sps.strong_intra_smoothing_enabled_flag != 0),
                         NUM_CONTEXTS,
                         int(getattr(enc, "rcudepth", False)),
-                        int(getattr(enc, "use_rdoq", False))], np.int32)
+                        int(getattr(enc, "use_rdoq", False)),
+                        int(getattr(enc, "met", False)),
+                        int(getattr(enc, "fdam", False))], np.int32)
         from turingcodec_tpu.hevc.tables import QUANT_SCALES
         qs = np.ascontiguousarray(QUANT_SCALES, np.int32)
         lf, cf, _, _ = _recon_tables()

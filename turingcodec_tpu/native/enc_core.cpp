@@ -77,6 +77,7 @@ struct EN {
     int32_t chroma_filt[8][4];
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
     int num_ctx, rcudepth, rdoq;
+    int met, fdam;
 };
 
 EN en;
@@ -2237,20 +2238,10 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         }
         return c;
     };
-    // seeds: zero MV, the predictor, and the callers' extra hints
-    // (second MVP + merge candidate MVs); ties resolve on (ix, iy) so
-    // evaluation order is immaterial (= Python's min over sorted tuples)
+    // seed 0: zero MV (further seeds — the predictor and the callers'
+    // extra hints — are evaluated below, after the pattern helpers, so
+    // MET probes can interleave with them exactly as in the reference)
     FpBest best{cost_at(0, 0), 0, 0};
-    auto try_seed = [&](int sx, int sy) {
-        if (sx == 0 && sy == 0)
-            return;
-        double c = cost_at(sx, sy);
-        if (fp_better(c, sx, sy, best))
-            best = {c, sx, sy};
-    };
-    try_seed(mvp[0] >> 2, mvp[1] >> 2);
-    for (int i = 0; i < n_seeds; i++)
-        try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
 
     // HM-style star search (Search.hpp:2202-2301 fullPelMotionEstimation):
     // 16-point diamond scanned at doubling distances around a fixed center,
@@ -2338,6 +2329,47 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     const int search_window = en.search_range >= 64 ? 64 : 32;
     const int max_counter = en.search_range >= 64 ? 3 : 2;
     const int raster_q = en.search_range >= 64 ? 240 : 120;
+    // MET probe (ME early termination; Speed.h useMet fast/medium,
+    // Search.hpp:2110-2124): a +/-1 cross around the current best, a
+    // +/-2 hexagon too for 32+ blocks; false = no improvement found,
+    // i.e. the current best is a local optimum
+    auto met_probe = [&]() -> bool {
+        static const int CROSS4Q[4][2] = {{0, -4}, {-4, 0}, {0, 4}, {4, 0}};
+        bool improved = consider_pattern(best.ix, best.iy, CROSS4Q, 4, 1, 1);
+        if (!improved && (w >= 32 || h >= 32)) {
+            static const int HEX6Q[6][2] = {{0, -8}, {8, -4}, {8, 4},
+                                            {0, 8},  {-8, 4}, {-8, -4}};
+            improved = consider_pattern(best.ix, best.iy, HEX6Q, 6, 1, 1);
+        }
+        return improved;
+    };
+    // remaining seeds (the predictor, then the callers' hints: second MVP,
+    // merge candidate MVs, previous 2Nx2N integer best), with the
+    // reference's per-seed MET flow (Search.hpp:2104-2194): after any
+    // seed that improves the running best — the zero MV always does —
+    // probe around it; if the probe finds nothing better, stop the whole
+    // search there
+    bool met_stop = en.met && !met_probe();
+    auto try_seed = [&](int sx, int sy) -> bool {  // true = MET stop
+        if (sx == 0 && sy == 0)
+            return false;
+        double c = cost_at(sx, sy);
+        if (fp_better(c, sx, sy, best)) {
+            best = {c, sx, sy};
+            if (en.met && !met_probe())
+                return true;
+        }
+        return false;
+    };
+    if (!met_stop)
+        met_stop = try_seed(mvp[0] >> 2, mvp[1] >> 2);
+    for (int i = 0; i < n_seeds && !met_stop; i++)
+        met_stop = try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
+    if (met_stop) {
+        *out_ix = best.ix;
+        *out_iy = best.iy;
+        return;
+    }
     {  // initial star around the seed winner (fixed center)
         const int cx = best.ix, cy = best.iy;
         int dist_best = 0, counter = 0, step = 4;
@@ -3199,6 +3231,36 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             const Scored& s = scored[order[k]];
             pred_full_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size,
                                  size, cpy, cpcb, cpcr);
+            // FDM/FDAM: zero-residual champion -> zero-residual-only trial
+            // (same rule as the single-TU stage-2 loop below)
+            if (en.fdam && best_i >= 0 && !b_has) {
+                double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
+                             + (double)ssd_i32(cpcb, orig_cb, cs * cs)
+                             + (double)ssd_i32(cpcr, orig_cr, cs * cs);
+                double rate0;
+                if (s.kind == 0) {
+                    rate0 = 1.0 + s.idx;
+                } else {
+                    rate0 = 4.0;
+                    for (int l = 0; l < 2; l++)
+                        if ((s.amvp_mask >> l) & 1)
+                            rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
+                }
+                double cost0 = dist0 + cur.lam * rate0;
+                if (cost0 < best_cost) {
+                    best_cost = cost0;
+                    best_i = order[k];
+                    b_nz_y = b_nz_cb = b_nz_cr = 0;
+                    b_has = 0;
+                    std::memset(b_lv_y, 0, size * size * 2);
+                    std::memset(b_lv_cb, 0, cs * cs * 2);
+                    std::memset(b_lv_cr, 0, cs * cs * 2);
+                    std::memcpy(b_rec_y, cpy, size * size * 4);
+                    std::memcpy(b_rec_cb, cpcb, cs * cs * 4);
+                    std::memcpy(b_rec_cr, cpcr, cs * cs * 4);
+                }
+                continue;
+            }
             double dist = 0.0, rate = 0.0;
             int nz_y = 0, nz_cb = 0, nz_cr = 0;
             int max_v = (1 << bd) - 1, max_c = (1 << bd_c) - 1;
@@ -3459,6 +3521,37 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         const Scored& s = scored[order[k]];
         pred_full_for_motion(s.pf, s.motion_mv, s.ref, x0, y0, size, size,
                              cpy, cpcb, cpcr);
+        // FDM/FDAM (Speed.h useFdm/useFdam, Search.hpp:990,1008): once a
+        // zero-residual champion exists, later candidates are evaluated
+        // zero-residual only (no transform/quant trial)
+        if (en.fdam && best_i >= 0 && !b_has) {
+            double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
+                         + (double)ssd_i32(cpcb, orig_cb, cs * cs)
+                         + (double)ssd_i32(cpcr, orig_cr, cs * cs);
+            double rate0;
+            if (s.kind == 0) {
+                rate0 = 1.0 + s.idx;
+            } else {
+                rate0 = 4.0;
+                for (int l = 0; l < 2; l++)
+                    if ((s.amvp_mask >> l) & 1)
+                        rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
+            }
+            double cost0 = dist0 + cur.lam * rate0;
+            if (cost0 < best_cost) {
+                best_cost = cost0;
+                best_i = order[k];
+                b_nz_y = b_nz_cb = b_nz_cr = 0;
+                b_has = 0;
+                std::memset(b_lv_y, 0, size * size * 2);
+                std::memset(b_lv_cb, 0, cs * cs * 2);
+                std::memset(b_lv_cr, 0, cs * cs * 2);
+                std::memcpy(b_rec_y, cpy, size * size * 4);
+                std::memcpy(b_rec_cb, cpcb, cs * cs * 4);
+                std::memcpy(b_rec_cr, cpcr, cs * cs * 4);
+            }
+            continue;
+        }
         // luma residual
         for (int i = 0; i < size * size; i++)
             res[i] = orig_y[i] - cpy[i];
@@ -4129,6 +4222,8 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     en.num_ctx = ip[j++];
     en.rcudepth = ip[j++];
     en.rdoq = ip[j++];
+    en.met = ip[j++];
+    en.fdam = ip[j++];
     std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
     std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));
