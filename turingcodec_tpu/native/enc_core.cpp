@@ -37,7 +37,12 @@
 // coarse phase timers (ns): [inter_cu, smp, intra_cu, snap, full_pel,
 // subpel, fwd_xform, quantize, rate_est, pred_full, pred_luma, satd,
 // spare, spare, spare, spare]
-static int64_t g_enc_ns[16];
+static int64_t g_enc_ns[24];  // [0..15] phase ns, [16..23] event counts
+#ifdef TC_ENC_PROF
+#define PROF_COUNT(i, n) (g_enc_ns[i] += (n))
+#else
+#define PROF_COUNT(i, n) ((void)0)
+#endif
 static inline int64_t now_ns() {
     timespec t;
     clock_gettime(CLOCK_MONOTONIC, &t);
@@ -59,7 +64,7 @@ struct LeafTimer {
     LeafTimer(int) {}
 };
 #endif
-extern "C" void tc_enc_counters(int64_t* out) {
+extern "C" void tc_enc_counters(int64_t* out) {  // out: int64[24]
     std::memcpy(out, g_enc_ns, sizeof(g_enc_ns));
     std::memset(g_enc_ns, 0, sizeof(g_enc_ns));
 }
@@ -71,6 +76,7 @@ struct EN {
     int16_t* rec[3];
     const int32_t* zscan32;
     const int16_t* refs[2][16][3];
+    const uint8_t* ref8[2][16];  // u8 luma shadows (8-bit ME fast path)
     int32_t ref_poc_of[2][16];
     int32_t quant_scales[6];
     int32_t luma_filt[4][8];
@@ -490,6 +496,136 @@ static void sad16_interior_x4(const int16_t* o, int bw, int bh,
     for (int j = 0; j < 4; j++)
         out[j] = sad16_interior(o, bw, bh, ref, rw, px[j], py[j]);
 #endif
+}
+
+// ---------------------------------------------------------------- u8 SAD
+// 8-bit fast path: psadbw on uint8 shadows of the reference planes — the
+// analogue of the reference's uint8 havoc_sad kernels (havoc/sad.cpp),
+// which also run on 8-bit sample buffers. Values are bit-equal to the
+// int16 kernels because all 8-bit samples fit in a byte.
+
+static inline int64_t hsum_sad128(__m128i v) {
+    return _mm_cvtsi128_si64(v) + _mm_extract_epi64(v, 1);
+}
+
+static int64_t sad8_interior(const uint8_t* o, int bw, int bh,
+                             const uint8_t* ref, int rw, int x0, int y0) {
+    const uint8_t* rb = ref + (int64_t)y0 * rw + x0;
+    if (bw == 8) {
+        __m128i acc = _mm_setzero_si128();
+        for (int y = 0; y + 2 <= bh; y += 2) {
+            __m128i a = _mm_unpacklo_epi64(
+                _mm_loadl_epi64((const __m128i*)(o + y * 8)),
+                _mm_loadl_epi64((const __m128i*)(o + (y + 1) * 8)));
+            __m128i r = _mm_unpacklo_epi64(
+                _mm_loadl_epi64((const __m128i*)(rb + (int64_t)y * rw)),
+                _mm_loadl_epi64((const __m128i*)(rb + (int64_t)(y + 1) * rw)));
+            acc = _mm_add_epi64(acc, _mm_sad_epu8(a, r));
+        }
+        return hsum_sad128(acc);
+    }
+    if (bw == 16) {
+        __m128i acc = _mm_setzero_si128();
+        for (int y = 0; y < bh; y++)
+            acc = _mm_add_epi64(
+                acc, _mm_sad_epu8(
+                         _mm_loadu_si128((const __m128i*)(o + y * 16)),
+                         _mm_loadu_si128(
+                             (const __m128i*)(rb + (int64_t)y * rw))));
+        return hsum_sad128(acc);
+    }
+    if ((bw & 31) == 0) {
+        __m256i acc = _mm256_setzero_si256();
+        for (int y = 0; y < bh; y++) {
+            const uint8_t* a = o + y * bw;
+            const uint8_t* r = rb + (int64_t)y * rw;
+            for (int x = 0; x < bw; x += 32)
+                acc = _mm256_add_epi64(
+                    acc, _mm256_sad_epu8(
+                             _mm256_loadu_si256((const __m256i*)(a + x)),
+                             _mm256_loadu_si256((const __m256i*)(r + x))));
+        }
+        alignas(32) int64_t b4[4];
+        _mm256_store_si256((__m256i*)b4, acc);
+        return b4[0] + b4[1] + b4[2] + b4[3];
+    }
+    int64_t s = 0;  // odd widths (4/12/24/48): scalar
+    for (int y = 0; y < bh; y++) {
+        const uint8_t* a = o + y * bw;
+        const uint8_t* r = rb + (int64_t)y * rw;
+        for (int x = 0; x < bw; x++) {
+            int d = (int)a[x] - (int)r[x];
+            s += d < 0 ? -d : d;
+        }
+    }
+    return s;
+}
+
+static void sad8_interior_x4(const uint8_t* o, int bw, int bh,
+                             const uint8_t* ref, int rw, const int* px,
+                             const int* py, int64_t out[4]) {
+    const uint8_t* rb[4];
+    for (int j = 0; j < 4; j++)
+        rb[j] = ref + (int64_t)py[j] * rw + px[j];
+    if (bw == 8) {
+        __m128i acc[4] = {_mm_setzero_si128(), _mm_setzero_si128(),
+                          _mm_setzero_si128(), _mm_setzero_si128()};
+        for (int y = 0; y + 2 <= bh; y += 2) {
+            __m128i a = _mm_unpacklo_epi64(
+                _mm_loadl_epi64((const __m128i*)(o + y * 8)),
+                _mm_loadl_epi64((const __m128i*)(o + (y + 1) * 8)));
+            for (int j = 0; j < 4; j++) {
+                __m128i r = _mm_unpacklo_epi64(
+                    _mm_loadl_epi64(
+                        (const __m128i*)(rb[j] + (int64_t)y * rw)),
+                    _mm_loadl_epi64(
+                        (const __m128i*)(rb[j] + (int64_t)(y + 1) * rw)));
+                acc[j] = _mm_add_epi64(acc[j], _mm_sad_epu8(a, r));
+            }
+        }
+        for (int j = 0; j < 4; j++)
+            out[j] = hsum_sad128(acc[j]);
+        return;
+    }
+    if (bw == 16) {
+        __m128i acc[4] = {_mm_setzero_si128(), _mm_setzero_si128(),
+                          _mm_setzero_si128(), _mm_setzero_si128()};
+        for (int y = 0; y < bh; y++) {
+            __m128i a = _mm_loadu_si128((const __m128i*)(o + y * 16));
+            for (int j = 0; j < 4; j++)
+                acc[j] = _mm_add_epi64(
+                    acc[j],
+                    _mm_sad_epu8(a, _mm_loadu_si128((const __m128i*)(
+                                        rb[j] + (int64_t)y * rw))));
+        }
+        for (int j = 0; j < 4; j++)
+            out[j] = hsum_sad128(acc[j]);
+        return;
+    }
+    if ((bw & 31) == 0) {
+        __m256i acc[4] = {_mm256_setzero_si256(), _mm256_setzero_si256(),
+                          _mm256_setzero_si256(), _mm256_setzero_si256()};
+        for (int y = 0; y < bh; y++) {
+            const uint8_t* a = o + y * bw;
+            for (int x = 0; x < bw; x += 32) {
+                __m256i av = _mm256_loadu_si256((const __m256i*)(a + x));
+                for (int j = 0; j < 4; j++)
+                    acc[j] = _mm256_add_epi64(
+                        acc[j],
+                        _mm256_sad_epu8(
+                            av, _mm256_loadu_si256((const __m256i*)(
+                                    rb[j] + (int64_t)y * rw + x))));
+            }
+        }
+        for (int j = 0; j < 4; j++) {
+            alignas(32) int64_t b4[4];
+            _mm256_store_si256((__m256i*)b4, acc[j]);
+            out[j] = b4[0] + b4[1] + b4[2] + b4[3];
+        }
+        return;
+    }
+    for (int j = 0; j < 4; j++)
+        out[j] = sad8_interior(o, bw, bh, ref, rw, px[j], py[j]);
 }
 
 // SAD of orig (int32, bh x bw) vs a clamped window of the int16 ref plane
@@ -2216,18 +2352,29 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
                      const int (*seeds)[2], int n_seeds, int* out_ix,
                      int* out_iy) {
     PhaseTimer pt(4);
+    PROF_COUNT(16, 1);
     const int16_t* plane = en.refs[lx][ref][0];
+    const uint8_t* plane8 = en.ref8[lx][ref];
     fp_cache.reset();
     static thread_local int16_t orig16[64 * 64];
-    for (int i = 0; i < w * h; i++)
-        orig16[i] = (int16_t)orig[i];
+    static thread_local uint8_t orig8[64 * 64];
+    if (plane8)
+        for (int i = 0; i < w * h; i++)
+            orig8[i] = (uint8_t)orig[i];
+    else
+        for (int i = 0; i < w * h; i++)
+            orig16[i] = (int16_t)orig[i];
     auto cost_at = [&](int ix, int iy) -> double {
         double c;
         if (!fp_cache.get(ix, iy, &c)) {
+            PROF_COUNT(17, 1);
             int64_t sad;
             if (x0 + ix >= 0 && y0 + iy >= 0 && x0 + ix + w <= g_sp.pic_w
                 && y0 + iy + h <= g_sp.pic_h)
-                sad = sad16_interior(orig16, w, h, plane, g_sp.pic_w,
+                sad = plane8
+                    ? sad8_interior(orig8, w, h, plane8, g_sp.pic_w,
+                                    x0 + ix, y0 + iy)
+                    : sad16_interior(orig16, w, h, plane, g_sp.pic_w,
                                      x0 + ix, y0 + iy);
             else
                 sad = sad_at(orig, w, h, plane, g_sp.pic_w, g_sp.pic_h,
@@ -2286,9 +2433,15 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
                 py[j] = y0 + by[k];
             }
             int64_t sads[4];
-            sad16_interior_x4(orig16, w, h, plane, g_sp.pic_w, px, py,
-                              sads);
+            PROF_COUNT(18, 4);
+            if (plane8)
+                sad8_interior_x4(orig8, w, h, plane8, g_sp.pic_w, px, py,
+                                 sads);
+            else
+                sad16_interior_x4(orig16, w, h, plane, g_sp.pic_w, px, py,
+                                  sads);
             for (int j = 0; j < 4 && i + j < nb; j++) {
+                PROF_COUNT(20, 1);
                 const int ix = bx[i + j], iy = by[i + j];
                 fp_cache.put(ix, iy,
                              (double)sads[j]
@@ -2366,6 +2519,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     for (int i = 0; i < n_seeds && !met_stop; i++)
         met_stop = try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
     if (met_stop) {
+        PROF_COUNT(19, 1);
         *out_ix = best.ix;
         *out_iy = best.iy;
         return;
@@ -4213,6 +4367,34 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
         for (int r = 0; r < 16; r++)
             for (int c = 0; c < 3; c++)
                 en.refs[l][r][c] = (const int16_t*)ptrs[k++];
+    // u8 shadows of the reference luma planes for the psadbw ME fast
+    // path (bit-equal: 8-bit samples fit a byte); planes shared between
+    // lists (GPB) convert once
+    static std::vector<uint8_t> ref8_store[2][16];
+    for (int l = 0; l < 2; l++)
+        for (int r = 0; r < 16; r++) {
+            en.ref8[l][r] = nullptr;
+            const int16_t* src = en.refs[l][r][0];
+            if (g_sp.bit_depth_y != 8 || !src)
+                continue;
+            bool shared = false;
+            for (int l2 = 0; l2 <= l && !shared; l2++)
+                for (int r2 = 0; r2 < (l2 == l ? r : 16); r2++)
+                    if (en.refs[l2][r2][0] == src && en.ref8[l2][r2]) {
+                        en.ref8[l][r] = en.ref8[l2][r2];
+                        shared = true;
+                        break;
+                    }
+            if (shared)
+                continue;
+            const int64_t n = (int64_t)g_sp.pic_w * g_sp.pic_h;
+            auto& v = ref8_store[l][r];
+            v.resize(n);
+            uint8_t* dst = v.data();
+            for (int64_t i = 0; i < n; i++)
+                dst[i] = (uint8_t)src[i];
+            en.ref8[l][r] = dst;
+        }
     int j = 0;
     en.rd_candidates = ip[j++];
     en.max_cu_log2 = ip[j++];
