@@ -2599,6 +2599,80 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     *out_iy = best.iy;
 }
 
+// Batched half-pel probe costs: the 8 step-2 probes around an
+// integer-pel center share one horizontal xf=2 filter pass (the same
+// acc>>shift1 arithmetic as mc_interp's H-only and 2D-tmp stages, so
+// every probe's 14-bit prediction — and hence its SATD cost — is
+// bit-equal to the per-probe mc14_luma path). Returns false when the
+// union footprint touches a picture edge (caller falls back).
+static bool half_probe_costs(const int32_t* orig, int x0, int y0, int w,
+                             int h, int lx, int ref, int bxi, int byi,
+                             const int mvp[2], const int (*dirs)[2],
+                             int bs, double* out_costs) {
+    const int bd = g_sp.bit_depth_y;
+    const int shift1 = bd - 8;
+    const int sh4 = 14 - bd;
+    const int max_v = (1 << bd) - 1;
+    const int rw = g_sp.pic_w, rh = g_sp.pic_h;
+    const int ax = x0 + bxi, ay = y0 + byi;  // absolute integer position
+    if (ax - 4 < 0 || ay - 4 < 0 || ax + w + 4 > rw || ay + h + 4 > rh)
+        return false;
+    const int16_t* refp = en.refs[lx][ref][0];
+    const int32_t* fh = en.luma_filt[2];
+    static thread_local int32_t h2buf[(64 + 8) * (64 + 1)];
+    const int w2 = w + 1;
+    for (int r = 0; r < h + 8; r++) {
+        const int16_t* row = refp + (int64_t)(ay - 4 + r) * rw + (ax - 4);
+        for (int j = 0; j < w2; j++) {
+            int acc = 0;
+            for (int k = 0; k < 8; k++)
+                acc += fh[k] * row[j + k];
+            h2buf[r * w2 + j] = acc >> shift1;
+        }
+    }
+    static thread_local int32_t p14[64 * 64], pred[64 * 64];
+    for (int d = 0; d < 8; d++) {
+        const int dx = dirs[d][0], dy = dirs[d][1];
+        if (dx == 0) {
+            // V-only (xf=0): 8-tap on integer columns
+            const int yi = ay + (dy < 0 ? -1 : 0);
+            for (int y = 0; y < h; y++) {
+                const int16_t* col0 =
+                    refp + (int64_t)(yi + y - 3) * rw + ax;
+                for (int x = 0; x < w; x++) {
+                    int acc = 0;
+                    for (int k = 0; k < 8; k++)
+                        acc += fh[k] * col0[(int64_t)k * rw + x];
+                    p14[y * w + x] = acc >> shift1;
+                }
+            }
+        } else if (dy == 0) {
+            // H-only: rows of the shared pass
+            const int cx = dx < 0 ? 0 : 1;
+            for (int y = 0; y < h; y++)
+                std::memcpy(p14 + y * w, h2buf + (y + 4) * w2 + cx,
+                            w * sizeof(int32_t));
+        } else {
+            // 2D: vertical 8-tap over the shared pass, >> 6
+            const int cx = dx < 0 ? 0 : 1;
+            const int r0 = dy < 0 ? 0 : 1;
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++) {
+                    int acc = 0;
+                    for (int k = 0; k < 8; k++)
+                        acc += fh[k] * h2buf[(y + k + r0) * w2 + cx + x];
+                    p14[y * w + x] = acc >> 6;
+                }
+        }
+        for (int i = 0; i < w * h; i++)
+            pred[i] = clip3i(0, max_v, (p14[i] + (1 << (sh4 - 1))) >> sh4);
+        const int mvx = 4 * bxi + 2 * dx, mvy = 4 * byi + 2 * dy;
+        out_costs[d] = (double)satd_region(orig, pred, w, h, bs)
+                     + cur.lam_me * mv_bits(mvx - mvp[0], mvy - mvp[1]);
+    }
+    return true;
+}
+
 // half- then quarter-pel 8-neighbour SATD refinement
 // (inter_search._sub_pel_refine)
 void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
@@ -2650,9 +2724,16 @@ void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
             pmy[d] = by + dirs[d][1] * step;
             fresh[d] = !cached(pmx[d], pmy[d], &pcs[d]);
         }
+        // half-pel pass around an integer center: shared-H batch
+        bool batched = false;
+        double bc8[8];
+        if (step == 2 && (bx & 3) == 0 && (by & 3) == 0)
+            batched = half_probe_costs(orig, x0, y0, w, h, lx, ref,
+                                       bx >> 2, by >> 2, mvp, dirs, bs,
+                                       bc8);
         for (int d = 0; d < 8; d++)
             if (fresh[d])
-                pcs[d] = raw_cost(pmx[d], pmy[d]);
+                pcs[d] = batched ? bc8[d] : raw_cost(pmx[d], pmy[d]);
         // min over the 8 probes with (cost, (mvx, mvy)) tuple tie-break
         double pc = 0;
         int px = 0, py = 0;
