@@ -1651,6 +1651,7 @@ inline double rdoq_last_cost(double lam, int xc, int yc, int c_idx,
 int rdoq_quantize(const int32_t* coeffs, int qp, int bd, int log2,
                   int c_idx, int scan_idx, int cbf_ctx_idx,
                   int16_t* levels) {
+    LeafTimer pt(21);
     const int count = 1 << (2 * log2);
     const int ts = 15 - bd - log2;
     const double lam = cur.lam;
