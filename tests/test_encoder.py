@@ -342,3 +342,36 @@ def test_amp_partitions_roundtrip():
         for a, b in zip(f.planes, recon):
             np.testing.assert_array_equal(a, b)
     assert sum(counts.values()) > 0, "AMP partitions never selected"
+
+
+@pytest.mark.parametrize("grid", [(2, 2), (3, 1)])
+def test_tiles_roundtrip(grid):
+    """Tile-grid encode (beyond the reference encoder, which only decodes
+    tiles): per-tile CABAC init + entry points, decode must equal the
+    encoder recon bit-exactly (hash SEI checked by the Decoder)."""
+    cols, rows = grid
+    w, h = 320, 192
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=1,
+                        search_range=16, wpp=False,
+                        tile_cols=cols, tile_rows=rows)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    recons = []
+    base = _synthetic_frame(w, h, 7)
+    for i in range(3):
+        f = [np.roll(p, i * 3, axis=1) for p in base]
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 3
+    assert dec.hash_failures == 0
+    for f, recon in zip(frames, recons):
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_tiles_require_no_wpp():
+    with pytest.raises(ValueError):
+        Encoder(EncoderConfig(width=128, height=64, tile_cols=2, wpp=True))

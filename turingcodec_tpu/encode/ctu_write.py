@@ -73,9 +73,30 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
 
     n_ctus = geom.wc * geom.hc
     start_ts = int(geom.rs_to_ts[sh.slice_segment_address])
+    tiles = bool(pps.tiles_enabled_flag)
+
+    def subset_end(ts_next, tile_cur):
+        """end_of_subset boundary before ts_next (WPP row / tile edge)."""
+        if ts_next >= n_ctus:
+            return False
+        nrs = geom.tile_scan_ctus[ts_next]
+        if wpp and nrs % wc == 0:
+            return True
+        return tiles and geom.tile_id[nrs // wc, nrs % wc] != tile_cur
+
     for ctb_addr_ts in range(start_ts, n_ctus):
         ctb_addr_rs = geom.tile_scan_ctus[ctb_addr_ts]
         rx, ry = ctb_addr_rs % wc, ctb_addr_rs // wc
+
+        if tiles and ctb_addr_ts > start_ts:
+            # tile start: fresh contexts + QP prediction chain (mirrors
+            # decode/slice_data.py's tile re-init)
+            prev_rs = geom.tile_scan_ctus[ctb_addr_ts - 1]
+            if geom.tile_id[ry, rx] != geom.tile_id[prev_rs // wc,
+                                                    prev_rs % wc]:
+                ws.ctx.initialize(sh.init_type(), sh.slice_qp_y)
+                ws.qp_y_pred = sh.slice_qp_y
+                ws.last_cu_qp = sh.slice_qp_y
 
         if wpp and rx == 0 and ctb_addr_ts > start_ts:
             # start new substream: restore/init contexts
@@ -106,7 +127,7 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
             if last:
                 substreams.append(nat.take_substream())
                 break
-            if wpp and (ctb_addr_ts + 1) % wc == 0:
+            if subset_end(ctb_addr_ts + 1, geom.tile_id[ry, rx]):
                 nat.encode_terminate(1)  # end_of_subset_one_bit
                 substreams.append(nat.take_substream())
             continue
@@ -117,7 +138,7 @@ def write_slice_data(plan: PicturePlan, geom: PictureGeometry,
                 ws.bw.u(0, 8 - ws.bw.nbits)
             substreams.append(ws.bw.get_bytes())
             break
-        if wpp and (ctb_addr_ts + 1) % wc == 0:
+        if subset_end(ctb_addr_ts + 1, geom.tile_id[ry, rx]):
             ws.enc.encode_terminate(1)  # end_of_subset_one_bit
             ws.bw.u(0, 8 - ws.bw.nbits) if ws.bw.nbits else None
             substreams.append(ws.bw.get_bytes())

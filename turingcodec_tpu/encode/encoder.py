@@ -79,6 +79,9 @@ class EncoderConfig:
                                # aligned; requires wpp=False when > 1)
     dependent_slices: bool = False  # emit slices 2..N as dependent slice
                                     # segments of the first
+    tile_cols: int = 1         # tile grid (uniform spacing); >1 enables
+    tile_rows: int = 1         # tiles (beyond the reference encoder,
+                               # which only decodes tiles); needs wpp=False
     field_coding: bool = False  # code each frame as two field pictures
                                 # (top-field-first), pic_struct via
                                 # pic_timing SEI + VUI field_seq_flag — the
@@ -218,6 +221,18 @@ class Encoder:
         p.diff_cu_qp_delta_depth = 0
         p.transform_skip_enabled_flag = 0
         p.loop_filter_across_tiles_enabled_flag = 1
+        if c.tile_cols > 1 or c.tile_rows > 1:
+            # tiles encoding (beyond the reference: turing only decodes
+            # tiles, encode.cpp has no tile options). Main/Main10 forbid
+            # tiles together with entropy_coding_sync (A.4.1).
+            if c.wpp:
+                raise ValueError("tiles require wpp=False (Main profile)")
+            if c.slices != 1:
+                raise ValueError("tiles + multi-slice not supported")
+            p.tiles_enabled_flag = 1
+            p.num_tile_columns_minus1 = c.tile_cols - 1
+            p.num_tile_rows_minus1 = c.tile_rows - 1
+            p.uniform_spacing_flag = 1
         p.weighted_pred_flag = int(c.wp_luma is not None)
         p.dependent_slice_segments_enabled_flag = int(
             c.dependent_slices and c.slices > 1)

@@ -190,7 +190,7 @@ class IntraPictureEncoder:
         wc = sps.pic_width_in_ctbs_y
         snap_rx = 1 if wc > 1 else 0
         row_slice = getattr(self, "slice_row_map", None)  # (hc,) slice of row
-        if nat is not None and row_slice is None:
+        if nat is not None and row_slice is None and self.geom.num_tiles == 1:
             # whole-picture native walk (one ctypes call; WPP + AQ inside)
             plan.slice_idx[:] = slice_number
             if self.qp_map is not None:
@@ -198,6 +198,37 @@ class IntraPictureEncoder:
                 qm = np.repeat(np.repeat(self.qp_map, rep, 0), rep, 1)
                 plan.qp_y[:] = qm[:plan.qp_y.shape[0], :plan.qp_y.shape[1]]
             nat.encode_picture_all(self)
+            return plan, self.recon
+        if self.geom.num_tiles > 1:
+            # tiles: walk CTUs in tile-scan order; fresh rate contexts at
+            # each tile start, ME seeds reset per tile-row (all derivation
+            # availability is tile-aware via geom.zscan / tile_id maps)
+            geom = self.geom
+            for ts in range(geom.wc * geom.hc):
+                rs = int(geom.tile_scan_ctus[ts])
+                rx, ry = rs % wc, rs // wc
+                tile = int(geom.tile_id[ry, rx])
+                if rx == 0 or int(geom.tile_id[ry, rx - 1]) != tile:
+                    self._prev_int_mv = {}  # ME seed state is row-local
+                    if nat is not None:
+                        nat.reset_me_seeds()
+                if ts > 0:
+                    prs = int(geom.tile_scan_ctus[ts - 1])
+                    if int(geom.tile_id[prs // wc, prs % wc]) != tile:
+                        # mirror the writer's fresh CABAC at the tile start
+                        self.rd_ctx.initialize(self.sh.init_type(),
+                                               self.sh.slice_qp_y)
+                plan.slice_idx[ry, rx] = slice_number
+                if self.qp_map is not None:
+                    q = int(self.qp_map[ry, rx])
+                    self._set_ctb_qp(q)
+                    plan.qp_y[ry * ctb >> 2:(ry + 1) * ctb >> 2,
+                              rx * ctb >> 2:(rx + 1) * ctb >> 2] = q
+                if nat is not None:
+                    nat.encode_ctu(self, rx * ctb, ry * ctb)
+                else:
+                    self._decide_cqt(rx * ctb, ry * ctb,
+                                     sps.ctb_log2_size_y, 0)
             return plan, self.recon
         for ry in range(sps.pic_height_in_ctbs_y):
             for rx in range(wc):

@@ -1038,6 +1038,11 @@ class EncNative:
         enc.next_id[:] = [int(v) for v in self.ids]
         return cost
 
+    def reset_me_seeds(self):
+        """Clear the row-local previous-integer-MV ME seed (tile-row
+        starts; x0 == 0 resets implicitly inside tc_enc_ctu)."""
+        self.lib.tc_enc_me_seed_reset()
+
     def encode_ctu(self, enc, x0, y0) -> float:
         """Full RDO for the CTU at (x0, y0); advances enc.rd_ctx/next_id."""
         sps = self.sps

@@ -4543,6 +4543,12 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
 }
 
 // Encode one CTU (full RDO). Returns the RD cost; negative on error.
+void tc_enc_me_seed_reset() {
+    // tile-row starts (tiles walk CTUs per tile, so rows begin at the
+    // tile's left column, not x0 == 0)
+    cur.prev_int_valid[0] = cur.prev_int_valid[1] = 0;
+}
+
 double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
                   int32_t qp_full, int32_t qp_cb_full, int32_t qp_cr_full,
                   double lam, double lam_bits, double lam_me) {
