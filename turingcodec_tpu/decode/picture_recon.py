@@ -118,7 +118,14 @@ class PictureReconstructor:
 
     def _loop_filters(self):
         plan = self.plan
-        deblock_picture(plan, self.geom, self.ry, self.rcb, self.rcr)
+        import os
+        if os.environ.get("TURING_TPU_DEVICE_DEBLOCK"):
+            # device (XLA) twin — bit-exact with the numpy/native path
+            from turingcodec_tpu.ops.deblock import deblock_picture_device
+            deblock_picture_device(plan, self.geom, self.ry, self.rcb,
+                                   self.rcr)
+        else:
+            deblock_picture(plan, self.geom, self.ry, self.rcb, self.rcr)
         if any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
                for sh in plan.slice_headers):
             planes = sao_picture(plan, self.geom, [self.ry, self.rcb, self.rcr])
