@@ -128,7 +128,14 @@ class PictureReconstructor:
             deblock_picture(plan, self.geom, self.ry, self.rcb, self.rcr)
         if any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
                for sh in plan.slice_headers):
-            planes = sao_picture(plan, self.geom, [self.ry, self.rcb, self.rcr])
+            import os
+            if os.environ.get("TURING_TPU_DEVICE_SAO"):
+                from turingcodec_tpu.ops.sao import sao_picture_device
+                planes = sao_picture_device(
+                    plan, self.geom, [self.ry, self.rcb, self.rcr])
+            else:
+                planes = sao_picture(plan, self.geom,
+                                     [self.ry, self.rcb, self.rcr])
             self.ry, self.rcb, self.rcr = planes
         return [self.ry, self.rcb, self.rcr]
 
