@@ -375,3 +375,55 @@ def test_tiles_roundtrip(grid):
 def test_tiles_require_no_wpp():
     with pytest.raises(ValueError):
         Encoder(EncoderConfig(width=128, height=64, tile_cols=2, wpp=True))
+
+
+def test_tskip_roundtrip():
+    """--tskip analogue: 4x4 transform-skip RD trials. Sharp synthetic
+    content makes TS win on some blocks; the stream must round-trip
+    bit-exactly (and actually contain TS flags)."""
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=2,
+                        search_range=16, tskip=True)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    rng = np.random.default_rng(11)
+    # screen-content-ish: flat areas + hard edges + sparse impulses
+    base = np.full((h, w), 60, np.int16)
+    base[:, ::7] = 220
+    base[::5, :] = 30
+    imp = rng.integers(0, 255, (h, w))
+    base = np.where(rng.random((h, w)) < 0.02, imp, base).astype(np.int16)
+    fr = [base,
+          np.full((h // 2, w // 2), 110, np.int16),
+          np.full((h // 2, w // 2), 140, np.int16)]
+    recons = []
+    for i in range(2):
+        f = [np.roll(p, i, axis=1) for p in fr]
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 2
+    for f, recon in zip(frames, recons):
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)
+    # the feature must actually fire on this content: hook the picture
+    # encoder and check the plan's TS map
+    import turingcodec_tpu.encode.intra_search as IS
+    captured = []
+    orig_ep = IS.IntraPictureEncoder.encode_picture
+
+    def hooked(self, orig, slice_number=0):
+        r = orig_ep(self, orig, slice_number)
+        captured.append(r[0])
+        return r
+
+    IS.IntraPictureEncoder.encode_picture = hooked
+    try:
+        enc2 = Encoder(cfg)
+        enc2.headers()
+        enc2.encode_frame(fr)
+    finally:
+        IS.IntraPictureEncoder.encode_picture = orig_ep
+    assert captured and captured[0].transform_skip_y.sum() > 0

@@ -137,8 +137,9 @@ def _inter_residuals_device(plan, recon):
     for cu in plan.cu_list:
         if cu.pred_mode != 0 or cu.pcm or cu.skip or not cu.tus:
             continue
-        if cu.tq_bypass:
-            raise NotImplementedError("bypass stays on the host path")
+        # mode: 0 = dequant+IDCT, 1 = transform skip (dequant + shift),
+        # 2 = transquant bypass (raw residual)
+        cu_mode = 2 if cu.tq_bypass else 0
         bx, by = cu.x0 >> 2, cu.y0 >> 2
         qp_y = int(plan.qp_y[by, bx]) + sps.qp_bd_offset_y
         sh = plan.slice_headers[int(
@@ -154,9 +155,11 @@ def _inter_residuals_device(plan, recon):
                     + sh.slice_cr_qp_offset))) + sps.qp_bd_offset_c
         for (x0, y0, log2, blk_idx, xb, yb, cbf_y, cbf_cb, cbf_cr) in cu.tus:
             if cbf_y:
-                if plan.transform_skip_y[y0 >> 2, x0 >> 2]:
-                    raise NotImplementedError("transform skip -> host")
-                groups.setdefault((0, log2), []).append((x0, y0, qp_y))
+                mode = cu_mode
+                if not mode and plan.transform_skip_y[y0 >> 2, x0 >> 2]:
+                    mode = 1
+                groups.setdefault((0, log2, mode), []).append(
+                    (x0, y0, qp_y))
             if log2 > 2:
                 cx, cy, cl = x0 >> 1, y0 >> 1, log2 - 1
             elif blk_idx == 3:
@@ -164,18 +167,22 @@ def _inter_residuals_device(plan, recon):
             else:
                 continue
             if cbf_cb:
-                if plan.transform_skip_cb[cy >> 1, cx >> 1]:
-                    raise NotImplementedError("transform skip -> host")
-                groups.setdefault((1, cl), []).append((cx, cy, qp_cb))
+                mode = cu_mode
+                if not mode and plan.transform_skip_cb[cy >> 1, cx >> 1]:
+                    mode = 1
+                groups.setdefault((1, cl, mode), []).append(
+                    (cx, cy, qp_cb))
             if cbf_cr:
-                if plan.transform_skip_cr[cy >> 1, cx >> 1]:
-                    raise NotImplementedError("transform skip -> host")
-                groups.setdefault((2, cl), []).append((cx, cy, qp_cr))
+                mode = cu_mode
+                if not mode and plan.transform_skip_cr[cy >> 1, cx >> 1]:
+                    mode = 1
+                groups.setdefault((2, cl, mode), []).append(
+                    (cx, cy, qp_cr))
 
     planes = {0: (plan.coeff_y, recon[0], bd_y),
               1: (plan.coeff_cb, recon[1], bd_c),
               2: (plan.coeff_cr, recon[2], bd_c)}
-    for (comp, log2), items in groups.items():
+    for (comp, log2, mode), items in groups.items():
         coeffp, rplane, bd = planes[comp]
         n = 1 << log2
         max_v = (1 << bd) - 1
@@ -189,9 +196,20 @@ def _inter_residuals_device(plan, recon):
         stacked = np.zeros((npad, n, n), np.int32)
         for k, (x, y) in enumerate(zip(xs, ys)):
             stacked[k] = coeffp[y:y + n, x:x + n]
-        d = dequant_batch(jnp.asarray(stacked), jnp.asarray(qpa), bd, log2)
-        res = inverse_transform_batch(d, bd, False)
-        res = np.asarray(res)[:nblk]
+        if mode == 2:  # transquant bypass: residual = parsed coefficients
+            res = stacked[:nblk]
+        elif mode == 1:  # transform skip (8.6.4.1): dequant + shift
+            d = dequant_batch(jnp.asarray(stacked), jnp.asarray(qpa), bd,
+                              log2)
+            bds2 = 20 - bd
+            res = jnp.clip(((d << 7) + (1 << (bds2 - 1))) >> bds2,
+                           -32768, 32767)
+            res = np.asarray(res)[:nblk]
+        else:
+            d = dequant_batch(jnp.asarray(stacked), jnp.asarray(qpa), bd,
+                              log2)
+            res = inverse_transform_batch(d, bd, False)
+            res = np.asarray(res)[:nblk]
         for k, (x, y) in enumerate(zip(xs, ys)):
             blk = rplane[y:y + n, x:x + n].astype(np.int32) + res[k]
             rplane[y:y + n, x:x + n] = np.clip(blk, 0, max_v)

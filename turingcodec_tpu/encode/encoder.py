@@ -79,6 +79,9 @@ class EncoderConfig:
                                # aligned; requires wpp=False when > 1)
     dependent_slices: bool = False  # emit slices 2..N as dependent slice
                                     # segments of the first
+    tskip: bool = False        # 4x4 transform-skip RD trials (the
+                               # reference's --tskip; off in every preset,
+                               # Speed.h useTSkip)
     tile_cols: int = 1         # tile grid (uniform spacing); >1 enables
     tile_rows: int = 1         # tiles (beyond the reference encoder,
                                # which only decodes tiles); needs wpp=False
@@ -219,7 +222,7 @@ class Encoder:
         p.entropy_coding_sync_enabled_flag = int(c.wpp)
         p.cu_qp_delta_enabled_flag = int(c.aq_strength > 0)
         p.diff_cu_qp_delta_depth = 0
-        p.transform_skip_enabled_flag = 0
+        p.transform_skip_enabled_flag = int(c.tskip)
         p.loop_filter_across_tiles_enabled_flag = 1
         if c.tile_cols > 1 or c.tile_rows > 1:
             # tiles encoding (beyond the reference: turing only decodes

@@ -1039,7 +1039,7 @@ class InterPictureEncoder(IntraPictureEncoder):
                     zc = [np.zeros((size >> 1, size >> 1), np.int32),
                           np.zeros((size >> 1, size >> 1), np.int32)]
                     best = (cost0, kind, idx, info, z, zc,
-                            py, [pcb, pcr], False)
+                            py, [pcb, pcr], False, [0, 0])
                 continue
             # luma residual
             res = orig_y - py
@@ -1054,9 +1054,13 @@ class InterPictureEncoder(IntraPictureEncoder):
                                 0, (1 << self.bd) - 1)
             else:
                 rec_y = py
-            # chroma residual
+            # chroma residual (4x4 chroma TBs of 8x8 CUs also try
+            # transform skip when --tskip is on, Reconstruct.cpp:266)
+            ts_on = (log2 - 1 == 2
+                     and bool(self.pps.transform_skip_enabled_flag))
             recs_c = []
             levels_c = []
+            ts_c = []
             for ci, (o, p, qp) in enumerate(((orig_cb, pcb, self.qp_cb),
                                              (orig_cr, pcr, self.qp_cr))):
                 res_c = o - p
@@ -1072,6 +1076,21 @@ class InterPictureEncoder(IntraPictureEncoder):
                                  0, (1 << sps.bit_depth_c) - 1)
                 else:
                     rc = p
+                tsf = 0
+                if ts_on:
+                    lv_ts, rc_ts = self._ts_variant(
+                        res_c, p, qp + sps.qp_bd_offset_c,
+                        sps.bit_depth_c, ci + 1, 0, False,
+                        ("cbf_chroma", 0))
+                    c_no = float(((rc - o) ** 2).sum()) + self.lam \
+                        * self._residual_bits(lv, log2 - 1, ci + 1, 0,
+                                              False)
+                    c_ts = float(((rc_ts - o) ** 2).sum()) + self.lam \
+                        * self._residual_bits(lv_ts, log2 - 1, ci + 1, 0,
+                                              False)
+                    if c_ts < c_no:
+                        lv, rc, tsf = lv_ts, rc_ts, 1
+                ts_c.append(tsf)
                 recs_c.append(rc)
                 levels_c.append(lv)
 
@@ -1094,7 +1113,7 @@ class InterPictureEncoder(IntraPictureEncoder):
                 cost -= self.lam * (self._coeff_rate(levels) - 1)  # skip cheap
             if best is None or cost < best[0]:
                 best = (cost, kind, idx, info, levels, levels_c,
-                        rec_y, recs_c, has_coeff)
+                        rec_y, recs_c, has_coeff, ts_c)
             # zero-residual variant (the reference's skip / rqt_root_cbf=0
             # trial, Search.hpp searchMerge2Nx2N + rqt_root_cbf RDO): same
             # prediction, residual dropped entirely
@@ -1114,10 +1133,10 @@ class InterPictureEncoder(IntraPictureEncoder):
                     zc = [np.zeros_like(levels_c[0]),
                           np.zeros_like(levels_c[1])]
                     best = (cost0, kind, idx, info, z, zc,
-                            py, [pcb, pcr], False)
+                            py, [pcb, pcr], False, [0, 0])
 
         (cost, kind, idx, info, levels, levels_c, rec_y, recs_c,
-         has_coeff) = best
+         has_coeff, ts_best) = best
 
         # commit
         if kind == "merge":
@@ -1162,6 +1181,11 @@ class InterPictureEncoder(IntraPictureEncoder):
         plan.cbf_y[sl] = int(levels.any())
         plan.cbf_cb[sl] = int(levels_c[0].any())
         plan.cbf_cr[sl] = int(levels_c[1].any())
+        if log2 - 1 == 2 and self.pps.transform_skip_enabled_flag:
+            plan.transform_skip_cb[cy >> 1, cx >> 1] = \
+                ts_best[0] if levels_c[0].any() else 0
+            plan.transform_skip_cr[cy >> 1, cx >> 1] = \
+                ts_best[1] if levels_c[1].any() else 0
         self.recon[0][y0:y0 + size, x0:x0 + size] = rec_y
         self.recon[1][cy:cy + cs, cx:cx + cs] = recs_c[0]
         self.recon[2][cy:cy + cs, cx:cx + cs] = recs_c[1]

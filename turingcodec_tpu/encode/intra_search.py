@@ -389,7 +389,9 @@ class IntraPictureEncoder:
              p.cbf_y[sl].copy(), p.cbf_cb[sl].copy(), p.cbf_cr[sl].copy(),
              p.cu_size_log2[sl].copy(),
              p.coeff_y[ll].copy(), p.coeff_cb[cl].copy(),
-             p.coeff_cr[cl].copy()],
+             p.coeff_cr[cl].copy(),
+             p.transform_skip_y[sl].copy(), p.transform_skip_cb[sl].copy(),
+             p.transform_skip_cr[sl].copy()],
             list(self.next_id),
             bytearray(self.rd_ctx.states),
         )
@@ -406,7 +408,8 @@ class IntraPictureEncoder:
          p.intra_mode_y[sl], p.intra_mode_c[sl], p.tu_log2[sl],
          p.tu_id[sl], p.cu_id[sl], p.pu_id[sl], p.cbf_y[sl], p.cbf_cb[sl],
          p.cbf_cr[sl], p.cu_size_log2[sl], p.coeff_y[ll], p.coeff_cb[cl],
-         p.coeff_cr[cl]) = [a.copy() for a in pl]
+         p.coeff_cr[cl], p.transform_skip_y[sl], p.transform_skip_cb[sl],
+         p.transform_skip_cr[sl]) = [a.copy() for a in pl]
         self.next_id = list(ids)
 
     # ------------------------------------------------------------------
@@ -555,6 +558,7 @@ class IntraPictureEncoder:
             cands = self._rank_modes(orig_b, rt, rl, corner, half, mpm,
                                      count=8 if self.rd_candidates >= 2
                                      else 4)
+            ts_on = bool(self.pps.transform_skip_enabled_flag)
             best = None
             for mode in cands:
                 pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
@@ -571,13 +575,21 @@ class IntraPictureEncoder:
                                   0, (1 << self.bd) - 1)
                 else:
                     rec = np.clip(pred, 0, (1 << self.bd) - 1)
-                dist = float(((rec - orig_b) ** 2).sum())
-                rate = self._residual_bits(levels, 2, 0, mode, True) \
-                    + (2 if mode in mpm else 6)
-                c = dist + self.lam * rate
-                if best is None or c < best[0]:
-                    best = (c, mode, levels, rec)
-            c, mode, levels, rec = best
+                variants = [(levels, rec, 0)]
+                if ts_on:
+                    variants.append(self._ts_variant(
+                        res, pred, self.qp + sps.qp_bd_offset_y, self.bd,
+                        0, mode, True, ("cbf_luma", 0)) + (1,))
+                for lv_v, rec_v, tsf in variants:
+                    dist = float(((rec_v - orig_b) ** 2).sum())
+                    rate = self._residual_bits(lv_v, 2, 0, mode, True) \
+                        + (2 if mode in mpm else 6)
+                    c = dist + self.lam * rate
+                    if best is None or c < best[0]:
+                        best = (c, mode, lv_v, rec_v, tsf)
+            c, mode, levels, rec, tsf = best
+            plan.transform_skip_y[yb >> 2, xb >> 2] = \
+                tsf if levels.any() else 0
             self._commit_residual_ctx(levels, 2, 0, mode, True)
             cost += c
             modes.append(mode)
@@ -611,6 +623,8 @@ class IntraPictureEncoder:
                    self.qp_cr))
         refs = [self.refs.build(p[1], cx, cy, cs, 1, sps.bit_depth_c)
                 for p in planes]
+        ts_on = (clog2 == 2
+                 and bool(self.pps.transform_skip_enabled_flag))
         best = None
         for k, m in enumerate(cand):
             ck = 0.0
@@ -633,24 +647,60 @@ class IntraPictureEncoder:
                         0, (1 << sps.bit_depth_c) - 1)
                 else:
                     rec_c = np.clip(pred, 0, (1 << sps.bit_depth_c) - 1)
-                dist_c = float(
-                    ((rec_c - plane_o[cy:cy + cs, cx:cx + cs]) ** 2).sum())
-                cbits = self._residual_bits(levels, clog2, c_idx + 1, m,
-                                            True)
-                ck += dist_c + self.lam * cbits
-                trials.append((levels, rec_c))
+                variants = [(levels, rec_c, 0)]
+                if ts_on:
+                    variants.append(self._ts_variant(
+                        res, pred, qp + sps.qp_bd_offset_c,
+                        sps.bit_depth_c, c_idx + 1, m, True,
+                        ("cbf_chroma", 0)) + (1,))
+                cbest = None
+                for lv_v, rec_v, tsf in variants:
+                    dist_c = float(
+                        ((rec_v - plane_o[cy:cy + cs, cx:cx + cs]) ** 2)
+                        .sum())
+                    cbits = self._residual_bits(lv_v, clog2, c_idx + 1, m,
+                                                True)
+                    cc = dist_c + self.lam * cbits
+                    if cbest is None or cc < cbest[0]:
+                        cbest = (cc, lv_v, rec_v, tsf)
+                ck += cbest[0]
+                trials.append(cbest[1:])
             ck += self.lam_bits * (1.0 if k == 0 else 3.0)
             if best is None or ck < best[0]:
                 best = (ck, m, trials)
         ck, m, trials = best
         plan.intra_mode_c[sl] = m
         for c_idx, (_o, plane_r, coeffp, cbfp, _q) in enumerate(planes):
-            levels, rec_c = trials[c_idx]
+            levels, rec_c, tsf = trials[c_idx]
             coeffp[cy:cy + cs, cx:cx + cs] = levels
             cbfp[sl] = int(levels.any())
             self._commit_residual_ctx(levels, clog2, c_idx + 1, m, True)
             plane_r[cy:cy + cs, cx:cx + cs] = rec_c
+            if ts_on:
+                tsmap = (plan.transform_skip_cb if c_idx == 0
+                         else plan.transform_skip_cr)
+                tsmap[cy >> 1, cx >> 1] = tsf if levels.any() else 0
         return ck
+
+    # ------------------------------------------------------------------
+    def _ts_variant(self, res, pred, qp_full, bd, c_idx, mode, intra,
+                    cbf):
+        """Transform-skip 4x4 TB variant (--tskip; Reconstruct.cpp:426-497):
+        forward coeff = res << (13 - bd), the usual quantizer, recon via
+        the spec 8.6.4.1 shift. Returns (levels, rec)."""
+        coeffs = res.astype(np.int64) << (13 - bd)
+        levels = self._quantize_rd(coeffs, qp_full, bd, 2, intra, c_idx,
+                                   mode, cbf=cbf)
+        if levels.any():
+            d = dequant_block(levels, qp_full, bd, 2)
+            bds = 20 - bd
+            rr = np.clip(
+                ((d.astype(np.int64) << 7) + (1 << (bds - 1))) >> bds,
+                -32768, 32767).astype(np.int32)
+            rec = np.clip(pred + rr, 0, (1 << bd) - 1)
+        else:
+            rec = np.clip(pred, 0, (1 << bd) - 1)
+        return levels, rec
 
     # ------------------------------------------------------------------
     def _quantize_rd(self, coeffs, qp, bd, log2, intra, c_idx, mode,

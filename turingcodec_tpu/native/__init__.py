@@ -925,6 +925,7 @@ class EncNative:
                 or sps.chroma_array_type != 1
                 or sps.scaling_list_enabled_flag
                 or pps.constrained_intra_pred_flag
+                or pps.transform_skip_enabled_flag
                 or enc.geom.num_tiles > 1):
             return None
         try:
