@@ -37,3 +37,12 @@ def test_graft_entry_points():
     assert out[0].shape == (8, 32, 32)
     if len(jax.devices()) >= 8:
         g.dryrun_multichip(8)
+
+
+def test_gop_scaling_demo(caminandes_bytes, tmp_path):
+    """tools/scaling: real-stream GOP workloads sharded over the mesh must
+    equal the unsharded per-picture op (exit 0 == bit-exact)."""
+    p = tmp_path / "c.hevc"
+    p.write_bytes(caminandes_bytes)
+    from turingcodec_tpu.tools import scaling
+    assert scaling.main(["--frames", "4", "--mesh", "4x2", str(p)]) == 0
