@@ -23,6 +23,11 @@ import os
 import sys
 import time
 
+# must precede the first numpy import: OpenBLAS worker threads spin-wait
+# after every numpy call and steal cores from the codec's own WPP threads
+for _v in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 CAMINANDES = "/root/reference/test/excerpt_(CC)_caminandes.com_640x360.hevc"
 GOLDEN_MD5 = "05c8e88dd7a694829f34ad9486a0dd8e"
 REFERENCE_ENC_FPS = 1.34   # turing encode 1080p fast LDP QP30, 2 threads

@@ -84,9 +84,281 @@ struct EN {
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
     int num_ctx, rcudepth, rdoq;
     int met, fdam;
+    // lowres pre-ME (x264-lookahead style; no reference analogue — the
+    // reference relies on its raster fallback, Search.hpp:2240-2260):
+    // quarter-res exhaustive +/-8 search per 16x16 luma block seeds the
+    // full-pel star search, which then runs with a tight window
+    std::vector<int16_t> lr_cur;      // (hb*4, wb*4) padded quarter-res orig
+    std::vector<int16_t> lr_ref[2];   // bordered quarter-res ref-0 per list
+    std::vector<int16_t> seed_mv[2];  // (hb*wb, 2) full-pel seeds per list
+    int seed_wb = 0, seed_hb = 0;
+    int have_seed[2] = {0, 0};
 };
 
 EN en;
+
+// factor-F decimation of an int16 plane: each lowres sample is the rounded
+// mean of a (clamped) FxF block; output covers (hbl, wbl) = (hb, wb) blocks
+// of B samples each, padded by edge replication to
+// (hb*B + 2*border, wb*B + 2*border)
+template <int F, int B>
+static void lowres_plane(const int16_t* src, int w, int h, int wb, int hb,
+                         int border, int16_t* dst) {
+    const int lw = (w + F - 1) / F, lh = (h + F - 1) / F;
+    const int dw = wb * B + 2 * border;
+    for (int ly = 0; ly < hb * B; ly++) {
+        int16_t* drow = dst + (int64_t)(ly + border) * dw + border;
+        const int sy = ly < lh ? ly : lh - 1;
+        for (int lx = 0; lx < wb * B; lx++) {
+            const int sx = lx < lw ? lx : lw - 1;
+            int sum = 0;
+            for (int dy = 0; dy < F; dy++) {
+                const int yy = F * sy + dy < h ? F * sy + dy : h - 1;
+                const int16_t* row = src + (int64_t)yy * w;
+                for (int dx = 0; dx < F; dx++) {
+                    const int xx = F * sx + dx < w ? F * sx + dx : w - 1;
+                    sum += row[xx];
+                }
+            }
+            drow[lx] = (int16_t)((sum + F * F / 2) / (F * F));
+        }
+    }
+    // replicate borders
+    for (int y = 0; y < hb * B; y++) {
+        int16_t* row = dst + (int64_t)(y + border) * dw;
+        for (int x = 0; x < border; x++) {
+            row[x] = row[border];
+            row[border + wb * B + x] = row[border + wb * B - 1];
+        }
+    }
+    for (int y = 0; y < border; y++) {
+        std::memcpy(dst + (int64_t)y * dw, dst + (int64_t)border * dw,
+                    dw * sizeof(int16_t));
+        std::memcpy(dst + (int64_t)(border + hb * B + y) * dw,
+                    dst + (int64_t)(border + hb * B - 1) * dw,
+                    dw * sizeof(int16_t));
+    }
+}
+
+// half-res +/-2 refinement of the quarter-res winners: sharpens each block
+// seed from 4-pel to 2-pel granularity (8x8 half-res block per 16x16
+// full-res block). cur: (hb*8, wb*8) tight; ref: bordered (border B2).
+static void halfres_refine_rows(const int16_t* cur, const int16_t* ref,
+                                int wb, int hb, int border, int by0,
+                                int by1, int16_t* seeds) {
+    const int cw = wb * 8;
+    const int rw = wb * 8 + 2 * border;
+    for (int by = by0; by < by1; by++)
+        for (int bx = 0; bx < wb; bx++) {
+            int16_t* sp = seeds + ((int64_t)by * wb + bx) * 2;
+            const int chx = sp[0] >> 1, chy = sp[1] >> 1;  // half-res pels
+            const int16_t* c0 = cur + (int64_t)(by * 8) * cw + bx * 8;
+            int best = INT32_MAX, bsx = sp[0], bsy = sp[1];
+            for (int dy = -2; dy <= 2; dy++) {
+                const int16_t* r0 = ref
+                    + (int64_t)(by * 8 + chy + dy + border) * rw
+                    + (bx * 8 + chx + border);
+                for (int dx = -2; dx <= 2; dx++) {
+                    int sad = 0;
+                    for (int y = 0; y < 8; y++) {
+                        const int16_t* cr = c0 + (int64_t)y * cw;
+                        const int16_t* rr = r0 + (int64_t)y * rw + dx;
+                        for (int x = 0; x < 8; x++) {
+                            int d = cr[x] - rr[x];
+                            sad += d < 0 ? -d : d;
+                        }
+                    }
+                    const int sx = 2 * (chx + dx), sy = 2 * (chy + dy);
+                    const int cost = (sad << 2) + (sx < 0 ? -sx : sx)
+                                   + (sy < 0 ? -sy : sy);
+                    if (cost < best) {
+                        best = cost;
+                        bsx = sx;
+                        bsy = sy;
+                    }
+                }
+            }
+            sp[0] = (int16_t)bsx;
+            sp[1] = (int16_t)bsy;
+        }
+}
+
+// exhaustive +/-8 quarter-res search for every 4x4 lowres (16x16 full-res)
+// block; cost = (SAD << 2) + |dx| + |dy|, scan-order tie break (dy, dx
+// ascending, strict improvement) — the Python mirror replicates this
+// exactly (inter_search._lowres_seeds)
+static void lowres_search_rows(const int16_t* cur, const int16_t* ref,
+                               int wb, int hb, int border, int by0, int by1,
+                               int16_t* seeds) {
+    const int cw = wb * 4;
+    const int rw = wb * 4 + 2 * border;
+#ifdef __AVX2__
+    // vectorized across dx: lanes = dx in [-8, 8) as uint16 costs
+    // (max cost = (16*1023)<<2 + 16 = 65488, fits uint16); identical
+    // integer costs and scan-order tie-break as the scalar loop below
+    alignas(32) static const uint16_t PEN_ROW[16] = {
+        8, 7, 6, 5, 4, 3, 2, 1, 0, 1, 2, 3, 4, 5, 6, 7};
+    const __m256i pen_dx = _mm256_load_si256((const __m256i*)PEN_ROW);
+    for (int by = by0; by < by1; by++)
+        for (int bx = 0; bx < wb; bx++) {
+            const int16_t* c0 = cur + (int64_t)(by * 4) * cw + bx * 4;
+            uint32_t best = UINT32_MAX;
+            int bdx = 0, bdy = 0;
+            alignas(32) uint16_t lane[16];
+            for (int dy = -8; dy <= 8; dy++) {
+                const int16_t* r0 = ref
+                    + (int64_t)(by * 4 + dy + border) * rw
+                    + (bx * 4 + border) - 8;  // lane 0 = dx -8
+                __m256i acc = _mm256_setzero_si256();
+                int sad8 = 0;
+                for (int y = 0; y < 4; y++) {
+                    const int16_t* cr = c0 + (int64_t)y * cw;
+                    const int16_t* rr = r0 + (int64_t)y * rw;
+                    for (int x = 0; x < 4; x++) {
+                        const __m256i cv = _mm256_set1_epi16(cr[x]);
+                        const __m256i rv = _mm256_loadu_si256(
+                            (const __m256i*)(rr + x));
+                        acc = _mm256_add_epi16(
+                            acc, _mm256_abs_epi16(_mm256_sub_epi16(rv, cv)));
+                        int d = cr[x] - rr[x + 16];
+                        sad8 += d < 0 ? -d : d;
+                    }
+                }
+                const int ady = dy < 0 ? -dy : dy;
+                __m256i cost = _mm256_add_epi16(
+                    _mm256_slli_epi16(acc, 2),
+                    _mm256_add_epi16(pen_dx, _mm256_set1_epi16(ady)));
+                // min across lanes; scalar lane scan only on improvement
+                __m256i m = _mm256_min_epu16(
+                    cost, _mm256_permute2x128_si256(cost, cost, 1));
+                m = _mm256_min_epu16(m, _mm256_bsrli_epi128(m, 8));
+                m = _mm256_min_epu16(m, _mm256_bsrli_epi128(m, 4));
+                m = _mm256_min_epu16(m, _mm256_bsrli_epi128(m, 2));
+                const uint32_t dymin =
+                    (uint16_t)_mm256_extract_epi16(m, 0);
+                if (dymin < best) {
+                    _mm256_store_si256((__m256i*)lane, cost);
+                    for (int i = 0; i < 16; i++)
+                        if (lane[i] < best) {
+                            best = lane[i];
+                            bdx = i - 8;
+                            bdy = dy;
+                        }
+                }
+                const uint32_t c8 = ((uint32_t)sad8 << 2) + 8 + ady;
+                if (c8 < best) {
+                    best = c8;
+                    bdx = 8;
+                    bdy = dy;
+                }
+            }
+            seeds[((int64_t)by * wb + bx) * 2] = (int16_t)(4 * bdx);
+            seeds[((int64_t)by * wb + bx) * 2 + 1] = (int16_t)(4 * bdy);
+        }
+#else
+    for (int by = by0; by < by1; by++)
+        for (int bx = 0; bx < wb; bx++) {
+            const int16_t* c0 = cur + (int64_t)(by * 4) * cw + bx * 4;
+            int64_t best = INT64_MAX;
+            int bdx = 0, bdy = 0;
+            for (int dy = -8; dy <= 8; dy++) {
+                const int16_t* r0 = ref
+                    + (int64_t)(by * 4 + dy + border) * rw
+                    + (bx * 4 + border);
+                for (int dx = -8; dx <= 8; dx++) {
+                    int sad = 0;
+                    for (int y = 0; y < 4; y++) {
+                        const int16_t* cr = c0 + (int64_t)y * cw;
+                        const int16_t* rr = r0 + (int64_t)y * rw + dx;
+                        for (int x = 0; x < 4; x++) {
+                            int d = cr[x] - rr[x];
+                            sad += d < 0 ? -d : d;
+                        }
+                    }
+                    const int64_t cost = ((int64_t)sad << 2)
+                        + (dx < 0 ? -dx : dx) + (dy < 0 ? -dy : dy);
+                    if (cost < best) {
+                        best = cost;
+                        bdx = dx;
+                        bdy = dy;
+                    }
+                }
+            }
+            seeds[((int64_t)by * wb + bx) * 2] = (int16_t)(4 * bdx);
+            seeds[((int64_t)by * wb + bx) * 2 + 1] = (int16_t)(4 * bdy);
+        }
+#endif
+}
+
+static void lowres_prepass(int nthreads) {
+    PhaseTimer pt_lr(15);
+    en.have_seed[0] = en.have_seed[1] = 0;
+    static const bool off = getenv("TC_NO_LOWRES") != nullptr;
+    if (off || g_sp.is_i || en.search_range < 16)
+        return;
+    const int w = g_sp.pic_w, h = g_sp.pic_h;
+    const int lw = (w + 3) >> 2, lh = (h + 3) >> 2;
+    const int wb = (lw + 3) >> 2, hb = (lh + 3) >> 2;
+    const int B = 8;
+    en.seed_wb = wb;
+    en.seed_hb = hb;
+    en.lr_cur.resize((size_t)(hb * 4 + 2 * B) * (wb * 4 + 2 * B));
+    lowres_plane<4, 4>(en.orig[0], w, h, wb, hb, B, en.lr_cur.data());
+    // skip the unpadded interior offset: search reads cur without border
+    const int cw = wb * 4, dw = wb * 4 + 2 * B;
+    static std::vector<int16_t> cur_tight;
+    cur_tight.resize((size_t)hb * 4 * cw);
+    for (int y = 0; y < hb * 4; y++)
+        std::memcpy(cur_tight.data() + (int64_t)y * cw,
+                    en.lr_cur.data() + (int64_t)(y + B) * dw + B,
+                    cw * sizeof(int16_t));
+    // half-res planes for the +/-2 refinement stage (border 24 covers the
+    // +/-16 half-res reach of a +/-8 quarter-res winner plus the +/-2
+    // refine and the 8-sample block extent)
+    const int B2 = 24;
+    const int cw2 = wb * 8, dw2 = wb * 8 + 2 * B2;
+    static std::vector<int16_t> cur_half, cur_half_t;
+    cur_half.resize((size_t)(hb * 8 + 2 * B2) * dw2);
+    lowres_plane<2, 8>(en.orig[0], w, h, wb, hb, B2, cur_half.data());
+    cur_half_t.resize((size_t)hb * 8 * cw2);
+    for (int y = 0; y < hb * 8; y++)
+        std::memcpy(cur_half_t.data() + (int64_t)y * cw2,
+                    cur_half.data() + (int64_t)(y + B2) * dw2 + B2,
+                    cw2 * sizeof(int16_t));
+    static std::vector<int16_t> ref_half;
+    for (int l = 0; l < 2; l++) {
+        const int16_t* ref = en.refs[l][0][0];
+        if (!ref)
+            continue;
+        if (l == 1 && en.refs[0][0][0] == ref && en.have_seed[0]) {
+            en.seed_mv[1] = en.seed_mv[0];  // GPB shares the plane
+            en.have_seed[1] = 1;
+            continue;
+        }
+        en.lr_ref[l].resize((size_t)(hb * 4 + 2 * B) * dw);
+        lowres_plane<4, 4>(ref, w, h, wb, hb, B, en.lr_ref[l].data());
+        ref_half.resize((size_t)(hb * 8 + 2 * B2) * dw2);
+        lowres_plane<2, 8>(ref, w, h, wb, hb, B2, ref_half.data());
+        en.seed_mv[l].resize((size_t)hb * wb * 2);
+        const int T = std::max(1, std::min(nthreads, hb));
+        auto rows = [&](int by0, int by1) {
+            lowres_search_rows(cur_tight.data(), en.lr_ref[l].data(), wb,
+                               hb, B, by0, by1, en.seed_mv[l].data());
+            halfres_refine_rows(cur_half_t.data(), ref_half.data(), wb, hb,
+                                B2, by0, by1, en.seed_mv[l].data());
+        };
+        if (T > 1) {
+            std::vector<std::thread> ts;
+            for (int t = 0; t < T; t++)
+                ts.emplace_back(rows, hb * t / T, hb * (t + 1) / T);
+            for (auto& th : ts)
+                th.join();
+        } else {
+            rows(0, hb);
+        }
+        en.have_seed[l] = 1;
+    }
+}
 
 // Per-CTU mutable state. thread_local so WPP rows can run on independent
 // threads (tc_enc_picture nthreads>1): each row thread owns its own CABAC
@@ -2480,6 +2752,10 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         }
         return false;
     };
+    // with a lowres pre-ME seed the star only needs to descend locally:
+    // tight window, and the raster fallback (whose job the exhaustive
+    // lowres sweep already did) is skipped
+    const bool has_lr = en.have_seed[lx] && ref == 0;
     const int search_window = en.search_range >= 64 ? 64 : 32;
     const int max_counter = en.search_range >= 64 ? 3 : 2;
     const int raster_q = en.search_range >= 64 ? 240 : 120;
@@ -2543,7 +2819,37 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             dist_best = 0;
             consider_pattern(best.ix, best.iy, SQUARE4, 4, 1, 1);
         }
-        if (dist_best > 5) {
+        if (dist_best > 5 && has_lr) {
+            // the initial star's winner came from far out: instead of the
+            // raster sweep below, consult the lowres pre-ME winners for
+            // the cells under this PU — the exhaustive quarter-res sweep
+            // already did the raster's wide-scan job for this picture
+            LeafTimer pt15(15);
+            const int16_t* sm = en.seed_mv[lx].data();
+            const int wb = en.seed_wb, hb = en.seed_hb;
+            auto cell = [&](int px, int py) -> const int16_t* {
+                int bx = px >> 4, by = py >> 4;
+                bx = bx < 0 ? 0 : (bx >= wb ? wb - 1 : bx);
+                by = by < 0 ? 0 : (by >= hb ? hb - 1 : by);
+                return sm + ((int64_t)by * wb + bx) * 2;
+            };
+            auto eval_seed = [&](int sx, int sy) {
+                double c = cost_at(sx, sy);
+                if (fp_better(c, sx, sy, best))
+                    best = {c, sx, sy};
+            };
+            const int16_t* s = cell(x0 + w / 2, y0 + h / 2);
+            eval_seed(s[0], s[1]);
+            if (w >= 32 || h >= 32)
+                for (int q = 0; q < 4; q++) {
+                    const int16_t* sq =
+                        cell(x0 + (q & 1 ? 3 * w / 4 : w / 4),
+                             y0 + (q & 2 ? 3 * h / 4 : h / 4));
+                    if (sq[0] != s[0] || sq[1] != s[1])
+                        eval_seed(sq[0], sq[1]);
+                }
+            dist_best = 5;
+        } else if (dist_best > 5) {
             LeafTimer pt15(15);
             // raster sweep on a 5-pel grid (quarter-pel +/-raster_q),
             // batched row by row through the multiref SAD
@@ -4477,6 +4783,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
                 dst[i] = (uint8_t)src[i];
             en.ref8[l][r] = dst;
         }
+    en.have_seed[0] = en.have_seed[1] = 0;  // per-picture (set in prepass)
     int j = 0;
     en.rd_candidates = ip[j++];
     en.max_cu_log2 = ip[j++];
@@ -4505,6 +4812,7 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                       const uint8_t* init_states, int32_t nthreads) {
     const int wc = (g_sp.pic_w + (1 << g_sp.ctb_log2) - 1) >> g_sp.ctb_log2;
     const int hc = (g_sp.pic_h + (1 << g_sp.ctb_log2) - 1) >> g_sp.ctb_log2;
+    lowres_prepass(nthreads);
     if (nthreads > 1 && wpp && hc > 1)
         return enc_picture_mt(ctx, ids, qp3, lam3, snap_rx, init_states,
                               nthreads, wc, hc);
