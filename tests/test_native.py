@@ -163,3 +163,40 @@ def test_wpp_row_threads_bit_identical():
         else:
             os.environ["TURING_TPU_ENC_THREADS"] = old
     assert results[1] == results[3]
+
+
+def test_native_python_encoder_bit_identical():
+    """The native CTU search (enc_core.cpp, incl. the lowres pre-ME seeded
+    raster replacement) and the pure-Python searcher produce byte-identical
+    bitstreams on content with large motion (forces the far-winner path)."""
+    import hashlib
+
+    from turingcodec_tpu.encode.encoder import (EncoderConfig,
+                                                encode_yuv_stream)
+    if native.get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng2 = np.random.default_rng(11)
+    w, h = 192, 128
+    n_frames = 3
+    base = rng2.integers(0, 256, (2 * h, 2 * w), np.int32)
+    frames = []
+    for i in range(n_frames):
+        # 14 px/frame pan: far beyond the MET probes, so the star's first
+        # pass wins from far out and the lowres seeds are consulted
+        y = base[h // 2 + 14 * i:h // 2 + 14 * i + h,
+                 w // 2 + 9 * i:w // 2 + 9 * i + w]
+        u = np.full((h // 2, w // 2), 128)
+        frames.append(y.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes())
+    raw = b"".join(frames)
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=1,
+                        search_range=32, sdh=False, met=True)
+    bs_nat, md5_nat = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    os.environ["TURING_TPU_NO_NATIVE_ENC"] = "1"
+    try:
+        bs_py, md5_py = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    finally:
+        del os.environ["TURING_TPU_NO_NATIVE_ENC"]
+    assert md5_nat == md5_py
+    assert hashlib.md5(bs_nat).hexdigest() == hashlib.md5(bs_py).hexdigest()

@@ -63,6 +63,9 @@ class InterPictureEncoder(IntraPictureEncoder):
         # exhaustive search)
         self.met = False
         self.fdam = False
+        # lowres pre-ME seed fields, one per reference plane (native
+        # lowres_prepass twin; keyed by plane identity)
+        self._lr_seed_cache = {}
 
     def encode_picture(self, orig, slice_number=0):
         self.deriver = None  # created lazily (needs plan)
@@ -237,6 +240,73 @@ class InterPictureEncoder(IntraPictureEncoder):
         return np.clip(v, 0, (1 << bd) - 1).astype(np.int32)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _lowres_plane(src, f, b, wb, hb, border):
+        """Factor-f decimation with clamped edges, padded by replication to
+        (hb*b + 2*border, wb*b + 2*border) — enc_core.cpp lowres_plane<f,b>
+        twin (identical integer rounding)."""
+        h, w = src.shape
+        lw, lh = -(-w // f), -(-h // f)
+        p = np.pad(src.astype(np.int32), ((0, lh * f - h), (0, lw * f - w)),
+                   "edge")
+        lr = (p.reshape(lh, f, lw, f).sum((1, 3)) + f * f // 2) // (f * f)
+        lr = np.pad(lr, ((0, hb * b - lh), (0, wb * b - lw)), "edge")
+        return np.pad(lr, border, "edge")
+
+    def _lowres_seed_field(self, ref_plane):
+        """Quarter-res exhaustive +/-8 pre-ME per 16x16 block, refined +/-2
+        at half res — the Python oracle of enc_core.cpp lowres_prepass
+        (identical costs (sad<<2)+|dx|+|dy| and scan-order tie-breaks).
+        Returns (seed_mv (hb, wb, 2) int full-pel, wb, hb)."""
+        key = id(ref_plane)
+        cached = self._lr_seed_cache.get(key)
+        if cached is not None:
+            return cached
+        orig = np.asarray(self.orig[0])
+        h, w = orig.shape
+        lw, lh = -(-w // 4), -(-h // 4)
+        wb, hb = -(-lw // 4), -(-lh // 4)
+        cur4 = self._lowres_plane(orig, 4, 4, wb, hb, 0)
+        ref4 = self._lowres_plane(np.asarray(ref_plane), 4, 4, wb, hb, 8)
+        costs = np.empty((17 * 17, hb, wb), np.int64)
+        for i, (dy, dx) in enumerate((dy, dx) for dy in range(-8, 9)
+                                     for dx in range(-8, 9)):
+            d = np.abs(cur4 - ref4[8 + dy:8 + dy + hb * 4,
+                                   8 + dx:8 + dx + wb * 4])
+            costs[i] = (d.reshape(hb, 4, wb, 4).sum((1, 3)) << 2) \
+                + abs(dx) + abs(dy)
+        idx = costs.reshape(17 * 17, -1).argmin(0).reshape(hb, wb)
+        sdx, sdy = idx % 17 - 8, idx // 17 - 8
+        # half-res +/-2 refinement to 2-pel granularity
+        cur8 = self._lowres_plane(orig, 2, 8, wb, hb, 0)
+        ref8 = self._lowres_plane(np.asarray(ref_plane), 2, 8, wb, hb, 24)
+        cb = cur8.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+        by, bx = np.mgrid[0:hb, 0:wb]
+        chy, chx = 2 * sdy, 2 * sdx  # (4*d) >> 1
+        ay = np.arange(8)
+        best_c = None
+        bsx = (4 * sdx).astype(np.int64)
+        bsy = (4 * sdy).astype(np.int64)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                ys = (by * 8 + chy + dy + 24)[:, :, None, None] \
+                    + ay[None, None, :, None]
+                xs = (bx * 8 + chx + dx + 24)[:, :, None, None] \
+                    + ay[None, None, None, :]
+                sad = np.abs(cb - ref8[ys, xs]).sum((2, 3))
+                sx, sy = 2 * (chx + dx), 2 * (chy + dy)
+                c = (sad.astype(np.int64) << 2) + np.abs(sx) + np.abs(sy)
+                if best_c is None:
+                    best_c, bsx, bsy = c, sx.copy(), sy.copy()
+                else:
+                    m = c < best_c
+                    best_c = np.where(m, c, best_c)
+                    bsx = np.where(m, sx, bsx)
+                    bsy = np.where(m, sy, bsy)
+        field = (np.stack([bsx, bsy], -1).astype(np.int32), wb, hb)
+        self._lr_seed_cache[key] = field
+        return field
+
     def _full_pel_search(self, orig, ref_plane, x0, y0, w, h, mvp,
                          seeds=()):
         """Diamond/step pattern integer search; returns best int MV (in
@@ -351,7 +421,31 @@ class InterPictureEncoder(IntraPictureEncoder):
         if dist_best == 1:
             dist_best = 0
             consider(best[1][0], best[1][1], square4, 1, 1)
-        if dist_best > 5:
+        if dist_best > 5 and self.search_range >= 16:
+            # the initial star's winner came from far out: consult the
+            # lowres pre-ME winners for the cells under this PU instead of
+            # the raster sweep (native enc_core full_pel_search twin)
+            sm, wb, hb = self._lowres_seed_field(ref_plane)
+
+            def cell(px, py):
+                bx = min(max(px >> 4, 0), wb - 1)
+                by = min(max(py >> 4, 0), hb - 1)
+                return (int(sm[by, bx, 0]), int(sm[by, bx, 1]))
+
+            s = cell(x0 + w // 2, y0 + h // 2)
+            cands = [s]
+            if w >= 32 or h >= 32:
+                for q in range(4):
+                    sq = cell(x0 + (3 * w // 4 if q & 1 else w // 4),
+                              y0 + (3 * h // 4 if q & 2 else h // 4))
+                    if sq != s:
+                        cands.append(sq)
+            for (sx, sy) in cands:
+                ((c, cand),) = costs_at([(sx, sy)])
+                if (c, cand) < best:
+                    best = (c, cand)
+            dist_best = 5
+        elif dist_best > 5:
             # raster sweep on a 5-pel grid (quarter-pel +/-raster_q)
             probes = []
             for qy in range(-raster_q, raster_q + 1, 20):
