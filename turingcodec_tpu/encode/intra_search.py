@@ -443,11 +443,16 @@ class IntraPictureEncoder:
         # else 8; fast 3 above 8x8 else 4
         ncand = 8 if self.rd_candidates >= 3 else (
             3 if log2 > 3 else (8 if self.rd_candidates == 2 else 4))
-        cands = self._rank_modes(orig_y, rt, rl, corner, size, mpm,
-                                 count=ncand)
+        cands, ccosts = self._rank_modes(orig_y, rt, rl, corner, size, mpm,
+                                         count=ncand)
 
         best = None
-        for mode in cands:
+        for k, mode in enumerate(cands):
+            # SATD-gate (native enc_core twin): a candidate whose ranking
+            # cost is already 1.5x the leader's essentially never wins the
+            # RD refinement; planar is exempt
+            if k > 0 and mode != 0 and ccosts[k] > 1.5 * ccosts[0]:
+                continue
             frt, frl, fc = filter_reference_samples(
                 rt, rl, corner, size, mode,
                 bool(sps.strong_intra_smoothing_enabled_flag), self.bd)
@@ -514,9 +519,11 @@ class IntraPictureEncoder:
         costs = satds + self.lam_bits * mode_bits
         order = np.argsort(costs, kind="stable")
         cands = [int(m) for m in order[: count or self.rd_candidates]]
+        ccosts = [float(costs[m]) for m in cands]
         if 0 not in cands and len(cands) >= 2:
             cands[-1] = 0  # always try planar
-        return cands
+            ccosts[-1] = float(costs[0])
+        return cands, ccosts
 
     # ------------------------------------------------------------------
     def _encode_cu_nxn(self, x0, y0, log2, depth) -> float:
@@ -555,12 +562,16 @@ class IntraPictureEncoder:
             rt, rl, corner = self.refs.build(self.recon[0], xb, yb, half, 0,
                                              self.bd)
             mpm = _intra_mpm(ps, xb, yb)
-            cands = self._rank_modes(orig_b, rt, rl, corner, half, mpm,
-                                     count=8 if self.rd_candidates >= 2
-                                     else 4)
+            cands, ccosts = self._rank_modes(orig_b, rt, rl, corner, half,
+                                             mpm,
+                                             count=8 if self.rd_candidates
+                                             >= 2 else 4)
             ts_on = bool(self.pps.transform_skip_enabled_flag)
             best = None
-            for mode in cands:
+            for k, mode in enumerate(cands):
+                # SATD-gate (native enc_core twin; planar exempt)
+                if k > 0 and mode != 0 and ccosts[k] > 1.5 * ccosts[0]:
+                    continue
                 pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
                 res = orig_b - pred
                 coeffs = forward_transform_np(res, self.bd, True)

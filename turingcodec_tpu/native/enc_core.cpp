@@ -1619,7 +1619,7 @@ struct Sweep4Tables {
 
 int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
-               int* out_cands) {
+               int* out_cands, double* out_costs = nullptr) {
     LeafTimer pt(12);
     static thread_local int32_t pred[32 * 32], orig_t[32 * 32];
     const int bd = g_sp.bit_depth_y;
@@ -1736,6 +1736,7 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
         score(mode, satd_region(cmp, pred, n, n, bs));
     }
     int cnt = count < 35 ? count : 35;
+    const double planar_cost = mc[0].cost;  // by-mode order until the sort
     // stable partial selection: element i = i-th smallest with ties kept in
     // mode order — the exact prefix std::stable_sort produced, without the
     // full-array merge sort per call
@@ -1753,10 +1754,15 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
     bool has_planar = false;
     for (int i = 0; i < cnt; i++) {
         out_cands[i] = mc[i].mode;
+        if (out_costs)
+            out_costs[i] = mc[i].cost;
         has_planar |= mc[i].mode == 0;
     }
-    if (!has_planar && cnt >= 2)
+    if (!has_planar && cnt >= 2) {
         out_cands[cnt - 1] = 0;
+        if (out_costs)
+            out_costs[cnt - 1] = planar_cost;
+    }
     return cnt;
 }
 
@@ -2369,8 +2375,9 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     // slow 8; medium 3 above 8x8 else 8; fast 3 above 8x8 else 4)
     int ncand_want = en.rd_candidates >= 3
         ? 8 : (log2 > 3 ? 3 : (en.rd_candidates == 2 ? 8 : 4));
+    double cand_costs[35];
     int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm, ncand_want,
-                           cands);
+                           cands, cand_costs);
 
     static thread_local TbTrial trial, best_t;
     double best_cost = 0.0;
@@ -2379,6 +2386,11 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     int32_t frt[64], frl[64], fc;
     for (int k = 0; k < ncand; k++) {
         int mode = cands[k];
+        // SATD-gate (see encode_intra_nxn)
+        static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
+        if (!no_gate && k > 0 && mode != 0
+            && cand_costs[k] > 1.5 * cand_costs[0])
+            continue;
         std::memcpy(frt, rt, 2 * size * 4);
         std::memcpy(frl, rl, 2 * size * 4);
         fc = corner;
@@ -2446,11 +2458,20 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
         // (Speed.h nCandidatesIntraRefinement, log2PartitionSize == 2)
         int count = en.rd_candidates >= 2 ? 8 : 4;
         int cands[35];
+        double cand_costs[35];
         int ncand = rank_modes(orig_b, rt, rl, corner, half, mpm, count,
-                               cands);
+                               cands, cand_costs);
         double best_cost = 0.0;
         int best_mode = -1;
         for (int k = 0; k < ncand; k++) {
+            // SATD-gate (beyond the reference): a candidate whose ranking
+            // cost is already 1.5x the leader's essentially never wins the
+            // RD refinement; planar is exempt (kept for its flat-rate win)
+            static const bool no_gate =
+                getenv("TC_NO_SATDGATE") != nullptr;
+            if (!no_gate && k > 0 && cands[k] != 0
+                && cand_costs[k] > 1.5 * cand_costs[0])
+                continue;
             int mode = cands[k];
             intra_predict_core(mode, rt, rl, corner, half, 0, bd, 0, pred);
             try_tb(orig_b, pred, half, 2, cur.qp_full, bd, 1, 1,
