@@ -636,14 +636,34 @@ class IntraPictureEncoder:
                 for p in planes]
         ts_on = (clog2 == 2
                  and bool(self.pps.transform_skip_enabled_flag))
+        # SATD pre-ranking gate (native intra_chroma twin): predict all 5
+        # candidates for both planes, rank by SATD + mode bits, RD-evaluate
+        # only the top 2 (ties to the lower index)
+        from turingcodec_tpu.encode.sweep import satd_many
+        preds = {}
+        gate = []
+        cblk = 8 if cs >= 8 else 4
+        for k, m in enumerate(cand):
+            s = 0
+            for c_idx, (plane_o, _r, _c, _f, _q) in enumerate(planes):
+                rt_c, rl_c, c_c = refs[c_idx]
+                p = intra_predict(m, rt_c, rl_c, c_c, cs, 1,
+                                  sps.bit_depth_c)
+                preds[(k, c_idx)] = p
+                orig_c = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32)
+                s += int(satd_many(orig_c, p[None].astype(np.int32),
+                                   cblk)[0])
+            gate.append(float(s) + self.lam_bits * (1.0 if k == 0 else 3.0))
+        order = sorted(range(5), key=lambda k: (gate[k], k))
+        keep = set(order[:2])
         best = None
         for k, m in enumerate(cand):
+            if k not in keep:
+                continue
             ck = 0.0
             trials = []
             for c_idx, (plane_o, _r, _c, _f, qp) in enumerate(planes):
-                rt_c, rl_c, c_c = refs[c_idx]
-                pred = intra_predict(m, rt_c, rl_c, c_c, cs, 1,
-                                     sps.bit_depth_c)
+                pred = preds[(k, c_idx)]
                 res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
                 coeffs = forward_transform_np(res, sps.bit_depth_c, False)
                 levels = self._quantize_rd(coeffs, qp + sps.qp_bd_offset_c,

@@ -2012,18 +2012,47 @@ int rdoq_quantize(const int32_t* coeffs, int qp, int bd, int log2,
         int nz_before_pos0 = 0;
         double cg_dist0 = 0.0, cg_rate_sig = 0.0, cg_rate_sig_pos0 = 0.0,
                cg_rd_coeff = 0.0;
+        // branchless pre-pass over the CG (autovectorizes): gather,
+        // round-to-nearest level, zero-level distortion, and the two
+        // candidate reconstruction errors — identical arithmetic to the
+        // serial statements they replace
+        int pos16[16], abs16[16], qlv16[16];
+        double d016[16], derr0[16], derr1[16];
+        for (int k = 0; k < 16; k++) {
+            const int xc = (cg_x << 2) + in_scan[2 * k];
+            const int yc = (cg_y << 2) + in_scan[2 * k + 1];
+            pos16[k] = (yc << log2) + xc;
+        }
+        for (int k = 0; k < 16; k++) {
+            const int src = coeffs[pos16[k]];
+            abs16[k] = src < 0 ? -src : src;
+        }
+        for (int k = 0; k < 16; k++) {
+            int q_lv = (int)(((int64_t)abs16[k] * q_scale
+                              + (1LL << (q_shift - 1))) >> q_shift);
+            qlv16[k] = q_lv > 32767 ? 32767 : q_lv;
+            d016[k] = (double)abs16[k] * abs16[k] * err_scale;
+        }
+        for (int k = 0; k < 16; k++) {
+            const int lv0 = qlv16[k];
+            const int lv1 = lv0 > 1 ? lv0 - 1 : 1;
+            int r0 = (lv0 * inv_scale + inv_offset) >> inv_shift;
+            int r1 = (lv1 * inv_scale + inv_offset) >> inv_shift;
+            r0 = clip3i(-32768, 32767, r0);
+            r1 = clip3i(-32768, 32767, r1);
+            const double e0 = (double)(abs16[k] - r0);
+            const double e1 = (double)(abs16[k] - r1);
+            derr0[k] = e0 * e0 * err_scale;
+            derr1[k] = e1 * e1 * err_scale;
+        }
         for (int k = 15; k >= 0; k--) {
             const int sp = cgs * 16 + k;
             const int xc = (cg_x << 2) + in_scan[2 * k];
             const int yc = (cg_y << 2) + in_scan[2 * k + 1];
-            const int pos = (yc << log2) + xc;
-            const int src = coeffs[pos];
-            const int abs_src = src < 0 ? -src : src;
-            int q_lv = (int)(((int64_t)abs_src * q_scale
-                              + (1LL << (q_shift - 1))) >> q_shift);
-            if (q_lv > 32767)
-                q_lv = 32767;
-            dist0[sp] = (double)abs_src * abs_src * err_scale;
+            const int pos = pos16[k];
+            const int abs_src = abs16[k];
+            const int q_lv = qlv16[k];
+            dist0[sp] = d016[k];
             dist0_total += dist0[sp];
             rd_coeff[sp] = 0.0;
             rate_sig[sp] = 0.0;
@@ -2059,12 +2088,7 @@ int rdoq_quantize(const int32_t* coeffs, int qp, int bd, int log2,
                                          / 256.0);
                     const int min_lv = q_lv > 1 ? q_lv - 1 : 1;
                     for (int lv = q_lv; lv >= min_lv; lv--) {
-                        int cl = lv > 32767 ? 32767 : lv;
-                        int recon = (cl * inv_scale + inv_offset)
-                                    >> inv_shift;
-                        recon = clip3i(-32768, 32767, recon);
-                        const double err = (double)(abs_src - recon);
-                        double c = err * err * err_scale
+                        double c = (lv == q_lv ? derr0[k] : derr1[k])
                                  + rdoq_level_cost(lam, lv, g1_ctx, g2_ctx,
                                                    rice, g1_cnt, g2_cnt)
                                  + sig_cost1;
@@ -2308,17 +2332,43 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
         build_intra_refs(en.rec[ci + 1], cw_(), chh_(), en.zscan32, g_sp.w4,
                          cx, cy, cs, 2, bd_c, rt[ci], rl[ci], &corner[ci]);
     }
+    // SATD pre-ranking gate (beyond the reference, like the luma
+    // SATD-gate): predict all 5 candidates for both planes once, rank by
+    // SATD + mode bits (1 bin DM / 3 bins list entry), and RD-evaluate
+    // only the top 2 — stable order, ties to the lower index
+    static thread_local int32_t cpreds[5][2][32 * 32];
+    double gate[5];
+    const int cblk = cs >= 8 ? 8 : 4;
+    for (int k = 0; k < 5; k++) {
+        int m = cand[k];
+        int64_t s = 0;
+        for (int ci = 0; ci < 2; ci++) {
+            intra_predict_core(m, rt[ci], rl[ci], corner[ci], cs, 1, bd_c,
+                               0, cpreds[k][ci]);
+            s += satd_region(orig_c[ci], cpreds[k][ci], cs, cs, cblk);
+        }
+        gate[k] = (double)s + cur.lam_bits * (k == 0 ? 1.0 : 3.0);
+    }
+    int keep0 = 0, keep1 = -1;
+    for (int k = 1; k < 5; k++)
+        if (gate[k] < gate[keep0]) {
+            keep1 = keep0;
+            keep0 = k;
+        } else if (keep1 < 0 || gate[k] < gate[keep1]) {
+            keep1 = k;
+        }
     static thread_local TbTrial cur_t[2], best_t[2];
     double best_cost = 0.0;
     int best_k = -1;
     for (int k = 0; k < 5; k++) {
+        static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
+        if (!no_gate && k != keep0 && k != keep1)
+            continue;
         int m = cand[k];
         double ck = 0.0;
         for (int ci = 0; ci < 2; ci++) {
             int qp = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
-            intra_predict_core(m, rt[ci], rl[ci], corner[ci], cs, 1, bd_c,
-                               0, pred);
-            try_tb(orig_c[ci], pred, cs, clog2, qp, bd_c, 0, 1,
+            try_tb(orig_c[ci], cpreds[k][ci], cs, clog2, qp, bd_c, 0, 1,
                    scan_for(clog2, ci + 1, m, 1), ci + 1,
                    g_sp.off[E_CBF_CHROMA], cur_t[ci]);
             ck += cur_t[ci].dist
