@@ -2645,24 +2645,34 @@ inline bool fp_better(double c, int ix, int iy, const FpBest& b) {
 }
 
 struct FpCache {
-    // dense window |ix|,|iy| <= 128 + tiny overflow list for far seeds
+    // dense window |ix|,|iy| <= 128 (interleaved cost+stamp: one cache
+    // line per probe) + overflow list for far probes; a dropped overflow
+    // entry just means the identical cost is recomputed, so the search
+    // result is unchanged
     static const int R = 128;
-    double cost[(2 * R + 1) * (2 * R + 1)];
-    uint32_t stamp[(2 * R + 1) * (2 * R + 1)];
+    struct Entry {
+        double cost;
+        uint32_t stamp;
+        uint32_t pad;
+    };
+    Entry e[(2 * R + 1) * (2 * R + 1)];
     uint32_t epoch = 0;
     int n_ovf = 0;
-    int ovf_xy[8][2];
-    double ovf_c[8];
+    int ovf_xy[32][2];
+    double ovf_c[32];
 
     void reset() {
-        epoch++;
+        if (++epoch == 0) {  // epoch wrap: invalidate stale stamps
+            std::memset(e, 0, sizeof(e));
+            epoch = 1;
+        }
         n_ovf = 0;
     }
     bool get(int ix, int iy, double* c) {
         if (ix >= -R && ix <= R && iy >= -R && iy <= R) {
-            int i = (iy + R) * (2 * R + 1) + (ix + R);
-            if (stamp[i] == epoch) {
-                *c = cost[i];
+            const Entry& en_ = e[(iy + R) * (2 * R + 1) + (ix + R)];
+            if (en_.stamp == epoch) {
+                *c = en_.cost;
                 return true;
             }
             return false;
@@ -2676,10 +2686,10 @@ struct FpCache {
     }
     void put(int ix, int iy, double c) {
         if (ix >= -R && ix <= R && iy >= -R && iy <= R) {
-            int i = (iy + R) * (2 * R + 1) + (ix + R);
-            stamp[i] = epoch;
-            cost[i] = c;
-        } else if (n_ovf < 8) {
+            Entry& en_ = e[(iy + R) * (2 * R + 1) + (ix + R)];
+            en_.stamp = epoch;
+            en_.cost = c;
+        } else if (n_ovf < 32) {
             ovf_xy[n_ovf][0] = ix;
             ovf_xy[n_ovf][1] = iy;
             ovf_c[n_ovf++] = c;
