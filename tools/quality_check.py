@@ -54,6 +54,7 @@ def run(frames, qp, gop_m=1):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     qp = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    up = len(sys.argv) > 3 and sys.argv[3] == "1080"
     from turingcodec_tpu.decode.decoder import Decoder
     data = open("/root/reference/test/"
                 "excerpt_(CC)_caminandes.com_640x360.hevc", "rb").read()
@@ -63,6 +64,11 @@ def main():
         if len(frames) >= n:
             break
         frames.append([np.asarray(p).astype(np.int16) for p in f.planes])
+    if up:  # bench.py's deterministic 3x nearest upscale
+        frames = [[np.kron(p.astype(np.uint8), np.ones((3, 3), np.uint8))
+                   [:1080 if p.shape[0] == 360 else 540,
+                    :1920 if p.shape[1] == 640 else 960].astype(np.int16)
+                   for p in planes] for planes in frames]
     b1, p1, f1 = run(frames, qp)
     print(f"default      : {b1} bytes  {p1:.4f} dB  {f1:.2f} fps")
 

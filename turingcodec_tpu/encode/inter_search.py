@@ -117,7 +117,9 @@ class InterPictureEncoder(IntraPictureEncoder):
         if log2 > self.sps.max_tb_log2_size_y:
             return cost_best  # 64x64: inter only (intra needs TU-split RDO)
         self._restore(x0, y0, size, state)
-        cost_intra = super()._encode_cu(x0, y0, log2, depth) \
+        cost_intra = super()._encode_cu(
+            x0, y0, log2, depth,
+            budget=cost_best - self.lam_bits * 2) \
             + self.lam_bits * 2  # pred_mode flag bits
         if cost_best <= cost_intra:
             self._restore(x0, y0, size, best_state)

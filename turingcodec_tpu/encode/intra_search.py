@@ -413,8 +413,13 @@ class IntraPictureEncoder:
         self.next_id = list(ids)
 
     # ------------------------------------------------------------------
-    def _encode_cu(self, x0, y0, log2, depth) -> float:
-        """Commit the best 2Nx2N intra CU at (x0, y0); returns RD cost."""
+    def _encode_cu(self, x0, y0, log2, depth, budget=None) -> float:
+        """Commit the best 2Nx2N intra CU at (x0, y0); returns RD cost.
+
+        budget (inter pictures; native twin): inter champion's RD cost
+        less the pred_mode-flag bits — when even the best SATD ranking
+        cost reaches it the RD refinement is skipped (the caller's
+        snapshot restore rolls back the partial commit)."""
         from turingcodec_tpu.decode.ctu_parse import _intra_mpm
 
         plan, sps = self.plan, self.sps
@@ -445,13 +450,19 @@ class IntraPictureEncoder:
             3 if log2 > 3 else (8 if self.rd_candidates == 2 else 4))
         cands, ccosts = self._rank_modes(orig_y, rt, rl, corner, size, mpm,
                                          count=ncand)
+        if budget is not None and ccosts[0] >= budget:
+            return float("inf")
 
         best = None
         for k, mode in enumerate(cands):
             # SATD-gate (native enc_core twin): a candidate whose ranking
             # cost is already 1.5x the leader's essentially never wins the
-            # RD refinement; planar is exempt
-            if k > 0 and mode != 0 and ccosts[k] > 1.5 * ccosts[0]:
+            # RD refinement; planar is exempt. Second clause: adaptive stop
+            # once the achieved RD cost undercuts the next candidate's
+            # SATD ranking cost.
+            if k > 0 and mode != 0 and (
+                    ccosts[k] > 1.5 * ccosts[0]
+                    or (best is not None and best[0] <= ccosts[k])):
                 continue
             frt, frl, fc = filter_reference_samples(
                 rt, rl, corner, size, mode,
@@ -569,8 +580,11 @@ class IntraPictureEncoder:
             ts_on = bool(self.pps.transform_skip_enabled_flag)
             best = None
             for k, mode in enumerate(cands):
-                # SATD-gate (native enc_core twin; planar exempt)
-                if k > 0 and mode != 0 and ccosts[k] > 1.5 * ccosts[0]:
+                # SATD-gate (native enc_core twin; planar exempt) + the
+                # adaptive achieved-RD-vs-next-SATD stop
+                if k > 0 and mode != 0 and (
+                        ccosts[k] > 1.5 * ccosts[0]
+                        or (best is not None and best[0] <= ccosts[k])):
                     continue
                 pred = intra_predict(mode, rt, rl, corner, half, 0, self.bd)
                 res = orig_b - pred

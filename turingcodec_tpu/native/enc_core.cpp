@@ -2398,8 +2398,13 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
     return best_cost;
 }
 
-// intra_search._encode_cu: best 2Nx2N intra CU at (x0, y0)
-double encode_intra_cu(int x0, int y0, int log2, int depth) {
+// intra_search._encode_cu: best 2Nx2N intra CU at (x0, y0).
+// budget (inter pictures): the inter champion's RD cost less the
+// pred_mode-flag bits — when even the best SATD ranking cost reaches it,
+// the RD refinement is skipped outright (beyond the reference; the
+// caller's snapshot restore rolls back the partial commit)
+double encode_intra_cu(int x0, int y0, int log2, int depth,
+                       double budget = std::numeric_limits<double>::max()) {
     PhaseTimer pt(2);
     const int size = 1 << log2;
     const int bd = g_sp.bit_depth_y;
@@ -2428,6 +2433,11 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     double cand_costs[35];
     int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm, ncand_want,
                            cands, cand_costs);
+    {
+        static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
+        if (!no_gate && cand_costs[0] >= budget)
+            return std::numeric_limits<double>::max();
+    }
 
     static thread_local TbTrial trial, best_t;
     double best_cost = 0.0;
@@ -2436,10 +2446,13 @@ double encode_intra_cu(int x0, int y0, int log2, int depth) {
     int32_t frt[64], frl[64], fc;
     for (int k = 0; k < ncand; k++) {
         int mode = cands[k];
-        // SATD-gate (see encode_intra_nxn)
+        // SATD-gate (see encode_intra_nxn); the second clause stops the
+        // refinement adaptively once the achieved RD cost undercuts the
+        // next candidate's SATD ranking cost
         static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
         if (!no_gate && k > 0 && mode != 0
-            && cand_costs[k] > 1.5 * cand_costs[0])
+            && (cand_costs[k] > 1.5 * cand_costs[0]
+                || (best_mode >= 0 && best_cost <= cand_costs[k])))
             continue;
         std::memcpy(frt, rt, 2 * size * 4);
         std::memcpy(frl, rl, 2 * size * 4);
@@ -2516,11 +2529,14 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
         for (int k = 0; k < ncand; k++) {
             // SATD-gate (beyond the reference): a candidate whose ranking
             // cost is already 1.5x the leader's essentially never wins the
-            // RD refinement; planar is exempt (kept for its flat-rate win)
+            // RD refinement; planar is exempt (kept for its flat-rate win).
+            // Second clause: adaptive stop once the achieved RD cost
+            // undercuts the next candidate's SATD ranking cost.
             static const bool no_gate =
                 getenv("TC_NO_SATDGATE") != nullptr;
             if (!no_gate && k > 0 && cands[k] != 0
-                && cand_costs[k] > 1.5 * cand_costs[0])
+                && (cand_costs[k] > 1.5 * cand_costs[0]
+                    || (best_mode >= 0 && best_cost <= cand_costs[k])))
                 continue;
             int mode = cands[k];
             intra_predict_core(mode, rt, rl, corner, half, 0, bd, 0, pred);
@@ -3477,7 +3493,8 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
         return cost_best;
     }
     snap_restore(*state, x0, y0, size);
-    double cost_intra = encode_intra_cu(x0, y0, log2, depth)
+    double cost_intra = encode_intra_cu(x0, y0, log2, depth,
+                                        cost_best - cur.lam_bits * 2)
                       + cur.lam_bits * 2;  // pred_mode flag bits
     if (cost_best <= cost_intra) {
         snap_restore(*best_state, x0, y0, size);
