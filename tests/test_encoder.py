@@ -427,3 +427,49 @@ def test_tskip_roundtrip():
     finally:
         IS.IntraPictureEncoder.encode_picture = orig_ep
     assert captured and captured[0].transform_skip_y.sum() > 0
+
+
+def test_hrd_timing_sei():
+    """buffering_period at the IRAP + per-AU pic_timing CPB/DPB delays
+    (D.2.2/D.2.3 HRD sections; beyond-reference --hrd-sei)."""
+    w, h = 64, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_m=4,
+                        rd_candidates=1, bitrate=200000,
+                        sei_hrd_timing=True, frame_rate=25.0)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    n = 6
+    for i in range(n):
+        for (_idx, nal, _r) in enc.push_frame(_synthetic_frame(w, h, i)):
+            stream += nal
+    for (_idx, nal, _r) in enc.flush():
+        stream += nal
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == n and not dec.violations
+    from turingcodec_tpu.bitstream.reader import (remove_emulation_prevention,
+                                                  split_nal_units)
+    from turingcodec_tpu.hevc import sei as S
+    bps, pts = [], []
+    for (s, e) in split_nal_units(stream):
+        nal = stream[s:e]
+        nut = (nal[0] >> 1) & 0x3F
+        if nut != 39:  # PREFIX_SEI
+            continue
+        for m in S.parse_sei_rbsp(remove_emulation_prevention(nal[2:])):
+            if m.payload_type == S.SEI_BUFFERING_PERIOD:
+                bps.append(S.parse_buffering_period(m.payload))
+            elif m.payload_type == S.SEI_PIC_TIMING:
+                pts.append(S.parse_pic_timing(m.payload, frame_field=False,
+                                              cpb_dpb_delays=True))
+    assert len(bps) == 1  # one IRAP
+    assert bps[0]["nal_initial_cpb_removal_delay"][0] > 0
+    assert len(pts) == n  # one per AU
+    # decode-order CPB removal deltas since the BP AU (minus1 form): the
+    # IRAP clamps to 0, then 1-1, 2-1, ... per following AU
+    deltas = [p["au_cpb_removal_delay_minus1"] for p in pts]
+    assert deltas == [0] + list(range(n - 1))
+    # output order: every dpb_output_delay >= 0 and the IRAP waits for
+    # the reorder depth
+    assert pts[0]["pic_dpb_output_delay"] == cfg.gop_m - 1
+    assert all(p["pic_dpb_output_delay"] >= 0 for p in pts)

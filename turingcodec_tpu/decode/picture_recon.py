@@ -88,6 +88,14 @@ class PictureReconstructor:
             from turingcodec_tpu import native
             from turingcodec_tpu.decode.recon_vec import reconstruct_inter_batch
             done = False
+            if os.environ.get("TURING_TPU_DEVICE_PIPELINE"):
+                # chained device pipeline: MC -> residual -> (host intra)
+                # -> deblock -> SAO, one device->host pull per picture
+                from turingcodec_tpu.decode.device_pipeline import (
+                    decode_picture_device)
+                out = decode_picture_device(self)
+                if out is not None:
+                    return out
             if os.environ.get("TURING_TPU_DEVICE_RECON"):
                 from turingcodec_tpu.decode.device_recon import (
                     reconstruct_inter_device)

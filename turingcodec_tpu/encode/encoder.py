@@ -97,6 +97,9 @@ class EncoderConfig:
     mastering_display: Optional[tuple] = None  # (primaries 3x(x,y), (wx,wy),
                                                #  max_lum, min_lum) on IRAP
     alt_transfer: Optional[int] = None  # preferred_transfer_characteristics
+    sei_hrd_timing: bool = False  # buffering_period at IRAPs + pic_timing
+                                  # CPB/DPB delays (needs bitrate; beyond
+                                  # the reference, which emits neither)
 
 
 class Encoder:
@@ -351,16 +354,42 @@ class Encoder:
             if c.alt_transfer is not None:
                 msgs.append(S.make_alternative_transfer_characteristics(
                     c.alt_transfer))
-        if c.sei_pic_timing:
+        hrd_on = bool(c.sei_hrd_timing and c.bitrate)
+        if hrd_on:
+            # HRD timing (beyond the reference): AU counters in decode
+            # order; buffering_period at every IRAP resets the CPB anchor
+            au_idx = getattr(self, "_au_idx", 0)
+            if docket.is_idr:
+                self._cvs_start_au = au_idx
+                self._last_bp_au = au_idx
+                # initial CPB removal delay = signalled CPB size / bitrate
+                # in 90 kHz ticks (full-buffer start)
+                rate_bits = max(1, int(c.bitrate) >> 8) << 8
+                cpb_bits = max(1, int(c.bitrate) >> 7) << 7
+                ticks = max(1, round(90000 * cpb_bits / rate_bits))
+                msgs.append(S.make_buffering_period(
+                    0, nal_initial_cpb_removal_delay=[ticks],
+                    nal_initial_cpb_removal_offset=[0]))
+            delta = max(1, au_idx - getattr(self, "_last_bp_au", 0))
+            reorder = 0 if c.all_intra else max(0, c.gop_m - 1)
+            dpb_delay = reorder + docket.poc - (
+                au_idx - getattr(self, "_cvs_start_au", 0))
+            self._au_idx = au_idx + 1
+        if c.sei_pic_timing or hrd_on:
+            ps = 0
+            scan = 1
             if self._field:
                 # tff: even input pictures are top fields (pic_struct 1),
                 # odd are bottom fields (pic_struct 2); interlaced scan
                 ps = 1 if docket.input_index % 2 == 0 else 2
-                msgs.append(S.make_pic_timing(pic_struct=ps,
-                                              source_scan_type=0))
-            else:
-                msgs.append(S.make_pic_timing(pic_struct=0,
-                                              source_scan_type=1))
+                scan = 0
+            kw = {}
+            if hrd_on:
+                kw = dict(au_cpb_removal_delay_minus1=delta - 1,
+                          pic_dpb_output_delay=max(0, dpb_delay))
+            msgs.append(S.make_pic_timing(
+                pic_struct=ps if c.sei_pic_timing else None,
+                source_scan_type=scan, **kw))
         if not msgs:
             return b""
         return S.write_sei_nal(msgs, suffix=False,

@@ -198,21 +198,86 @@ def parse_active_parameter_sets(payload: bytes) -> dict:
             "sps_ids": [br.ue() for _ in range(br.ue() + 1)]}
 
 
-def make_pic_timing(pic_struct: int = 0, source_scan_type: int = 1,
-                    duplicate_flag: int = 0) -> SeiMessage:
-    """pic_timing (D.2.3), frame_field_info part only — requires SPS VUI
-    frame_field_info_present_flag=1 and no HRD (sei/pic_timing.h)."""
+def make_pic_timing(pic_struct=None, source_scan_type: int = 1,
+                    duplicate_flag: int = 0, *,
+                    au_cpb_removal_delay_minus1=None,
+                    pic_dpb_output_delay: int = 0,
+                    au_len: int = 24, dpb_len: int = 24) -> SeiMessage:
+    """pic_timing (D.2.3 / D.3.3).
+
+    The frame_field_info section (pic_struct/scan/duplicate) is written
+    when pic_struct is not None (requires VUI frame_field_info=1); the
+    CPB/DPB delay section when au_cpb_removal_delay_minus1 is not None
+    (requires VUI HRD with nal/vcl hrd params — CpbDpbDelaysPresentFlag).
+    au_len/dpb_len are (au_cpb_removal_delay_length_minus1 + 1) and
+    (dpb_output_delay_length_minus1 + 1) from the active hrd_parameters.
+    The reference emits only the frame_field part (sei/pic_timing.h);
+    HRD timing is beyond-reference."""
     bw = BitWriter()
-    bw.u(pic_struct, 4)
-    bw.u(source_scan_type, 2)
-    bw.u(duplicate_flag, 1)
+    if pic_struct is not None:
+        bw.u(pic_struct, 4)
+        bw.u(source_scan_type, 2)
+        bw.u(duplicate_flag, 1)
+    if au_cpb_removal_delay_minus1 is not None:
+        bw.u(au_cpb_removal_delay_minus1, au_len)
+        bw.u(pic_dpb_output_delay, dpb_len)
     return SeiMessage(SEI_PIC_TIMING, _finish_payload(bw))
 
 
-def parse_pic_timing(payload: bytes) -> dict:
+def parse_pic_timing(payload: bytes, frame_field: bool = True,
+                     cpb_dpb_delays: bool = False, au_len: int = 24,
+                     dpb_len: int = 24) -> dict:
     br = BitReader(payload)
-    return {"pic_struct": br.u(4), "source_scan_type": br.u(2),
-            "duplicate_flag": br.u(1)}
+    out = {}
+    if frame_field:
+        out.update(pic_struct=br.u(4), source_scan_type=br.u(2),
+                   duplicate_flag=br.u(1))
+    if cpb_dpb_delays:
+        out.update(au_cpb_removal_delay_minus1=br.u(au_len),
+                   pic_dpb_output_delay=br.u(dpb_len))
+    return out
+
+
+def make_buffering_period(sps_id: int = 0, *,
+                          nal_initial_cpb_removal_delay,
+                          nal_initial_cpb_removal_offset,
+                          concatenation_flag: int = 0,
+                          au_cpb_removal_delay_delta_minus1: int = 0,
+                          init_len: int = 24, au_len: int = 24
+                          ) -> SeiMessage:
+    """buffering_period (D.2.2 / D.3.2), NAL HRD single-sub-layer form
+    (sub_pic_hrd off, irap_cpb_params off). The delay/offset lists carry
+    one entry per CPB (CpbCnt); values in 90 kHz clock ticks. init_len is
+    (initial_cpb_removal_delay_length_minus1 + 1). Beyond-reference: the
+    reference encoder emits no buffering_period SEI."""
+    bw = BitWriter()
+    bw.ue(sps_id)
+    bw.u(0, 1)  # irap_cpb_params_present_flag
+    bw.u(concatenation_flag, 1)
+    bw.u(au_cpb_removal_delay_delta_minus1, au_len)
+    for d, o in zip(nal_initial_cpb_removal_delay,
+                    nal_initial_cpb_removal_offset):
+        bw.u(d, init_len)
+        bw.u(o, init_len)
+    return SeiMessage(SEI_BUFFERING_PERIOD, _finish_payload(bw))
+
+
+def parse_buffering_period(payload: bytes, cpb_cnt: int = 1,
+                           init_len: int = 24, au_len: int = 24) -> dict:
+    br = BitReader(payload)
+    out = {"bp_seq_parameter_set_id": br.ue(),
+           "irap_cpb_params_present_flag": br.u(1)}
+    if out["irap_cpb_params_present_flag"]:
+        out["cpb_delay_offset"] = br.u(au_len)
+        out["dpb_delay_offset"] = br.u(24)
+    out["concatenation_flag"] = br.u(1)
+    out["au_cpb_removal_delay_delta_minus1"] = br.u(au_len)
+    out["nal_initial_cpb_removal_delay"] = []
+    out["nal_initial_cpb_removal_offset"] = []
+    for _ in range(cpb_cnt):
+        out["nal_initial_cpb_removal_delay"].append(br.u(init_len))
+        out["nal_initial_cpb_removal_offset"].append(br.u(init_len))
+    return out
 
 
 def make_user_data_unregistered(uuid: bytes, data: bytes) -> SeiMessage:

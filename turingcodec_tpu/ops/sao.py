@@ -95,9 +95,11 @@ def _sao_plane(src, ctb, bd, sub, sao_type, sao_class, sao_off,
     return out.astype(src.dtype)
 
 
-def sao_picture_device(plan, geom, deblocked):
+def sao_picture_device(plan, geom, deblocked, pull=True):
     """Apply SAO on device to [y, cb, cr]; returns new numpy planes
-    (drop-in for decode/sao.sao_picture)."""
+    (drop-in for decode/sao.sao_picture). With pull=False the inputs may
+    be device arrays and the results stay on device (no host sync) — the
+    chained-pipeline mode (decode/device_pipeline.py)."""
     sps, pps = plan.sps, plan.pps
     hc, wc = sps.pic_height_in_ctbs_y, sps.pic_width_in_ctbs_y
     shs = plan.slice_headers
@@ -143,6 +145,6 @@ def sao_picture_device(plan, geom, deblocked):
             jnp.asarray(plan.sao_class[:, :, c_idx], jnp.int32),
             jnp.asarray(plan.sao_offsets[:, :, c_idx], jnp.int32),
             slice_up, tile_up, enable_s, across_s, across_tiles, skip_up)
-        out.append(np.asarray(res))
+        out.append(np.asarray(res) if pull else res)
     del n_sl, hc, wc
     return out
