@@ -346,7 +346,9 @@ class IntraPictureEncoder:
             if self.sh.is_i or self.plan.cu_pred_mode[y0 >> 2, x0 >> 2] == 1:
                 here = self._snapshot(x0, y0, size)
                 self._restore(x0, y0, size, state)
-                cost_nxn = self._encode_cu_nxn(x0, y0, log2, depth) \
+                cost_nxn = self._encode_cu_nxn(
+                    x0, y0, log2, depth,
+                    budget=cost_here - self.lam_bits * 2) \
                     + self.lam_bits * 2
                 if cost_nxn < cost_here:
                     return cost_nxn
@@ -537,7 +539,7 @@ class IntraPictureEncoder:
         return cands, ccosts
 
     # ------------------------------------------------------------------
-    def _encode_cu_nxn(self, x0, y0, log2, depth) -> float:
+    def _encode_cu_nxn(self, x0, y0, log2, depth, budget=None) -> float:
         """Intra NxN at min CU size: four 4x4 PUs/TUs (DST) + 4x4 chroma."""
         from turingcodec_tpu.decode.ctu_parse import _intra_mpm
 
@@ -577,6 +579,11 @@ class IntraPictureEncoder:
                                              mpm,
                                              count=8 if self.rd_candidates
                                              >= 2 else 4)
+            # NxN budget bail (native twin): committed sub-PU costs plus
+            # this sub-PU's best SATD ranking cost already lose to the
+            # 8x8 winner
+            if budget is not None and cost + ccosts[0] >= budget:
+                return float("inf")
             ts_on = bool(self.pps.transform_skip_enabled_flag)
             best = None
             for k, mode in enumerate(cands):

@@ -2486,8 +2486,13 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
                         x0, y0, size);
 }
 
-// intra_search._encode_cu_nxn: four 4x4 PUs/TUs + 4x4 chroma pair
-double encode_intra_nxn(int x0, int y0, int log2, int depth) {
+// intra_search._encode_cu_nxn: four 4x4 PUs/TUs + 4x4 chroma pair.
+// budget: the already-committed 8x8 winner's cost less the split bits —
+// once the sum of committed sub-PU costs plus the next sub-PU's best
+// SATD ranking cost reaches it, NxN cannot win and the trial bails
+// (caller's snapshot restore rolls back the partial commit)
+double encode_intra_nxn(int x0, int y0, int log2, int depth,
+                        double budget = std::numeric_limits<double>::max()) {
     PhaseTimer pt(13);
     const int size = 1 << log2;
     const int half = size >> 1;
@@ -2524,6 +2529,12 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth) {
         double cand_costs[35];
         int ncand = rank_modes(orig_b, rt, rl, corner, half, mpm, count,
                                cands, cand_costs);
+        {
+            static const bool no_gate =
+                getenv("TC_NO_SATDGATE") != nullptr;
+            if (!no_gate && cost + cand_costs[0] >= budget)
+                return std::numeric_limits<double>::max();
+        }
         double best_cost = 0.0;
         int best_mode = -1;
         for (int k = 0; k < ncand; k++) {
@@ -4471,7 +4482,9 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
             Snap* here = snap_new();
             snap_save(*here, x0, y0, size);
             snap_restore(*state, x0, y0, size);
-            double cost_nxn = encode_intra_nxn(x0, y0, log2, depth)
+            double cost_nxn = encode_intra_nxn(x0, y0, log2, depth,
+                                               cost_here
+                                                   - cur.lam_bits * 2)
                             + cur.lam_bits * 2;
             if (cost_nxn < cost_here) {
                 snap_free(here);
