@@ -122,6 +122,23 @@ def main(argv=None):
     t = _bench(interp_luma_all_phases, (jnp.asarray(win), w, h), args.iters)
     report("interp16_luma_16x16", ok, t, b * 16 * w * h, "samp")
 
+    # native SATD kernels (havoc_test analogue: optimized vs C template,
+    # bit-exact required, ns/block reported)
+    from turingcodec_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        lib.tc_satd_selftest.argtypes = [ctypes.c_int, ctypes.c_void_p]
+        out = np.zeros(3, np.int64)
+        iters = 20000
+        lib.tc_satd_selftest(iters, out.ctypes.data)
+        ok = out[0] == 0
+        if not ok:
+            failures += 1
+        print(f"satd8_native      {'OK ' if ok else 'FAIL'}  "
+              f"int32 {out[1] / iters / 16:6.2f} ns/blk   "
+              f"int16 {out[2] / iters / 16:6.2f} ns/blk")
+
     print("ALL OK" if not failures else f"{failures} FAILURES")
     return 1 if failures else 0
 
