@@ -81,8 +81,9 @@ def main():
         return len(ups) / dt, b"".join(out)
 
     fps1, bs = run()
-    fps2, _ = run()   # best of 2: host timing is noisy
-    fps = max(fps1, fps2)
+    fps2, _ = run()   # best of 3: host timing is noisy
+    fps3, _ = run()
+    fps = max(fps1, fps2, fps3)
 
     # sanity: our own decoder must reproduce the encoder's recon hashes
     dec2 = Decoder()
