@@ -473,3 +473,29 @@ def test_hrd_timing_sei():
     # the reorder depth
     assert pts[0]["pic_dpb_output_delay"] == cfg.gop_m - 1
     assert all(p["pic_dpb_output_delay"] >= 0 for p in pts)
+
+
+def test_pts_dts_timing():
+    """PTS/DTS assignment (InputQueue.cpp:386-405 analogue): dts of the
+    n-th picture in decode order = pts of input n-3, 90 kHz clock; dts
+    strictly increasing in decode order and <= pts."""
+    w, h = 64, 64
+    cfg = EncoderConfig(width=w, height=h, qp=32, gop_m=4,
+                        rd_candidates=1, frame_rate=25.0)
+    enc = Encoder(cfg)
+    order = []
+    for i in range(9):
+        for (idx, _nal, _r) in enc.push_frame(_synthetic_frame(w, h, i)):
+            order.append(idx)
+    for (idx, _nal, _r) in enc.flush():
+        order.append(idx)
+    assert sorted(order) == list(range(9))
+    period = 90000.0 / 25.0
+    times = [enc.timing(i) for i in order]
+    assert times[0][2] == 1 and all(t[2] == 0 for t in times[1:])
+    for n, (pts, dts, _k) in enumerate(times):
+        assert pts == round(order[n] * period)
+        assert dts == round((n - 3) * period)
+        assert dts <= pts
+    dtss = [t[1] for t in times]
+    assert dtss == sorted(dtss)

@@ -120,6 +120,8 @@ class Encoder:
         self.geom = PictureGeometry(self.sps, self.pps)
         self.frame_count = 0
         self._user_data_sent = False
+        self._decode_count = 0   # pictures emitted in decode order
+        self._timing = {}        # input_index -> (pts, dts, keyframe)
         from turingcodec_tpu.encode.gop import GopPlanner
         from turingcodec_tpu.decode.dpb import Dpb
         if cfg.all_intra:
@@ -421,6 +423,11 @@ class Encoder:
     def flush(self) -> List[tuple]:
         return [self._encode_docket(d) for d in self._planner.flush()]
 
+    def timing(self, input_index: int):
+        """(pts, dts, keyframe) for an emitted picture, 90 kHz clock —
+        the turing_encoder_output fields (turing.h:61-67)."""
+        return self._timing[input_index]
+
     # back-compat single-frame API (valid for all-intra / low-delay m=1)
     def encode_frame(self, yuv: List[np.ndarray]) -> tuple:
         res = self.push_frame(yuv)
@@ -461,6 +468,17 @@ class Encoder:
     def _encode_docket(self, docket) -> tuple:
         from turingcodec_tpu.decode.dpb import DecodedPicture
         from turingcodec_tpu.encode.inter_search import InterPictureEncoder
+
+        # PTS/DTS assignment (InputQueue::append, InputQueue.cpp:386-405):
+        # dts of the n-th picture in decode order is the pts of input
+        # n - reorderDelay (3), extrapolated backwards before the start;
+        # 90 kHz clock synthesized from the configured frame rate
+        period = 90000.0 / (self.cfg.frame_rate or 24.0)
+        self._timing[docket.input_index] = (
+            int(round(docket.input_index * period)),
+            int(round((self._decode_count - 3) * period)),
+            int(docket.is_idr))
+        self._decode_count += 1
 
         yuv = self._inputs.pop(docket.input_index)
         sh = self._slice_header(docket)
