@@ -57,3 +57,45 @@ def sharded_gop_residual(mesh: Mesh, bit_depth: int = 8, log2_size: int = 3):
 
     sh = NamedSharding(mesh, P("frame", "row"))
     return jax.jit(step, in_shardings=(sh, sh), out_shardings=sh)
+
+
+def sharded_gop_deblock(mesh: Mesh, ctb_log2: int = 6, bd_y: int = 8,
+                        bd_c: int = 8):
+    """jit the stacked deblocking step over the 'frame' axis: each frame's
+    planes + plan maps live on that frame's devices (loop filters have
+    in-picture data flow, so the frame axis is the honest shard axis —
+    the reference's per-picture TaskDeblock wavefront, TaskDeblock.cpp).
+
+    Inputs (all leading dim F): ry (F,H,W), rcb/rcr (F,H/2,W/2), maps =
+    the 11-tuple of decode/device_pipeline._deblock_device plan maps,
+    sl = the 6-tuple of per-slice vectors, across (F,) bool.
+    """
+    from turingcodec_tpu.ops.deblock import deblock_device
+
+    def step(ry, rcb, rcr, maps, sl, across):
+        fn = lambda y, cb, cr, m, s, a: deblock_device(  # noqa: E731
+            y, cb, cr, m, s, ctb_log2, bd_y, bd_c, a)
+        return jax.vmap(fn)(ry, rcb, rcr, maps, sl, across)
+
+    fr = NamedSharding(mesh, P("frame"))
+    return jax.jit(step, in_shardings=(fr, fr, fr, fr, fr, fr),
+                   out_shardings=(fr, fr, fr))
+
+
+def sharded_gop_sao(mesh: Mesh, ctb: int = 64, bd: int = 8, sub: int = 1):
+    """jit the stacked SAO step for one component over the 'frame' axis
+    (TaskSao analogue): src (F,H,W), per-CTB sao_type/class (F,hc,wc),
+    offsets (F,hc,wc,4), upsampled slice/tile/skip maps (F,H,W), per-slice
+    enable/across vectors (F,S), across_tiles (F,) bool."""
+    from turingcodec_tpu.ops.sao import _sao_plane
+
+    def step(src, sao_type, sao_class, sao_off, slice_up, tile_up,
+             enable_s, across_s, across_tiles, skip_up):
+        fn = lambda s, t, c, o, su, tu, en, ac, at, sk: _sao_plane(  # noqa
+            s, ctb, bd, sub, t, c, o, su, tu, en, ac, at, sk)
+        return jax.vmap(fn)(src, sao_type, sao_class, sao_off, slice_up,
+                            tile_up, enable_s, across_s, across_tiles,
+                            skip_up)
+
+    fr = NamedSharding(mesh, P("frame"))
+    return jax.jit(step, in_shardings=(fr,) * 10, out_shardings=fr)
