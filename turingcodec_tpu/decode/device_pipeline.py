@@ -240,6 +240,17 @@ def decode_picture_device(pr):
 
     Returns the final [y, cb, cr] host planes, or None when the stream
     shape is unsupported (caller falls back to the staged/host path)."""
+    import os
+    import sys
+    import time
+    trace = bool(os.environ.get("TURING_TPU_PIPELINE_TRACE"))
+    t0 = time.time()
+
+    def tp(tag):
+        if trace:
+            print(f"    [pipeline] {tag:10s} +{time.time() - t0:6.2f}s",
+                  file=sys.stderr, flush=True)
+
     plan, geom = pr.plan, pr.geom
     sps = plan.sps
     if (sps.chroma_array_type != 1 or pr.scaling is not None
@@ -248,7 +259,9 @@ def decode_picture_device(pr):
 
     planes = [jnp.asarray(pr.ry), jnp.asarray(pr.rcb), jnp.asarray(pr.rcr)]
     planes = _mc_device(plan, geom, pr.ref_lists, planes)
+    tp("mc")
     planes = _residuals_device(plan, planes)
+    tp("residual")
 
     has_intra = bool(((plan.cu_pred_mode == 1) & (plan.cu_id >= 0)).any())
     if has_intra:
@@ -264,16 +277,20 @@ def decode_picture_device(pr):
                     pr._recon_intra_cu(cu)
         planes = [jnp.asarray(pr.ry), jnp.asarray(pr.rcb),
                   jnp.asarray(pr.rcr)]
+    tp("intra")
 
     planes = _deblock_device(plan, geom, planes)
+    tp("deblock")
     if any(sh.slice_sao_luma_flag or sh.slice_sao_chroma_flag
            for sh in plan.slice_headers):
         from turingcodec_tpu.ops.sao import sao_picture_device
         planes = sao_picture_device(plan, geom, planes, pull=False)
 
+    tp("sao")
     # the single device->host pull of the pipeline
     planes = [p.astype(jnp.int16) for p in planes]
     out = [np.array(p) for p in planes]  # writable host copies
+    tp("pull")
     pr.ry, pr.rcb, pr.rcr = out
     _register_dev(out, tuple(planes))
     return out
