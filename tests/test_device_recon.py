@@ -67,3 +67,16 @@ def test_mc_block_grid_matches_scalar():
         want = interp_chroma(refs[sel[i]], int(xi[i]), int(yi[i]),
                              int(xf8[i]), int(yf8[i]), 2, 2, 8)
         np.testing.assert_array_equal(out[i], want, err_msg=str(i))
+
+
+@pytest.mark.parametrize("stream", ["smp_g4.hevc", "vfy_sweep.hevc",
+                                    "static_test.hevc", "amp_test.hevc"])
+def test_device_pipeline_matches_host(stream):
+    """Chained device pipeline (decode/device_pipeline.py): MC -> residual
+    -> (host intra) -> deblock -> SAO with one pull per picture and the
+    device-resident DPB must reproduce the host decode bit-exactly."""
+    path = os.path.join(os.path.dirname(__file__), "streams", stream)
+    data = open(path, "rb").read()
+    ref = _decode_md5(data)
+    dev = _decode_md5(data, {"TURING_TPU_DEVICE_PIPELINE": "1"})
+    assert dev == ref
