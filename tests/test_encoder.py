@@ -499,3 +499,37 @@ def test_pts_dts_timing():
         assert dts <= pts
     dtss = [t[1] for t in times]
     assert dtss == sorted(dtss)
+
+
+def test_inter_rqt_roundtrip():
+    """Inter one-level RQT (Speed.h useRqt, slow preset): the encoder may
+    split 16x16/32x32 inter TUs; stream signals
+    max_transform_hierarchy_depth_inter=1 and decodes to the encoder
+    recon bit-exactly."""
+    w, h = 128, 64
+    cfg = EncoderConfig(width=w, height=h, qp=27, rd_candidates=3,
+                        search_range=16)
+    enc = Encoder(cfg)
+    assert enc.sps.max_transform_hierarchy_depth_inter == 1
+    stream = enc.headers()
+    rng = np.random.default_rng(7)
+    base = _synthetic_frame(w, h, 5)
+    # high-detail patch so inter residuals favor a TU split somewhere
+    base[0][8:40, 8:40] = rng.integers(0, 256, (32, 32))
+    recons = []
+    for i in range(3):
+        f = [np.roll(p, i * 3, axis=1) for p in base]
+        nal, recon = enc.encode_frame(f)
+        stream += nal
+        recons.append(recon)
+    dec = Decoder()
+    frames = list(dec.decode_stream(stream))
+    assert len(frames) == 3 and not dec.violations
+    for f, recon in zip(frames, recons):
+        for a, b in zip(f.planes, recon):
+            np.testing.assert_array_equal(a, b)
+    # the feature actually fires: some inter CU carries a split TU tree
+    plan = enc._last_plan
+    inter = plan.cu_pred_mode == 0
+    split = inter & (plan.tu_log2 < plan.cu_size_log2) & (plan.cu_id >= 0)
+    assert split.any(), "no inter CU chose the split transform tree"

@@ -61,6 +61,9 @@ class EncoderConfig:
     met: Optional[bool] = None   # ME early termination (Speed.h useMet;
                                  # None = on at medium/fast)
     fdam: Optional[bool] = None  # fast decision for merge/all modes
+    rqt: Optional[bool] = None   # inter one-level RQT search (Speed.h
+                                 # useRqt: slow preset only); signals
+                                 # max_transform_hierarchy_depth_inter=1
                                  # (Speed.h useFdm/useFdam; None = on at
                                  # medium/fast)
     bitrate: Optional[float] = None  # bits/s: enables CBR rate control
@@ -175,7 +178,8 @@ class Encoder:
         s.log2_diff_max_min_luma_coding_block_size = c.ctb_log2 - c.min_cb_log2
         s.log2_min_luma_transform_block_size_minus2 = 0
         s.log2_diff_max_min_luma_transform_block_size = 3  # 4..32
-        s.max_transform_hierarchy_depth_inter = 0
+        # Encoder.cpp:666 max_transform_hierarchy_depth_inter = rqt ? 1 : 0
+        s.max_transform_hierarchy_depth_inter = 1 if self._rqt_on() else 0
         s.max_transform_hierarchy_depth_intra = 0
         s.scaling_list_enabled_flag = 0
         s.amp_enabled_flag = int(c.amp)
@@ -218,6 +222,12 @@ class Encoder:
             s.sps_max_num_reorder_pics = [max(0, m - 1)]
             s.sps_max_latency_increase_plus1 = [0]
         return s
+
+    def _rqt_on(self) -> bool:
+        c = self.cfg
+        if c.all_intra:
+            return False
+        return (c.rqt if c.rqt is not None else c.rd_candidates >= 3)
 
     def _setup_pps(self) -> Pps:
         c = self.cfg
@@ -508,6 +518,8 @@ class Encoder:
                        else self.cfg.rd_candidates <= 2)
             enc.fdam = (self.cfg.fdam if self.cfg.fdam is not None
                         else self.cfg.rd_candidates <= 2)
+            # inter RQT search (Speed.h useRqt: slow only)
+            enc.rqt = self._rqt_on()
         # picture lambda (Measure.h computeLambda parity): per-position
         # qpFactor with the I-slice gopM scale and the non-anchor multiplier
         import math

@@ -1113,6 +1113,14 @@ class InterPictureEncoder(IntraPictureEncoder):
                 x0, y0, log2, candidates, merge_cands, orig_y, orig_cb,
                 orig_cr)
 
+        # inter RQT (Speed.h useRqt, slow preset; Search.hpp
+        # Search<IfCbf<rqt_root_cbf, transform_tree>>): also try the
+        # one-level transform split for 16x16/32x32 CUs and keep the
+        # better tree (requires max_transform_hierarchy_depth_inter = 1)
+        do_rqt = (getattr(self, "rqt", False) and log2 >= 4
+                  and sps.max_transform_hierarchy_depth_inter >= 1)
+        st_pre = self._snapshot(x0, y0, size) if do_rqt else None
+
         best = None
         for kind, idx, info, pred in candidates:
             py, pcb, pcr = pred
@@ -1285,4 +1293,15 @@ class InterPictureEncoder(IntraPictureEncoder):
         self.recon[0][y0:y0 + size, x0:x0 + size] = rec_y
         self.recon[1][cy:cy + cs, cx:cx + cs] = recs_c[0]
         self.recon[2][cy:cy + cs, cx:cx + cs] = recs_c[1]
+        if do_rqt and has_coeff:
+            # split can't beat a zero-residual winner (it only adds rate)
+            snap_single = self._snapshot(x0, y0, size)
+            self._restore(x0, y0, size, st_pre)
+            cost_split = self._finish_inter_cu_split_tt(
+                x0, y0, log2, candidates, merge_cands, orig_y, orig_cb,
+                orig_cr)
+            if cost <= cost_split:
+                self._restore(x0, y0, size, snap_single)
+                return cost
+            return cost_split
         return cost

@@ -922,6 +922,7 @@ class EncNative:
         sps, pps = enc.sps, enc.pps
         if (getattr(enc, "wp", None) is not None
                 or getattr(enc, "slice_row_map", None) is not None
+                or getattr(enc, "rqt", False)  # RQT search: Python path
                 or sps.chroma_array_type != 1
                 or sps.scaling_list_enabled_flag
                 or pps.constrained_intra_pred_flag

@@ -62,6 +62,9 @@ def main(argv=None):
     ap.add_argument("--dependent-slices", action="store_true",
                     help="emit slices 2..N as dependent slice segments")
     ap.add_argument("--no-progress", action="store_true")
+    ap.add_argument("--rqt", dest="rqt", action="store_true", default=None,
+                    help="inter one-level RQT search (default at slow)")
+    ap.add_argument("--no-rqt", dest="rqt", action="store_false")
     ap.add_argument("--hrd-sei", action="store_true",
                     help="emit buffering_period + pic_timing CPB/DPB "
                          "delay SEIs (needs --bitrate)")
@@ -101,7 +104,7 @@ def main(argv=None):
                         wp_chroma=tuple(
                             int(x) for x in args.wp_chroma.split(":"))
                         if args.wp_chroma else None,
-                        sei_hrd_timing=args.hrd_sei)
+                        sei_hrd_timing=args.hrd_sei, rqt=args.rqt)
     enc = Encoder(cfg)
     data = open(args.input, "rb").read()
     fsz = w * h * 3 // 2
