@@ -922,7 +922,6 @@ class EncNative:
         sps, pps = enc.sps, enc.pps
         if (getattr(enc, "wp", None) is not None
                 or getattr(enc, "slice_row_map", None) is not None
-                or getattr(enc, "rqt", False)  # RQT search: Python path
                 or sps.chroma_array_type != 1
                 or sps.scaling_list_enabled_flag
                 or pps.constrained_intra_pred_flag
@@ -973,7 +972,8 @@ class EncNative:
                         int(getattr(enc, "rcudepth", False)),
                         int(getattr(enc, "use_rdoq", False)),
                         int(getattr(enc, "met", False)),
-                        int(getattr(enc, "fdam", False))], np.int32)
+                        int(getattr(enc, "fdam", False)),
+                        int(getattr(enc, "rqt", False))], np.int32)
         from turingcodec_tpu.hevc.tables import QUANT_SCALES
         qs = np.ascontiguousarray(QUANT_SCALES, np.int32)
         lf, cf, _, _ = _recon_tables()

@@ -83,7 +83,7 @@ struct EN {
     int32_t chroma_filt[8][4];
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
     int num_ctx, rcudepth, rdoq;
-    int met, fdam;
+    int met, fdam, rqt;
     // lowres pre-ME (x264-lookahead style; no reference analogue — the
     // reference relies on its raster fallback, Search.hpp:2240-2260):
     // quarter-res exhaustive +/-8 search per 16x16 luma block seeds the
@@ -3945,10 +3945,14 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     int best_i = -1;
     int b_nz_y = 0, b_nz_cb = 0, b_nz_cr = 0, b_has = 0;
 
-    if (log2 > g_sp.max_tb_log2) {
-        // CU above the max TB (64x64): forced one-level transform split —
-        // four TUs at log2-1, chroma at log2-2
-        // (inter_search._finish_inter_cu_split_tt oracle)
+    // One-level transform-split stage-2 + commit: forced for CUs above
+    // the max TB (64x64), and the RQT trial for 16/32 CUs at slow
+    // (inter_search._finish_inter_cu_split_tt oracle)
+    auto stage2_split_tt = [&]() -> double {
+        best_cost = 0;
+        best_i = -1;
+        b_nz_y = b_nz_cb = b_nz_cr = 0;
+        b_has = 0;
         const int qh = size >> 1;
         const int chh2 = qh >> 1;
         static thread_local int16_t qlv[32 * 32], qlv_c[16 * 16];
@@ -4243,6 +4247,18 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         scatter16(en.rec[1], cw_(), cx, cy, cs, b_rec_cb);
         scatter16(en.rec[2], cw_(), cx, cy, cs, b_rec_cr);
         return best_cost;
+    };
+
+    if (log2 > g_sp.max_tb_log2)
+        return stage2_split_tt();
+
+    // inter RQT (Speed.h useRqt; inter_search twin): snapshot before the
+    // single-TU stage 2 so the split trial can re-run from the same state
+    const bool do_rqt = en.rqt && log2 >= 4 && log2 <= g_sp.max_tb_log2;
+    Snap* rqt_pre = nullptr;
+    if (do_rqt) {
+        rqt_pre = snap_new();
+        snap_save(*rqt_pre, x0, y0, size);
     }
 
     for (int k = 0; k < keep; k++) {
@@ -4462,6 +4478,25 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     scatter16(en.rec[0], g_sp.pic_w, x0, y0, size, b_rec_y);
     scatter16(en.rec[1], cw_(), cx, cy, cs, b_rec_cb);
     scatter16(en.rec[2], cw_(), cx, cy, cs, b_rec_cr);
+    if (do_rqt && b_has) {
+        // split can't beat a zero-residual winner (it only adds rate)
+        const double cost_single = best_cost;
+        Snap* ssingle = snap_new();
+        snap_save(*ssingle, x0, y0, size);
+        snap_restore(*rqt_pre, x0, y0, size);
+        const double cost_split = stage2_split_tt();
+        if (cost_single <= cost_split) {
+            snap_restore(*ssingle, x0, y0, size);
+            snap_free(ssingle);
+            snap_free(rqt_pre);
+            return cost_single;
+        }
+        snap_free(ssingle);
+        snap_free(rqt_pre);
+        return cost_split;
+    }
+    if (rqt_pre)
+        snap_free(rqt_pre);
     return best_cost;
 }
 
@@ -4988,6 +5023,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     en.rdoq = ip[j++];
     en.met = ip[j++];
     en.fdam = ip[j++];
+    en.rqt = ip[j++];
     std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
     std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));
