@@ -64,6 +64,9 @@ class EncoderConfig:
     rqt: Optional[bool] = None   # inter one-level RQT search (Speed.h
                                  # useRqt: slow preset only); signals
                                  # max_transform_hierarchy_depth_inter=1
+    esd: Optional[bool] = None   # early skip detection (Speed.h useEsd:
+                                 # medium/fast): zero-residual best merge
+                                 # candidate commits skip before ME
                                  # (Speed.h useFdm/useFdam; None = on at
                                  # medium/fast)
     bitrate: Optional[float] = None  # bits/s: enables CBR rate control
@@ -520,6 +523,9 @@ class Encoder:
                         else self.cfg.rd_candidates <= 2)
             # inter RQT search (Speed.h useRqt: slow only)
             enc.rqt = self._rqt_on()
+            # early skip detection (Speed.h useEsd: medium/fast)
+            enc.esd = (self.cfg.esd if self.cfg.esd is not None
+                       else self.cfg.rd_candidates <= 2)
         # picture lambda (Measure.h computeLambda parity): per-position
         # qpFactor with the I-slice gopM scale and the non-anchor multiplier
         import math

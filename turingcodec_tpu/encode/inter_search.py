@@ -63,6 +63,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         # exhaustive search)
         self.met = False
         self.fdam = False
+        self.esd = False
         # lowres pre-ME seed fields, one per reference plane (native
         # lowres_prepass twin; keyed by plane identity)
         self._lr_seed_cache = {}
@@ -1047,6 +1048,67 @@ class InterPictureEncoder(IntraPictureEncoder):
             pl = self._pred_luma_for_motion(*motion, x0, y0, size, size)
             sc = satd_np(orig_y, pl, 8) + self.lam_me * (2 + mi)
             scored.append((sc, "merge", mi, c, motion))
+
+        # ESD (early skip detection, Speed.h useEsd medium/fast;
+        # searchInterCu's esd break, Search.hpp:1059): full residual trial
+        # of the SATD-best merge candidate BEFORE motion estimation — when
+        # it quantizes to all-zero, commit the skip CU outright and bypass
+        # ME + stage 2 (native enc_core twin)
+        if (getattr(self, "esd", False) and scored
+                and log2 <= sps.max_tb_log2_size_y):
+            sc0, _k0, mi0, c0, motion0 = min(scored, key=lambda t: t[0])
+            py, pcb, pcr = self._pred_for_motion(*motion0, x0, y0, size,
+                                                 size)
+            lv = self._quantize_rd(
+                forward_transform_np(orig_y - py, self.bd, False),
+                self.qp + sps.qp_bd_offset_y, self.bd, log2, False, 0, 0,
+                cbf=("rqt_root_cbf", 0))
+            zero = not lv.any()
+            if zero:
+                for ci, (o, p, qp) in enumerate(
+                        ((orig_cb, pcb, self.qp_cb),
+                         (orig_cr, pcr, self.qp_cr))):
+                    lvc = self._quantize_rd(
+                        forward_transform_np(o - p, sps.bit_depth_c,
+                                             False),
+                        qp + sps.qp_bd_offset_c, sps.bit_depth_c, log2 - 1,
+                        False, ci + 1, 0, cbf=("cbf_chroma", 0))
+                    if lvc.any():
+                        zero = False
+                        break
+            if zero:
+                dist0 = float(((py - orig_y) ** 2).sum()) \
+                    + float(((pcb - orig_cb) ** 2).sum()) \
+                    + float(((pcr - orig_cr) ** 2).sum())
+                cost0 = dist0 + self.lam * (1.0 + mi0)
+                plan.merge_flag[sl] = 1
+                plan.merge_idx[sl] = mi0
+                plan.skip_flag[sl] = 1
+                for lx in (0, 1):
+                    if c0.pred_flags[lx]:
+                        plan.ref_idx[(lx,) + sl] = c0.ref_idx[lx]
+                        plan.mv[(lx,) + sl] = c0.mv[lx]
+                        plan.ref_poc[(lx,) + sl] = \
+                            self.ref_lists[lx][c0.ref_idx[lx]].poc
+                    else:
+                        plan.ref_idx[(lx,) + sl] = -1
+                        plan.mv[(lx,) + sl] = 0
+                plan.tu_log2[sl] = min(log2, sps.max_tb_log2_size_y)
+                plan.tu_id[sl] = self.next_id[2]
+                self.next_id[2] += 1
+                plan.coeff_y[y0:y0 + size, x0:x0 + size] = 0
+                plan.coeff_cb[cy:cy + cs, cx:cx + cs] = 0
+                plan.coeff_cr[cy:cy + cs, cx:cx + cs] = 0
+                plan.cbf_y[sl] = 0
+                plan.cbf_cb[sl] = 0
+                plan.cbf_cr[sl] = 0
+                if log2 - 1 == 2 and self.pps.transform_skip_enabled_flag:
+                    plan.transform_skip_cb[cy >> 1, cx >> 1] = 0
+                    plan.transform_skip_cr[cy >> 1, cx >> 1] = 0
+                self.recon[0][y0:y0 + size, x0:x0 + size] = py
+                self.recon[1][cy:cy + cs, cx:cx + cs] = pcb
+                self.recon[2][cy:cy + cs, cx:cx + cs] = pcr
+                return cost0
 
         # motion estimation (AMVP) per list
         cb_info = (x0, y0, size, size, size, 0)

@@ -83,7 +83,7 @@ struct EN {
     int32_t chroma_filt[8][4];
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
     int num_ctx, rcudepth, rdoq;
-    int met, fdam, rqt;
+    int met, fdam, rqt, esd;
     // lowres pre-ME (x264-lookahead style; no reference analogue — the
     // reference relies on its raster fallback, Search.hpp:2240-2260):
     // quarter-res exhaustive +/-8 search per 16x16 luma block seeds the
@@ -3821,6 +3821,90 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
              + cur.lam_me * (2 + mi);
         n_scored++;
     }
+    // ESD (early skip detection, Speed.h useEsd medium/fast;
+    // searchInterCu's esd break, Search.hpp:1059): full residual trial of
+    // the SATD-best merge candidate BEFORE motion estimation — when it
+    // quantizes to all-zero, commit the skip CU outright and bypass
+    // ME + stage 2 (inter_search Python twin)
+    if (en.esd && n_scored > 0 && log2 <= g_sp.max_tb_log2) {
+        int e_best = 0;
+        for (int i = 1; i < n_scored; i++)
+            if (scored[i].sc < scored[e_best].sc)
+                e_best = i;
+        const Scored& s0 = scored[e_best];
+        static thread_local int32_t e_py[64 * 64], e_pcb[32 * 32],
+            e_pcr[32 * 32], e_res[64 * 64], e_cf[64 * 64];
+        static thread_local int16_t e_lv[64 * 64];
+        pred_full_for_motion(s0.pf, s0.motion_mv, s0.ref, x0, y0, size,
+                             size, e_py, e_pcb, e_pcr);
+        for (int i = 0; i < size * size; i++)
+            e_res[i] = orig_y[i] - e_py[i];
+        fwd_transform(e_res, size, bd, 0, e_cf);
+        int e_nz = en.rdoq
+            ? rdoq_quantize(e_cf, cur.qp_full, bd, log2, 0, 0,
+                            g_sp.off[E_RQT_ROOT], e_lv)
+            : quantize(e_cf, size, cur.qp_full, bd, log2, 0, e_lv);
+        if (!e_nz)
+            for (int ci = 0; ci < 2 && !e_nz; ci++) {
+                const int32_t* o = ci == 0 ? orig_cb : orig_cr;
+                const int32_t* p = ci == 0 ? e_pcb : e_pcr;
+                int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
+                for (int i = 0; i < cs * cs; i++)
+                    e_res[i] = o[i] - p[i];
+                fwd_transform(e_res, cs, bd_c, 0, e_cf);
+                e_nz = en.rdoq
+                    ? rdoq_quantize(e_cf, qp_c, bd_c, log2 - 1, ci + 1, 0,
+                                    g_sp.off[E_CBF_CHROMA], e_lv)
+                    : quantize(e_cf, cs, qp_c, bd_c, log2 - 1, 0, e_lv);
+            }
+        if (!e_nz) {
+            double dist0 = (double)ssd_i32(e_py, orig_y, size * size)
+                         + (double)ssd_i32(e_pcb, orig_cb, cs * cs)
+                         + (double)ssd_i32(e_pcr, orig_cr, cs * cs);
+            double cost0 = dist0 + cur.lam * (1.0 + s0.idx);
+            const Cand& c = merge_cands[s0.idx];
+            fillq(g_sp.merge_flag, x0, y0, size, (uint8_t)1);
+            fillq(g_sp.merge_idx, x0, y0, size, (uint8_t)s0.idx);
+            fillq(g_sp.skip_flag, x0, y0, size, (uint8_t)1);
+            for (int l = 0; l < 2; l++) {
+                int pf = l ? c.pf1 : c.pf0;
+                int r = l ? c.r1 : c.r0;
+                int bx = x0 >> 2, by = y0 >> 2, nb = size >> 2;
+                for (int y = 0; y < nb; y++) {
+                    int64_t row = l * plane4 + (int64_t)(by + y) * g_sp.w4
+                                + bx;
+                    for (int x = 0; x < nb; x++) {
+                        if (pf) {
+                            g_sp.ref_idx[row + x] = (int8_t)r;
+                            g_sp.mv[(row + x) * 2] = (int16_t)c.mvx(l);
+                            g_sp.mv[(row + x) * 2 + 1] = (int16_t)c.mvy(l);
+                            g_sp.ref_poc[row + x] = g_sp.ref_pocs[l][r];
+                        } else {
+                            g_sp.ref_idx[row + x] = -1;
+                            g_sp.mv[(row + x) * 2] = 0;
+                            g_sp.mv[(row + x) * 2 + 1] = 0;
+                        }
+                    }
+                }
+            }
+            int tl0 = log2 < g_sp.max_tb_log2 ? log2 : g_sp.max_tb_log2;
+            fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)tl0);
+            fillq(g_sp.tu_id, x0, y0, size, cur.ids[2]);
+            cur.ids[2]++;
+            std::memset(e_lv, 0, size * size * 2);
+            scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, e_lv);
+            scatter_lv(g_sp.coeff_cb, cw_(), cx, cy, cs, e_lv);
+            scatter_lv(g_sp.coeff_cr, cw_(), cx, cy, cs, e_lv);
+            fillq(g_sp.cbf_y, x0, y0, size, (uint8_t)0);
+            fillq(g_sp.cbf_cb, x0, y0, size, (uint8_t)0);
+            fillq(g_sp.cbf_cr, x0, y0, size, (uint8_t)0);
+            scatter16(en.rec[0], g_sp.pic_w, x0, y0, size, e_py);
+            scatter16(en.rec[1], cw_(), cx, cy, cs, e_pcb);
+            scatter16(en.rec[2], cw_(), cx, cy, cs, e_pcr);
+            return cost0;
+        }
+    }
+
     // AMVP per list + bi
     int cb_info[6] = {x0, y0, size, size, size, 0};
     int n_lists = (g_sp.is_b && g_sp.n_ref[1] > 0) ? 2 : 1;
@@ -5024,6 +5108,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     en.met = ip[j++];
     en.fdam = ip[j++];
     en.rqt = ip[j++];
+    en.esd = ip[j++];
     std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
     std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));
