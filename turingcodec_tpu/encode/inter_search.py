@@ -1054,28 +1054,61 @@ class InterPictureEncoder(IntraPictureEncoder):
         # of the SATD-best merge candidate BEFORE motion estimation — when
         # it quantizes to all-zero, commit the skip CU outright and bypass
         # ME + stage 2 (native enc_core twin)
-        if (getattr(self, "esd", False) and scored
-                and log2 <= sps.max_tb_log2_size_y):
+        if getattr(self, "esd", False) and scored:
             sc0, _k0, mi0, c0, motion0 = min(scored, key=lambda t: t[0])
             py, pcb, pcr = self._pred_for_motion(*motion0, x0, y0, size,
                                                  size)
-            lv = self._quantize_rd(
-                forward_transform_np(orig_y - py, self.bd, False),
-                self.qp + sps.qp_bd_offset_y, self.bd, log2, False, 0, 0,
-                cbf=("rqt_root_cbf", 0))
-            zero = not lv.any()
-            if zero:
-                for ci, (o, p, qp) in enumerate(
-                        ((orig_cb, pcb, self.qp_cb),
-                         (orig_cr, pcr, self.qp_cr))):
-                    lvc = self._quantize_rd(
-                        forward_transform_np(o - p, sps.bit_depth_c,
-                                             False),
-                        qp + sps.qp_bd_offset_c, sps.bit_depth_c, log2 - 1,
-                        False, ci + 1, 0, cbf=("cbf_chroma", 0))
-                    if lvc.any():
+            if log2 <= sps.max_tb_log2_size_y:
+                lv = self._quantize_rd(
+                    forward_transform_np(orig_y - py, self.bd, False),
+                    self.qp + sps.qp_bd_offset_y, self.bd, log2, False, 0,
+                    0, cbf=("rqt_root_cbf", 0))
+                zero = not lv.any()
+                if zero:
+                    for ci, (o, p, qp) in enumerate(
+                            ((orig_cb, pcb, self.qp_cb),
+                             (orig_cr, pcr, self.qp_cr))):
+                        lvc = self._quantize_rd(
+                            forward_transform_np(o - p, sps.bit_depth_c,
+                                                 False),
+                            qp + sps.qp_bd_offset_c, sps.bit_depth_c,
+                            log2 - 1, False, ci + 1, 0,
+                            cbf=("cbf_chroma", 0))
+                        if lvc.any():
+                            zero = False
+                            break
+            else:
+                # CU above the max TB (64x64): quadrant transforms, the
+                # split-tree ctx indices (the forced-split stage-2 twin)
+                zero = True
+                qh, ch = size >> 1, size >> 2
+                for (dy, dx) in ((0, 0), (0, qh), (qh, 0), (qh, qh)):
+                    if not zero:
+                        break
+                    lv = self._quantize_rd(
+                        forward_transform_np(
+                            orig_y[dy:dy + qh, dx:dx + qh]
+                            - py[dy:dy + qh, dx:dx + qh], self.bd, False),
+                        self.qp + sps.qp_bd_offset_y, self.bd, log2 - 1,
+                        False, 0, 0, cbf=("cbf_luma", 0))
+                    if lv.any():
                         zero = False
                         break
+                    cdy, cdx = dy >> 1, dx >> 1
+                    for ci, (o, p, qp) in enumerate(
+                            ((orig_cb, pcb, self.qp_cb),
+                             (orig_cr, pcr, self.qp_cr))):
+                        lvc = self._quantize_rd(
+                            forward_transform_np(
+                                o[cdy:cdy + ch, cdx:cdx + ch]
+                                - p[cdy:cdy + ch, cdx:cdx + ch],
+                                sps.bit_depth_c, False),
+                            qp + sps.qp_bd_offset_c, sps.bit_depth_c,
+                            log2 - 2, False, ci + 1, 0,
+                            cbf=("cbf_chroma", 1))
+                        if lvc.any():
+                            zero = False
+                            break
             if zero:
                 dist0 = float(((py - orig_y) ** 2).sum()) \
                     + float(((pcb - orig_cb) ** 2).sum()) \

@@ -3826,7 +3826,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     // the SATD-best merge candidate BEFORE motion estimation — when it
     // quantizes to all-zero, commit the skip CU outright and bypass
     // ME + stage 2 (inter_search Python twin)
-    if (en.esd && n_scored > 0 && log2 <= g_sp.max_tb_log2) {
+    if (en.esd && n_scored > 0) {
         int e_best = 0;
         for (int i = 1; i < n_scored; i++)
             if (scored[i].sc < scored[e_best].sc)
@@ -3837,26 +3837,69 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         static thread_local int16_t e_lv[64 * 64];
         pred_full_for_motion(s0.pf, s0.motion_mv, s0.ref, x0, y0, size,
                              size, e_py, e_pcb, e_pcr);
-        for (int i = 0; i < size * size; i++)
-            e_res[i] = orig_y[i] - e_py[i];
-        fwd_transform(e_res, size, bd, 0, e_cf);
-        int e_nz = en.rdoq
-            ? rdoq_quantize(e_cf, cur.qp_full, bd, log2, 0, 0,
-                            g_sp.off[E_RQT_ROOT], e_lv)
-            : quantize(e_cf, size, cur.qp_full, bd, log2, 0, e_lv);
-        if (!e_nz)
-            for (int ci = 0; ci < 2 && !e_nz; ci++) {
-                const int32_t* o = ci == 0 ? orig_cb : orig_cr;
-                const int32_t* p = ci == 0 ? e_pcb : e_pcr;
-                int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
-                for (int i = 0; i < cs * cs; i++)
-                    e_res[i] = o[i] - p[i];
-                fwd_transform(e_res, cs, bd_c, 0, e_cf);
+        int e_nz = 0;
+        if (log2 <= g_sp.max_tb_log2) {
+            for (int i = 0; i < size * size; i++)
+                e_res[i] = orig_y[i] - e_py[i];
+            fwd_transform(e_res, size, bd, 0, e_cf);
+            e_nz = en.rdoq
+                ? rdoq_quantize(e_cf, cur.qp_full, bd, log2, 0, 0,
+                                g_sp.off[E_RQT_ROOT], e_lv)
+                : quantize(e_cf, size, cur.qp_full, bd, log2, 0, e_lv);
+            if (!e_nz)
+                for (int ci = 0; ci < 2 && !e_nz; ci++) {
+                    const int32_t* o = ci == 0 ? orig_cb : orig_cr;
+                    const int32_t* p = ci == 0 ? e_pcb : e_pcr;
+                    int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
+                    for (int i = 0; i < cs * cs; i++)
+                        e_res[i] = o[i] - p[i];
+                    fwd_transform(e_res, cs, bd_c, 0, e_cf);
+                    e_nz = en.rdoq
+                        ? rdoq_quantize(e_cf, qp_c, bd_c, log2 - 1, ci + 1,
+                                        0, g_sp.off[E_CBF_CHROMA], e_lv)
+                        : quantize(e_cf, cs, qp_c, bd_c, log2 - 1, 0,
+                                   e_lv);
+                }
+        } else {
+            // CU above the max TB (64x64): quadrant transforms with the
+            // split-tree ctx indices (the forced-split stage-2 twin)
+            const int qh = size >> 1, chq = size >> 2;
+            static const int ezo[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+            for (int zi = 0; zi < 4 && !e_nz; zi++) {
+                const int dy = ezo[zi][0] * qh, dx = ezo[zi][1] * qh;
+                for (int y = 0; y < qh; y++)
+                    for (int x = 0; x < qh; x++)
+                        e_res[y * qh + x] =
+                            orig_y[(dy + y) * size + dx + x]
+                            - e_py[(dy + y) * size + dx + x];
+                fwd_transform(e_res, qh, bd, 0, e_cf);
                 e_nz = en.rdoq
-                    ? rdoq_quantize(e_cf, qp_c, bd_c, log2 - 1, ci + 1, 0,
-                                    g_sp.off[E_CBF_CHROMA], e_lv)
-                    : quantize(e_cf, cs, qp_c, bd_c, log2 - 1, 0, e_lv);
+                    ? rdoq_quantize(e_cf, cur.qp_full, bd, log2 - 1, 0, 0,
+                                    g_sp.off[E_CBF_LUMA], e_lv)
+                    : quantize(e_cf, qh, cur.qp_full, bd, log2 - 1, 0,
+                               e_lv);
+                if (e_nz)
+                    break;
+                const int cdy = dy >> 1, cdx = dx >> 1;
+                for (int ci = 0; ci < 2 && !e_nz; ci++) {
+                    const int32_t* o = ci == 0 ? orig_cb : orig_cr;
+                    const int32_t* p = ci == 0 ? e_pcb : e_pcr;
+                    int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
+                    for (int y = 0; y < chq; y++)
+                        for (int x = 0; x < chq; x++)
+                            e_res[y * chq + x] =
+                                o[(cdy + y) * cs + cdx + x]
+                                - p[(cdy + y) * cs + cdx + x];
+                    fwd_transform(e_res, chq, bd_c, 0, e_cf);
+                    e_nz = en.rdoq
+                        ? rdoq_quantize(e_cf, qp_c, bd_c, log2 - 2, ci + 1,
+                                        0, g_sp.off[E_CBF_CHROMA] + 1,
+                                        e_lv)
+                        : quantize(e_cf, chq, qp_c, bd_c, log2 - 2, 0,
+                                   e_lv);
+                }
             }
+        }
         if (!e_nz) {
             double dist0 = (double)ssd_i32(e_py, orig_y, size * size)
                          + (double)ssd_i32(e_pcb, orig_cb, cs * cs)
