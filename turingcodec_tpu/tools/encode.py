@@ -65,6 +65,9 @@ def main(argv=None):
     ap.add_argument("--rqt", dest="rqt", action="store_true", default=None,
                     help="inter one-level RQT search (default at slow)")
     ap.add_argument("--no-rqt", dest="rqt", action="store_false")
+    ap.add_argument("--esd", dest="esd", action="store_true", default=None,
+                    help="early skip detection (default at medium/fast)")
+    ap.add_argument("--no-esd", dest="esd", action="store_false")
     ap.add_argument("--hrd-sei", action="store_true",
                     help="emit buffering_period + pic_timing CPB/DPB "
                          "delay SEIs (needs --bitrate)")
@@ -104,7 +107,8 @@ def main(argv=None):
                         wp_chroma=tuple(
                             int(x) for x in args.wp_chroma.split(":"))
                         if args.wp_chroma else None,
-                        sei_hrd_timing=args.hrd_sei, rqt=args.rqt)
+                        sei_hrd_timing=args.hrd_sei, rqt=args.rqt,
+                        esd=args.esd)
     enc = Encoder(cfg)
     data = open(args.input, "rb").read()
     fsz = w * h * 3 // 2
