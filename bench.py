@@ -2,9 +2,12 @@
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Headline metric (BASELINE.json): 1080p low-delay encode frames/s at the
-fast preset (RDOQ+SDH on — our fast defaults; measured BD-rate is -2.0%
-vs the reference encoder's fast preset on the same clip, so quality at
-matched bitrate is slightly better while we measure raw speed).
+fast preset (RDOQ+SDH on — our fast defaults). Quality at this operating
+point (two-point check on this exact workload, QP 30/34): ~+3% BD-rate
+vs the reference encoder's fast preset while running ~1.4x faster —
+the speed tools (SATD gates, ESD) trade ~1% of that; the rest is search
+scope. Disabling the gates (TC_NO_SATDGATE, --no-esd) recovers most of
+the gap at reference-like speed.
 
 The 1080p input is a deterministic 3x nearest-neighbour upscale of the
 bundled caminandes stream decoded by our own decoder; the decode is
