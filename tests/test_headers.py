@@ -90,3 +90,19 @@ def test_sps_pps_reserialize(parsed):
     bw = BitWriter()
     write_pps(bw, ps.pps[0])
     assert bw.get_bytes() == payloads["pps"]
+
+
+def test_level_derivation():
+    """general_level_idc from the A.4 levels table (Encoder.cpp:590-606):
+    smallest Main-tier level fitting picture size and luma sample rate."""
+    from turingcodec_tpu.hevc.tables import derive_level
+    assert derive_level(352 * 288, 30.0)[0] == 60       # CIF30 -> 2.0
+    assert derive_level(640 * 360, 24.0)[0] == 63       # 360p24 -> 2.1
+    assert derive_level(1920 * 1080, 24.0)[0] == 120    # 1080p24 -> 4.0
+    assert derive_level(1920 * 1080, 60.0)[0] == 123    # 1080p60 -> 4.1
+    assert derive_level(3840 * 2160, 60.0)[0] == 153    # 2160p60 -> 5.1
+    # the encoder signals it in the SPS PTL
+    from turingcodec_tpu.encode.encoder import Encoder, EncoderConfig
+    enc = Encoder(EncoderConfig(width=640, height=360, qp=30,
+                                frame_rate=24.0))
+    assert enc.sps.ptl.general_level_idc == 63

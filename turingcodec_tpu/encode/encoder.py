@@ -155,13 +155,18 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _setup_ptl(self) -> ProfileTierLevel:
+        c = self.cfg
         p = ProfileTierLevel()
         p.general_profile_idc = 1  # Main
         p.general_profile_compatibility_flags = 1 << (31 - 1)
         p.general_progressive_source_flag = 0 if self._field else 1
         p.general_interlaced_source_flag = 1 if self._field else 0
         p.general_frame_only_constraint_flag = 0 if self._field else 1
-        p.general_level_idc = 120  # level 4.0
+        # general_level_idc from the A.4 levels table (Encoder.cpp:590-606:
+        # smallest level whose MaxLumaPs/MaxLumaSr fit the stream)
+        from turingcodec_tpu.hevc.tables import derive_level
+        lvl, _cpb = derive_level(c.width * c.height, c.frame_rate or 24.0)
+        p.general_level_idc = lvl or 120
         return p
 
     def _setup_sps(self) -> Sps:

@@ -235,3 +235,46 @@ SIG_CTX_4x4 = np.array([
     6, 6, 8, 8,
     7, 7, 8, 8,
 ], dtype=np.int32)
+
+
+# A.4 general tier and level limits (reference turing/Levels.h:92-115):
+# (units, tenths, tier, MaxLumaPs, MaxDpbSize, MaxCPB_kbit, MaxSliceSegs,
+#  MaxTileRows, MaxTileCols, MaxLumaSr, MaxBR_kbit, MinCr)
+LEVELS = [
+    (1, 0, 0, 36864, 0, 350, 16, 1, 1, 552960, 128, 2),
+    (2, 0, 0, 122880, 0, 1500, 16, 1, 1, 3686400, 1500, 2),
+    (2, 1, 0, 245760, 0, 3000, 20, 1, 1, 7372800, 3000, 2),
+    (3, 0, 0, 552960, 0, 6000, 30, 2, 2, 16588800, 6000, 2),
+    (3, 1, 0, 983040, 0, 10000, 40, 3, 3, 33177600, 10000, 2),
+    (4, 0, 0, 2228224, 0, 12000, 75, 5, 5, 66846720, 12000, 4),
+    (4, 0, 1, 2228224, 0, 30000, 75, 5, 5, 66846720, 30000, 4),
+    (4, 1, 0, 2228224, 0, 20000, 75, 5, 5, 133693440, 20000, 4),
+    (4, 1, 1, 2228224, 0, 50000, 75, 5, 5, 133693440, 50000, 4),
+    (5, 0, 0, 8912896, 0, 25000, 200, 11, 10, 267386880, 25000, 6),
+    (5, 0, 1, 8912896, 0, 100000, 200, 11, 10, 267386880, 100000, 6),
+    (5, 1, 0, 8912896, 0, 40000, 200, 11, 10, 534773760, 40000, 8),
+    (5, 1, 1, 8912896, 0, 160000, 200, 11, 10, 534773760, 160000, 8),
+    (5, 2, 0, 8912896, 0, 60000, 200, 11, 10, 1069547520, 60000, 8),
+    (5, 2, 1, 8912896, 0, 240000, 200, 11, 10, 1069547520, 240000, 8),
+    (6, 0, 0, 35651584, 0, 60000, 600, 22, 20, 1069547520, 60000, 8),
+    (6, 0, 1, 35651584, 0, 240000, 600, 22, 20, 1069547520, 240000, 8),
+    (6, 1, 0, 35651584, 0, 120000, 600, 22, 20, 2139095040, 120000, 8),
+    (6, 1, 1, 35651584, 0, 480000, 600, 22, 20, 2139095040, 480000, 8),
+    (6, 2, 0, 35651584, 0, 240000, 600, 22, 20, 4278190080, 240000, 6),
+    (6, 2, 1, 35651584, 0, 800000, 600, 22, 20, 4278190080, 800000, 6),
+]
+
+
+def derive_level(pic_size_in_samples_y: int, frame_rate: float):
+    """Smallest Main-tier level fitting the picture size and sample rate
+    (Encoder::setupPtl, reference Encoder.cpp:590-606). Returns
+    (general_level_idc, max_cpb_bits) — level_idc = 30*units + 3*tenths —
+    or (0, 0) when nothing fits (level signalled as unknown)."""
+    for (units, tenths, tier, max_ps, _dpb, max_cpb_k, _slices, _tr, _tc,
+         max_sr, _br, _cr) in LEVELS:
+        if tier:
+            continue  # reference picks Main tier rows (break on first fit)
+        if max_ps >= pic_size_in_samples_y \
+                and max_sr >= pic_size_in_samples_y * frame_rate:
+            return 30 * units + 3 * tenths, max_cpb_k * 1000
+    return 0, 0
