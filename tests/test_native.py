@@ -236,3 +236,38 @@ def test_native_python_encoder_rqt_bit_identical():
         del os.environ["TURING_TPU_NO_NATIVE_ENC"]
     assert md5_nat == md5_py
     assert hashlib.md5(bs_nat).hexdigest() == hashlib.md5(bs_py).hexdigest()
+
+
+def test_native_python_encoder_aps_bit_identical():
+    """Medium preset (rd_candidates=2) with APS + ESD active: native and
+    Python searchers stay byte-identical."""
+    import hashlib
+
+    from turingcodec_tpu.encode.encoder import (EncoderConfig,
+                                                encode_yuv_stream)
+    if native.get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng2 = np.random.default_rng(31)
+    w, h = 128, 64
+    n_frames = 3
+    base = rng2.integers(0, 256, (h, w), np.int32)
+    base[:, :40] = (base[:, :40] // 16) * 16  # flat left, detailed right
+    frames = []
+    for i in range(n_frames):
+        y = np.clip(np.roll(base, (2 * i, 5 * i), (0, 1))
+                    + rng2.integers(-3, 4, (h, w)), 0, 255)
+        u = np.clip(rng2.integers(100, 156, (h // 2, w // 2)), 0, 255)
+        frames.append(y.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes())
+    raw = b"".join(frames)
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=2,
+                        search_range=16)
+    bs_nat, md5_nat = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    os.environ["TURING_TPU_NO_NATIVE_ENC"] = "1"
+    try:
+        bs_py, md5_py = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    finally:
+        del os.environ["TURING_TPU_NO_NATIVE_ENC"]
+    assert md5_nat == md5_py
+    assert hashlib.md5(bs_nat).hexdigest() == hashlib.md5(bs_py).hexdigest()

@@ -67,6 +67,9 @@ class EncoderConfig:
     esd: Optional[bool] = None   # early skip detection (Speed.h useEsd:
                                  # medium/fast): zero-residual best merge
                                  # candidate commits skip before ME
+    aps: Optional[bool] = None   # adaptive partition selection (Speed.h
+                                 # useAps medium+/Aps.h): residue-energy
+                                 # balance gates the 2NxN/Nx2N searches
                                  # (Speed.h useFdm/useFdam; None = on at
                                  # medium/fast)
     bitrate: Optional[float] = None  # bits/s: enables CBR rate control
@@ -531,6 +534,9 @@ class Encoder:
             # early skip detection (Speed.h useEsd: medium/fast)
             enc.esd = (self.cfg.esd if self.cfg.esd is not None
                        else self.cfg.rd_candidates <= 2)
+            # adaptive partition selection (Speed.h useAps: medium+)
+            enc.aps = (self.cfg.aps if self.cfg.aps is not None
+                       else self.cfg.rd_candidates == 2)
         # picture lambda (Measure.h computeLambda parity): per-position
         # qpFactor with the I-slice gopM scale and the non-anchor multiplier
         import math

@@ -64,6 +64,8 @@ class InterPictureEncoder(IntraPictureEncoder):
         self.met = False
         self.fdam = False
         self.esd = False
+        self.aps = False
+        self._aps_quad = None  # 2Nx2N champion's per-quadrant |residual|
         # lowres pre-ME seed fields, one per reference plane (native
         # lowres_prepass twin; keyed by plane identity)
         self._lr_seed_cache = {}
@@ -89,13 +91,41 @@ class InterPictureEncoder(IntraPictureEncoder):
         cost_best = self._encode_inter_cu(x0, y0, log2, depth)
         best_state = self._snapshot(x0, y0, size)
         # SMP/AMP partitions, Search<prediction_unit> analogue — gated to
-        # 16x16+ CUs at medium+ effort (Speed.h smp/amp gating)
-        if self.rd_candidates >= 2 and log2 >= 4:
+        # 16x16+ CUs at medium+ effort (Speed.h smp/amp gating); an ESD
+        # skip champion ends the partition loop (the reference's esd
+        # break exits all part modes)
+        if (self.rd_candidates >= 2 and log2 >= 4
+                and not (getattr(self, "esd", False)
+                         and self.plan.skip_flag[y0 >> 2, x0 >> 2])):
+            # APS (Aps.h:45-85): gate 2NxN/Nx2N by the residue-energy
+            # balance of the 2Nx2N champion's prediction quadrants
+            do_2nxn = do_nx2n = True
+            if getattr(self, "aps", False) and self._aps_quad is not None:
+                q00, q01, q10, q11 = self._aps_quad
+                half = size >> 1
+                thr = 4 * half * half * 2
+                num, den = q00 + q01, q10 + q11
+                if num < thr and den < thr:
+                    do_2nxn = False
+                else:
+                    delta = den >> 2
+                    do_2nxn = not (den - delta < num < den + delta)
+                num, den = q00 + q10, q01 + q11
+                if num < thr and den < thr:
+                    do_nx2n = False
+                else:
+                    delta = den >> 2
+                    do_nx2n = not (den - delta < num < den + delta)
             parts = [T.PART_2NxN, T.PART_Nx2N]
             if self.sps.amp_enabled_flag and self.rd_candidates >= 3:
                 parts += [T.PART_2NxnU, T.PART_2NxnD,
                           T.PART_nLx2N, T.PART_nRx2N]
             for part in parts:
+                if getattr(self, "aps", False):
+                    if part == T.PART_2NxN and not do_2nxn:
+                        continue
+                    if part == T.PART_Nx2N and not do_nx2n:
+                        continue
                 self._restore(x0, y0, size, state)
                 c = self._encode_inter_smp(x0, y0, log2, depth, part)
                 if c < cost_best:
@@ -1010,6 +1040,7 @@ class InterPictureEncoder(IntraPictureEncoder):
     # ------------------------------------------------------------------
     def _encode_inter_cu(self, x0, y0, log2, depth) -> float:
         plan, sps, sh = self.plan, self.sps, self.sh
+        self._aps_quad = None
         size = 1 << log2
         sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
         orig_y = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
@@ -1336,6 +1367,21 @@ class InterPictureEncoder(IntraPictureEncoder):
 
         (cost, kind, idx, info, levels, levels_c, rec_y, recs_c,
          has_coeff, ts_best) = best
+
+        # APS (Aps.h analyseResidueEnergy input): per-quadrant |residual|
+        # of the champion's PREDICTION (Reconstruct.cpp:1283) for the
+        # dispatch's 2NxN/Nx2N gating
+        self._aps_quad = None
+        if getattr(self, "aps", False) and log2 >= 4 \
+                and self.rd_candidates >= 2:
+            for k2, i2, _inf, pred2 in candidates:
+                if k2 == kind and i2 == idx:
+                    r = np.abs(orig_y - pred2[0])
+                    qh2 = size >> 1
+                    self._aps_quad = (
+                        int(r[:qh2, :qh2].sum()), int(r[:qh2, qh2:].sum()),
+                        int(r[qh2:, :qh2].sum()), int(r[qh2:, qh2:].sum()))
+                    break
 
         # commit
         if kind == "merge":

@@ -974,7 +974,8 @@ class EncNative:
                         int(getattr(enc, "met", False)),
                         int(getattr(enc, "fdam", False)),
                         int(getattr(enc, "rqt", False)),
-                        int(getattr(enc, "esd", False))], np.int32)
+                        int(getattr(enc, "esd", False)),
+                        int(getattr(enc, "aps", False))], np.int32)
         from turingcodec_tpu.hevc.tables import QUANT_SCALES
         qs = np.ascontiguousarray(QUANT_SCALES, np.int32)
         lf, cf, _, _ = _recon_tables()

@@ -83,7 +83,7 @@ struct EN {
     int32_t chroma_filt[8][4];
     int rd_candidates, max_cu_log2, max_cu_inter, search_range, strong;
     int num_ctx, rcudepth, rdoq;
-    int met, fdam, rqt, esd;
+    int met, fdam, rqt, esd, aps;
     // lowres pre-ME (x264-lookahead style; no reference analogue — the
     // reference relies on its raster fallback, Search.hpp:2240-2260):
     // quarter-res exhaustive +/-8 search per 16x16 luma block seeds the
@@ -3528,6 +3528,11 @@ int pu_rects(int x0, int y0, int size, int part, int geo[4][4]) {
 double encode_inter_smp(int x0, int y0, int log2, int depth, int part);
 double encode_inter_cu(int x0, int y0, int log2, int depth);
 
+// APS state: the 2Nx2N champion's per-quadrant |prediction residual|
+// (Aps.h analyseResidueEnergy input; Reconstruct.cpp:1283)
+thread_local int64_t g_aps_quad[4];
+thread_local int g_aps_valid = 0;
+
 // inter_search._encode_cu dispatch: inter vs intra, SMP/AMP trials,
 // early-skip gating
 double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
@@ -3539,7 +3544,33 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
     snap_save(*state, x0, y0, size);
     double cost_best = encode_inter_cu(x0, y0, log2, depth);
     snap_save(*best_state, x0, y0, size);
-    if (en.rd_candidates >= 2 && log2 >= 4) {
+    // an ESD skip champion ends the partition loop (the reference's esd
+    // break exits all part modes)
+    if (en.rd_candidates >= 2 && log2 >= 4
+        && !(en.esd && g_sp.skip_flag[idx4(x0, y0)])) {
+        // APS (Aps.h:45-85): gate 2NxN/Nx2N by the residue-energy
+        // balance of the 2Nx2N champion's prediction quadrants
+        bool do_2nxn = true, do_nx2n = true;
+        if (en.aps && g_aps_valid) {
+            const int half = size >> 1;
+            const int64_t thr = (int64_t)4 * half * half * 2;
+            int64_t num = g_aps_quad[0] + g_aps_quad[1];
+            int64_t den = g_aps_quad[2] + g_aps_quad[3];
+            if (num < thr && den < thr) {
+                do_2nxn = false;
+            } else {
+                int64_t delta = den >> 2;
+                do_2nxn = !(den - delta < num && num < den + delta);
+            }
+            num = g_aps_quad[0] + g_aps_quad[2];
+            den = g_aps_quad[1] + g_aps_quad[3];
+            if (num < thr && den < thr) {
+                do_nx2n = false;
+            } else {
+                int64_t delta = den >> 2;
+                do_nx2n = !(den - delta < num && num < den + delta);
+            }
+        }
         int parts[6];
         int n_parts = 0;
         parts[n_parts++] = 1;  // 2NxN
@@ -3551,6 +3582,12 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
             parts[n_parts++] = 7;
         }
         for (int i = 0; i < n_parts; i++) {
+            if (en.aps) {
+                if (parts[i] == 1 && !do_2nxn)
+                    continue;
+                if (parts[i] == 2 && !do_nx2n)
+                    continue;
+            }
             snap_restore(*state, x0, y0, size);
             double c = encode_inter_smp(x0, y0, log2, depth, parts[i]);
             if (c < cost_best) {
@@ -3755,6 +3792,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
 // inter_search._encode_inter_cu: 2Nx2N merge/skip/AMVP decision
 double encode_inter_cu(int x0, int y0, int log2, int depth) {
     PhaseTimer pt(0);
+    g_aps_valid = 0;
     const int size = 1 << log2;
     const int cs = size >> 1, cx = x0 >> 1, cy = y0 >> 1;
     const int bd = g_sp.bit_depth_y, bd_c = g_sp.bit_depth_c;
@@ -4536,6 +4574,24 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         }
     }
 
+    // APS: champion's prediction residual per quadrant (Python twin
+    // recomputes from the winning candidate's pred — identical values)
+    if (en.aps && log2 >= 4 && en.rd_candidates >= 2) {
+        const Scored& sw = scored[best_i];
+        pred_full_for_motion(sw.pf, sw.motion_mv, sw.ref, x0, y0, size,
+                             size, cpy, cpcb, cpcr);
+        const int qh2 = size >> 1;
+        int64_t q[4] = {0, 0, 0, 0};
+        for (int y = 0; y < size; y++)
+            for (int x = 0; x < size; x++) {
+                int d = orig_y[y * size + x] - cpy[y * size + x];
+                q[((y >= qh2) << 1) | (x >= qh2)] += d < 0 ? -d : d;
+            }
+        for (int i2 = 0; i2 < 4; i2++)
+            g_aps_quad[i2] = q[i2];
+        g_aps_valid = 1;
+    }
+
     // commit
     const Scored& s = scored[best_i];
     if (s.kind == 0) {
@@ -5152,6 +5208,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     en.fdam = ip[j++];
     en.rqt = ip[j++];
     en.esd = ip[j++];
+    en.aps = ip[j++];
     std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
     std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));
