@@ -533,3 +533,33 @@ def test_inter_rqt_roundtrip():
     inter = plan.cu_pred_mode == 0
     split = inter & (plan.tu_log2 < plan.cu_size_log2) & (plan.cu_id >= 0)
     assert split.any(), "no inter CU chose the split transform tree"
+
+
+def test_rate_control_intra_complexity():
+    """EstimateIntraComplexity feeds the IDR allocation: complex content
+    gets a larger intra target than flat content at the same bitrate."""
+    from turingcodec_tpu.encode.rate_control import (SequenceRateController,
+                                                     intra_complexity)
+    rng = np.random.default_rng(5)
+    flat = np.full((64, 64), 128, np.int16)
+    busy = rng.integers(0, 256, (64, 64)).astype(np.int16)
+    c_flat = intra_complexity(flat)
+    c_busy = intra_complexity(busy)
+    assert c_flat == 0 and c_busy > 0
+    rc1 = SequenceRateController(200000, 25.0, 64, 64)
+    rc2 = SequenceRateController(200000, 25.0, 64, 64)
+    _, _, bits_flat = rc1.pre_picture(True, 0, intra_cost=c_flat)
+    _, _, bits_busy = rc2.pre_picture(True, 0, intra_cost=c_busy)
+    assert bits_busy > bits_flat
+    # end-to-end: a rate-controlled encode with the pre-analysis runs
+    cfg = EncoderConfig(width=64, height=64, qp=32, gop_m=1,
+                        bitrate=100000, frame_rate=25.0)
+    enc = Encoder(cfg)
+    stream = enc.headers()
+    for i in range(3):
+        for (_idx, nal, _r) in enc.push_frame(_synthetic_frame(64, 64, i)):
+            stream += nal
+    for (_idx, nal, _r) in enc.flush():
+        stream += nal
+    frames = list(Decoder().decode_stream(stream))
+    assert len(frames) == 3

@@ -296,7 +296,9 @@ class Encoder:
         sh.first_slice_segment_in_pic_flag = 1
         if self._rc is not None:
             qp, lam, _ = self._rc.pre_picture(docket.is_idr,
-                                              docket.temporal_id)
+                                              docket.temporal_id,
+                                              intra_cost=getattr(
+                                                  self, "_ic_cost", 0))
             qp_off = qp - (26 + self.pps.init_qp_minus26)
         else:
             qp_off = docket.qp_offset if self.cfg.hierarchical_qp else 0
@@ -502,6 +504,13 @@ class Encoder:
         self._decode_count += 1
 
         yuv = self._inputs.pop(docket.input_index)
+        # intra complexity pre-analysis for the rate control's intra
+        # allocation (EstimateIntraComplexity; TaskEncodeInput.cpp:284-312)
+        self._ic_cost = 0
+        if self._rc is not None and docket.is_idr:
+            from turingcodec_tpu.encode.rate_control import intra_complexity
+            self._ic_cost = intra_complexity(np.asarray(yuv[0]),
+                                             self.cfg.bit_depth)
         sh = self._slice_header(docket)
         poc = 0 if docket.is_idr else docket.poc
         self._dpb.poc = poc

@@ -22,6 +22,30 @@ class _Model:
     beta: float = -1.367
 
 
+def intra_complexity(y_plane, bit_depth: int = 8) -> int:
+    """EstimateIntraComplexity::preAnalysis (EstimateIntraComplexity.h:27):
+    per-8x8 source-pixel Hadamard 'SATD' with the DC term excluded,
+    (sad+2)>>2 per block (>>2 more at 10 bit), summed over the picture.
+    Feeds the intra picture bit allocation
+    (SequenceController::pictureRateAllocationIntra, RateControl.cpp:905)."""
+    import numpy as np
+    h, w = y_plane.shape
+    hb, wb = h >> 3, w >> 3
+    if hb == 0 or wb == 0:
+        return 0
+    blocks = y_plane[:hb * 8, :wb * 8].astype(np.int64).reshape(
+        hb, 8, wb, 8).transpose(0, 2, 1, 3)
+    hmat = np.array([[1, 1], [1, -1]], np.int64)
+    for _ in range(2):
+        hmat = np.kron(hmat, np.array([[1, 1], [1, -1]], np.int64))
+    t = hmat @ blocks @ hmat
+    sad = np.abs(t).sum(axis=(2, 3)) - np.abs(t[:, :, 0, 0])
+    sad = (sad + 2) >> 2
+    if bit_depth > 8:
+        sad >>= 2
+    return int(sad.sum())
+
+
 class SequenceRateController:
     def __init__(self, target_bps: float, frame_rate: float,
                  width: int, height: int, base_qp: int = 32,
@@ -41,10 +65,22 @@ class SequenceRateController:
             _LEVEL_WEIGHTS.get(l, 1.0) * c for l, c in mix.items()) / total
 
     # ------------------------------------------------------------------
-    def pre_picture(self, is_intra: bool, temporal_id: int) -> tuple:
-        """Returns (qp, lambda, target_bits) for the next picture."""
+    def pre_picture(self, is_intra: bool, temporal_id: int,
+                    intra_cost: int = 0) -> tuple:
+        """Returns (qp, lambda, target_bits) for the next picture.
+
+        intra_cost: the EstimateIntraComplexity SATD sum — when given for
+        an intra picture, its allocation follows the reference's
+        complexity-scaled formula (pictureRateAllocationIntra,
+        RateControl.cpp:905-935: bits = a*(cost*4/avg)^0.5582*avg)
+        instead of the fixed 4x weight."""
         w = 4.0 if is_intra else _LEVEL_WEIGHTS.get(temporal_id, 1.0)
         target_bpp = self.target_bpp * w / self.weight_avg
+        if is_intra and intra_cost > 0:
+            avg_bits = max(self.target_bpp * self.pixels, 200.0)
+            a = 0.25 if avg_bits * 40 < self.pixels else 0.30
+            bits = a * ((intra_cost * 4.0 / avg_bits) ** 0.5582) * avg_bits
+            target_bpp = bits / self.pixels
         # spend the budget debt over the next second of frames
         target_bpp -= self.buffer_debt / (self.pixels * 32.0)
         target_bpp = max(target_bpp,
