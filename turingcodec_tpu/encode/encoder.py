@@ -669,6 +669,9 @@ class Encoder:
         pic.is_reference = True
         self._dpb.picture_done(pic, sh)
         self._last_plan = plan
+        # exposed for the checkRate invariant test (encode/rate_check.py)
+        self._last_sh = sh
+        self._last_ctu_frac = list(enc.ctu_frac_list)
         return docket.input_index, nal, recon
 
 

@@ -148,17 +148,50 @@ class InterPictureEncoder(IntraPictureEncoder):
         if log2 > self.sps.max_tb_log2_size_y:
             return cost_best  # 64x64: inter only (intra needs TU-split RDO)
         self._restore(x0, y0, size, state)
-        cost_intra = super()._encode_cu(
-            x0, y0, log2, depth,
-            budget=cost_best - self.lam_bits * 2) \
-            + self.lam_bits * 2  # pred_mode flag bits
+        # intra trial: its cost includes its own cu_skip/pred_mode/part
+        # mode bins exactly (committed inside _encode_cu), so the budget
+        # is simply the inter champion's total cost
+        cost_intra = super()._encode_cu(x0, y0, log2, depth,
+                                        budget=cost_best)
         if cost_best <= cost_intra:
             self._restore(x0, y0, size, best_state)
             return cost_best
         return cost_intra
 
+    # ------------------------------------------------------------------
+    def _cand_est_2nx2n(self, x0, y0, log2, depth, kind, idx, info,
+                        lv_y, lv_cb, lv_cr, ts_cb=0, ts_cr=0,
+                        split_tt=False):
+        """Exact writer bins of one 2Nx2N inter CU candidate, chained on a
+        copy of the live pool: cu_skip/pred_mode/part_mode, the PU's
+        merge or AMVP bins, rqt_root_cbf, and the full transform tree
+        (cbf + residual) — the writer's order bin for bin."""
+        from turingcodec_tpu.cabac.engine import ctx_index
+        est = self._mb_est()
+        has = bool(lv_y.any() or lv_cb.any() or lv_cr.any())
+        if kind == "merge" and not has:
+            # merge without residual is a skip CU
+            self._emit_skip_cu(est, x0, y0, idx)
+            return est
+        self._emit_cu_skip(est, x0, y0, 0)
+        est.encode_decision(ctx_index("pred_mode_flag"), 0)
+        self._emit_inter_part_mode(est, T.PART_2Nx2N, log2)
+        size = 1 << log2
+        if kind == "merge":
+            self._emit_merge_pu(est, idx)
+        else:
+            self._emit_amvp_pu(est, depth, size, size, info)
+            est.encode_decision(ctx_index("rqt_root_cbf"), int(has))
+        if has:
+            if split_tt:
+                self._emit_tt_split(est, log2, lv_y, lv_cb, lv_cr)
+            else:
+                self._emit_tt_single(est, log2, lv_y, lv_cb, lv_cr,
+                                     ts_cb, ts_cr)
+        return est
+
     def _snapshot(self, x0, y0, size):
-        base = super()._snapshot(x0, y0, size)  # 4-tuple
+        base = super()._snapshot(x0, y0, size)  # 5-tuple
         p = self.plan
         sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
         extra = [p.skip_flag[sl].copy(), p.merge_flag[sl].copy(),
@@ -171,10 +204,10 @@ class InterPictureEncoder(IntraPictureEncoder):
         return base + (extra,)
 
     def _restore(self, x0, y0, size, state):
-        super()._restore(x0, y0, size, state[:4])
+        super()._restore(x0, y0, size, state[:5])
         p = self.plan
         sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
-        extra = state[4]
+        extra = state[5]
         (p.skip_flag[sl], p.merge_flag[sl], p.merge_idx[sl],
          p.mv[(slice(None),) + sl], p.ref_idx[(slice(None),) + sl],
          p.ref_poc[(slice(None),) + sl], p.mvd[(slice(None),) + sl],
@@ -752,7 +785,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         pred_y = np.zeros((size, size), np.int32)
         pred_cb = np.zeros((half, half), np.int32)
         pred_cr = np.zeros((half, half), np.int32)
-        rate_pu = 0.0
+        pu_records = []
         for part_idx, (px, py, pw, ph) in enumerate(pus):
             psl = (slice(py >> 2, (py + ph) >> 2),
                    slice(px >> 2, (px + pw) >> 2))
@@ -773,11 +806,7 @@ class InterPictureEncoder(IntraPictureEncoder):
             cy0, cx0 = (py - y0) >> 1, (px - x0) >> 1
             pred_cb[cy0:cy0 + (ph >> 1), cx0:cx0 + (pw >> 1)] = p[1]
             pred_cr[cy0:cy0 + (ph >> 1), cx0:cx0 + (pw >> 1)] = p[2]
-            if choice[0] == "merge":
-                rate_pu += 2 + choice[1]
-            else:
-                rate_pu += 3 + sum(_mv_bits(*v[1])
-                                   for v in choice[2].values())
+            pu_records.append((choice, pw, ph))
 
         # residual: forced TT split -> four luma TUs at log2-1 (chroma at
         # log2-2), committed in z-order so rate contexts track the writer
@@ -789,7 +818,6 @@ class InterPictureEncoder(IntraPictureEncoder):
         rec_cb = np.zeros((cs, cs), np.int32)
         rec_cr = np.zeros((cs, cs), np.int32)
         dist = 0.0
-        rate = rate_pu + 2.0  # part_mode bins + rqt_root_cbf proxy
         qh = half
         for (dy, dx) in ((0, 0), (0, qh), (qh, 0), (qh, qh)):
             oy = orig_y[dy:dy + qh, dx:dx + qh]
@@ -804,11 +832,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                                   self.bd, log2 - 1)
                 rq = np.clip(pyq + inverse_transform(d, self.bd, False),
                              0, (1 << self.bd) - 1)
-                rate += self._residual_bits(levels, log2 - 1, 0, 0, False)
-                self._commit_residual_ctx(levels, log2 - 1, 0, 0, False)
             else:
                 rq = pyq
-                rate += 1.0
             rec_y[dy:dy + qh, dx:dx + qh] = rq
             plan.coeff_y[y0 + dy:y0 + dy + qh, x0 + dx:x0 + dx + qh] = levels
             bl = (slice((y0 + dy) >> 2, (y0 + dy + qh) >> 2),
@@ -838,12 +863,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                     rc = np.clip(
                         pc + inverse_transform(dd, sps.bit_depth_c, False),
                         0, (1 << sps.bit_depth_c) - 1)
-                    rate += self._residual_bits(lv, log2 - 2, ci + 1, 0,
-                                                False)
-                    self._commit_residual_ctx(lv, log2 - 2, ci + 1, 0, False)
                 else:
                     rc = pc
-                    rate += 1.0
                 r_c[cdy:cdy + ch, cdx:cdx + ch] = rc
                 coeff_pl[cy + cdy:cy + cdy + ch, cx + cdx:cx + cdx + ch] = lv
                 cbf_pl[bl] = int(lv.any())
@@ -852,7 +873,28 @@ class InterPictureEncoder(IntraPictureEncoder):
         self.recon[0][y0:y0 + size, x0:x0 + size] = rec_y
         self.recon[1][cy:cy + cs, cx:cx + cs] = rec_cb
         self.recon[2][cy:cy + cs, cx:cx + cs] = rec_cr
-        return dist + self.lam * rate
+
+        # exact writer bins of the whole CU, in order (the only candidate
+        # of this part mode — committed immediately)
+        from turingcodec_tpu.cabac.engine import ctx_index
+        lv_y = plan.coeff_y[y0:y0 + size, x0:x0 + size]
+        lv_cb = plan.coeff_cb[cy:cy + cs, cx:cx + cs]
+        lv_cr = plan.coeff_cr[cy:cy + cs, cx:cx + cs]
+        est = self._mb_est()
+        self._emit_cu_skip(est, x0, y0, 0)
+        est.encode_decision(ctx_index("pred_mode_flag"), 0)
+        self._emit_inter_part_mode(est, part, log2)
+        for (choice, pw, ph) in pu_records:
+            if choice[0] == "merge":
+                self._emit_merge_pu(est, choice[1])
+            else:
+                self._emit_amvp_pu(est, depth, pw, ph, choice[2])
+        has = bool(lv_y.any() or lv_cb.any() or lv_cr.any())
+        est.encode_decision(ctx_index("rqt_root_cbf"), int(has))
+        if has:
+            self._emit_tt_split(est, log2, lv_y, lv_cb, lv_cr)
+        self._mb_adopt(est)
+        return dist + self.lam * (est.frac_bits / 256.0)
 
     # ------------------------------------------------------------------
     def _finish_inter_cu_split_tt(self, x0, y0, log2, candidates,
@@ -870,6 +912,10 @@ class InterPictureEncoder(IntraPictureEncoder):
         qh = half
         ch = qh >> 1
         best = None
+        z0 = np.zeros((size, size), np.int32)
+        zc0 = np.zeros((cs, cs), np.int32)
+        # depth of this CU in the quadtree (for inter_pred_idc ctx)
+        depth = int(plan.ct_depth[y0 >> 2, x0 >> 2])
         for kind, idx, info, pred in candidates:
             py, pcb, pcr = pred
             # FDM/FDAM: zero-residual champion -> zero-residual-only trial
@@ -878,22 +924,15 @@ class InterPictureEncoder(IntraPictureEncoder):
                 dist0 = float(((py - orig_y) ** 2).sum()) \
                     + float(((pcb - orig_cb) ** 2).sum()) \
                     + float(((pcr - orig_cr) ** 2).sum())
-                if kind == "merge":
-                    rate0 = 1.0 + idx
-                else:
-                    rate0 = 4.0
-                    for lx, (mv_l, mvd_l, _) in info.items():
-                        rate0 += _mv_bits(*mvd_l)
-                cost0 = dist0 + self.lam * rate0
+                e0 = self._cand_est_2nx2n(x0, y0, log2, depth, kind, idx,
+                                          info, z0, zc0, zc0,
+                                          split_tt=True)
+                cost0 = dist0 + self.lam * (e0.frac_bits / 256.0)
                 if cost0 < best[0]:
-                    best = (cost0, kind, idx, info,
-                            np.zeros((size, size), np.int32),
-                            np.zeros((cs, cs), np.int32),
-                            np.zeros((cs, cs), np.int32),
-                            py.copy(), pcb.copy(), pcr.copy(), False)
+                    best = (cost0, kind, idx, info, z0, zc0, zc0,
+                            py.copy(), pcb.copy(), pcr.copy(), False, e0)
                 continue
             dist = 0.0
-            rate = 0.0
             lv_y = np.zeros((size, size), np.int32)
             lv_cb = np.zeros((cs, cs), np.int32)
             lv_cr = np.zeros((cs, cs), np.int32)
@@ -913,11 +952,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                                       self.bd, log2 - 1)
                     rq = np.clip(pq + inverse_transform(d, self.bd, False),
                                  0, (1 << self.bd) - 1)
-                    rate += self._residual_bits(levels, log2 - 1, 0, 0,
-                                                False)
                 else:
                     rq = pq
-                    rate += 1.0
                 lv_y[dy:dy + qh, dx:dx + qh] = levels
                 rec_y[dy:dy + qh, dx:dx + qh] = rq
                 dist += float(((rq - oy) ** 2).sum())
@@ -940,47 +976,35 @@ class InterPictureEncoder(IntraPictureEncoder):
                             pc + inverse_transform(dd, sps.bit_depth_c,
                                                    False),
                             0, (1 << sps.bit_depth_c) - 1)
-                        rate += self._residual_bits(lv, log2 - 2,
-                                                    1 if lvp is lv_cb else 2,
-                                                    0, False)
                     else:
                         rc = pc
-                        rate += 1.0
                     lvp[cdy:cdy + ch, cdx:cdx + ch] = lv
                     recp[cdy:cdy + ch, cdx:cdx + ch] = rc
                     dist += float(((rc - oc) ** 2).sum())
-            if kind == "merge":
-                rate += 1 + idx
-            else:
-                rate += 3
-                for lx, (mv_l, mvd_l, _) in info.items():
-                    rate += _mv_bits(*mvd_l)
-            cost = dist + self.lam * rate
+            est = self._cand_est_2nx2n(x0, y0, log2, depth, kind, idx,
+                                       info, lv_y, lv_cb, lv_cr,
+                                       split_tt=True)
+            cost = dist + self.lam * (est.frac_bits / 256.0)
             has_coeff = bool(lv_y.any() or lv_cb.any() or lv_cr.any())
             if best is None or cost < best[0]:
                 best = (cost, kind, idx, info, lv_y.copy(), lv_cb.copy(),
                         lv_cr.copy(), rec_y.copy(), rec_cb.copy(),
-                        rec_cr.copy(), has_coeff)
+                        rec_cr.copy(), has_coeff, est)
             # zero-residual variant (skip / rqt_root_cbf=0 trial)
             if has_coeff:
                 dist0 = float(((py - orig_y) ** 2).sum()) \
                     + float(((pcb - orig_cb) ** 2).sum()) \
                     + float(((pcr - orig_cr) ** 2).sum())
-                if kind == "merge":
-                    rate0 = 1.0 + idx
-                else:
-                    rate0 = 4.0
-                    for lx, (mv_l, mvd_l, _) in info.items():
-                        rate0 += _mv_bits(*mvd_l)
-                cost0 = dist0 + self.lam * rate0
+                e0 = self._cand_est_2nx2n(x0, y0, log2, depth, kind, idx,
+                                          info, z0, zc0, zc0,
+                                          split_tt=True)
+                cost0 = dist0 + self.lam * (e0.frac_bits / 256.0)
                 if cost0 < best[0]:
-                    best = (cost0, kind, idx, info,
-                            np.zeros_like(lv_y), np.zeros_like(lv_cb),
-                            np.zeros_like(lv_cr), py.copy(), pcb.copy(),
-                            pcr.copy(), False)
+                    best = (cost0, kind, idx, info, z0, zc0, zc0,
+                            py.copy(), pcb.copy(), pcr.copy(), False, e0)
 
         (cost, kind, idx, info, lv_y, lv_cb, lv_cr, rec_y, rec_cb, rec_cr,
-         has_coeff) = best
+         has_coeff, best_est) = best
 
         # commit motion (identical to the single-TU path)
         if kind == "merge":
@@ -1013,7 +1037,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                     plan.mv[(lx,) + sl] = 0
 
         plan.tu_log2[sl] = log2 - 1
-        # per-quadrant TU records + contexts in writer order (z-scan)
+        self._mb_adopt(best_est)
+        # per-quadrant TU records (z-scan)
         for (dy, dx) in ((0, 0), (0, qh), (qh, 0), (qh, qh)):
             bl = (slice((y0 + dy) >> 2, (y0 + dy + qh) >> 2),
                   slice((x0 + dx) >> 2, (x0 + dx + qh) >> 2))
@@ -1026,9 +1051,6 @@ class InterPictureEncoder(IntraPictureEncoder):
             plan.cbf_y[bl] = int(lq.any())
             plan.cbf_cb[bl] = int(lcb.any())
             plan.cbf_cr[bl] = int(lcr.any())
-            self._commit_residual_ctx(lq, log2 - 1, 0, 0, False)
-            self._commit_residual_ctx(lcb, log2 - 2, 1, 0, False)
-            self._commit_residual_ctx(lcr, log2 - 2, 2, 0, False)
         plan.coeff_y[y0:y0 + size, x0:x0 + size] = lv_y
         plan.coeff_cb[cy:cy + cs, cx:cx + cs] = lv_cb
         plan.coeff_cr[cy:cy + cs, cx:cx + cs] = lv_cr
@@ -1144,7 +1166,10 @@ class InterPictureEncoder(IntraPictureEncoder):
                 dist0 = float(((py - orig_y) ** 2).sum()) \
                     + float(((pcb - orig_cb) ** 2).sum()) \
                     + float(((pcr - orig_cr) ** 2).sum())
-                cost0 = dist0 + self.lam * (1.0 + mi0)
+                est = self._mb_live()
+                self._emit_skip_cu(est, x0, y0, mi0)
+                self._ctu_frac += est.frac_bits
+                cost0 = dist0 + self.lam * (est.frac_bits / 256.0)
                 plan.merge_flag[sl] = 1
                 plan.merge_idx[sl] = mi0
                 plan.skip_flag[sl] = 1
@@ -1248,6 +1273,8 @@ class InterPictureEncoder(IntraPictureEncoder):
         st_pre = self._snapshot(x0, y0, size) if do_rqt else None
 
         best = None
+        z0 = np.zeros((size, size), np.int32)
+        zc0 = np.zeros((cs, cs), np.int32)
         for kind, idx, info, pred in candidates:
             py, pcb, pcr = pred
             # FDM/FDAM (Speed.h useFdm/useFdam, Search.hpp:990,1008): once
@@ -1257,19 +1284,12 @@ class InterPictureEncoder(IntraPictureEncoder):
                 dist0 = float(((py - orig_y) ** 2).sum()) \
                     + float(((pcb - orig_cb) ** 2).sum()) \
                     + float(((pcr - orig_cr) ** 2).sum())
-                if kind == "merge":
-                    rate0 = 1.0 + idx
-                else:
-                    rate0 = 4.0
-                    for lx, (mv_l, mvd_l, _) in info.items():
-                        rate0 += _mv_bits(*mvd_l)
-                cost0 = dist0 + self.lam * rate0
+                e0 = self._cand_est_2nx2n(x0, y0, log2, depth, kind, idx,
+                                          info, z0, zc0, zc0)
+                cost0 = dist0 + self.lam * (e0.frac_bits / 256.0)
                 if cost0 < best[0]:
-                    z = np.zeros((size, size), np.int32)
-                    zc = [np.zeros((size >> 1, size >> 1), np.int32),
-                          np.zeros((size >> 1, size >> 1), np.int32)]
-                    best = (cost0, kind, idx, info, z, zc,
-                            py, [pcb, pcr], False, [0, 0])
+                    best = (cost0, kind, idx, info, z0,
+                            [zc0, zc0], py, [pcb, pcr], False, [0, 0], e0)
                 continue
             # luma residual
             res = orig_y - py
@@ -1327,23 +1347,15 @@ class InterPictureEncoder(IntraPictureEncoder):
             dist = float(((rec_y - orig_y) ** 2).sum()) \
                 + float(((recs_c[0] - orig_cb) ** 2).sum()) \
                 + float(((recs_c[1] - orig_cr) ** 2).sum())
-            rate = self._residual_bits(levels, log2, 0, 0, False) \
-                + self._residual_bits(levels_c[0], log2 - 1, 1, 0, False) \
-                + self._residual_bits(levels_c[1], log2 - 1, 2, 0, False)
-            if kind == "merge":
-                rate += 1 + idx  # merge flag + idx proxy
-            else:
-                rate += 3
-                for lx, (mv_l, mvd_l, _) in info.items():
-                    rate += _mv_bits(*mvd_l)
-            cost = dist + self.lam * rate
+            est = self._cand_est_2nx2n(x0, y0, log2, depth, kind, idx,
+                                       info, levels, levels_c[0],
+                                       levels_c[1], ts_c[0], ts_c[1])
+            cost = dist + self.lam * (est.frac_bits / 256.0)
             has_coeff = bool(levels.any() or levels_c[0].any()
                              or levels_c[1].any())
-            if kind == "merge" and not has_coeff:
-                cost -= self.lam * (self._coeff_rate(levels) - 1)  # skip cheap
             if best is None or cost < best[0]:
                 best = (cost, kind, idx, info, levels, levels_c,
-                        rec_y, recs_c, has_coeff, ts_c)
+                        rec_y, recs_c, has_coeff, ts_c, est)
             # zero-residual variant (the reference's skip / rqt_root_cbf=0
             # trial, Search.hpp searchMerge2Nx2N + rqt_root_cbf RDO): same
             # prediction, residual dropped entirely
@@ -1351,22 +1363,15 @@ class InterPictureEncoder(IntraPictureEncoder):
                 dist0 = float(((py - orig_y) ** 2).sum()) \
                     + float(((pcb - orig_cb) ** 2).sum()) \
                     + float(((pcr - orig_cr) ** 2).sum())
-                if kind == "merge":
-                    rate0 = 1.0 + idx  # skip_flag + merge_idx
-                else:
-                    rate0 = 4.0  # motion + rqt_root_cbf
-                    for lx, (mv_l, mvd_l, _) in info.items():
-                        rate0 += _mv_bits(*mvd_l)
-                cost0 = dist0 + self.lam * rate0
+                e0 = self._cand_est_2nx2n(x0, y0, log2, depth, kind, idx,
+                                          info, z0, zc0, zc0)
+                cost0 = dist0 + self.lam * (e0.frac_bits / 256.0)
                 if cost0 < best[0]:
-                    z = np.zeros_like(levels)
-                    zc = [np.zeros_like(levels_c[0]),
-                          np.zeros_like(levels_c[1])]
-                    best = (cost0, kind, idx, info, z, zc,
-                            py, [pcb, pcr], False, [0, 0])
+                    best = (cost0, kind, idx, info, z0,
+                            [zc0, zc0], py, [pcb, pcr], False, [0, 0], e0)
 
         (cost, kind, idx, info, levels, levels_c, rec_y, recs_c,
-         has_coeff, ts_best) = best
+         has_coeff, ts_best, best_est) = best
 
         # APS (Aps.h analyseResidueEnergy input): per-quadrant |residual|
         # of the champion's PREDICTION (Reconstruct.cpp:1283) for the
@@ -1417,9 +1422,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         plan.tu_log2[sl] = min(log2, sps.max_tb_log2_size_y)
         plan.tu_id[sl] = self.next_id[2]
         self.next_id[2] += 1
-        self._commit_residual_ctx(levels, log2, 0, 0, False)
-        self._commit_residual_ctx(levels_c[0], log2 - 1, 1, 0, False)
-        self._commit_residual_ctx(levels_c[1], log2 - 1, 2, 0, False)
+        self._mb_adopt(best_est)
         plan.coeff_y[y0:y0 + size, x0:x0 + size] = levels
         plan.coeff_cb[cy:cy + cs, cx:cx + cs] = levels_c[0]
         plan.coeff_cr[cy:cy + cs, cx:cx + cs] = levels_c[1]

@@ -14,8 +14,9 @@ from typing import List, Tuple
 
 import numpy as np
 
-from turingcodec_tpu.cabac.engine import CabacEncoder, ContextPool
+from turingcodec_tpu.cabac.engine import CabacEncoder, ContextPool, ctx_index
 from turingcodec_tpu.bitstream.writer import BitWriter
+from turingcodec_tpu.hevc import types as T
 from turingcodec_tpu.hevc.geometry import PictureGeometry
 from turingcodec_tpu.hevc.params import Pps, SliceSegmentHeader, Sps
 from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
@@ -136,12 +137,18 @@ class IntraPictureEncoder:
         self.lam = 0.57 * (2.0 ** ((self.qp - 12) / 3.0))
         self.lam_bits = self.lam
         # search-side context pool for exact CABAC rate estimation; tracks
-        # the real writer's residual-context states exactly (EstimateRate
-        # parity; checkRate invariant Write.h:820-826)
+        # the real writer's context states exactly for EVERY bin — mode
+        # bins (split/skip/pred/part/merge/mvd/...) and residual bins alike
+        # (EstimateRate parity; checkRate invariant Write.h:820-826,
+        # asserted per CTU by tests/test_rate_invariant.py)
         from turingcodec_tpu.cabac.engine import ContextPool
         self.rd_ctx = ContextPool()
         self.rd_ctx.initialize(sh.init_type(), sh.slice_qp_y)
         self._rd_ctx_wpp = None
+        # per-CTU committed fractional bits (1/256 units) of the chosen
+        # path — integer, equals the writer's estimate re-walk exactly
+        self._ctu_frac = 0
+        self.ctu_frac_list = []
         self.qp_map = None  # per-CTB QP (adaptive quantization)
         self._base_lam_qp = self.qp
         # last 2Nx2N integer-search best per list (mvPreviousInteger2Nx2N
@@ -227,8 +234,10 @@ class IntraPictureEncoder:
                 if nat is not None:
                     nat.encode_ctu(self, rx * ctb, ry * ctb)
                 else:
+                    self._ctu_frac = 0
                     self._decide_cqt(rx * ctb, ry * ctb,
                                      sps.ctb_log2_size_y, 0)
+                    self.ctu_frac_list.append(self._ctu_frac)
             return plan, self.recon
         for ry in range(sps.pic_height_in_ctbs_y):
             for rx in range(wc):
@@ -259,8 +268,10 @@ class IntraPictureEncoder:
                 if nat is not None:
                     nat.encode_ctu(self, rx * ctb, ry * ctb)
                 else:
+                    self._ctu_frac = 0
                     self._decide_cqt(rx * ctb, ry * ctb,
                                      sps.ctb_log2_size_y, 0)
+                    self.ctu_frac_list.append(self._ctu_frac)
                 if wpp and rx == snap_rx:
                     self._rd_ctx_wpp = self.rd_ctx.copy()
         return plan, self.recon
@@ -320,7 +331,8 @@ class IntraPictureEncoder:
         limit = self.max_cu_log2 if self.sh.is_i else \
             getattr(self, "max_cu_inter_log2", self.max_cu_log2)
         if log2 > limit:
-            cost = 0.0
+            f1 = self._commit_split_flag(x0, y0, log2, depth, 1)
+            cost = self.lam * (f1 / 256.0)
             half = size >> 1
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
                 cost += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1, depth + 1)
@@ -332,24 +344,27 @@ class IntraPictureEncoder:
         st = self._rcu_status
         if st and ((depth == 0 and st >= 2) or (depth == 1 and st == 3)):
             half = size >> 1
-            cost_split = self.lam_bits * 2
+            f1 = self._commit_split_flag(x0, y0, log2, depth, 1)
+            cost_split = self.lam * (f1 / 256.0)
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
                 cost_split += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1,
                                                depth + 1)
             return cost_split
 
-        # candidate: no-split at this size
+        # candidate: no-split at this size (split_cu_flag=0 committed
+        # first — writer bin order is top-down)
         state = self._snapshot(x0, y0, size)
-        cost_here = self._encode_cu(x0, y0, log2, depth) + self.lam_bits * 2
+        f0 = self._commit_split_flag(x0, y0, log2, depth, 0)
+        cost_here = self._encode_cu(x0, y0, log2, depth) \
+            + self.lam * (f0 / 256.0)
         if log2 == sps.min_cb_log2_size_y:
-            # try NxN at min CU size (four 4x4 intra PUs, DST transforms)
+            # try NxN at min CU size (four 4x4 intra PUs, DST transforms);
+            # no split flag exists at the min CB size
             if self.sh.is_i or self.plan.cu_pred_mode[y0 >> 2, x0 >> 2] == 1:
                 here = self._snapshot(x0, y0, size)
                 self._restore(x0, y0, size, state)
-                cost_nxn = self._encode_cu_nxn(
-                    x0, y0, log2, depth,
-                    budget=cost_here - self.lam_bits * 2) \
-                    + self.lam_bits * 2
+                cost_nxn = self._encode_cu_nxn(x0, y0, log2, depth,
+                                               budget=cost_here)
                 if cost_nxn < cost_here:
                     return cost_nxn
                 self._restore(x0, y0, size, here)
@@ -366,7 +381,8 @@ class IntraPictureEncoder:
         self._restore(x0, y0, size, state)
 
         half = size >> 1
-        cost_split = self.lam_bits * 2  # split flag proxy
+        f1 = self._commit_split_flag(x0, y0, log2, depth, 1)
+        cost_split = self.lam * (f1 / 256.0)
         for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
             cost_split += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1,
                                            depth + 1)
@@ -396,6 +412,7 @@ class IntraPictureEncoder:
              p.transform_skip_cr[sl].copy()],
             list(self.next_id),
             bytearray(self.rd_ctx.states),
+            self._ctu_frac,
         )
 
     def _restore(self, x0, y0, size, state):
@@ -403,7 +420,7 @@ class IntraPictureEncoder:
         sl = (slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2))
         cl = (slice(y0 >> 1, (y0 + size) >> 1), slice(x0 >> 1, (x0 + size) >> 1))
         ll = (slice(y0, y0 + size), slice(x0, x0 + size))
-        rec, pl, ids, ctx_states = state
+        rec, pl, ids, ctx_states, frac = state
         self.recon[0][ll], self.recon[1][cl], self.recon[2][cl] = \
             rec[0].copy(), rec[1].copy(), rec[2].copy()
         (p.ct_depth[sl], p.part_mode[sl], p.cu_pred_mode[sl],
@@ -413,6 +430,246 @@ class IntraPictureEncoder:
          p.coeff_cr[cl], p.transform_skip_y[sl], p.transform_skip_cb[sl],
          p.transform_skip_cr[sl]) = [a.copy() for a in pl]
         self.next_id = list(ids)
+        # the rate-context pool and frac counter follow the plan: a
+        # discarded trial leaves no trace (the reference's CandidateStash
+        # restores contexts the same way, StateEncode.h:380)
+        self.rd_ctx.states = bytearray(ctx_states)
+        self._ctu_frac = frac
+
+    # ---- exact mode-bin rate machinery -------------------------------
+    # Every syntax bin the writer will produce is estimated with the exact
+    # context state and binarization (turing/EstimateRate.h:33-96 parity;
+    # bypass bins cost exactly 1 bit). Estimators run either on a copy of
+    # the live pool (candidate trials) or on the live pool itself
+    # (committing the chosen path). Binarizations mirror encode/ctu_write.py
+    # bin for bin.
+
+    def _mb_est(self):
+        """Estimator over a copy of the live pool (candidate trial)."""
+        from turingcodec_tpu.cabac.rate import RateEstimator
+        return RateEstimator(self.rd_ctx.copy())
+
+    def _mb_clone(self, est):
+        """Fork an estimator (variant trials within one candidate)."""
+        from turingcodec_tpu.cabac.rate import RateEstimator
+        e2 = RateEstimator(est.ctx.copy())
+        e2.frac_bits = est.frac_bits
+        return e2
+
+    def _mb_live(self):
+        """Estimator over the live pool (immediate commit)."""
+        from turingcodec_tpu.cabac.rate import RateEstimator
+        return RateEstimator(self.rd_ctx)
+
+    def _mb_adopt(self, est):
+        """Adopt a copy-estimator's context evolution as the chosen path."""
+        self.rd_ctx.states = est.ctx.states
+        self._ctu_frac += est.frac_bits
+
+    def _emit_split_flag(self, est, x0, y0, depth, split):
+        """split_cu_flag bin (callers guard the writer's flag condition:
+        in-picture node above the min CB size)."""
+        plan = self.plan
+        inc = 0
+        if self.geom.available(plan.slice_idx, x0, y0, x0 - 1, y0):
+            inc += int(plan.ct_depth[y0 >> 2, (x0 - 1) >> 2] > depth)
+        if self.geom.available(plan.slice_idx, x0, y0, x0, y0 - 1):
+            inc += int(plan.ct_depth[(y0 - 1) >> 2, x0 >> 2] > depth)
+        est.encode_decision(ctx_index("split_cu_flag", inc), int(split))
+
+    def _commit_split_flag(self, x0, y0, log2, depth, split):
+        """Commit a split bin on the live pool; returns its frac bits."""
+        if log2 <= self.sps.min_cb_log2_size_y:
+            return 0
+        est = self._mb_live()
+        self._emit_split_flag(est, x0, y0, depth, split)
+        self._ctu_frac += est.frac_bits
+        return est.frac_bits
+
+    def _emit_cu_skip(self, est, x0, y0, skip):
+        plan = self.plan
+        inc = 0
+        if self.geom.available(plan.slice_idx, x0, y0, x0 - 1, y0):
+            inc += int(plan.skip_flag[y0 >> 2, (x0 - 1) >> 2])
+        if self.geom.available(plan.slice_idx, x0, y0, x0, y0 - 1):
+            inc += int(plan.skip_flag[(y0 - 1) >> 2, x0 >> 2])
+        est.encode_decision(ctx_index("cu_skip_flag", inc), int(skip))
+
+    def _emit_merge_idx(self, est, idx):
+        c_max = self.sh.max_num_merge_cand - 1
+        est.encode_decision(ctx_index("merge_idx"), 1 if idx else 0)
+        if idx:
+            est.encode_bypass_bits(
+                0, (idx - 1) + (1 if idx < c_max else 0))
+
+    def _emit_skip_cu(self, est, x0, y0, idx):
+        """Whole skip CU: cu_skip_flag=1 + merge_idx."""
+        self._emit_cu_skip(est, x0, y0, 1)
+        if self.sh.max_num_merge_cand > 1:
+            self._emit_merge_idx(est, idx)
+
+    def _emit_merge_pu(self, est, idx):
+        est.encode_decision(ctx_index("merge_flag"), 1)
+        if self.sh.max_num_merge_cand > 1:
+            self._emit_merge_idx(est, idx)
+
+    def _emit_mvd(self, est, mx, my):
+        ax, ay = abs(mx), abs(my)
+        est.encode_decision(ctx_index("abs_mvd_greater0_flag"), int(ax > 0))
+        est.encode_decision(ctx_index("abs_mvd_greater0_flag"), int(ay > 0))
+        if ax > 0:
+            est.encode_decision(ctx_index("abs_mvd_greater1_flag"),
+                                int(ax > 1))
+        if ay > 0:
+            est.encode_decision(ctx_index("abs_mvd_greater1_flag"),
+                                int(ay > 1))
+        for a in (ax, ay):
+            if a > 0:
+                if a > 1:
+                    est.encode_egk_bypass(a - 2, 1)
+                est.encode_bypass(0)  # sign
+
+    def _emit_amvp_pu(self, est, cu_depth, pw, ph, info):
+        """Non-merge prediction_unit bins (merge_flag=0, inter_pred_idc,
+        ref_idx, mvd, mvp_flag); info: {lx: (mv, mvd, mvp_flag)}."""
+        sh = self.sh
+        est.encode_decision(ctx_index("merge_flag"), 0)
+        ipi = (1 if 0 in info else 0) | (2 if 1 in info else 0)
+        if sh.is_b:
+            if pw + ph != 12:
+                est.encode_decision(ctx_index("inter_pred_idc", cu_depth),
+                                    1 if ipi == 3 else 0)
+            if ipi != 3:
+                est.encode_decision(ctx_index("inter_pred_idc", 4),
+                                    1 if ipi == 2 else 0)
+        for lx in (0, 1):
+            if not (ipi >> lx) & 1:
+                continue
+            nref = (sh.num_ref_idx_l0_active_minus1 if lx == 0
+                    else sh.num_ref_idx_l1_active_minus1)
+            if nref > 0:
+                est.encode_decision(ctx_index("ref_idx", 0), 0)  # ref 0
+            if lx == 1 and sh.mvd_l1_zero_flag and ipi == 3:
+                pass
+            else:
+                mvd_l = info[lx][1]
+                self._emit_mvd(est, int(mvd_l[0]), int(mvd_l[1]))
+            est.encode_decision(ctx_index("mvp_flag"), int(info[lx][2]))
+
+    def _emit_inter_part_mode(self, est, part, log2):
+        sps = self.sps
+        if part == T.PART_2Nx2N:
+            est.encode_decision(ctx_index("part_mode", 0), 1)
+            return
+        est.encode_decision(ctx_index("part_mode", 0), 0)
+        at_min = log2 == sps.min_cb_log2_size_y
+        amp = sps.amp_enabled_flag and not at_min
+        horizontal = part in (T.PART_2NxN, T.PART_2NxnU, T.PART_2NxnD)
+        est.encode_decision(ctx_index("part_mode", 1), 1 if horizontal else 0)
+        if at_min:
+            if part == T.PART_2NxN or log2 == 3:
+                return
+            est.encode_decision(ctx_index("part_mode", 2),
+                                1 if part == T.PART_Nx2N else 0)
+            return
+        if not amp:
+            return
+        sym = part in (T.PART_2NxN, T.PART_Nx2N)
+        est.encode_decision(ctx_index("part_mode", 3), 1 if sym else 0)
+        if not sym:
+            est.encode_bypass(0)
+
+    def _emit_intra_luma_mode(self, est, mode, mpm):
+        in_mpm = mode in mpm
+        est.encode_decision(ctx_index("prev_intra_luma_pred_flag"),
+                            int(in_mpm))
+        if in_mpm:
+            est.encode_bypass_bits(0, 1 if mpm.index(mode) == 0 else 2)
+        else:
+            est.encode_bypass_bits(0, 5)
+
+    def _emit_chroma_mode(self, est, k):
+        """Chroma mode bins by candidate-list position (0 = DM)."""
+        est.encode_decision(ctx_index("intra_chroma_pred_mode"),
+                            0 if k == 0 else 1)
+        if k:
+            est.encode_bypass_bits(0, 2)
+
+    def _emit_cbf(self, est, elem, inc, val):
+        est.encode_decision(ctx_index(elem, inc), int(val))
+
+    def _emit_residual(self, est, levels, log2, c_idx, mode, intra, ts=0):
+        """Chained residual bins (+ transform_skip flag when eligible) on
+        the estimator's context pool. levels must be nonzero."""
+        if self.pps.transform_skip_enabled_flag and log2 == 2:
+            el = ("transform_skip_flag_luma" if c_idx == 0
+                  else "transform_skip_flag_chroma")
+            est.encode_decision(ctx_index(el), ts)
+        scan = self._scan_for(log2, c_idx, mode, intra)
+        sdh = bool(self.pps.sign_data_hiding_enabled_flag)
+        from turingcodec_tpu import native
+        bits = native.residual_bits(est.ctx, log2, c_idx, scan, sdh, levels)
+        if bits is not None:
+            est.frac_bits += int(round(bits * 256.0))
+        else:
+            from turingcodec_tpu.encode.ctu_write import residual_core
+            residual_core(est, levels, log2, c_idx, scan, sdh)
+
+    def _emit_tt_single(self, est, log2, lv_y, lv_cb, lv_cr, ts_cb=0,
+                        ts_cr=0):
+        """Single-TU inter transform tree bins (TU == CU, chroma at
+        log2-1): split_transform_flag (when the writer emits one), chroma
+        cbf, luma cbf, then the three residuals in writer order."""
+        sps = self.sps
+        if (log2 <= sps.max_tb_log2_size_y and log2 > sps.min_tb_log2_size_y
+                and sps.max_transform_hierarchy_depth_inter > 0):
+            est.encode_decision(ctx_index("split_transform_flag", 5 - log2),
+                                0)
+        my_cb, my_cr = int(lv_cb.any()), int(lv_cr.any())
+        self._emit_cbf(est, "cbf_chroma", 0, my_cb)
+        self._emit_cbf(est, "cbf_chroma", 0, my_cr)
+        nz_y = int(lv_y.any())
+        if my_cb or my_cr:
+            self._emit_cbf(est, "cbf_luma", 1, nz_y)
+        if nz_y:
+            self._emit_residual(est, lv_y, log2, 0, 0, False)
+        if my_cb:
+            self._emit_residual(est, lv_cb, log2 - 1, 1, 0, False, ts_cb)
+        if my_cr:
+            self._emit_residual(est, lv_cr, log2 - 1, 2, 0, False, ts_cr)
+
+    def _emit_tt_split(self, est, log2, lv_y, lv_cb, lv_cr):
+        """One-level-split inter transform tree bins (four luma TUs at
+        log2-1, chroma at log2-2 each) in writer z-order."""
+        sps = self.sps
+        if (log2 <= sps.max_tb_log2_size_y and log2 > sps.min_tb_log2_size_y
+                and sps.max_transform_hierarchy_depth_inter > 0):
+            est.encode_decision(ctx_index("split_transform_flag", 5 - log2),
+                                1)
+        my_cb, my_cr = int(lv_cb.any()), int(lv_cr.any())
+        self._emit_cbf(est, "cbf_chroma", 0, my_cb)
+        self._emit_cbf(est, "cbf_chroma", 0, my_cr)
+        size = 1 << log2
+        qh = size >> 1
+        ch = qh >> 1
+        for (dy, dx) in ((0, 0), (0, qh), (qh, 0), (qh, qh)):
+            lq = lv_y[dy:dy + qh, dx:dx + qh]
+            cdy, cdx = dy >> 1, dx >> 1
+            lcb = lv_cb[cdy:cdy + ch, cdx:cdx + ch]
+            lcr = lv_cr[cdy:cdy + ch, cdx:cdx + ch]
+            q_cb, q_cr = int(lcb.any()), int(lcr.any())
+            if my_cb:
+                self._emit_cbf(est, "cbf_chroma", 1, q_cb)
+            if my_cr:
+                self._emit_cbf(est, "cbf_chroma", 1, q_cr)
+            nzq = int(lq.any())
+            self._emit_cbf(est, "cbf_luma", 0, nzq)
+            if nzq:
+                self._emit_residual(est, lq, log2 - 1, 0, 0, False)
+            if q_cb:
+                self._emit_residual(est, lcb, log2 - 2, 1, 0, False)
+            if q_cr:
+                self._emit_residual(est, lcr, log2 - 2, 2, 0, False)
 
     # ------------------------------------------------------------------
     def _encode_cu(self, x0, y0, log2, depth, budget=None) -> float:
@@ -435,6 +692,18 @@ class IntraPictureEncoder:
         plan.pu_id[sl] = self.next_id[1]
         self.next_id[0] += 1
         self.next_id[1] += 1
+
+        # CU-level mode bins (committed up front; the caller's snapshot
+        # rolls them back if this trial loses): cu_skip_flag=0 +
+        # pred_mode_flag=1 in inter slices, part_mode=2Nx2N at min CB size
+        head = self._mb_live()
+        if not self.sh.is_i:
+            self._emit_cu_skip(head, x0, y0, 0)
+            head.encode_decision(ctx_index("pred_mode_flag"), 1)
+        if log2 == sps.min_cb_log2_size_y:
+            head.encode_decision(ctx_index("part_mode", 0), 1)
+        self._ctu_frac += head.frac_bits
+        head_bits = self.lam * (head.frac_bits / 256.0)
 
         orig_y = self.orig[0][y0:y0 + size, x0:x0 + size].astype(np.int32)
 
@@ -484,14 +753,18 @@ class IntraPictureEncoder:
             else:
                 rec = np.clip(pred, 0, (1 << self.bd) - 1)
             dist = float(((rec - orig_y) ** 2).sum())
-            rate = self._residual_bits(levels, log2, 0, mode, True) \
-                + (2 if mode in mpm else 6)
-            cost = dist + self.lam * rate
+            est = self._mb_est()
+            self._emit_intra_luma_mode(est, mode, mpm)
+            self._emit_cbf(est, "cbf_luma", 1, levels.any())
+            if levels.any():
+                self._emit_residual(est, levels, log2, 0, mode, True)
+            cost = dist + self.lam * (est.frac_bits / 256.0)
             if best is None or cost < best[0]:
-                best = (cost, mode, levels, rec)
+                best = (cost, mode, levels, rec, est)
 
-        cost, mode, levels, rec = best
-        self._commit_residual_ctx(levels, log2, 0, mode, True)
+        cost, mode, levels, rec, best_est = best
+        cost += head_bits
+        self._mb_adopt(best_est)
         plan.intra_mode_y[sl] = mode
         plan.tu_log2[sl] = log2
         plan.tu_id[sl] = self.next_id[2]
@@ -556,12 +829,21 @@ class IntraPictureEncoder:
         plan.ref_idx[(0,) + sl] = -1
         plan.ref_idx[(1,) + sl] = -1
 
+        # CU-level mode bins (see _encode_cu); part_mode bin = 0 (NxN)
+        head = self._mb_live()
+        if not self.sh.is_i:
+            self._emit_cu_skip(head, x0, y0, 0)
+            head.encode_decision(ctx_index("pred_mode_flag"), 1)
+        head.encode_decision(ctx_index("part_mode", 0), 0)
+        self._ctu_frac += head.frac_bits
+        head_bits = self.lam * (head.frac_bits / 256.0)
+
         class _PS:
             pass
         ps = _PS()
         ps.plan, ps.geom, ps.sps = plan, self.geom, sps
 
-        cost = 0.0
+        cost = head_bits
         modes = []
         lumas = []
         for i in range(4):
@@ -614,15 +896,19 @@ class IntraPictureEncoder:
                         0, mode, True, ("cbf_luma", 0)) + (1,))
                 for lv_v, rec_v, tsf in variants:
                     dist = float(((rec_v - orig_b) ** 2).sum())
-                    rate = self._residual_bits(lv_v, 2, 0, mode, True) \
-                        + (2 if mode in mpm else 6)
-                    c = dist + self.lam * rate
+                    est = self._mb_est()
+                    self._emit_intra_luma_mode(est, mode, mpm)
+                    self._emit_cbf(est, "cbf_luma", 0, lv_v.any())
+                    if lv_v.any():
+                        self._emit_residual(est, lv_v, 2, 0, mode, True,
+                                            tsf)
+                    c = dist + self.lam * (est.frac_bits / 256.0)
                     if best is None or c < best[0]:
-                        best = (c, mode, lv_v, rec_v, tsf)
-            c, mode, levels, rec, tsf = best
+                        best = (c, mode, lv_v, rec_v, tsf, est)
+            c, mode, levels, rec, tsf, best_est = best
             plan.transform_skip_y[yb >> 2, xb >> 2] = \
                 tsf if levels.any() else 0
-            self._commit_residual_ctx(levels, 2, 0, mode, True)
+            self._mb_adopt(best_est)
             cost += c
             modes.append(mode)
             plan.intra_mode_y[bl] = mode
@@ -681,8 +967,10 @@ class IntraPictureEncoder:
         for k, m in enumerate(cand):
             if k not in keep:
                 continue
-            ck = 0.0
             trials = []
+            est = self._mb_est()
+            self._emit_chroma_mode(est, k)
+            ck = self.lam * (est.frac_bits / 256.0)  # mode bins
             for c_idx, (plane_o, _r, _c, _f, qp) in enumerate(planes):
                 pred = preds[(k, c_idx)]
                 res = plane_o[cy:cy + cs, cx:cx + cs].astype(np.int32) - pred
@@ -706,27 +994,32 @@ class IntraPictureEncoder:
                         sps.bit_depth_c, c_idx + 1, m, True,
                         ("cbf_chroma", 0)) + (1,))
                 cbest = None
+                base_frac = est.frac_bits
                 for lv_v, rec_v, tsf in variants:
                     dist_c = float(
                         ((rec_v - plane_o[cy:cy + cs, cx:cx + cs]) ** 2)
                         .sum())
-                    cbits = self._residual_bits(lv_v, clog2, c_idx + 1, m,
-                                                True)
-                    cc = dist_c + self.lam * cbits
+                    e2 = self._mb_clone(est)
+                    self._emit_cbf(e2, "cbf_chroma", 0, lv_v.any())
+                    if lv_v.any():
+                        self._emit_residual(e2, lv_v, clog2, c_idx + 1, m,
+                                            True, tsf)
+                    cc = dist_c \
+                        + self.lam * ((e2.frac_bits - base_frac) / 256.0)
                     if cbest is None or cc < cbest[0]:
-                        cbest = (cc, lv_v, rec_v, tsf)
+                        cbest = (cc, lv_v, rec_v, tsf, e2)
                 ck += cbest[0]
-                trials.append(cbest[1:])
-            ck += self.lam_bits * (1.0 if k == 0 else 3.0)
+                trials.append(cbest[1:4])
+                est = cbest[4]  # chain cr's bins on the chosen cb's ctx
             if best is None or ck < best[0]:
-                best = (ck, m, trials)
-        ck, m, trials = best
+                best = (ck, m, trials, est)
+        ck, m, trials, best_est = best
+        self._mb_adopt(best_est)
         plan.intra_mode_c[sl] = m
         for c_idx, (_o, plane_r, coeffp, cbfp, _q) in enumerate(planes):
             levels, rec_c, tsf = trials[c_idx]
             coeffp[cy:cy + cs, cx:cx + cs] = levels
             cbfp[sl] = int(levels.any())
-            self._commit_residual_ctx(levels, clog2, c_idx + 1, m, True)
             plane_r[cy:cy + cs, cx:cx + cs] = rec_c
             if ts_on:
                 tsmap = (plan.transform_skip_cb if c_idx == 0
