@@ -152,6 +152,8 @@ def _build_and_load():
         ctypes.c_double]
 
     lib.tc_enc_setup.argtypes = [ctypes.c_void_p] * 5
+    lib.tc_enc_set_frac_out.restype = None
+    lib.tc_enc_set_frac_out.argtypes = [ctypes.c_void_p]
     lib.tc_enc_ctu.restype = ctypes.c_double
     lib.tc_enc_picture.restype = ctypes.c_double
     lib.tc_enc_picture.argtypes = [
@@ -935,6 +937,7 @@ class EncNative:
 
     def __init__(self, lib, enc, plan):
         self.lib = lib
+        self._frac = None
         sps = enc.sps
         geom = enc.geom
         sh = enc.sh
@@ -1034,12 +1037,18 @@ class EncNative:
         self.ids[:] = enc.next_id
         states = enc.rd_ctx.states
         ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
-        cost = self.lib.tc_enc_picture(
-            ctx, self.ids.ctypes.data, qp3.ctypes.data, lam3.ctypes.data,
-            wpp, snap_rx, init_states, enc_threads())
+        frac = np.zeros(n, np.int64)
+        self.lib.tc_enc_set_frac_out(ctypes.c_void_p(frac.ctypes.data))
+        try:
+            cost = self.lib.tc_enc_picture(
+                ctx, self.ids.ctypes.data, qp3.ctypes.data, lam3.ctypes.data,
+                wpp, snap_rx, init_states, enc_threads())
+        finally:
+            self.lib.tc_enc_set_frac_out(None)
         if cost < 0:
             raise RuntimeError("native picture encode failed")
         enc.next_id[:] = [int(v) for v in self.ids]
+        enc.ctu_frac_list = [int(v) for v in frac]
         return cost
 
     def reset_me_seeds(self):
@@ -1053,16 +1062,29 @@ class EncNative:
         self.ids[:] = enc.next_id
         states = enc.rd_ctx.states
         ctx = (ctypes.c_uint8 * len(states)).from_buffer(states)
-        cost = self.lib.tc_enc_ctu(
-            x0, y0, ctx, self.ids.ctypes.data,
-            enc.qp + sps.qp_bd_offset_y,
-            enc.qp_cb + sps.qp_bd_offset_c,
-            enc.qp_cr + sps.qp_bd_offset_c,
-            float(enc.lam), float(enc.lam_bits),
-            float(getattr(enc, "lam_me", 0.0)))
+        if self._frac is None:
+            self._frac = np.zeros(
+                sps.pic_width_in_ctbs_y * sps.pic_height_in_ctbs_y,
+                np.int64)
+        self.lib.tc_enc_set_frac_out(
+            ctypes.c_void_p(self._frac.ctypes.data))
+        try:
+            cost = self.lib.tc_enc_ctu(
+                x0, y0, ctx, self.ids.ctypes.data,
+                enc.qp + sps.qp_bd_offset_y,
+                enc.qp_cb + sps.qp_bd_offset_c,
+                enc.qp_cr + sps.qp_bd_offset_c,
+                float(enc.lam), float(enc.lam_bits),
+                float(getattr(enc, "lam_me", 0.0)))
+        finally:
+            self.lib.tc_enc_set_frac_out(None)
         if cost < 0:
             raise RuntimeError("native CTU encode failed")
         enc.next_id[:] = [int(v) for v in self.ids]
+        wc = sps.pic_width_in_ctbs_y
+        ctb = sps.ctb_log2_size_y
+        enc.ctu_frac_list.append(
+            int(self._frac[(y0 >> ctb) * wc + (x0 >> ctb)]))
         return cost
 
 

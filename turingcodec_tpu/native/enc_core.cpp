@@ -375,6 +375,9 @@ struct EnCur {
     int qp_full, qp_cb_full, qp_cr_full;
     double lam, lam_bits, lam_me;
     int err;
+    // committed fractional bits (1/256) of the current CTU's chosen path —
+    // equals the writer's estimate re-walk exactly (checkRate invariant)
+    int64_t ctu_frac;
     // last 2Nx2N integer-search best (quarter-pel), per list — ME seed
     // (Search.hpp mvPreviousInteger2Nx2N); reset per CTU row so results
     // are identical at any WPP thread count
@@ -1384,6 +1387,289 @@ void commit_residual_ctx(const int16_t* levels, int nz, int log2, int c_idx,
                      g_sp.sdh_enabled, levels);
 }
 
+// ------------------------------------------------------- exact mode bins
+// Exact CABAC rate of every mode bin (turing/EstimateRate.h parity;
+// intra_search.py _emit_* twins — binarizations mirror the writer bin for
+// bin). A CandRate chains one candidate's bins on a copy of the live
+// pool; cr_commit adopts the winner's evolution + frac (the Python
+// _mb_est/_mb_adopt twins). Bypass bins cost exactly 256 frac units.
+struct CandRate {
+    uint8_t ctx[512];
+    int64_t frac;
+    void init() {
+        std::memcpy(ctx, cur.ctx, en.num_ctx);
+        frac = 0;
+    }
+    inline void bin(int elem, int inc, int b) {
+        const int idx = g_sp.off[elem] + inc;
+        const uint8_t s = ctx[idx];
+        ctx[idx] = b == (s & 1) ? g_next_mps[s] : g_next_lps[s];
+        frac += g_rate_bits[s][b];
+    }
+    inline void bypass(int n) { frac += (int64_t)n << 8; }
+    inline void egk1(int value) {  // EG1 bin count (rate.encode_egk_bypass)
+        int k = 1, n = 1;
+        while (value >= (1 << k)) {
+            value -= 1 << k;
+            k++;
+            n++;
+        }
+        bypass(n + k);
+    }
+    inline void residual(const int16_t* lv, int log2, int c_idx, int scan) {
+        frac += tc_residual_bits(ctx, log2, c_idx, scan, g_sp.sdh_enabled,
+                                 lv);
+    }
+};
+
+inline void cr_commit(const CandRate& cr) {
+    std::memcpy(cur.ctx, cr.ctx, en.num_ctx);
+    cur.ctu_frac += cr.frac;
+}
+
+void emit_split_flag(CandRate& cr, int x0, int y0, int depth, int split) {
+    int inc = 0;
+    if (sp_available(x0, y0, x0 - 1, y0))
+        inc += g_sp.ct_depth[idx4(x0 - 1, y0)] > depth;
+    if (sp_available(x0, y0, x0, y0 - 1))
+        inc += g_sp.ct_depth[idx4(x0, y0 - 1)] > depth;
+    cr.bin(E_SPLIT_CU, inc, split);
+}
+
+// commit a split_cu_flag bin on the live pool; returns lam * bits
+double commit_split_flag(int x0, int y0, int log2, int depth, int split) {
+    if (log2 <= g_sp.min_cb_log2)
+        return 0.0;
+    CandRate cr;
+    cr.init();
+    emit_split_flag(cr, x0, y0, depth, split);
+    cr_commit(cr);
+    return cur.lam * ((double)cr.frac / 256.0);
+}
+
+void emit_cu_skip(CandRate& cr, int x0, int y0, int skip) {
+    int inc = 0;
+    if (sp_available(x0, y0, x0 - 1, y0))
+        inc += g_sp.skip_flag[idx4(x0 - 1, y0)] != 0;
+    if (sp_available(x0, y0, x0, y0 - 1))
+        inc += g_sp.skip_flag[idx4(x0, y0 - 1)] != 0;
+    cr.bin(E_SKIP, inc, skip);
+}
+
+void emit_merge_idx(CandRate& cr, int idx) {
+    const int c_max = g_sp.max_merge - 1;
+    cr.bin(E_MERGE_IDX, 0, idx ? 1 : 0);
+    if (idx)
+        cr.bypass((idx - 1) + (idx < c_max ? 1 : 0));
+}
+
+void emit_skip_cu(CandRate& cr, int x0, int y0, int idx) {
+    emit_cu_skip(cr, x0, y0, 1);
+    if (g_sp.max_merge > 1)
+        emit_merge_idx(cr, idx);
+}
+
+void emit_merge_pu(CandRate& cr, int idx) {
+    cr.bin(E_MERGE_FLAG, 0, 1);
+    if (g_sp.max_merge > 1)
+        emit_merge_idx(cr, idx);
+}
+
+void emit_mvd(CandRate& cr, int mx, int my) {
+    const int ax = mx < 0 ? -mx : mx, ay = my < 0 ? -my : my;
+    cr.bin(E_MVD_G0, 0, ax > 0);
+    cr.bin(E_MVD_G0, 0, ay > 0);
+    if (ax > 0)
+        cr.bin(E_MVD_G1, 0, ax > 1);
+    if (ay > 0)
+        cr.bin(E_MVD_G1, 0, ay > 1);
+    for (int a : {ax, ay})
+        if (a > 0) {
+            if (a > 1)
+                cr.egk1(a - 2);
+            cr.bypass(1);  // sign
+        }
+}
+
+// non-merge PU bins; amvp_mask bit l set when list l is predicted
+void emit_amvp_pu(CandRate& cr, int cu_depth, int pw, int ph, int amvp_mask,
+                  const int mvd[2][2], const int* mvp_fl) {
+    cr.bin(E_MERGE_FLAG, 0, 0);
+    const int ipi = amvp_mask;
+    if (g_sp.is_b) {
+        if (pw + ph != 12)
+            cr.bin(E_INTER_DIR, cu_depth, ipi == 3 ? 1 : 0);
+        if (ipi != 3)
+            cr.bin(E_INTER_DIR, 4, ipi == 2 ? 1 : 0);
+    }
+    for (int lx = 0; lx < 2; lx++) {
+        if (!((ipi >> lx) & 1))
+            continue;
+        if (g_sp.n_ref[lx] > 1)
+            cr.bin(E_REF_IDX, 0, 0);  // encoder always uses ref 0
+        if (lx == 1 && g_sp.mvd_l1_zero && ipi == 3) {
+        } else {
+            emit_mvd(cr, mvd[lx][0], mvd[lx][1]);
+        }
+        cr.bin(E_MVP_FLAG, 0, mvp_fl[lx]);
+    }
+}
+
+void emit_inter_part_mode(CandRate& cr, int part, int log2) {
+    // partition constants match hevc/types.py (2Nx2N=0, 2NxN=1, Nx2N=2,
+    // NxN=3, 2NxnU=4, 2NxnD=5, nLx2N=6, nRx2N=7)
+    if (part == 0) {
+        cr.bin(E_PART_MODE, 0, 1);
+        return;
+    }
+    cr.bin(E_PART_MODE, 0, 0);
+    const bool at_min = log2 == g_sp.min_cb_log2;
+    const bool amp = g_sp.amp_enabled && !at_min;
+    const bool horizontal = part == 1 || part == 4 || part == 5;
+    cr.bin(E_PART_MODE, 1, horizontal ? 1 : 0);
+    if (at_min) {
+        if (part == 1 || log2 == 3)
+            return;
+        cr.bin(E_PART_MODE, 2, part == 2 ? 1 : 0);
+        return;
+    }
+    if (!amp)
+        return;
+    const bool sym = part == 1 || part == 2;
+    cr.bin(E_PART_MODE, 3, sym ? 1 : 0);
+    if (!sym)
+        cr.bypass(1);
+}
+
+void emit_intra_luma_mode(CandRate& cr, int mode, const int mpm[3]) {
+    const int mi = mode == mpm[0] ? 0
+        : (mode == mpm[1] ? 1 : (mode == mpm[2] ? 2 : -1));
+    cr.bin(E_PREV_INTRA, 0, mi >= 0);
+    if (mi >= 0)
+        cr.bypass(mi == 0 ? 1 : 2);
+    else
+        cr.bypass(5);
+}
+
+void emit_chroma_mode(CandRate& cr, int k) {
+    cr.bin(E_CHROMA_MODE, 0, k == 0 ? 0 : 1);
+    if (k)
+        cr.bypass(2);
+}
+
+void emit_residual_ts(CandRate& cr, const int16_t* lv, int log2, int c_idx,
+                      int mode, int intra, int ts) {
+    if (g_sp.transform_skip_enabled && log2 == 2)
+        cr.bin(c_idx == 0 ? E_TS_LUMA : E_TS_CHROMA, 0, ts);
+    cr.residual(lv, log2, c_idx, scan_for(log2, c_idx, mode, intra));
+}
+
+// single-TU inter transform tree (TU == CU, chroma at log2-1)
+void emit_tt_single(CandRate& cr, int log2, const int16_t* lv_y, int nz_y,
+                    const int16_t* lv_cb, int nz_cb, const int16_t* lv_cr,
+                    int nz_cr) {
+    if (log2 <= g_sp.max_tb_log2 && log2 > g_sp.min_tb_log2
+        && g_sp.mtd_inter > 0)
+        cr.bin(E_SPLIT_TT, 5 - log2, 0);
+    cr.bin(E_CBF_CHROMA, 0, nz_cb ? 1 : 0);
+    cr.bin(E_CBF_CHROMA, 0, nz_cr ? 1 : 0);
+    if (nz_cb || nz_cr)
+        cr.bin(E_CBF_LUMA, 1, nz_y ? 1 : 0);
+    if (nz_y)
+        emit_residual_ts(cr, lv_y, log2, 0, 0, 0, 0);
+    if (nz_cb)
+        emit_residual_ts(cr, lv_cb, log2 - 1, 1, 0, 0, 0);
+    if (nz_cr)
+        emit_residual_ts(cr, lv_cr, log2 - 1, 2, 0, 0, 0);
+}
+
+// one-level-split inter transform tree (four luma TUs at log2-1, chroma
+// at log2-2 each) in writer z-order; lv_y is (size, size) row-major,
+// lv_cb/lv_cr (size/2, size/2)
+void emit_tt_split(CandRate& cr, int log2, const int16_t* lv_y,
+                   const int16_t* lv_cb, const int16_t* lv_cr) {
+    if (log2 <= g_sp.max_tb_log2 && log2 > g_sp.min_tb_log2
+        && g_sp.mtd_inter > 0)
+        cr.bin(E_SPLIT_TT, 5 - log2, 1);
+    const int size = 1 << log2, qh = size >> 1, cs = size >> 1,
+              ch = qh >> 1;
+    auto any16 = [](const int16_t* p, int stride, int x, int y, int n) {
+        for (int yy = 0; yy < n; yy++)
+            for (int xx = 0; xx < n; xx++)
+                if (p[(y + yy) * stride + x + xx])
+                    return 1;
+        return 0;
+    };
+    const int my_cb = any16(lv_cb, cs, 0, 0, cs);
+    const int my_cr = any16(lv_cr, cs, 0, 0, cs);
+    cr.bin(E_CBF_CHROMA, 0, my_cb);
+    cr.bin(E_CBF_CHROMA, 0, my_cr);
+    static thread_local int16_t q_l[32 * 32], q_c[16 * 16];
+    static const int zo[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};  // (dy,dx)
+    for (int zi = 0; zi < 4; zi++) {
+        const int dy = zo[zi][0] * qh, dx = zo[zi][1] * qh;
+        const int cdy = dy >> 1, cdx = dx >> 1;
+        const int q_cb = any16(lv_cb, cs, cdx, cdy, ch);
+        const int q_cr = any16(lv_cr, cs, cdx, cdy, ch);
+        if (my_cb)
+            cr.bin(E_CBF_CHROMA, 1, q_cb);
+        if (my_cr)
+            cr.bin(E_CBF_CHROMA, 1, q_cr);
+        const int nzq = any16(lv_y, size, dx, dy, qh);
+        cr.bin(E_CBF_LUMA, 0, nzq);
+        if (nzq) {
+            for (int y = 0; y < qh; y++)
+                std::memcpy(q_l + y * qh, lv_y + (dy + y) * size + dx,
+                            qh * 2);
+            emit_residual_ts(cr, q_l, log2 - 1, 0, 0, 0, 0);
+        }
+        if (q_cb) {
+            for (int y = 0; y < ch; y++)
+                std::memcpy(q_c + y * ch, lv_cb + (cdy + y) * cs + cdx,
+                            ch * 2);
+            emit_residual_ts(cr, q_c, log2 - 2, 1, 0, 0, 0);
+        }
+        if (q_cr) {
+            for (int y = 0; y < ch; y++)
+                std::memcpy(q_c + y * ch, lv_cr + (cdy + y) * cs + cdx,
+                            ch * 2);
+            emit_residual_ts(cr, q_c, log2 - 2, 2, 0, 0, 0);
+        }
+    }
+}
+
+// exact writer bins of one 2Nx2N inter CU candidate
+// (inter_search._cand_est_2nx2n twin); kind 0 merge, 1 amvp
+void cand_rate_2nx2n(CandRate& cr, int x0, int y0, int log2, int depth,
+                     int kind, int idx, int amvp_mask, const int mvd[2][2],
+                     const int* mvp_fl, const int16_t* lv_y, int nz_y,
+                     const int16_t* lv_cb, int nz_cb, const int16_t* lv_cr,
+                     int nz_cr, bool split_tt) {
+    cr.init();
+    const int has = (nz_y || nz_cb || nz_cr) ? 1 : 0;
+    if (kind == 0 && !has) {
+        emit_skip_cu(cr, x0, y0, idx);  // merge w/o residual is a skip CU
+        return;
+    }
+    emit_cu_skip(cr, x0, y0, 0);
+    cr.bin(E_PRED_MODE, 0, 0);
+    emit_inter_part_mode(cr, 0, log2);
+    const int size = 1 << log2;
+    if (kind == 0) {
+        emit_merge_pu(cr, idx);
+    } else {
+        emit_amvp_pu(cr, depth, size, size, amvp_mask, mvd, mvp_fl);
+        cr.bin(E_RQT_ROOT, 0, has);
+    }
+    if (has) {
+        if (split_tt)
+            emit_tt_split(cr, log2, lv_y, lv_cb, lv_cr);
+        else
+            emit_tt_single(cr, log2, lv_y, nz_y, lv_cb, nz_cb, lv_cr,
+                           nz_cr);
+    }
+}
+
 // ---------------------------------------------------------------- fills
 
 template <typename T>
@@ -1454,6 +1740,7 @@ struct Snap {
     int32_t ref_poc[2 * 256];
     int32_t ids[3];
     uint8_t ctx[512];
+    int64_t frac;
 };
 
 // free-list pool: decide_cqt allocates two Snaps (~37 KB each) per quadtree
@@ -1529,6 +1816,8 @@ void snap_save(Snap& s, int x0, int y0, int size) {
     s.ids[0] = cur.ids[0];
     s.ids[1] = cur.ids[1];
     s.ids[2] = cur.ids[2];
+    std::memcpy(s.ctx, cur.ctx, en.num_ctx);
+    s.frac = cur.ctu_frac;
 }
 
 void snap_restore(const Snap& s, int x0, int y0, int size) {
@@ -1582,9 +1871,10 @@ void snap_restore(const Snap& s, int x0, int y0, int size) {
     cur.ids[0] = s.ids[0];
     cur.ids[1] = s.ids[1];
     cur.ids[2] = s.ids[2];
-    // NOTE: the rate-estimation context pool is deliberately NOT restored —
-    // the Python oracle (intra_search._restore) lets transitions from
-    // discarded trials accumulate, and the writer-side estimates track that.
+    // the rate-context pool and frac counter follow the plan: a discarded
+    // trial leaves no trace (CandidateStash restore, StateEncode.h:380)
+    std::memcpy(cur.ctx, s.ctx, en.num_ctx);
+    cur.ctu_frac = s.frac;
 }
 
 // ---------------------------------------------------------------- intra
@@ -2435,6 +2725,7 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
             keep1 = k;
         }
     static thread_local TbTrial cur_t[2], best_t[2];
+    CandRate best_cr;
     double best_cost = 0.0;
     int best_k = -1;
     for (int k = 0; k < 5; k++) {
@@ -2442,25 +2733,34 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
         if (!no_gate && k != keep0 && k != keep1)
             continue;
         int m = cand[k];
-        double ck = 0.0;
+        // exact chroma-mode bins, then cbf + residual chained cb -> cr
+        // (intra_search._encode_chroma twin)
+        CandRate crk;
+        crk.init();
+        emit_chroma_mode(crk, k);
+        double ck = cur.lam * ((double)crk.frac / 256.0);
         for (int ci = 0; ci < 2; ci++) {
             int qp = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
             try_tb(orig_c[ci], cpreds[k][ci], cs, clog2, qp, bd_c, 0, 1,
                    scan_for(clog2, ci + 1, m, 1), ci + 1,
                    g_sp.off[E_CBF_CHROMA], cur_t[ci]);
+            const int64_t base = crk.frac;
+            crk.bin(E_CBF_CHROMA, 0, cur_t[ci].nz ? 1 : 0);
+            if (cur_t[ci].nz)
+                emit_residual_ts(crk, cur_t[ci].levels, clog2, ci + 1, m,
+                                 1, 0);
             ck += cur_t[ci].dist
-                + cur.lam * residual_bits_est(cur_t[ci].levels,
-                                              cur_t[ci].nz, clog2, ci + 1,
-                                              m, 1);
+                + cur.lam * ((double)(crk.frac - base) / 256.0);
         }
-        ck += cur.lam_bits * (k == 0 ? 1.0 : 3.0);
         if (best_k < 0 || ck < best_cost) {
             best_cost = ck;
             best_k = k;
             best_t[0] = cur_t[0];
             best_t[1] = cur_t[1];
+            best_cr = crk;
         }
     }
+    cr_commit(best_cr);
     const int m = cand[best_k];
     fillq(g_sp.intra_mode_c, x0, y0, size, (uint8_t)m);
     for (int ci = 0; ci < 2; ci++) {
@@ -2468,8 +2768,6 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
         uint8_t* cbfp = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
         scatter_lv(coeffp, cw_(), cx, cy, cs, best_t[ci].levels);
         fillq(cbfp, x0, y0, size, (uint8_t)(best_t[ci].nz ? 1 : 0));
-        commit_residual_ctx(best_t[ci].levels, best_t[ci].nz, clog2, ci + 1,
-                            m, 1);
         scatter16(en.rec[ci + 1], cw_(), cx, cy, cs, best_t[ci].rec);
     }
     return best_cost;
@@ -2494,6 +2792,20 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
     cur.ids[0]++;
     cur.ids[1]++;
 
+    // CU-level mode bins (committed up front; the caller's snapshot rolls
+    // them back if this trial loses): cu_skip=0 + pred_mode=1 in inter
+    // slices, part_mode=2Nx2N at min CB size (intra_search._encode_cu)
+    CandRate head;
+    head.init();
+    if (!g_sp.is_i) {
+        emit_cu_skip(head, x0, y0, 0);
+        head.bin(E_PRED_MODE, 0, 1);
+    }
+    if (log2 == g_sp.min_cb_log2)
+        head.bin(E_PART_MODE, 0, 1);
+    cr_commit(head);
+    const double head_bits = cur.lam * ((double)head.frac / 256.0);
+
     static thread_local int32_t orig_y[64 * 64], pred[64 * 64];
     gather32(en.orig[0], g_sp.pic_w, x0, y0, size, orig_y);
 
@@ -2517,6 +2829,7 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
     }
 
     static thread_local TbTrial trial, best_t;
+    CandRate best_cr;
     double best_cost = 0.0;
     int best_mode = -1;
     int use_dst = log2 == 2;
@@ -2539,17 +2852,23 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
         try_tb(orig_y, pred, size, log2, cur.qp_full, bd, use_dst, 1,
                scan_for(log2, 0, mode, 1), 0,
                g_sp.off[E_CBF_LUMA] + 1, trial);
-        int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
-        double rate = residual_bits_est(trial.levels, trial.nz, log2, 0,
-                                        mode, 1) + (in_mpm ? 2 : 6);
-        double cost = trial.dist + cur.lam * rate;
+        // exact mode + cbf + residual bins, chained on a pool copy
+        CandRate crc;
+        crc.init();
+        emit_intra_luma_mode(crc, mode, mpm);
+        crc.bin(E_CBF_LUMA, 1, trial.nz ? 1 : 0);
+        if (trial.nz)
+            emit_residual_ts(crc, trial.levels, log2, 0, mode, 1, 0);
+        double cost = trial.dist + cur.lam * ((double)crc.frac / 256.0);
         if (best_mode < 0 || cost < best_cost) {
             best_cost = cost;
             best_mode = mode;
             best_t = trial;
+            best_cr = crc;
         }
     }
-    commit_residual_ctx(best_t.levels, best_t.nz, log2, 0, best_mode, 1);
+    cr_commit(best_cr);
+    best_cost += head_bits;
     fillq(g_sp.intra_mode_y, x0, y0, size, (uint8_t)best_mode);
     fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)log2);
     fillq(g_sp.tu_id, x0, y0, size, cur.ids[2]);
@@ -2584,10 +2903,22 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
     fillq(g_sp.ref_idx, x0, y0, size, (int8_t)-1);
     fillq(g_sp.ref_idx + plane4, x0, y0, size, (int8_t)-1);
 
+    // CU-level mode bins (see encode_intra_cu); part_mode bin = 0 (NxN)
+    CandRate head;
+    head.init();
+    if (!g_sp.is_i) {
+        emit_cu_skip(head, x0, y0, 0);
+        head.bin(E_PRED_MODE, 0, 1);
+    }
+    head.bin(E_PART_MODE, 0, 0);
+    cr_commit(head);
+    const double head_bits = cur.lam * ((double)head.frac / 256.0);
+
     static thread_local int32_t orig_b[16], pred[16];
     int32_t rt[64], rl[64], corner;
     TbTrial trial, best_t;
-    double cost = 0.0;
+    CandRate best_cr;
+    double cost = head_bits;
     int modes[4];
     for (int i = 0; i < 4; i++) {
         int xb = x0 + (i & 1) * half;
@@ -2631,17 +2962,22 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
             try_tb(orig_b, pred, half, 2, cur.qp_full, bd, 1, 1,
                    scan_for(2, 0, mode, 1), 0,
                    g_sp.off[E_CBF_LUMA], trial);
-            int in_mpm = mode == mpm[0] || mode == mpm[1] || mode == mpm[2];
-            double rate = residual_bits_est(trial.levels, trial.nz, 2, 0,
-                                            mode, 1) + (in_mpm ? 2 : 6);
-            double c = trial.dist + cur.lam * rate;
+            // exact mode + cbf (trafo depth 1 -> ctx 0) + residual bins
+            CandRate crc;
+            crc.init();
+            emit_intra_luma_mode(crc, mode, mpm);
+            crc.bin(E_CBF_LUMA, 0, trial.nz ? 1 : 0);
+            if (trial.nz)
+                emit_residual_ts(crc, trial.levels, 2, 0, mode, 1, 0);
+            double c = trial.dist + cur.lam * ((double)crc.frac / 256.0);
             if (best_mode < 0 || c < best_cost) {
                 best_cost = c;
                 best_mode = mode;
                 best_t = trial;
+                best_cr = crc;
             }
         }
-        commit_residual_ctx(best_t.levels, best_t.nz, 2, 0, best_mode, 1);
+        cr_commit(best_cr);
         cost += best_cost;
         modes[i] = best_mode;
         fillq(g_sp.intra_mode_y, xb, yb, half, (uint8_t)best_mode);
@@ -3618,9 +3954,9 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
         return cost_best;
     }
     snap_restore(*state, x0, y0, size);
-    double cost_intra = encode_intra_cu(x0, y0, log2, depth,
-                                        cost_best - cur.lam_bits * 2)
-                      + cur.lam_bits * 2;  // pred_mode flag bits
+    // the intra trial's cost includes its own cu_skip/pred_mode/part_mode
+    // bins exactly (committed inside encode_intra_cu)
+    double cost_intra = encode_intra_cu(x0, y0, log2, depth, cost_best);
     if (cost_best <= cost_intra) {
         snap_restore(*best_state, x0, y0, size);
         snap_free(state);
@@ -3652,7 +3988,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
     static thread_local int32_t pred_y[64 * 64], pred_cb[32 * 32],
         pred_cr[32 * 32];
     static thread_local int32_t ppy[64 * 64], ppcb[32 * 32], ppcr[32 * 32];
-    double rate_pu = 0.0;
+    PuChoice chs[4];
     const int64_t plane4 = (int64_t)g_sp.h4 * g_sp.w4;
     for (int pi = 0; pi < n_pu; pi++) {
         int px = geo[pi][0], py = geo[pi][1], pw = geo[pi][2],
@@ -3660,7 +3996,7 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
         fillq_wh(g_sp.pu_id, px, py, pw, ph, cur.ids[1]);
         cur.ids[1]++;
         int cb_info[6] = {x0, y0, size, pw, ph, pi};
-        PuChoice ch;
+        PuChoice& ch = chs[pi];
         search_pu(px, py, pw, ph, cb_info, pi, part, &ch);
         commit_pu_motion(px, py, pw, ph, ch);
         int64_t b = idx4(px, py);
@@ -3684,23 +4020,20 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
             std::memcpy(pred_cr + (cy0 + y) * half + cx0, ppcr + y * cpw,
                         cpw * 4);
         }
-        if (ch.kind == 0) {
-            rate_pu += 2 + ch.merge_idx;
-        } else {
-            rate_pu += 3;
-            for (int l = 0; l < 2; l++)
-                if ((ch.amvp_mask >> l) & 1)
-                    rate_pu += mv_bits(ch.mvd[l][0], ch.mvd[l][1]);
-        }
     }
 
-    // residual: forced TT split, four TUs at log2-1, chroma at log2-2
+    // residual: forced TT split, four TUs at log2-1, chroma at log2-2;
+    // levels collected for the exact whole-CU rate walk below
     const int cs = size >> 1, cx = x0 >> 1, cy = y0 >> 1;
     static thread_local int32_t oy_b[32 * 32], py_b[32 * 32], res[32 * 32],
         coeffs[32 * 32], rec_b[32 * 32];
     static thread_local int16_t levels[32 * 32];
+    static thread_local int16_t lvy[64 * 64], lvcb[32 * 32], lvcr[32 * 32];
+    std::memset(lvy, 0, size * size * 2);
+    std::memset(lvcb, 0, cs * cs * 2);
+    std::memset(lvcr, 0, cs * cs * 2);
+    int nz_any = 0;
     double dist = 0.0;
-    double rate = rate_pu + 2.0;  // part_mode bins + rqt_root_cbf proxy
     const int qh = half;
     static const int zoff[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};  // (dy,dx)
     for (int zi = 0; zi < 4; zi++) {
@@ -3727,11 +4060,12 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
                              rec_b);
             for (int i = 0; i < qh * qh; i++)
                 rec_b[i] = clip3i(0, max_v, rec_b[i]);
-            rate += residual_bits_est(levels, nz, log2 - 1, 0, 0, 0);
-            commit_residual_ctx(levels, nz, log2 - 1, 0, 0, 0);
+            for (int y = 0; y < qh; y++)
+                std::memcpy(lvy + (dy + y) * size + dx, levels + y * qh,
+                            qh * 2);
+            nz_any = 1;
         } else {
             std::memcpy(rec_b, py_b, qh * qh * 4);
-            rate += 1.0;
         }
         scatter16(en.rec[0], g_sp.pic_w, x0 + dx, y0 + dy, qh, rec_b);
         scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0 + dx, y0 + dy, qh, levels);
@@ -3773,12 +4107,13 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
                                  rec_b);
                 for (int i = 0; i < chh2 * chh2; i++)
                     rec_b[i] = clip3i(0, max_c, rec_b[i]);
-                rate += residual_bits_est(levels, nzc, log2 - 2, ci + 1, 0,
-                                          0);
-                commit_residual_ctx(levels, nzc, log2 - 2, ci + 1, 0, 0);
+                int16_t* lvc = ci == 0 ? lvcb : lvcr;
+                for (int y = 0; y < chh2; y++)
+                    std::memcpy(lvc + (cdy + y) * cs + cdx,
+                                levels + y * chh2, chh2 * 2);
+                nz_any = 1;
             } else {
                 std::memcpy(rec_b, py_b, chh2 * chh2 * 4);
-                rate += 1.0;
             }
             scatter16(rplane, cw_(), cx + cdx, cy + cdy, chh2, rec_b);
             scatter_lv(coeff_pl, cw_(), cx + cdx, cy + cdy, chh2, levels);
@@ -3786,7 +4121,27 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
             dist += (double)ssd_i32(rec_b, oy_b, chh2 * chh2);
         }
     }
-    return dist + cur.lam * rate;
+
+    // exact writer bins of the whole CU, in order (the only candidate of
+    // this part mode — committed immediately; inter_search twin)
+    CandRate cr;
+    cr.init();
+    emit_cu_skip(cr, x0, y0, 0);
+    cr.bin(E_PRED_MODE, 0, 0);
+    emit_inter_part_mode(cr, part, log2);
+    for (int pi = 0; pi < n_pu; pi++) {
+        const PuChoice& ch = chs[pi];
+        if (ch.kind == 0)
+            emit_merge_pu(cr, ch.merge_idx);
+        else
+            emit_amvp_pu(cr, depth, geo[pi][2], geo[pi][3], ch.amvp_mask,
+                         ch.mvd, ch.mvp_fl);
+    }
+    cr.bin(E_RQT_ROOT, 0, nz_any);
+    if (nz_any)
+        emit_tt_split(cr, log2, lvy, lvcb, lvcr);
+    cr_commit(cr);
+    return dist + cur.lam * ((double)cr.frac / 256.0);
 }
 
 // inter_search._encode_inter_cu: 2Nx2N merge/skip/AMVP decision
@@ -3942,7 +4297,11 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             double dist0 = (double)ssd_i32(e_py, orig_y, size * size)
                          + (double)ssd_i32(e_pcb, orig_cb, cs * cs)
                          + (double)ssd_i32(e_pcr, orig_cr, cs * cs);
-            double cost0 = dist0 + cur.lam * (1.0 + s0.idx);
+            CandRate cr0;
+            cr0.init();
+            emit_skip_cu(cr0, x0, y0, s0.idx);
+            cr_commit(cr0);
+            double cost0 = dist0 + cur.lam * ((double)cr0.frac / 256.0);
             const Cand& c = merge_cands[s0.idx];
             fillq(g_sp.merge_flag, x0, y0, size, (uint8_t)1);
             fillq(g_sp.merge_idx, x0, y0, size, (uint8_t)s0.idx);
@@ -4109,6 +4468,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     double best_cost = 0;
     int best_i = -1;
     int b_nz_y = 0, b_nz_cb = 0, b_nz_cr = 0, b_has = 0;
+    CandRate best_cr;
 
     // One-level transform-split stage-2 + commit: forced for CUs above
     // the max TB (64x64), and the RQT trial for 16/32 CUs at slow
@@ -4118,6 +4478,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         best_i = -1;
         b_nz_y = b_nz_cb = b_nz_cr = 0;
         b_has = 0;
+        CandRate best_cr;
         const int qh = size >> 1;
         const int chh2 = qh >> 1;
         static thread_local int16_t qlv[32 * 32], qlv_c[16 * 16];
@@ -4134,21 +4495,17 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
                              + (double)ssd_i32(cpcb, orig_cb, cs * cs)
                              + (double)ssd_i32(cpcr, orig_cr, cs * cs);
-                double rate0;
-                if (s.kind == 0) {
-                    rate0 = 1.0 + s.idx;
-                } else {
-                    rate0 = 4.0;
-                    for (int l = 0; l < 2; l++)
-                        if ((s.amvp_mask >> l) & 1)
-                            rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
-                }
-                double cost0 = dist0 + cur.lam * rate0;
+                CandRate e0;
+                cand_rate_2nx2n(e0, x0, y0, log2, depth, s.kind, s.idx,
+                                s.amvp_mask, s.mvd, s.mvp_fl, nullptr, 0,
+                                nullptr, 0, nullptr, 0, true);
+                double cost0 = dist0 + cur.lam * ((double)e0.frac / 256.0);
                 if (cost0 < best_cost) {
                     best_cost = cost0;
                     best_i = order[k];
                     b_nz_y = b_nz_cb = b_nz_cr = 0;
                     b_has = 0;
+                    best_cr = e0;
                     std::memset(b_lv_y, 0, size * size * 2);
                     std::memset(b_lv_cb, 0, cs * cs * 2);
                     std::memset(b_lv_cr, 0, cs * cs * 2);
@@ -4158,7 +4515,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 }
                 continue;
             }
-            double dist = 0.0, rate = 0.0;
+            double dist = 0.0;
             int nz_y = 0, nz_cb = 0, nz_cr = 0;
             int max_v = (1 << bd) - 1, max_c = (1 << bd_c) - 1;
             for (int zi = 0; zi < 4; zi++) {
@@ -4184,10 +4541,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                                      0, rq_b);
                     for (int i = 0; i < qh * qh; i++)
                         rq_b[i] = clip3i(0, max_v, rq_b[i]);
-                    rate += residual_bits_est(qlv, nz, log2 - 1, 0, 0, 0);
                 } else {
                     std::memcpy(rq_b, pq_b, qh * qh * 4);
-                    rate += 1.0;
                 }
                 nz_y += nz;
                 for (int y = 0; y < qh; y++) {
@@ -4228,11 +4583,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                                          bd_c, 0, rq_b);
                         for (int i = 0; i < chh2 * chh2; i++)
                             rq_b[i] = clip3i(0, max_c, rq_b[i]);
-                        rate += residual_bits_est(qlv_c, nzc, log2 - 2,
-                                                  ci + 1, 0, 0);
                     } else {
                         std::memcpy(rq_b, pq_b, chh2 * chh2 * 4);
-                        rate += 1.0;
                     }
                     if (ci == 0)
                         nz_cb += nzc;
@@ -4247,15 +4599,11 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                     dist += (double)ssd_i32(rq_b, oy_b, chh2 * chh2);
                 }
             }
-            if (s.kind == 0) {
-                rate += 1 + s.idx;
-            } else {
-                rate += 3;
-                for (int l = 0; l < 2; l++)
-                    if ((s.amvp_mask >> l) & 1)
-                        rate += mv_bits(s.mvd[l][0], s.mvd[l][1]);
-            }
-            double cost = dist + cur.lam * rate;
+            CandRate ce;
+            cand_rate_2nx2n(ce, x0, y0, log2, depth, s.kind, s.idx,
+                            s.amvp_mask, s.mvd, s.mvp_fl, lv_y, nz_y,
+                            lv_cb, nz_cb, lv_cr, nz_cr, true);
+            double cost = dist + cur.lam * ((double)ce.frac / 256.0);
             int has_coeff = (nz_y || nz_cb || nz_cr) ? 1 : 0;
             if (best_i < 0 || cost < best_cost) {
                 best_cost = cost;
@@ -4264,6 +4612,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 b_nz_cb = nz_cb;
                 b_nz_cr = nz_cr;
                 b_has = has_coeff;
+                best_cr = ce;
                 std::memcpy(b_lv_y, lv_y, size * size * 2);
                 std::memcpy(b_lv_cb, lv_cb, cs * cs * 2);
                 std::memcpy(b_lv_cr, lv_cr, cs * cs * 2);
@@ -4276,21 +4625,17 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
                              + (double)ssd_i32(cpcb, orig_cb, cs * cs)
                              + (double)ssd_i32(cpcr, orig_cr, cs * cs);
-                double rate0;
-                if (s.kind == 0) {
-                    rate0 = 1.0 + s.idx;
-                } else {
-                    rate0 = 4.0;
-                    for (int l = 0; l < 2; l++)
-                        if ((s.amvp_mask >> l) & 1)
-                            rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
-                }
-                double cost0 = dist0 + cur.lam * rate0;
+                CandRate e0;
+                cand_rate_2nx2n(e0, x0, y0, log2, depth, s.kind, s.idx,
+                                s.amvp_mask, s.mvd, s.mvp_fl, nullptr, 0,
+                                nullptr, 0, nullptr, 0, true);
+                double cost0 = dist0 + cur.lam * ((double)e0.frac / 256.0);
                 if (cost0 < best_cost) {
                     best_cost = cost0;
                     best_i = order[k];
                     b_nz_y = b_nz_cb = b_nz_cr = 0;
                     b_has = 0;
+                    best_cr = e0;
                     std::memset(b_lv_y, 0, size * size * 2);
                     std::memset(b_lv_cb, 0, cs * cs * 2);
                     std::memset(b_lv_cr, 0, cs * cs * 2);
@@ -4300,6 +4645,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
                 }
             }
         }
+        cr_commit(best_cr);
         // commit motion (same as the single-TU path below)
         const Scored& s = scored[best_i];
         if (s.kind == 0) {
@@ -4386,24 +4732,6 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             fillq(g_sp.cbf_y, x0 + dx, y0 + dy, qh, (uint8_t)nzq);
             fillq(g_sp.cbf_cb, x0 + dx, y0 + dy, qh, (uint8_t)nzqb);
             fillq(g_sp.cbf_cr, x0 + dx, y0 + dy, qh, (uint8_t)nzqr);
-            if (nzq) {
-                for (int y = 0; y < qh; y++)
-                    std::memcpy(qlv + y * qh,
-                                b_lv_y + (dy + y) * size + dx, qh * 2);
-                commit_residual_ctx(qlv, 1, log2 - 1, 0, 0, 0);
-            }
-            if (nzqb) {
-                for (int y = 0; y < chh2; y++)
-                    std::memcpy(qlv_c + y * chh2,
-                                b_lv_cb + (cdy + y) * cs + cdx, chh2 * 2);
-                commit_residual_ctx(qlv_c, 1, log2 - 2, 1, 0, 0);
-            }
-            if (nzqr) {
-                for (int y = 0; y < chh2; y++)
-                    std::memcpy(qlv_c + y * chh2,
-                                b_lv_cr + (cdy + y) * cs + cdx, chh2 * 2);
-                commit_residual_ctx(qlv_c, 1, log2 - 2, 2, 0, 0);
-            }
         }
         scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, b_lv_y);
         scatter_lv(g_sp.coeff_cb, cw_(), cx, cy, cs, b_lv_cb);
@@ -4437,21 +4765,17 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
                          + (double)ssd_i32(cpcb, orig_cb, cs * cs)
                          + (double)ssd_i32(cpcr, orig_cr, cs * cs);
-            double rate0;
-            if (s.kind == 0) {
-                rate0 = 1.0 + s.idx;
-            } else {
-                rate0 = 4.0;
-                for (int l = 0; l < 2; l++)
-                    if ((s.amvp_mask >> l) & 1)
-                        rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
-            }
-            double cost0 = dist0 + cur.lam * rate0;
+            CandRate e0;
+            cand_rate_2nx2n(e0, x0, y0, log2, depth, s.kind, s.idx,
+                            s.amvp_mask, s.mvd, s.mvp_fl, nullptr, 0,
+                            nullptr, 0, nullptr, 0, false);
+            double cost0 = dist0 + cur.lam * ((double)e0.frac / 256.0);
             if (cost0 < best_cost) {
                 best_cost = cost0;
                 best_i = order[k];
                 b_nz_y = b_nz_cb = b_nz_cr = 0;
                 b_has = 0;
+                best_cr = e0;
                 std::memset(b_lv_y, 0, size * size * 2);
                 std::memset(b_lv_cb, 0, cs * cs * 2);
                 std::memset(b_lv_cr, 0, cs * cs * 2);
@@ -4515,20 +4839,12 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         double dist = (double)ssd_i32(rec_y, orig_y, size * size)
                     + (double)ssd_i32(rec_cb, orig_cb, cs * cs)
                     + (double)ssd_i32(rec_cr, orig_cr, cs * cs);
-        double rate = residual_bits_est(lv_y, nz_y, log2, 0, 0, 0)
-                    + residual_bits_est(lv_cb, nz_cb, log2 - 1, 1, 0, 0)
-                    + residual_bits_est(lv_cr, nz_cr, log2 - 1, 2, 0, 0);
-        if (s.kind == 0) {
-            rate += 1 + s.idx;
-        } else {
-            rate += 3;
-            for (int l = 0; l < 2; l++)
-                if ((s.amvp_mask >> l) & 1)
-                    rate += mv_bits(s.mvd[l][0], s.mvd[l][1]);
-        }
-        double cost = dist + cur.lam * rate;
+        CandRate ce;
+        cand_rate_2nx2n(ce, x0, y0, log2, depth, s.kind, s.idx,
+                        s.amvp_mask, s.mvd, s.mvp_fl, lv_y, nz_y, lv_cb,
+                        nz_cb, lv_cr, nz_cr, false);
+        double cost = dist + cur.lam * ((double)ce.frac / 256.0);
         int has_coeff = (nz_y || nz_cb || nz_cr) ? 1 : 0;
-        // (Python subtracts lam*(coeff_rate(zero)-1) == 0 for merge-skip)
         if (best_i < 0 || cost < best_cost) {
             best_cost = cost;
             best_i = order[k];
@@ -4536,6 +4852,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             b_nz_cb = nz_cb;
             b_nz_cr = nz_cr;
             b_has = has_coeff;
+            best_cr = ce;
             std::memcpy(b_lv_y, lv_y, size * size * 2);
             std::memcpy(b_lv_cb, lv_cb, cs * cs * 2);
             std::memcpy(b_lv_cr, lv_cr, cs * cs * 2);
@@ -4549,21 +4866,17 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             double dist0 = (double)ssd_i32(cpy, orig_y, size * size)
                          + (double)ssd_i32(cpcb, orig_cb, cs * cs)
                          + (double)ssd_i32(cpcr, orig_cr, cs * cs);
-            double rate0;
-            if (s.kind == 0) {
-                rate0 = 1.0 + s.idx;
-            } else {
-                rate0 = 4.0;
-                for (int l = 0; l < 2; l++)
-                    if ((s.amvp_mask >> l) & 1)
-                        rate0 += mv_bits(s.mvd[l][0], s.mvd[l][1]);
-            }
-            double cost0 = dist0 + cur.lam * rate0;
+            CandRate e0;
+            cand_rate_2nx2n(e0, x0, y0, log2, depth, s.kind, s.idx,
+                            s.amvp_mask, s.mvd, s.mvp_fl, nullptr, 0,
+                            nullptr, 0, nullptr, 0, false);
+            double cost0 = dist0 + cur.lam * ((double)e0.frac / 256.0);
             if (cost0 < best_cost) {
                 best_cost = cost0;
                 best_i = order[k];
                 b_nz_y = b_nz_cb = b_nz_cr = 0;
                 b_has = 0;
+                best_cr = e0;
                 std::memset(b_lv_y, 0, size * size * 2);
                 std::memset(b_lv_cb, 0, cs * cs * 2);
                 std::memset(b_lv_cr, 0, cs * cs * 2);
@@ -4649,9 +4962,7 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
     fillq(g_sp.tu_log2, x0, y0, size, (uint8_t)tl);
     fillq(g_sp.tu_id, x0, y0, size, cur.ids[2]);
     cur.ids[2]++;
-    commit_residual_ctx(b_lv_y, b_nz_y, log2, 0, 0, 0);
-    commit_residual_ctx(b_lv_cb, b_nz_cb, log2 - 1, 1, 0, 0);
-    commit_residual_ctx(b_lv_cr, b_nz_cr, log2 - 1, 2, 0, 0);
+    cr_commit(best_cr);
     scatter_lv(g_sp.coeff_y, g_sp.pic_w, x0, y0, size, b_lv_y);
     scatter_lv(g_sp.coeff_cb, cw_(), cx, cy, cs, b_lv_cb);
     scatter_lv(g_sp.coeff_cr, cw_(), cx, cy, cs, b_lv_cr);
@@ -4744,7 +5055,7 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     }
     int cu_limit = g_sp.is_i ? en.max_cu_log2 : en.max_cu_inter;
     if (log2 > cu_limit) {
-        double cost = 0.0;
+        double cost = commit_split_flag(x0, y0, log2, depth, 1);
         int half = size >> 1;
         static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
         for (int i = 0; i < 4; i++)
@@ -4759,7 +5070,7 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     if (rcu_st && ((depth == 0 && rcu_st >= 2)
                    || (depth == 1 && rcu_st == 3))) {
         int half_r = size >> 1;
-        double cost_split = cur.lam_bits * 2;
+        double cost_split = commit_split_flag(x0, y0, log2, depth, 1);
         static const int qr[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
         for (int i = 0; i < 4; i++)
             cost_split += decide_cqt(x0 + qr[i][0] * half_r,
@@ -4768,19 +5079,20 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
         return cost_split;
     }
 
+    // candidate: no-split at this size (split_cu_flag=0 committed first —
+    // writer bin order is top-down)
     Snap* state = snap_new();
     snap_save(*state, x0, y0, size);
-    double cost_here = encode_cu_dispatch(x0, y0, log2, depth)
-                     + cur.lam_bits * 2;
+    const double flag0 = commit_split_flag(x0, y0, log2, depth, 0);
+    double cost_here = encode_cu_dispatch(x0, y0, log2, depth) + flag0;
     if (log2 == g_sp.min_cb_log2) {
+        // no split flag exists at the min CB size
         if (g_sp.is_i || g_sp.cu_pred_mode[idx4(x0, y0)] == 1) {
             Snap* here = snap_new();
             snap_save(*here, x0, y0, size);
             snap_restore(*state, x0, y0, size);
             double cost_nxn = encode_intra_nxn(x0, y0, log2, depth,
-                                               cost_here
-                                                   - cur.lam_bits * 2)
-                            + cur.lam_bits * 2;
+                                               cost_here);
             if (cost_nxn < cost_here) {
                 snap_free(here);
                 snap_free(state);
@@ -4811,7 +5123,7 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     snap_free(state);
 
     int half = size >> 1;
-    double cost_split = cur.lam_bits * 2;
+    double cost_split = commit_split_flag(x0, y0, log2, depth, 1);
     static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
     for (int i = 0; i < 4; i++)
         cost_split += decide_cqt(x0 + q[i][0] * half, y0 + q[i][1] * half,
@@ -4982,6 +5294,9 @@ struct RowProgress {
     char pad[64 - sizeof(std::atomic<int>)];  // avoid false sharing
 };
 
+// optional per-CTU committed-frac output (checkRate invariant harness)
+int64_t* g_frac_out = nullptr;
+
 double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                       const double* lam3, int snap_rx,
                       const uint8_t* init_states, int nthreads, int wc,
@@ -5024,9 +5339,12 @@ double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                 // per-CTU id bases keep ids unique without a shared counter
                 myids[0] = myids[1] = myids[2] = (int32_t)(i * 512);
                 cur.err = 0;
+                cur.ctu_frac = 0;
                 ctu_cost[i] = decide_cqt(rx << g_sp.ctb_log2,
                                          ry << g_sp.ctb_log2,
                                          g_sp.ctb_log2, 0);
+                if (g_frac_out)
+                    g_frac_out[i] = cur.ctu_frac;
                 if (cur.err) {
                     err.store(1, std::memory_order_relaxed);
                     return;
@@ -5252,8 +5570,11 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
             cur.lam = lam3[i * 3];
             cur.lam_bits = lam3[i * 3 + 1];
             cur.lam_me = lam3[i * 3 + 2];
+            cur.ctu_frac = 0;
             total += decide_cqt(rx << g_sp.ctb_log2, ry << g_sp.ctb_log2,
                                 g_sp.ctb_log2, 0);
+            if (g_frac_out)
+                g_frac_out[i] = cur.ctu_frac;
             if (cur.err)
                 return -1.0;
             if (wpp && rx == snap_rx) {
@@ -5285,9 +5606,19 @@ double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
     cur.lam_bits = lam_bits;
     cur.lam_me = lam_me;
     cur.err = 0;
+    cur.ctu_frac = 0;
     double cost = decide_cqt(x0, y0, g_sp.ctb_log2, 0);
+    if (g_frac_out) {
+        const int wc2 = (g_sp.pic_w + (1 << g_sp.ctb_log2) - 1)
+                        >> g_sp.ctb_log2;
+        g_frac_out[(int64_t)(y0 >> g_sp.ctb_log2) * wc2
+                   + (x0 >> g_sp.ctb_log2)] = cur.ctu_frac;
+    }
     return cur.err ? -1.0 : cost;
 }
+
+// install/clear the per-CTU frac output buffer (raster order, wc*hc)
+void tc_enc_set_frac_out(int64_t* p) { g_frac_out = p; }
 
 // SATD kernel self-test + cycle bench (havoc_test analogue): random
 // 8-bit blocks, optimized-vs-template mismatch count and per-variant ns.
