@@ -1,0 +1,78 @@
+"""Device encoder analysis (TURING_TPU_DEVICE_ENC): the jitted pre-ME
+seed fields must equal the host twins exactly, and a full encode with the
+device stage on must produce a byte-identical bitstream."""
+import os
+
+import numpy as np
+import pytest
+
+from turingcodec_tpu.encode.encoder import EncoderConfig, Encoder
+
+
+def _frames(n, w, h, seed=11):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (h + 16, w + 16)).astype(np.int16)
+    out = []
+    for i in range(n):
+        out.append([np.ascontiguousarray(base[i:i + h, i * 2:i * 2 + w]),
+                    np.ascontiguousarray(base[:h // 2, :w // 2]),
+                    np.ascontiguousarray(base[8:8 + h // 2, :w // 2])])
+    return out
+
+
+def test_seed_field_matches_host_oracle():
+    from turingcodec_tpu.encode.device_analysis import seed_field_device
+    from turingcodec_tpu.encode.inter_search import InterPictureEncoder
+    rng = np.random.RandomState(3)
+    h, w = 96, 144   # non-multiples of 64 exercise the clamped decimation
+    orig = rng.randint(0, 256, (h, w)).astype(np.int16)
+    ref = np.roll(orig, (3, -5), (0, 1)).astype(np.int16)
+    ref[40:60, 40:80] = rng.randint(0, 256, (20, 40))
+
+    dev, wb_d, hb_d = seed_field_device(orig, ref)
+
+    # host oracle via the Python encoder's private helper
+    enc = InterPictureEncoder.__new__(InterPictureEncoder)
+    enc._lr_seed_cache = {}
+    enc.orig = [orig]
+    host, wb_h, hb_h = enc._lowres_seed_field(ref)
+    assert (wb_d, hb_d) == (wb_h, hb_h)
+    assert np.array_equal(dev, host), (
+        np.argwhere(~(dev == host).all(-1))[:5])
+
+
+def _encode(frames, w, h, env):
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        cfg = EncoderConfig(width=w, height=h, qp=32, gop_m=4, sao=False,
+                            rdoq=True, sdh=True, rd_candidates=2)
+        enc = Encoder(cfg)
+        out = [enc.headers()]
+        for f in frames:
+            for (_i, nal, _r) in enc.push_frame([p.copy() for p in f]):
+                out.append(nal)
+        for (_i, nal, _r) in enc.flush():
+            out.append(nal)
+        return b"".join(out)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_device_enc_bitstream_identical():
+    frames = _frames(5, 128, 96)
+    ref = _encode(frames, 128, 96, {})
+    dev = _encode(frames, 128, 96, {"TURING_TPU_DEVICE_ENC": "1"})
+    assert dev == ref
+
+
+def test_device_enc_bitstream_identical_python_twin():
+    frames = _frames(4, 96, 64)
+    ref = _encode(frames, 96, 64, {"TURING_TPU_NO_NATIVE": "1"})
+    dev = _encode(frames, 96, 64, {"TURING_TPU_NO_NATIVE": "1",
+                                   "TURING_TPU_DEVICE_ENC": "1"})
+    assert dev == ref

@@ -1,0 +1,154 @@
+"""Device (TPU/XLA) encoder pre-analysis stages — TURING_TPU_DEVICE_ENC=1.
+
+The encoder's per-picture *data-parallel* analysis runs as one jitted XLA
+program per reference plane, feeding the (sequential, host) RDO exactly
+the numbers its own kernels would have produced — the bitstream is
+bit-identical with the host path by construction (integer arithmetic,
+same tie-breaks). Covered here:
+
+- lowres pre-ME seed fields (enc_core.cpp lowres_prepass /
+  inter_search._lowres_seed_field twins): quarter-res exhaustive +/-8 SAD
+  per 16x16 block with cost (SAD<<2)+|dx|+|dy| and scan-order tie-breaks,
+  then half-res +/-2 refinement. This is the encoder's one
+  whole-picture-dense pixel sweep (289 SAD maps over the full frame) —
+  MXU/VPU-friendly batched work, unlike the adaptive per-PU pattern
+  search it seeds.
+- AQ activity maps (encode/aq.compute_aq_map twin) when AQ is on.
+
+The reference's analogous pre-analysis is host C++ (SCDetection.h,
+AdaptiveQuantisation.h, and the seeded ME of Search.hpp:2064); here it is
+a jax.jit program so multi-chip meshes can shard pictures of a GOP across
+devices (parallel/: the 'frame' mesh axis).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+_JIT_CACHE = {}
+
+
+def device_enc_enabled() -> bool:
+    return bool(os.environ.get("TURING_TPU_DEVICE_ENC")) \
+        and not os.environ.get("TC_NO_LOWRES")
+
+
+def _lowres_plane_j(src, f, b, wb, hb, border):
+    """jnp twin of enc_core lowres_plane<F,B> (edge-clamped decimation by
+    rounded mean, padded to (hb*b, wb*b) + border)."""
+    import jax.numpy as jnp
+    h, w = src.shape
+    lw, lh = -(-w // f), -(-h // f)
+    p = jnp.pad(src.astype(jnp.int32),
+                ((0, lh * f - h), (0, lw * f - w)), "edge")
+    lr = (p.reshape(lh, f, lw, f).sum((1, 3)) + f * f // 2) // (f * f)
+    lr = jnp.pad(lr, ((0, hb * b - lh), (0, wb * b - lw)), "edge")
+    if border:
+        lr = jnp.pad(lr, border, "edge")
+    return lr
+
+
+def _seed_field_program(w: int, h: int):
+    """Build the jitted (orig, ref) -> (hb, wb, 2) int32 seed program for a
+    fixed picture size."""
+    import jax
+    import jax.numpy as jnp
+
+    lw, lh = -(-w // 4), -(-h // 4)
+    wb, hb = -(-lw // 4), -(-lh // 4)
+
+    offs_q = jnp.array([(dy, dx) for dy in range(-8, 9)
+                        for dx in range(-8, 9)], jnp.int32)
+    offs_h = jnp.array([(dy, dx) for dy in range(-2, 3)
+                        for dx in range(-2, 3)], jnp.int32)
+
+    def seed_field(orig, ref):
+        cur4 = _lowres_plane_j(orig, 4, 4, wb, hb, 0)
+        ref4 = _lowres_plane_j(ref, 4, 4, wb, hb, 8)
+
+        # quarter-res exhaustive +/-8: scan in (dy, dx) ascending order,
+        # strict improvement == numpy argmin's first-minimum tie-break
+        def qstep(carry, off):
+            dy, dx = off[0], off[1]
+            win = jax.lax.dynamic_slice(ref4, (8 + dy, 8 + dx),
+                                        (hb * 4, wb * 4))
+            d = jnp.abs(cur4 - win)
+            c = (d.reshape(hb, 4, wb, 4).sum((1, 3)) << 2) \
+                + jnp.abs(dx) + jnp.abs(dy)
+            bc, bdx, bdy = carry
+            m = c < bc
+            return (jnp.where(m, c, bc), jnp.where(m, dx, bdx),
+                    jnp.where(m, dy, bdy)), None
+
+        big = jnp.full((hb, wb), np.iinfo(np.int32).max, jnp.int32)
+        zeros = jnp.zeros((hb, wb), jnp.int32)
+        (qc, sdx, sdy), _ = jax.lax.scan(qstep, (big, zeros, zeros), offs_q)
+
+        # half-res +/-2 refinement around (2*sdx, 2*sdy) half-pels
+        cur8 = _lowres_plane_j(orig, 2, 8, wb, hb, 0)
+        ref8 = _lowres_plane_j(ref, 2, 8, wb, hb, 24)
+        cb = cur8.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+        by = jnp.arange(hb)[:, None]
+        bx = jnp.arange(wb)[None, :]
+        chy, chx = 2 * sdy, 2 * sdx
+        ay = jnp.arange(8)
+
+        def hstep(carry, off):
+            dy, dx = off[0], off[1]
+            ys = (by * 8 + chy + dy + 24)[:, :, None, None] \
+                + ay[None, None, :, None]
+            xs = (bx * 8 + chx + dx + 24)[:, :, None, None] \
+                + ay[None, None, None, :]
+            sad = jnp.abs(cb - ref8[ys, xs]).sum((2, 3))
+            sx, sy = 2 * (chx + dx), 2 * (chy + dy)
+            c = (sad << 2) + jnp.abs(sx) + jnp.abs(sy)
+            bc, bsx, bsy = carry
+            m = c < bc
+            return (jnp.where(m, c, bc), jnp.where(m, sx, bsx),
+                    jnp.where(m, sy, bsy)), None
+
+        (hc, bsx, bsy), _ = jax.lax.scan(
+            hstep, (big, zeros, zeros), offs_h)
+        return jnp.stack([bsx, bsy], -1)
+
+    return jax.jit(seed_field), wb, hb
+
+
+def seed_field_device(orig_y: np.ndarray, ref_y: np.ndarray):
+    """Compute one reference plane's seed field on device; returns
+    (seed_mv (hb, wb, 2) int32 numpy, wb, hb) — the exact value of
+    inter_search._lowres_seed_field / enc_core lowres_prepass."""
+    h, w = orig_y.shape
+    key = ("seed", w, h)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = _seed_field_program(w, h)
+    fn, wb, hb = _JIT_CACHE[key]
+    out = np.asarray(fn(np.asarray(orig_y, np.int16),
+                        np.asarray(ref_y, np.int16)))
+    return out.astype(np.int32), wb, hb
+
+
+def install_seed_fields(enc, orig) -> Optional[dict]:
+    """Run the device pre-ME for the encoder's list-0/1 ref-0 planes and
+    prefill the Python seed cache; returns {list: (mv, wb, hb)} for the
+    native install, or None when the stage does not apply."""
+    if enc.sh.is_i or getattr(enc, "search_range", 0) < 16:
+        return None
+    fields = {}
+    done = {}
+    for lx in (0, 1):
+        refs = enc.ref_lists[lx] if lx < len(enc.ref_lists) else []
+        if not refs:
+            continue
+        plane = refs[0].planes[0]
+        k = id(plane)
+        if k not in done:
+            done[k] = seed_field_device(np.asarray(orig[0]),
+                                        np.asarray(plane))
+        sm, wb, hb = done[k]
+        enc._lr_seed_cache[k] = (sm, wb, hb)
+        fields[lx] = (sm, wb, hb)
+    return fields or None

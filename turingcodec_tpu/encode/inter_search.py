@@ -72,6 +72,14 @@ class InterPictureEncoder(IntraPictureEncoder):
 
     def encode_picture(self, orig, slice_number=0):
         self.deriver = None  # created lazily (needs plan)
+        # TURING_TPU_DEVICE_ENC=1: run the picture's data-parallel
+        # pre-analysis (lowres pre-ME seed fields) on the TPU in one jit
+        # call; bit-identical values feed the host RDO (device_analysis)
+        from turingcodec_tpu.encode.device_analysis import (
+            device_enc_enabled, install_seed_fields)
+        self._device_seeds = None
+        if device_enc_enabled():
+            self._device_seeds = install_seed_fields(self, orig)
         return super().encode_picture(orig, slice_number)
 
     # ------------------------------------------------------------------
@@ -1252,9 +1260,14 @@ class InterPictureEncoder(IntraPictureEncoder):
             sc = satd_np(orig_y, pl, 8) + self.lam_me * 6
             scored.append((sc, "amvp", 2, info, motion))
 
-        # stage 2: full RD for the top candidates only
+        # stage 2: full RD for the top candidates only; an adaptive 3rd
+        # candidate joins when its SATD ranking cost is close to the
+        # leader's (the reference RDs every PU mode; native twin)
         scored.sort(key=lambda t: t[0])
         keep = max(2, self.rd_candidates)
+        if (self.rd_candidates <= 2 and len(scored) > keep
+                and scored[keep][0] <= 1.15 * scored[0][0]):
+            keep += 1
         candidates = [(kind, idx, info,
                        self._pred_for_motion(*motion, x0, y0, size, size))
                       for (_, kind, idx, info, motion) in scored[:keep]]

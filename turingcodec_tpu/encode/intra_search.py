@@ -192,6 +192,8 @@ class IntraPictureEncoder:
         plan.qp_y[:] = self.qp
         from turingcodec_tpu import native
         nat = native.EncNative.try_create(self, plan)
+        if nat is not None and getattr(self, "_device_seeds", None):
+            nat.install_seeds(self._device_seeds)
         ctb = sps.ctb_size_y
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
         wc = sps.pic_width_in_ctbs_y

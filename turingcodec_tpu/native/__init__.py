@@ -154,6 +154,9 @@ def _build_and_load():
     lib.tc_enc_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_enc_set_frac_out.restype = None
     lib.tc_enc_set_frac_out.argtypes = [ctypes.c_void_p]
+    lib.tc_enc_install_seeds.restype = None
+    lib.tc_enc_install_seeds.argtypes = [
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
     lib.tc_enc_ctu.restype = ctypes.c_double
     lib.tc_enc_picture.restype = ctypes.c_double
     lib.tc_enc_picture.argtypes = [
@@ -1055,6 +1058,16 @@ class EncNative:
         """Clear the row-local previous-integer-MV ME seed (tile-row
         starts; x0 == 0 resets implicitly inside tc_enc_ctu)."""
         self.lib.tc_enc_me_seed_reset()
+
+    def install_seeds(self, fields):
+        """Install device-computed lowres pre-ME seed fields
+        (encode/device_analysis.py): {list: (mv (hb, wb, 2), wb, hb)}."""
+        for lx, (sm, wb, hb) in fields.items():
+            arr = np.ascontiguousarray(sm, np.int16).reshape(-1)
+            self._keep_seeds = getattr(self, "_keep_seeds", [])
+            self._keep_seeds.append(arr)
+            self.lib.tc_enc_install_seeds(
+                lx, ctypes.c_void_p(arr.ctypes.data), wb, hb)
 
     def encode_ctu(self, enc, x0, y0) -> float:
         """Full RDO for the CTU at (x0, y0); advances enc.rd_ctx/next_id."""

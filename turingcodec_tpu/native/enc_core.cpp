@@ -93,6 +93,9 @@ struct EN {
     std::vector<int16_t> seed_mv[2];  // (hb*wb, 2) full-pel seeds per list
     int seed_wb = 0, seed_hb = 0;
     int have_seed[2] = {0, 0};
+    // seed fields supplied externally for this picture (device pre-ME,
+    // encode/device_analysis.py) — lowres_prepass honors and consumes
+    int seeds_external = 0;
 };
 
 EN en;
@@ -296,6 +299,11 @@ static void lowres_search_rows(const int16_t* cur, const int16_t* ref,
 
 static void lowres_prepass(int nthreads) {
     PhaseTimer pt_lr(15);
+    if (en.seeds_external) {
+        // device pre-ME already installed this picture's seed fields
+        en.seeds_external = 0;
+        return;
+    }
     en.have_seed[0] = en.have_seed[1] = 0;
     static const bool off = getenv("TC_NO_LOWRES") != nullptr;
     if (off || g_sp.is_i || en.search_range < 16)
@@ -4452,6 +4460,12 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
         return scored[a].sc < scored[b].sc;
     });
     int keep = en.rd_candidates > 2 ? en.rd_candidates : 2;
+    // adaptive 3rd stage-2 candidate: RD it only when its SATD ranking
+    // cost is close to the leader's (the reference RDs every PU mode;
+    // measured -0.5% BD-rate at unchanged speed on caminandes fast LDP)
+    if (en.rd_candidates <= 2 && n_scored > keep
+        && scored[order[keep]].sc <= 1.15 * scored[order[0]].sc)
+        keep++;
     if (keep > n_scored)
         keep = n_scored;
 
@@ -5619,6 +5633,17 @@ double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
 
 // install/clear the per-CTU frac output buffer (raster order, wc*hc)
 void tc_enc_set_frac_out(int64_t* p) { g_frac_out = p; }
+
+// install a device-computed lowres pre-ME seed field for list l
+// (encode/device_analysis.py; exact lowres_prepass values)
+void tc_enc_install_seeds(int32_t l, const int16_t* mv, int32_t wb,
+                          int32_t hb) {
+    en.seed_wb = wb;
+    en.seed_hb = hb;
+    en.seed_mv[l].assign(mv, mv + (size_t)hb * wb * 2);
+    en.have_seed[l] = 1;
+    en.seeds_external = 1;
+}
 
 // SATD kernel self-test + cycle bench (havoc_test analogue): random
 // 8-bit blocks, optimized-vs-template mismatch count and per-variant ns.
