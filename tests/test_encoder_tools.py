@@ -47,6 +47,9 @@ def test_rate_control_converges():
 
 
 def test_shot_change_places_idr():
+    # the reference-parity detector (SCDetection.h) needs a dhist window
+    # of 10 transitions around the cut — static scenes trip its hard
+    # threshold (tests/test_gop_scd.py covers the lookahead placement)
     from turingcodec_tpu.hevc import types as T
     from turingcodec_tpu.bitstream.reader import iter_nal_units
 
@@ -55,21 +58,23 @@ def test_shot_change_places_idr():
                         hash_type=None)
     enc = Encoder(cfg)
     stream = enc.headers()
-    rng = np.random.default_rng(1)
-    for i in range(6):
-        if i < 3:
-            f = _synthetic_frame(64, 64, 0)
-        else:
-            f = _synthetic_frame(64, 64, 99)  # abrupt content change
-            f[0][:] = 255 - f[0]
-        for r in enc.push_frame([np.roll(p, i, axis=0) for p in f]):
+    n = 24
+    cut = 11
+    a = _synthetic_frame(64, 64, 0)
+    b = _synthetic_frame(64, 64, 99)
+    b[0][:] = 255 - b[0]
+    for i in range(n):
+        f = a if i < cut else b
+        for r in enc.push_frame([p.copy() for p in f]):
             stream += r[1]
+    for r in enc.flush():
+        stream += r[1]
     idr_count = sum(1 for nal in iter_nal_units(stream)
                     if T.is_idr(nal.nal_unit_type))
-    assert idr_count >= 2, idr_count
+    assert idr_count == 2, idr_count
     # and the stream still decodes
     frames = list(Decoder().decode_stream(stream))
-    assert len(frames) == 6
+    assert len(frames) == n
 
 
 def test_field_coding_roundtrip():

@@ -100,7 +100,13 @@ class Dpb:
             (poc_lt_curr if used else poc_lt_foll).append((lt_poc, msb_p))
 
         def find(target_poc, lsb_only=False):
+            # spec 8.3.2: RPS derivation matches pictures marked "used for
+            # reference" — pictures lingering only for output (e.g. the
+            # previous CVS's, after a mid-stream IDR) can collide on POC
+            # and must not be picked up
             for p in self.pics:
+                if not p.is_reference:
+                    continue
                 if lsb_only:
                     if p.poc % max_lsb == target_poc:
                         return p
@@ -152,6 +158,7 @@ class Dpb:
         n0 = sh.num_ref_idx_l0_active_minus1 + 1
         tmp0 = self.st_curr_before + self.st_curr_after + self.lt_curr
         assert all(p is not None for p in tmp0), "missing reference picture"
+        assert tmp0, "P/B slice with an empty reference picture set"
         while len(tmp0) < n0:
             tmp0 = tmp0 + tmp0  # repeat until long enough
         if sh.ref_pic_list_modification_flag_l0:

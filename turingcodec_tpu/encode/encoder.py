@@ -141,9 +141,10 @@ class Encoder:
         self._dpb = Dpb(self.sps)
         self._inputs = {}
         self._scd = None
+        self._la_queue = []
         if cfg.shot_change:
             from turingcodec_tpu.encode.scd import ShotChangeDetector
-            self._scd = ShotChangeDetector()
+            self._scd = ShotChangeDetector(bit_depth=cfg.bit_depth)
         self._rc = None
         if cfg.bitrate:
             from turingcodec_tpu.encode.rate_control import SequenceRateController
@@ -435,16 +436,36 @@ class Encoder:
         idx = self.frame_count
         self.frame_count += 1
         self._inputs[idx] = yuv
-        force_idr = False
-        if self._scd is not None:
-            force_idr = self._scd.push(yuv[0])
         out = []
-        for docket in self._planner.push(force_idr):
+        if self._scd is not None:
+            # lookahead: SCD decisions for frame c finalize at frame c+5
+            # (InputQueue::preanalyse window, InputQueue.cpp:413-427) —
+            # inputs wait in the lookahead queue until decided so the IDR
+            # lands exactly on the cut
+            self._scd.push(yuv[0])
+            self._la_queue.append(idx)
+            while self._la_queue and self._la_queue[0] < \
+                    self._scd.decided_upto():
+                i = self._la_queue.pop(0)
+                for docket in self._planner.push(
+                        self._scd.is_shot_change(i)):
+                    out.append(self._encode_docket(docket))
+            return out
+        for docket in self._planner.push(False):
             out.append(self._encode_docket(docket))
         return out
 
     def flush(self) -> List[tuple]:
-        return [self._encode_docket(d) for d in self._planner.flush()]
+        out = []
+        if self._scd is not None:
+            self._scd.finish()
+            while self._la_queue:
+                i = self._la_queue.pop(0)
+                for docket in self._planner.push(
+                        self._scd.is_shot_change(i)):
+                    out.append(self._encode_docket(docket))
+        out += [self._encode_docket(d) for d in self._planner.flush()]
+        return out
 
     def timing(self, input_index: int):
         """(pts, dts, keyframe) for an emitted picture, 90 kHz clock —

@@ -17,10 +17,31 @@ _SOP_TABLES = {
     1: [(1, 0, 1, [1], [], 0.4420)],
     2: [(2, 0, 1, [2], [], 0.4420),
         (1, 1, 2, [1], [1], 0.6800)],
+    3: [(3, 0, 1, [3], [], 0.4420),
+        (2, 1, 2, [2], [1], 0.3536),
+        (1, 2, 3, [1], [1, 2], 0.6800)],
     4: [(4, 0, 1, [4], [], 0.4420),
         (2, 1, 2, [2], [2], 0.3536),
         (1, 2, 3, [1], [1, 3], 0.6800),
         (3, 2, 3, [1, 3], [1], 0.6800)],
+    5: [(5, 0, 1, [5], [], 0.4420),
+        (3, 1, 2, [3], [2], 0.3536),
+        (1, 1, 2, [1], [2, 4], 0.3536),
+        (2, 2, 3, [1, 2], [1, 3], 0.6800),
+        (4, 2, 3, [1, 4], [1], 0.6800)],
+    6: [(6, 0, 1, [6], [], 0.4420),
+        (3, 1, 2, [3], [3], 0.3536),
+        (1, 2, 3, [1], [2, 5], 0.3536),
+        (2, 3, 4, [1, 2], [1, 4], 0.6800),
+        (5, 2, 3, [2, 5], [1], 0.3536),
+        (4, 3, 4, [1, 4], [1, 2], 0.6800)],
+    7: [(7, 0, 1, [7], [], 0.4420),
+        (4, 1, 2, [4], [3], 0.3536),
+        (2, 2, 3, [2], [2, 5], 0.3536),
+        (1, 3, 4, [1], [1, 3, 6], 0.6800),
+        (3, 3, 4, [1, 3], [1, 4], 0.6800),
+        (6, 2, 3, [2], [1], 0.3536),
+        (5, 3, 4, [1], [1, 2], 0.6800)],
     8: [(8, 0, 1, [8], [], 0.4420),
         (4, 1, 2, [4], [4], 0.3536),
         (2, 2, 3, [2], [2, 6], 0.3536),
@@ -52,7 +73,7 @@ class GopPlanner:
 
     def __init__(self, gop_m: int = 8, intra_period: int = 0,
                  low_delay: bool = False):
-        assert gop_m in (1, 2, 4, 8)
+        assert gop_m in _SOP_TABLES, gop_m
         self.m = 1 if low_delay else gop_m
         self.low_delay = low_delay or gop_m == 1
         self.intra_period = intra_period
@@ -87,13 +108,10 @@ class GopPlanner:
         """Emit dockets for a final partial SOP (low-delay order)."""
         out = []
         while self.pending:
-            # encode remaining frames as a smaller SOP
-            m = 1
-            for cand in (8, 4, 2, 1):
-                if cand <= len(self.pending):
-                    m = cand
-                    break
-            out.extend(self._emit_sop(m))
+            # encode remaining frames as one exact-size SOP (the
+            # reference has dedicated tables for every size 1..8,
+            # InputQueue.cpp:331-379)
+            out.extend(self._emit_sop(min(len(self.pending), 8)))
         return out
 
     def _is_idr_input(self, idx: int) -> bool:

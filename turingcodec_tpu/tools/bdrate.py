@@ -70,11 +70,15 @@ def load_sequences(quick):
     rng = np.random.RandomState(42)
     w, h = 320, 192
     base = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.int16)
+    # static texture layer keeps the motion-compensated residual nonzero
+    # at every QP (otherwise rates collapse to header-only streams and
+    # BD percentages become meaningless)
+    tex = rng.randint(-24, 25, (h, w)).astype(np.int16)
     noise = rng.randint(-8, 9, (h + 16, w + 16)).astype(np.int16)
     syn = []
     for i in range(8 if quick else 16):
-        y = np.clip(np.roll(base, i * 2, 1) + noise[i:i + h, i:i + w],
-                    0, 255).astype(np.int16)
+        y = np.clip(np.roll(base + tex, i * 2, 1)
+                    + noise[i:i + h, i:i + w], 0, 255).astype(np.int16)
         syn.append([y, np.full((h // 2, w // 2), 128, np.int16),
                     np.full((h // 2, w // 2), 128, np.int16)])
     seqs["synthetic-320x192"] = syn
@@ -91,14 +95,16 @@ def write_yuv(frames, path):
 def run_ours(frames, qp, preset, gop_m):
     from turingcodec_tpu.encode.encoder import EncoderConfig, Encoder
     h, w = frames[0][0].shape
+    # hash_type=None: the reference emits no decoded-picture-hash SEI, so
+    # ours must not either (its ~54 B/frame would skew low-rate points)
     if preset == "fast":
         cfg = EncoderConfig(width=w, height=h, qp=qp, rd_candidates=1,
                             search_range=32, gop_m=gop_m, sao=False,
-                            rdoq=True, sdh=True)
+                            rdoq=True, sdh=True, hash_type=None)
     else:  # slow
         cfg = EncoderConfig(width=w, height=h, qp=qp, rd_candidates=3,
                             search_range=64, gop_m=gop_m, sao=True,
-                            rdoq=True, sdh=True)
+                            rdoq=True, sdh=True, hash_type=None)
     enc = Encoder(cfg)
     nals = [enc.headers()]
     recs = {}
