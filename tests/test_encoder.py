@@ -309,9 +309,11 @@ def test_amp_partitions_roundtrip():
     cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
     frames = []
     for k in range(3):
+        # motion boundary at y=24: a quarter split (2NxnD) of the 32-CUs
+        # covering rows 0..31, off every symmetric PU boundary
         y = base.copy()
-        y[:h // 4, :] = np.roll(base[:h // 4, :], 3 * k, axis=1)
-        y[h // 4:, :] = np.roll(base[h // 4:, :], -2 * k, axis=1)
+        y[:24, :] = np.roll(base[:24, :], 3 * k, axis=1)
+        y[24:, :] = np.roll(base[24:, :], -2 * k, axis=1)
         frames.append([y, cb, cr])
     cfg = EncoderConfig(width=w, height=h, qp=30, gop_m=1, rd_candidates=3,
                         search_range=16, amp=True)

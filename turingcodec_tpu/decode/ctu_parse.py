@@ -418,8 +418,10 @@ def _parse_intra_modes(ps: SliceParseContext, cu: CuInfo):
                           cu.x0 >> 2:(cu.x0 + size) >> 2] = mode_c
 
 
-def _intra_mpm(ps: SliceParseContext, xb: int, yb: int) -> List[int]:
-    """candModeList derivation (spec 8.4.2)."""
+def _intra_mpm_n(ps: SliceParseContext, xb: int, yb: int):
+    """candModeList derivation (spec 8.4.2); also returns the number of
+    neighbour-derived entries (CandModeList.neighbourModes: 1 when the two
+    neighbour modes agree, else 2)."""
     plan = ps.plan
     ctb_log2 = ps.sps.ctb_log2_size_y
 
@@ -438,10 +440,14 @@ def _intra_mpm(ps: SliceParseContext, xb: int, yb: int) -> List[int]:
     b = cand(xb, yb - 1, True)
     if a == b:
         if a < 2:
-            return [0, 1, 26]
-        return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)]
+            return [0, 1, 26], 1
+        return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)], 1
     c = 0 if (a != 0 and b != 0) else (1 if (a != 1 and b != 1) else 26)
-    return [a, b, c]
+    return [a, b, c], 2
+
+
+def _intra_mpm(ps: SliceParseContext, xb: int, yb: int) -> List[int]:
+    return _intra_mpm_n(ps, xb, yb)[0]
 
 
 def _parse_inter_pus(ps: SliceParseContext, cu: CuInfo, part_mode: int):

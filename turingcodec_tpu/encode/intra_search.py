@@ -681,7 +681,7 @@ class IntraPictureEncoder:
         less the pred_mode-flag bits — when even the best SATD ranking
         cost reaches it the RD refinement is skipped (the caller's
         snapshot restore rolls back the partial commit)."""
-        from turingcodec_tpu.decode.ctu_parse import _intra_mpm
+        from turingcodec_tpu.decode.ctu_parse import _intra_mpm_n
 
         plan, sps = self.plan, self.sps
         size = 1 << log2
@@ -716,13 +716,14 @@ class IntraPictureEncoder:
             pass
         ps = _PS()
         ps.plan, ps.geom, ps.sps = plan, self.geom, sps
-        mpm = _intra_mpm(ps, x0, y0)
+        mpm, n_mpm = _intra_mpm_n(ps, x0, y0)
         # Speed.h nCandidatesIntraRefinement: slow 8; medium 3 above 8x8
         # else 8; fast 3 above 8x8 else 4
         ncand = 8 if self.rd_candidates >= 3 else (
             3 if log2 > 3 else (8 if self.rd_candidates == 2 else 4))
-        cands, ccosts = self._rank_modes(orig_y, rt, rl, corner, size, mpm,
-                                         count=ncand)
+        cands, ccosts = self._rank_modes(
+            orig_y, rt, rl, corner, size, mpm, count=ncand,
+            n_mpm=n_mpm if self.sh.is_i else 0)
         if budget is not None and ccosts[0] >= budget:
             return float("inf")
 
@@ -780,7 +781,8 @@ class IntraPictureEncoder:
         return cost
 
     # ------------------------------------------------------------------
-    def _rank_modes(self, orig_b, rt, rl, corner, n, mpm, count=None):
+    def _rank_modes(self, orig_b, rt, rl, corner, n, mpm, count=None,
+                    n_mpm=0):
         """SATD-rank all 35 modes with one batched prediction+SATD pass.
 
         Per-mode reference filtering follows spec 8.4.4.2.3 (the RD
@@ -811,12 +813,22 @@ class IntraPictureEncoder:
         if 0 not in cands and len(cands) >= 2:
             cands[-1] = 0  # always try planar
             ccosts[-1] = float(costs[0])
+        # the reference appends the unsearched NEIGHBOUR modes (the first
+        # candModeList.neighbourModes entries) to the RD refinement list
+        # with ranking cost 0 — always refined, never SATD-gated
+        # (Search.hpp:180-190; CandModeList.h neighbourModes). On
+        # re-encoded content this carries the originally-coded mode into
+        # the RD trial, where requantization is near-idempotent.
+        for m in mpm[:n_mpm]:
+            if m not in cands:
+                cands.append(int(m))
+                ccosts.append(0.0)
         return cands, ccosts
 
     # ------------------------------------------------------------------
     def _encode_cu_nxn(self, x0, y0, log2, depth, budget=None) -> float:
         """Intra NxN at min CU size: four 4x4 PUs/TUs (DST) + 4x4 chroma."""
-        from turingcodec_tpu.decode.ctu_parse import _intra_mpm
+        from turingcodec_tpu.decode.ctu_parse import _intra_mpm_n
 
         plan, sps = self.plan, self.sps
         size = 1 << log2
@@ -858,11 +870,11 @@ class IntraPictureEncoder:
             orig_b = self.orig[0][yb:yb + half, xb:xb + half].astype(np.int32)
             rt, rl, corner = self.refs.build(self.recon[0], xb, yb, half, 0,
                                              self.bd)
-            mpm = _intra_mpm(ps, xb, yb)
-            cands, ccosts = self._rank_modes(orig_b, rt, rl, corner, half,
-                                             mpm,
-                                             count=8 if self.rd_candidates
-                                             >= 2 else 4)
+            mpm, n_mpm = _intra_mpm_n(ps, xb, yb)
+            cands, ccosts = self._rank_modes(
+                orig_b, rt, rl, corner, half, mpm,
+                count=8 if self.rd_candidates >= 2 else 4,
+                n_mpm=n_mpm if self.sh.is_i else 0)
             # NxN budget bail (native twin): committed sub-PU costs plus
             # this sub-PU's best SATD ranking cost already lose to the
             # 8x8 winner

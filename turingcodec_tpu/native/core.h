@@ -333,6 +333,7 @@ void sp_amvp(int x_pb, int y_pb, int w, int h, int lx, int ref_idx,
              const int* cb, int out[2][2]);
 // candModeList derivation (spec 8.4.2)
 void sp_intra_mpm(int xb, int yb, int cands[3]);
+int sp_intra_mpm_n(int xb, int yb, int cands[3]);  // returns neighbourModes
 
 // Fractional-sample MC interpolation into a 14-bit (h, w) block
 // (pixel_recon.cpp; spec 8.5.3.3.3). taps 8 (luma) / 4 (chroma);

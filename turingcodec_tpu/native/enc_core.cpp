@@ -1994,7 +1994,7 @@ struct Sweep4Tables {
 
 int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
-               int* out_cands, double* out_costs = nullptr) {
+               int* out_cands, double* out_costs = nullptr, int n_mpm = 0) {
     LeafTimer pt(12);
     static thread_local int32_t pred[32 * 32], orig_t[32 * 32];
     const int bd = g_sp.bit_depth_y;
@@ -2137,6 +2137,23 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
         out_cands[cnt - 1] = 0;
         if (out_costs)
             out_costs[cnt - 1] = planar_cost;
+    }
+    // the reference appends the unsearched NEIGHBOUR modes (the first
+    // candModeList.neighbourModes entries) to the RD refinement list with
+    // ranking cost 0 — always refined, never SATD-gated
+    // (Search.hpp:180-190; intra_search._rank_modes twin)
+    for (int k = 0; k < n_mpm; k++) {
+        const int m = cands_mpm[k];
+        bool seen = false;
+        for (int i = 0; i < cnt; i++)
+            if (out_cands[i] == m)
+                seen = true;
+        if (!seen) {
+            out_cands[cnt] = m;
+            if (out_costs)
+                out_costs[cnt] = 0.0;
+            cnt++;
+        }
     }
     return cnt;
 }
@@ -2821,7 +2838,7 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
     build_intra_refs(en.rec[0], g_sp.pic_w, g_sp.pic_h, en.zscan32, g_sp.w4,
                      x0, y0, size, 1, bd, rt, rl, &corner);
     int mpm[3];
-    sp_intra_mpm(x0, y0, mpm);
+    const int n_mpm = sp_intra_mpm_n(x0, y0, mpm);
     int cands[35];
     // RD-refinement candidate count (Speed.h nCandidatesIntraRefinement:
     // slow 8; medium 3 above 8x8 else 8; fast 3 above 8x8 else 4)
@@ -2829,7 +2846,7 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
         ? 8 : (log2 > 3 ? 3 : (en.rd_candidates == 2 ? 8 : 4));
     double cand_costs[35];
     int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm, ncand_want,
-                           cands, cand_costs);
+                           cands, cand_costs, g_sp.is_i ? n_mpm : 0);
     {
         static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
         if (!no_gate && cand_costs[0] >= budget)
@@ -2937,14 +2954,14 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
         build_intra_refs(en.rec[0], g_sp.pic_w, g_sp.pic_h, en.zscan32,
                          g_sp.w4, xb, yb, half, 1, bd, rt, rl, &corner);
         int mpm[3];
-        sp_intra_mpm(xb, yb, mpm);
+        const int n_mpm = sp_intra_mpm_n(xb, yb, mpm);
         // 4x4 partitions: 8 candidates at slow/medium, 4 at fast
         // (Speed.h nCandidatesIntraRefinement, log2PartitionSize == 2)
         int count = en.rd_candidates >= 2 ? 8 : 4;
         int cands[35];
         double cand_costs[35];
         int ncand = rank_modes(orig_b, rt, rl, corner, half, mpm, count,
-                               cands, cand_costs);
+                               cands, cand_costs, g_sp.is_i ? n_mpm : 0);
         {
             static const bool no_gate =
                 getenv("TC_NO_SATDGATE") != nullptr;

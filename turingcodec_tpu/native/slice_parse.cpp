@@ -776,6 +776,12 @@ void prediction_unit(PS& ps, int x0, int y0, int w, int h, int part_idx,
 // candModeList derivation (spec 8.4.2; ctu_parse._intra_mpm) — shared
 // with the encoder core
 void sp_intra_mpm(int xb, int yb, int cands[3]) {
+    sp_intra_mpm_n(xb, yb, cands);
+}
+
+// candModeList + neighbourModes (CandModeList.h:59-95: 1 when the two
+// neighbour modes agree, else 2)
+int sp_intra_mpm_n(int xb, int yb, int cands[3]) {
     auto cand = [&](int x_nb, int y_nb, bool is_above) -> int {
         if (!sp_available(xb, yb, x_nb, y_nb))
             return 1;
@@ -800,11 +806,12 @@ void sp_intra_mpm(int xb, int yb, int cands[3]) {
             cands[1] = 2 + ((a + 29) % 32);
             cands[2] = 2 + ((a - 2 + 1) % 32);
         }
-    } else {
-        cands[0] = a;
-        cands[1] = b;
-        cands[2] = (a != 0 && b != 0) ? 0 : ((a != 1 && b != 1) ? 1 : 26);
+        return 1;
     }
+    cands[0] = a;
+    cands[1] = b;
+    cands[2] = (a != 0 && b != 0) ? 0 : ((a != 1 && b != 1) ? 1 : 26);
+    return 2;
 }
 
 namespace {
