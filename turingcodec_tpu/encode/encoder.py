@@ -73,6 +73,8 @@ class EncoderConfig:
                                  # (Speed.h useFdm/useFdam; None = on at
                                  # medium/fast)
     bitrate: Optional[float] = None  # bits/s: enables CBR rate control
+    ctu_rc: bool = True     # CTU-level rate control under --bitrate
+                            # (CtbController analogue; False = picture-level)
     frame_rate: float = 24.0
     shot_change: bool = False  # shot-change-triggered IDR placement
     aq_strength: float = 0.0   # adaptive quantization (0 = off)
@@ -156,6 +158,13 @@ class Encoder:
             self._rc = SequenceRateController(cfg.bitrate, cfg.frame_rate,
                                               cfg.width, cfg.height, cfg.qp,
                                               level_mix=mix)
+            # CPB tracker for the SIGNALLED HRD (cpb_size == the VUI's
+            # cpb_size_value * 128 bits; RateControl.h:147-188 CpbInfo)
+            from turingcodec_tpu.encode.rate_control import CpbInfo
+            cpb_bits = max(1, int(cfg.bitrate) >> 7) * 128
+            self._cpb = CpbInfo(cpb_bits, cfg.bitrate,
+                                cfg.frame_rate or 24.0)
+            self._ctb_models = {}  # (level, ctb) -> R-lambda model
 
     # ------------------------------------------------------------------
     def _setup_ptl(self) -> ProfileTierLevel:
@@ -247,7 +256,8 @@ class Encoder:
         p.init_qp_minus26 = c.qp - 26
         p.sign_data_hiding_enabled_flag = int(c.sdh)
         p.entropy_coding_sync_enabled_flag = int(c.wpp)
-        p.cu_qp_delta_enabled_flag = int(c.aq_strength > 0)
+        p.cu_qp_delta_enabled_flag = int(c.aq_strength > 0
+                                         or bool(c.bitrate and c.ctu_rc))
         p.diff_cu_qp_delta_depth = 0
         p.transform_skip_enabled_flag = int(c.tskip)
         p.loop_filter_across_tiles_enabled_flag = 1
@@ -296,10 +306,14 @@ class Encoder:
         sh = SliceSegmentHeader()
         sh.first_slice_segment_in_pic_flag = 1
         if self._rc is not None:
-            qp, lam, _ = self._rc.pre_picture(docket.is_idr,
-                                              docket.temporal_id,
-                                              intra_cost=getattr(
-                                                  self, "_ic_cost", 0))
+            qp, lam, target = self._rc.pre_picture(docket.is_idr,
+                                                   docket.temporal_id,
+                                                   intra_cost=getattr(
+                                                       self, "_ic_cost", 0))
+            # steer the allocation away from CPB over/underflow of the
+            # signalled HRD (adjustAllocatedBits)
+            self._rc_target = self._cpb.adjust_allocation(target)
+            self._rc_qp_lam = (qp, lam)
             qp_off = qp - (26 + self.pps.init_qp_minus26)
         else:
             qp_off = docket.qp_offset if self.cfg.hierarchical_qp else 0
@@ -586,7 +600,23 @@ class Encoder:
         if hasattr(enc, "lam_me"):
             enc.lam_me = math.sqrt(lam)
         self._pic_lambda = lam
-        if self.cfg.aq_strength > 0:
+        if self._rc is not None and self.cfg.ctu_rc:
+            # CTU-level rate control (CtbController; Write.h:745-765):
+            # the search asks for each CTB's QP right before encoding it
+            # and reports its exact committed bits right after
+            from turingcodec_tpu.encode.rate_control import (
+                CtbRateController, intra_complexity_map)
+            icm = None
+            if sh.is_i:
+                icm = intra_complexity_map(np.asarray(yuv[0]),
+                                           self.sps.ctb_log2_size_y,
+                                           self.cfg.bit_depth)
+            enc.ctu_rc = CtbRateController(
+                self.geom.wc, self.geom.hc, self.sps.ctb_size_y,
+                self.cfg.width, self.cfg.height, self._rc_target,
+                sh.slice_qp_y, lam, sh.is_i, self._ctb_models,
+                "I" if sh.is_i else docket.temporal_id, intra_costs=icm)
+        elif self.cfg.aq_strength > 0:
             from turingcodec_tpu.encode.aq import compute_aq_map
             dqp = compute_aq_map(np.asarray(yuv[0]), self.sps.ctb_log2_size_y,
                                  self.cfg.aq_strength)
@@ -607,7 +637,7 @@ class Encoder:
                 rows[bounds[i]:bounds[i + 1]] = 0 if dep else i
             enc.slice_row_map = rows
         plan, search_recon = enc.encode_picture(yuv)
-        if self.cfg.aq_strength > 0:
+        if self.cfg.aq_strength > 0 or getattr(enc, "ctu_rc", None):
             self._reconcile_qp(plan, sh)
 
         # reconstruction: search recon + the decoder's own deblocking over
@@ -683,6 +713,7 @@ class Encoder:
 
         if self._rc is not None:
             self._rc.post_picture(8 * len(nal))
+            self._cpb.update(8 * len(nal))
 
         pic = DecodedPicture(poc=poc)
         pic.planes = recon

@@ -199,7 +199,9 @@ class IntraPictureEncoder:
         wc = sps.pic_width_in_ctbs_y
         snap_rx = 1 if wc > 1 else 0
         row_slice = getattr(self, "slice_row_map", None)  # (hc,) slice of row
-        if nat is not None and row_slice is None and self.geom.num_tiles == 1:
+        ctu_rc = getattr(self, "ctu_rc", None)
+        if (nat is not None and row_slice is None and ctu_rc is None
+                and self.geom.num_tiles == 1):
             # whole-picture native walk (one ctypes call; WPP + AQ inside)
             plan.slice_idx[:] = slice_number
             if self.qp_map is not None:
@@ -262,7 +264,16 @@ class IntraPictureEncoder:
                 plan.slice_idx[ry, rx] = (int(row_slice[ry])
                                           if row_slice is not None
                                           else slice_number)
-                if self.qp_map is not None:
+                if ctu_rc is not None:
+                    # CTU-level rate control (CtbController analogue,
+                    # Write.h:745-765): per-CTB target bits -> lambda/QP
+                    # before the search, model update from the exact
+                    # committed rate after it
+                    q = ctu_rc.pre_ctu(ry * wc + rx)
+                    self._set_ctb_qp(q)
+                    plan.qp_y[ry * ctb >> 2:(ry + 1) * ctb >> 2,
+                              rx * ctb >> 2:(rx + 1) * ctb >> 2] = q
+                elif self.qp_map is not None:
                     q = int(self.qp_map[ry, rx])
                     self._set_ctb_qp(q)
                     plan.qp_y[ry * ctb >> 2:(ry + 1) * ctb >> 2,
@@ -274,6 +285,8 @@ class IntraPictureEncoder:
                     self._decide_cqt(rx * ctb, ry * ctb,
                                      sps.ctb_log2_size_y, 0)
                     self.ctu_frac_list.append(self._ctu_frac)
+                if ctu_rc is not None:
+                    ctu_rc.post_ctu(self.ctu_frac_list[-1] / 256.0)
                 if wpp and rx == snap_rx:
                     self._rd_ctx_wpp = self.rd_ctx.copy()
         return plan, self.recon
