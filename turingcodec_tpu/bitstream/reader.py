@@ -189,14 +189,22 @@ class BitReader:
         return self.pos < stop_bit
 
     def rbsp_trailing_bits(self):
-        assert self.u(1) == 1, "rbsp_stop_one_bit must be 1"
+        from turingcodec_tpu.decode.violations import Violation
+        if self.u(1) != 1:
+            raise Violation("7.3.2.11", "rbsp_stop_one_bit must be 1")
         while not self.byte_aligned():
-            assert self.u(1) == 0, "rbsp_alignment_zero_bit must be 0"
+            if self.u(1) != 0:
+                raise Violation("7.3.2.11",
+                                "rbsp_alignment_zero_bit must be 0")
 
     def byte_alignment(self):
-        assert self.u(1) == 1, "alignment_bit_equal_to_one"
+        from turingcodec_tpu.decode.violations import Violation
+        if self.u(1) != 1:
+            raise Violation("7.3.2.12", "alignment_bit_equal_to_one")
         while not self.byte_aligned():
-            assert self.u(1) == 0
+            if self.u(1) != 0:
+                raise Violation("7.3.2.12",
+                                "alignment_zero_bit must be 0")
 
     def remaining_bytes(self) -> bytes:
         assert self.byte_aligned()

@@ -24,6 +24,7 @@ from turingcodec_tpu.hevc.header_syntax import (
 )
 from turingcodec_tpu.hevc.params import ParamSets
 from turingcodec_tpu.decode.dpb import DecodedPicture, Dpb
+from turingcodec_tpu.decode.violations import Violation
 from turingcodec_tpu.decode.mvp import InterDeriver
 from turingcodec_tpu.decode.picture_recon import PictureReconstructor
 from turingcodec_tpu.decode.plan import PicturePlan
@@ -201,9 +202,20 @@ class Decoder:
             hook = None
             if not sh.is_i:
                 hook = InterDeriver(plan, self.geom, sh, self.dpb, poc)
-            dss_state = parse_slice_segment_data(
-                plan, self.geom, sh, rbsp, bitpos, slice_number, hook,
-                dss_state=dss_state)
+            try:
+                dss_state = parse_slice_segment_data(
+                    plan, self.geom, sh, rbsp, bitpos, slice_number, hook,
+                    dss_state=dss_state)
+            except Violation:
+                raise
+            except Exception as e:
+                # any parse failure on a corrupt stream is a conformance
+                # violation, never a raw crash (the reference's StreamAbort
+                # wrapping, Read.hpp:104-113 / Violation.h)
+                from turingcodec_tpu.decode.violations import Violation as V
+                raise V("7.3.8.1",
+                        f"slice segment data parse failed: "
+                        f"{type(e).__name__}: {e}") from e
 
         # reconstruction (ref lists of the last slice are fine for single-
         # slice pictures; multi-slice pictures re-derive per slice)

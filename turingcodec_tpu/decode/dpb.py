@@ -155,10 +155,12 @@ class Dpb:
         self.ref_pic_list = [[], []]
         if sh.is_i:
             return
+        from turingcodec_tpu.decode.violations import Violation
         n0 = sh.num_ref_idx_l0_active_minus1 + 1
         tmp0 = self.st_curr_before + self.st_curr_after + self.lt_curr
-        assert all(p is not None for p in tmp0), "missing reference picture"
-        assert tmp0, "P/B slice with an empty reference picture set"
+        if not tmp0 or any(p is None for p in tmp0):
+            raise Violation("8.3.2", "RPS names a picture that is not in "
+                            "the DPB (missing reference picture)")
         while len(tmp0) < n0:
             tmp0 = tmp0 + tmp0  # repeat until long enough
         if sh.ref_pic_list_modification_flag_l0:

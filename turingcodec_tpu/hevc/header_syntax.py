@@ -95,7 +95,10 @@ def parse_st_ref_pic_set(br: BitReader, idx: int, num_sets: int,
         delta_idx_minus1 = br.ue() if idx == num_sets else 0
         ref_rps_idx = idx - (delta_idx_minus1 + 1)
         delta_rps_sign = br.u(1)
-        abs_delta_rps_minus1 = br.ue()
+        abs_delta_rps_minus1 = check_range(
+            "7.4.8", "abs_delta_rps_minus1", br.ue(), 0, (1 << 15) - 1)
+        check_range("7.4.8", "delta_idx_minus1 (ref_rps_idx)",
+                    ref_rps_idx, 0, max(0, idx - 1))
         delta_rps = (1 - 2 * delta_rps_sign) * (abs_delta_rps_minus1 + 1)
         ref = prev_sets[ref_rps_idx]
         n_ref = ref.num_delta_pocs
@@ -138,16 +141,18 @@ def parse_st_ref_pic_set(br: BitReader, idx: int, num_sets: int,
         rps.delta_poc_s0, rps.used_s0 = s0, u0
         rps.delta_poc_s1, rps.used_s1 = s1, u1
     else:
-        num_neg = br.ue()
-        num_pos = br.ue()
+        num_neg = check_range("7.4.8", "num_negative_pics", br.ue(), 0, 16)
+        num_pos = check_range("7.4.8", "num_positive_pics", br.ue(), 0, 16)
         d = 0
         for _ in range(num_neg):
-            d -= br.ue() + 1
+            d -= check_range("7.4.8", "delta_poc_s0_minus1", br.ue(), 0,
+                             (1 << 15) - 1) + 1
             rps.delta_poc_s0.append(d)
             rps.used_s0.append(br.u(1))
         d = 0
         for _ in range(num_pos):
-            d += br.ue() + 1
+            d += check_range("7.4.8", "delta_poc_s1_minus1", br.ue(), 0,
+                             (1 << 15) - 1) + 1
             rps.delta_poc_s1.append(d)
             rps.used_s1.append(br.u(1))
     return rps
@@ -189,13 +194,16 @@ def parse_scaling_list_data(br: BitReader) -> ScalingListData:
                     sld.lists[size_id][matrix_id] = default_scaling_list(size_id, matrix_id).copy()
                 else:
                     ref_id = matrix_id - delta * (3 if size_id == 3 else 1)
+                    check_range("7.4.5", "scaling_list_pred_matrix_id_delta"
+                                " (ref)", ref_id, 0, max(0, matrix_id - 1))
                     sld.lists[size_id][matrix_id] = sld.lists[size_id][ref_id].copy()
                     if size_id > 1:
                         sld.dc[size_id - 2][matrix_id] = sld.dc[size_id - 2][ref_id]
             else:
                 next_coef = 8
                 if size_id > 1:
-                    dc = br.se() + 8
+                    dc = check_range("7.4.5", "scaling_list_dc_coef_minus8",
+                                     br.se(), -7, 247) + 8
                     sld.dc[size_id - 2][matrix_id] = dc
                     next_coef = dc
                 coefs = np.zeros(coef_num, dtype=np.int32)
@@ -374,7 +382,8 @@ def write_vps(bw: BitWriter, v: Vps):
 def parse_sps(br: BitReader) -> Sps:
     s = Sps()
     s.sps_video_parameter_set_id = br.u(4)
-    s.sps_max_sub_layers_minus1 = br.u(3)
+    s.sps_max_sub_layers_minus1 = check_range(
+        "7.4.3.2", "sps_max_sub_layers_minus1", br.u(3), 0, 6)
     s.sps_temporal_id_nesting_flag = br.u(1)
     s.ptl = parse_ptl(br, s.sps_max_sub_layers_minus1)
     s.sps_seq_parameter_set_id = check_range(
@@ -404,12 +413,36 @@ def parse_sps(br: BitReader) -> Sps:
         s.sps_max_dec_pic_buffering_minus1.append(br.ue())
         s.sps_max_num_reorder_pics.append(br.ue())
         s.sps_max_latency_increase_plus1.append(br.ue())
-    s.log2_min_luma_coding_block_size_minus3 = br.ue()
-    s.log2_diff_max_min_luma_coding_block_size = br.ue()
-    s.log2_min_luma_transform_block_size_minus2 = br.ue()
-    s.log2_diff_max_min_luma_transform_block_size = br.ue()
-    s.max_transform_hierarchy_depth_inter = br.ue()
-    s.max_transform_hierarchy_depth_intra = br.ue()
+    s.log2_min_luma_coding_block_size_minus3 = check_range(
+        "7.4.3.2", "log2_min_luma_coding_block_size_minus3", br.ue(), 0, 3)
+    s.log2_diff_max_min_luma_coding_block_size = check_range(
+        "7.4.3.2", "log2_diff_max_min_luma_coding_block_size", br.ue(),
+        0, 3)
+    s.log2_min_luma_transform_block_size_minus2 = check_range(
+        "7.4.3.2", "log2_min_luma_transform_block_size_minus2", br.ue(),
+        0, 3)
+    s.log2_diff_max_min_luma_transform_block_size = check_range(
+        "7.4.3.2", "log2_diff_max_min_luma_transform_block_size", br.ue(),
+        0, 3)
+    # 7.4.3.2: picture dimensions must be multiples of MinCbSizeY —
+    # anything else overruns CB-granular buffers (a Fatal range limit)
+    _min_cb = 1 << (s.log2_min_luma_coding_block_size_minus3 + 3)
+    if (s.pic_width_in_luma_samples % _min_cb
+            or s.pic_height_in_luma_samples % _min_cb):
+        raise Violation(
+            "7.4.3.2",
+            f"picture size {s.pic_width_in_luma_samples}x"
+            f"{s.pic_height_in_luma_samples} is not a multiple of "
+            f"MinCbSizeY {_min_cb}")
+    _mtd_max = (s.log2_min_luma_coding_block_size_minus3 + 3
+                + s.log2_diff_max_min_luma_coding_block_size) \
+        - (s.log2_min_luma_transform_block_size_minus2 + 2)
+    s.max_transform_hierarchy_depth_inter = check_range(
+        "7.4.3.2", "max_transform_hierarchy_depth_inter", br.ue(), 0,
+        _mtd_max)
+    s.max_transform_hierarchy_depth_intra = check_range(
+        "7.4.3.2", "max_transform_hierarchy_depth_intra", br.ue(), 0,
+        _mtd_max)
     s.scaling_list_enabled_flag = br.u(1)
     if s.scaling_list_enabled_flag:
         if br.u(1):  # sps_scaling_list_data_present_flag
@@ -431,7 +464,8 @@ def parse_sps(br: BitReader) -> Sps:
             parse_st_ref_pic_set(br, i, num_st, s.short_term_rps))
     s.long_term_ref_pics_present_flag = br.u(1)
     if s.long_term_ref_pics_present_flag:
-        n = br.ue()
+        n = check_range("7.4.3.2", "num_long_term_ref_pics_sps",
+                        br.ue(), 0, 32)
         for _ in range(n):
             s.lt_ref_pic_poc_lsb_sps.append(
                 br.u(s.log2_max_pic_order_cnt_lsb_minus4 + 4))
@@ -633,16 +667,22 @@ def parse_pps(br: BitReader) -> Pps:
     p.num_extra_slice_header_bits = br.u(3)
     p.sign_data_hiding_enabled_flag = br.u(1)
     p.cabac_init_present_flag = br.u(1)
-    p.num_ref_idx_l0_default_active_minus1 = br.ue()
-    p.num_ref_idx_l1_default_active_minus1 = br.ue()
+    p.num_ref_idx_l0_default_active_minus1 = check_range(
+        "7.4.3.3", "num_ref_idx_l0_default_active_minus1", br.ue(),
+        0, 14)
+    p.num_ref_idx_l1_default_active_minus1 = check_range(
+        "7.4.3.3", "num_ref_idx_l1_default_active_minus1", br.ue(),
+        0, 14)
     p.init_qp_minus26 = br.se()
     p.constrained_intra_pred_flag = br.u(1)
     p.transform_skip_enabled_flag = br.u(1)
     p.cu_qp_delta_enabled_flag = br.u(1)
     if p.cu_qp_delta_enabled_flag:
         p.diff_cu_qp_delta_depth = br.ue()
-    p.pps_cb_qp_offset = br.se()
-    p.pps_cr_qp_offset = br.se()
+    p.pps_cb_qp_offset = check_range(
+        "7.4.3.3", "pps_cb_qp_offset", br.se(), -12, 12)
+    p.pps_cr_qp_offset = check_range(
+        "7.4.3.3", "pps_cr_qp_offset", br.se(), -12, 12)
     p.pps_slice_chroma_qp_offsets_present_flag = br.u(1)
     p.weighted_pred_flag = br.u(1)
     p.weighted_bipred_flag = br.u(1)
@@ -663,8 +703,10 @@ def parse_pps(br: BitReader) -> Pps:
         p.deblocking_filter_override_enabled_flag = br.u(1)
         p.pps_deblocking_filter_disabled_flag = br.u(1)
         if not p.pps_deblocking_filter_disabled_flag:
-            p.pps_beta_offset_div2 = br.se()
-            p.pps_tc_offset_div2 = br.se()
+            p.pps_beta_offset_div2 = check_range(
+                "7.4.3.3", "pps_beta_offset_div2", br.se(), -6, 6)
+            p.pps_tc_offset_div2 = check_range(
+                "7.4.3.3", "pps_tc_offset_div2", br.se(), -6, 6)
     p.pps_scaling_list_data_present_flag = br.u(1)
     if p.pps_scaling_list_data_present_flag:
         p.scaling_list_data = parse_scaling_list_data(br)
@@ -746,7 +788,8 @@ def _active_rps(sh: SliceSegmentHeader, sps: Sps) -> ShortTermRefPicSet:
 
 
 def parse_pred_weight_table(br: BitReader, sh: SliceSegmentHeader, sps: Sps) -> dict:
-    pwt = {"luma_log2_weight_denom": br.ue()}
+    pwt = {"luma_log2_weight_denom": check_range(
+        "7.4.7.3", "luma_log2_weight_denom", br.ue(), 0, 7)}
     chroma = sps.chroma_array_type != 0
     if chroma:
         pwt["delta_chroma_log2_weight_denom"] = br.se()
@@ -805,7 +848,8 @@ def parse_slice_segment_header(br: BitReader, nal_unit_type: int,
     sh.first_slice_segment_in_pic_flag = br.u(1)
     if T.is_irap(nal_unit_type):
         sh.no_output_of_prior_pics_flag = br.u(1)
-    sh.slice_pic_parameter_set_id = br.ue()
+    sh.slice_pic_parameter_set_id = check_range(
+        "7.4.7.1", "slice_pic_parameter_set_id", br.ue(), 0, 63)
     sps, pps = ps.activate(sh.slice_pic_parameter_set_id)
     if not sh.first_slice_segment_in_pic_flag:
         if pps.dependent_slice_segments_enabled_flag:
@@ -814,11 +858,13 @@ def parse_slice_segment_header(br: BitReader, nal_unit_type: int,
     if not sh.dependent_slice_segment_flag:
         for _ in range(pps.num_extra_slice_header_bits):
             br.u(1)
-        sh.slice_type = br.ue()
+        sh.slice_type = check_range(
+            "7.4.7.1", "slice_type", br.ue(), 0, 2)
         if pps.output_flag_present_flag:
             sh.pic_output_flag = br.u(1)
         if sps.separate_colour_plane_flag:
-            sh.colour_plane_id = br.u(2)
+            sh.colour_plane_id = check_range(
+                "7.4.7.1", "colour_plane_id", br.u(2), 0, 2)
         if not T.is_idr(nal_unit_type):
             sh.slice_pic_order_cnt_lsb = br.u(sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
             sh.short_term_ref_pic_set_sps_flag = br.u(1)
@@ -858,9 +904,13 @@ def parse_slice_segment_header(br: BitReader, nal_unit_type: int,
             sh.num_ref_idx_l1_active_minus1 = pps.num_ref_idx_l1_default_active_minus1
             sh.num_ref_idx_active_override_flag = br.u(1)
             if sh.num_ref_idx_active_override_flag:
-                sh.num_ref_idx_l0_active_minus1 = br.ue()
+                sh.num_ref_idx_l0_active_minus1 = check_range(
+                    "7.4.7.1", "num_ref_idx_l0_active_minus1",
+                    br.ue(), 0, 14)
                 if sh.is_b:
-                    sh.num_ref_idx_l1_active_minus1 = br.ue()
+                    sh.num_ref_idx_l1_active_minus1 = check_range(
+                        "7.4.7.1", "num_ref_idx_l1_active_minus1",
+                        br.ue(), 0, 14)
             nptc = _num_pic_total_curr(sh, sps)
             if pps.lists_modification_present_flag and nptc > 1:
                 bits = math.ceil(math.log2(nptc))
@@ -883,11 +933,15 @@ def parse_slice_segment_header(br: BitReader, nal_unit_type: int,
                 if ((sh.collocated_from_l0_flag and sh.num_ref_idx_l0_active_minus1 > 0)
                         or (not sh.collocated_from_l0_flag
                             and sh.num_ref_idx_l1_active_minus1 > 0)):
-                    sh.collocated_ref_idx = br.ue()
+                    sh.collocated_ref_idx = check_range(
+                        "7.4.7.1", "collocated_ref_idx", br.ue(),
+                        0, 14)
             if ((pps.weighted_pred_flag and sh.is_p)
                     or (pps.weighted_bipred_flag and sh.is_b)):
                 sh.pred_weight_table = parse_pred_weight_table(br, sh, sps)
-            sh.five_minus_max_num_merge_cand = br.ue()
+            sh.five_minus_max_num_merge_cand = check_range(
+                "7.4.7.1", "five_minus_max_num_merge_cand",
+                br.ue(), 0, 4)
             sh.max_num_merge_cand = 5 - sh.five_minus_max_num_merge_cand
         sh.slice_qp_delta = br.se()
         if pps.pps_slice_chroma_qp_offsets_present_flag:
@@ -899,8 +953,12 @@ def parse_slice_segment_header(br: BitReader, nal_unit_type: int,
             if sh.deblocking_filter_override_flag:
                 sh.slice_deblocking_filter_disabled_flag = br.u(1)
                 if not sh.slice_deblocking_filter_disabled_flag:
-                    sh.slice_beta_offset_div2 = br.se()
-                    sh.slice_tc_offset_div2 = br.se()
+                    sh.slice_beta_offset_div2 = check_range(
+                        "7.4.7.1", "slice_beta_offset_div2",
+                        br.se(), -6, 6)
+                    sh.slice_tc_offset_div2 = check_range(
+                        "7.4.7.1", "slice_tc_offset_div2",
+                        br.se(), -6, 6)
             else:
                 sh.slice_deblocking_filter_disabled_flag = pps.pps_deblocking_filter_disabled_flag
                 sh.slice_beta_offset_div2 = pps.pps_beta_offset_div2
@@ -913,7 +971,8 @@ def parse_slice_segment_header(br: BitReader, nal_unit_type: int,
     if pps.tiles_enabled_flag or pps.entropy_coding_sync_enabled_flag:
         sh.num_entry_point_offsets = br.ue()
         if sh.num_entry_point_offsets > 0:
-            sh.offset_len_minus1 = br.ue()
+            sh.offset_len_minus1 = check_range(
+                "7.4.7.1", "offset_len_minus1", br.ue(), 0, 31)
             sh.entry_point_offset_minus1 = [
                 br.u(sh.offset_len_minus1 + 1)
                 for _ in range(sh.num_entry_point_offsets)]

@@ -323,12 +323,386 @@ def parse_alternative_transfer_characteristics(payload: bytes) -> dict:
     return {"preferred_transfer_characteristics": payload[0]}
 
 
+# --- breadth: the reference's full prefix/suffix payload set -----------
+# (turing/sei/all.h, SyntaxSei.h:39-87). Each type below gets a typed
+# parse; layered/multiview extension payloads (160+) and the handful of
+# tool-specific hint messages keep their fields raw but typed, like the
+# reference's blacklist-and-skip handling for profiles it doesn't decode.
+
+def parse_pan_scan_rect(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"pan_scan_rect_id": br.ue(),
+           "pan_scan_rect_cancel_flag": br.u(1)}
+    if not out["pan_scan_rect_cancel_flag"]:
+        n = br.ue() + 1
+        out["rects"] = [dict(left=br.se(), right=br.se(),
+                             top=br.se(), bottom=br.se())
+                        for _ in range(n)]
+        out["pan_scan_rect_persistence_flag"] = br.u(1)
+    return out
+
+
+def parse_user_data_registered_t35(payload: bytes) -> dict:
+    i = 1
+    cc = payload[0]
+    if cc == 0xFF:
+        cc = (cc << 8) | payload[1]
+        i = 2
+    return {"itu_t_t35_country_code": cc, "payload": payload[i:]}
+
+
+def parse_recovery_point(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"recovery_poc_cnt": br.se(),
+            "exact_match_flag": br.u(1),
+            "broken_link_flag": br.u(1)}
+
+
+def parse_scene_info(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"scene_info_present_flag": br.u(1)}
+    if out["scene_info_present_flag"]:
+        out["prev_scene_id_valid_flag"] = br.u(1)
+        out["scene_id"] = br.ue()
+        out["scene_transition_type"] = br.ue()
+        if out["scene_transition_type"] > 3:
+            out["second_scene_id"] = br.ue()
+    return out
+
+
+def parse_picture_snapshot(payload: bytes) -> dict:
+    return {"snapshot_id": BitReader(payload).ue()}
+
+
+def parse_progressive_refinement_start(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"progressive_refinement_id": br.ue(),
+            "pic_order_cnt_delta": br.ue()}
+
+
+def parse_progressive_refinement_end(payload: bytes) -> dict:
+    return {"progressive_refinement_id": BitReader(payload).ue()}
+
+
+def parse_film_grain_characteristics(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"film_grain_characteristics_cancel_flag": br.u(1)}
+    if out["film_grain_characteristics_cancel_flag"]:
+        return out
+    out["film_grain_model_id"] = br.u(2)
+    out["separate_colour_description_present_flag"] = br.u(1)
+    if out["separate_colour_description_present_flag"]:
+        out["film_grain_bit_depth_luma_minus8"] = br.u(3)
+        out["film_grain_bit_depth_chroma_minus8"] = br.u(3)
+        out["film_grain_full_range_flag"] = br.u(1)
+        out["film_grain_colour_primaries"] = br.u(8)
+        out["film_grain_transfer_characteristics"] = br.u(8)
+        out["film_grain_matrix_coeffs"] = br.u(8)
+    out["blending_mode_id"] = br.u(2)
+    out["log2_scale_factor"] = br.u(4)
+    comps = []
+    flags = [br.u(1) for _ in range(3)]
+    for c in range(3):
+        if not flags[c]:
+            comps.append(None)
+            continue
+        comp = {"num_intensity_intervals_minus1": br.u(8),
+                "num_model_values_minus1": br.u(3), "intervals": []}
+        for _ in range(comp["num_intensity_intervals_minus1"] + 1):
+            iv = {"lower": br.u(8), "upper": br.u(8),
+                  "values": [br.se()
+                             for _ in range(comp["num_model_values_minus1"]
+                                            + 1)]}
+            comp["intervals"].append(iv)
+        comps.append(comp)
+    out["components"] = comps
+    out["film_grain_characteristics_persistence_flag"] = br.u(1)
+    return out
+
+
+def parse_post_filter_hint(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"filter_hint_size_y": br.ue(), "filter_hint_size_x": br.ue(),
+           "filter_hint_type": br.u(2)}
+    n = out["filter_hint_size_y"] * out["filter_hint_size_x"]
+    if n <= 4096:
+        out["filter_hint"] = [[br.se() for _ in range(n)]
+                              for _ in range(3)]
+    return out
+
+
+def parse_tone_mapping_info(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"tone_map_id": br.ue(), "tone_map_cancel_flag": br.u(1)}
+    if out["tone_map_cancel_flag"]:
+        return out
+    out["tone_map_persistence_flag"] = br.u(1)
+    out["coded_data_bit_depth"] = br.u(8)
+    out["target_bit_depth"] = br.u(8)
+    model = out["tone_map_model_id"] = br.ue()
+    if model == 0:
+        out["min_value"] = br.u(32)
+        out["max_value"] = br.u(32)
+    elif model == 1:
+        out["sigmoid_midpoint"] = br.u(32)
+        out["sigmoid_width"] = br.u(32)
+    elif model == 3:
+        n = br.u(16)
+        cb = (out["coded_data_bit_depth"] + 7) >> 3
+        tb = (out["target_bit_depth"] + 7) >> 3
+        out["pivots"] = [(br.u(8 * cb), br.u(8 * tb)) for _ in range(n)]
+    elif model == 4:
+        out["camera_iso_speed_idc"] = br.u(8)
+        if out["camera_iso_speed_idc"] == 255:
+            out["camera_iso_speed_value"] = br.u(32)
+        out["exposure_index_idc"] = br.u(8)
+        if out["exposure_index_idc"] == 255:
+            out["exposure_index_value"] = br.u(32)
+        out["exposure_compensation_value_sign_flag"] = br.u(1)
+        out["exposure_compensation_value_numerator"] = br.u(16)
+        out["exposure_compensation_value_denom_idc"] = br.u(16)
+        out["ref_screen_luminance_white"] = br.u(32)
+        out["extended_range_white_level"] = br.u(32)
+        out["nominal_black_level_code_value"] = br.u(16)
+        out["nominal_white_level_code_value"] = br.u(16)
+        out["extended_white_level_code_value"] = br.u(16)
+    return out
+
+
+def parse_frame_packing_arrangement(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"frame_packing_arrangement_id": br.ue(),
+           "frame_packing_arrangement_cancel_flag": br.u(1)}
+    if out["frame_packing_arrangement_cancel_flag"]:
+        return out
+    out["frame_packing_arrangement_type"] = br.u(7)
+    out["quincunx_sampling_flag"] = br.u(1)
+    out["content_interpretation_type"] = br.u(6)
+    out["spatial_flipping_flag"] = br.u(1)
+    out["frame0_flipped_flag"] = br.u(1)
+    out["field_views_flag"] = br.u(1)
+    out["current_frame_is_frame0_flag"] = br.u(1)
+    out["frame0_self_contained_flag"] = br.u(1)
+    out["frame1_self_contained_flag"] = br.u(1)
+    if not out["quincunx_sampling_flag"] \
+            and out["frame_packing_arrangement_type"] != 5:
+        for k in ("frame0_grid_position_x", "frame0_grid_position_y",
+                  "frame1_grid_position_x", "frame1_grid_position_y"):
+            out[k] = br.u(4)
+    out["frame_packing_arrangement_reserved_byte"] = br.u(8)
+    out["frame_packing_arrangement_persistence_flag"] = br.u(1)
+    out["upsampled_aspect_ratio_flag"] = br.u(1)
+    return out
+
+
+def parse_display_orientation(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"display_orientation_cancel_flag": br.u(1)}
+    if not out["display_orientation_cancel_flag"]:
+        out["hor_flip"] = br.u(1)
+        out["ver_flip"] = br.u(1)
+        out["anticlockwise_rotation"] = br.u(16)
+        out["display_orientation_persistence_flag"] = br.u(1)
+    return out
+
+
+def parse_structure_of_pictures_info(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"sop_seq_parameter_set_id": br.ue(), "entries": []}
+    n = br.ue() + 1
+    for i in range(n):
+        e = {"sop_vcl_nut": br.u(6), "sop_temporal_id": br.u(3)}
+        if e["sop_vcl_nut"] not in (T.NalUnitType.IDR_W_RADL,
+                                    T.NalUnitType.IDR_N_LP):
+            e["sop_short_term_rps_idx"] = br.ue()
+        if i > 0:
+            e["sop_poc_delta"] = br.se()
+        out["entries"].append(e)
+    return out
+
+
+def parse_decoding_unit_info(payload: bytes) -> dict:
+    return {"decoding_unit_idx": BitReader(payload).ue(),
+            "raw": payload}  # CPB-delay fields need the active HRD
+
+
+def parse_temporal_sub_layer_zero_index(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"temporal_sub_layer_zero_idx": br.u(8),
+            "irap_pic_id": br.u(8)}
+
+
+def parse_scalable_nesting(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"bitstream_subset_flag": br.u(1),
+           "nesting_op_flag": br.u(1)}
+    if out["nesting_op_flag"]:
+        out["default_op_flag"] = br.u(1)
+        out["nesting_num_ops_minus1"] = br.ue()
+        ops = []
+        for _ in range(out["nesting_num_ops_minus1"] + 1):
+            ops.append({"nesting_max_temporal_id_plus1": br.u(3),
+                        "nesting_op_idx": br.ue()})
+        out["ops"] = ops
+    else:
+        out["all_layers_flag"] = br.u(1)
+        if not out["all_layers_flag"]:
+            out["nesting_no_op_max_temporal_id_plus1"] = br.u(3)
+            out["nesting_num_layers_minus1"] = br.ue()
+            out["nesting_layer_id"] = [
+                br.u(6) for _ in range(out["nesting_num_layers_minus1"] + 1)]
+    while br.pos % 8:
+        br.u(1)  # nesting_zero_bit alignment
+    # the nested messages themselves
+    rest = payload[br.pos // 8:]
+    out["nested"] = parse_sei_rbsp(rest + b"\x80")
+    return out
+
+
+def parse_region_refresh_info(payload: bytes) -> dict:
+    return {"refreshed_region_flag": BitReader(payload).u(1)}
+
+
+def parse_no_display(payload: bytes) -> dict:
+    return {}
+
+
+def parse_time_code(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"num_clock_ts": br.u(2), "clock_ts": []}
+    for _ in range(out["num_clock_ts"]):
+        ts = {"clock_timestamp_flag": br.u(1)}
+        if ts["clock_timestamp_flag"]:
+            ts["units_field_based_flag"] = br.u(1)
+            ts["counting_type"] = br.u(5)
+            ts["full_timestamp_flag"] = br.u(1)
+            ts["discontinuity_flag"] = br.u(1)
+            ts["cnt_dropped_flag"] = br.u(1)
+            ts["n_frames"] = br.u(9)
+            if ts["full_timestamp_flag"]:
+                ts["seconds_value"] = br.u(6)
+                ts["minutes_value"] = br.u(6)
+                ts["hours_value"] = br.u(5)
+            else:
+                if br.u(1):  # seconds_flag
+                    ts["seconds_value"] = br.u(6)
+                    if br.u(1):  # minutes_flag
+                        ts["minutes_value"] = br.u(6)
+                        if br.u(1):  # hours_flag
+                            ts["hours_value"] = br.u(5)
+            n = br.u(5)
+            if n:
+                ts["time_offset_value"] = br.u(n)
+        out["clock_ts"].append(ts)
+    return out
+
+
+def parse_segmented_rect_fpa(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"segmented_rect_frame_packing_arrangement_cancel_flag": br.u(1)}
+    if not out["segmented_rect_frame_packing_arrangement_cancel_flag"]:
+        out["segmented_rect_content_interpretation_type"] = br.u(2)
+        out["segmented_rect_frame_packing_arrangement_persistence_flag"] \
+            = br.u(1)
+    return out
+
+
+def parse_knee_function_info(payload: bytes) -> dict:
+    br = BitReader(payload)
+    out = {"knee_function_id": br.ue(),
+           "knee_function_cancel_flag": br.u(1)}
+    if out["knee_function_cancel_flag"]:
+        return out
+    out["knee_function_persistence_flag"] = br.u(1)
+    out["input_d_range"] = br.u(32)
+    out["input_disp_luminance"] = br.u(32)
+    out["output_d_range"] = br.u(32)
+    out["output_disp_luminance"] = br.u(32)
+    n = br.ue() + 1
+    out["knee_points"] = [(br.u(10), br.u(10)) for _ in range(n)]
+    return out
+
+
+def parse_content_light_level(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"max_content_light_level": br.u(16),
+            "max_pic_average_light_level": br.u(16)}
+
+
+def parse_deinterlaced_field_identification(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"deinterlaced_picture_source_parity_flag": br.u(1)}
+
+
+def parse_temporal_mv_prediction_constraints(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"prev_pics_not_used_flag": br.u(1),
+            "no_intra_layer_col_pic_flag": br.u(1)}
+
+
+def parse_frame_field_info(payload: bytes) -> dict:
+    br = BitReader(payload)
+    return {"ffinfo_pic_struct": br.u(4),
+            "ffinfo_source_scan_type": br.u(2),
+            "ffinfo_duplicate_flag": br.u(1)}
+
+
+def _raw_typed(name):
+    def parse(payload: bytes) -> dict:
+        return {"payload_name": name, "raw": payload}
+    return parse
+
+
 _STRUCTURED_PARSERS = {
-    SEI_ACTIVE_PARAMETER_SETS: parse_active_parameter_sets,
+    0: parse_buffering_period,
     SEI_PIC_TIMING: parse_pic_timing,
+    2: parse_pan_scan_rect,
+    3: _raw_typed("filler_payload"),
+    4: parse_user_data_registered_t35,
     SEI_USER_DATA_UNREGISTERED: parse_user_data_unregistered,
+    6: parse_recovery_point,
+    9: parse_scene_info,
+    15: parse_picture_snapshot,
+    16: parse_progressive_refinement_start,
+    17: parse_progressive_refinement_end,
+    19: parse_film_grain_characteristics,
+    22: parse_post_filter_hint,
+    23: parse_tone_mapping_info,
+    45: parse_frame_packing_arrangement,
+    47: parse_display_orientation,
+    128: parse_structure_of_pictures_info,
+    SEI_ACTIVE_PARAMETER_SETS: parse_active_parameter_sets,
+    130: parse_decoding_unit_info,
+    131: parse_temporal_sub_layer_zero_index,
+    133: parse_scalable_nesting,
+    134: parse_region_refresh_info,
+    135: parse_no_display,
+    136: parse_time_code,
     SEI_MASTERING_DISPLAY: parse_mastering_display,
+    138: parse_segmented_rect_fpa,
+    139: _raw_typed("temporal_motion_constrained_tile_sets"),
+    140: _raw_typed("chroma_resampling_filter_hint"),
+    141: parse_knee_function_info,
+    142: _raw_typed("colour_remapping_info"),
+    143: parse_deinterlaced_field_identification,
+    144: parse_content_light_level,
     SEI_ALTERNATIVE_TRANSFER: parse_alternative_transfer_characteristics,
+    # layered / multiview extension payloads: typed raw (the reference
+    # reads them only structurally too)
+    160: _raw_typed("layers_not_present"),
+    161: _raw_typed("inter_layer_constrained_tile_sets"),
+    162: _raw_typed("bsp_nesting"),
+    163: _raw_typed("bsp_initial_arrival_time"),
+    164: _raw_typed("sub_bitstream_property"),
+    165: _raw_typed("alpha_channel_info"),
+    166: _raw_typed("overlay_info"),
+    167: parse_temporal_mv_prediction_constraints,
+    168: parse_frame_field_info,
+    176: _raw_typed("three_dimensional_reference_displays_info"),
+    177: _raw_typed("depth_representation_info"),
+    178: _raw_typed("multiview_scene_info"),
+    179: _raw_typed("multiview_acquisition_info"),
+    180: _raw_typed("multiview_view_position"),
 }
 
 

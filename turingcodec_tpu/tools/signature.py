@@ -2,13 +2,19 @@
 (turing signature analogue, turing/signature.cpp:193-281).
 
 Decodes the bundled caminandes stream (md5-checked), re-encodes the first
-frames under several configurations and checks 4-byte md5 prefixes of both
-the bitstream and the reconstruction, asserting encoder-recon ==
-decoder-recon throughout.
+frames under the configuration matrix and checks 4-byte md5 prefixes of
+both the bitstream and the reconstruction against the pinned goldens,
+asserting encoder-recon == decoder-recon throughout. Like the reference's
+asm0/threads-1 rows (signature.cpp:228-237), the threads-1 and
+native-off rows share the default row's goldens: output is deterministic
+across thread count and across the native/Python twins.
+
+Run with --update to print (and accept) freshly measured hashes.
 """
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import numpy as np
@@ -16,18 +22,35 @@ import numpy as np
 STREAM = "/root/reference/test/excerpt_(CC)_caminandes.com_640x360.hevc"
 DECODE_MD5 = "05c8e88dd7a694829f34ad9486a0dd8e"
 
-# (name, config overrides, n_frames, expected (bitstream4, recon4) or None
-# to print the measured values)
+# (name, config overrides, n_frames, env overrides, golden (bits4, recon4)).
+# Goldens pinned from the current encoder; any decision drift fails here
+# first. The determinism rows reference another row's goldens by name.
 CONFIGS = [
     ("all-intra-q32", dict(all_intra=True, qp=32, rd_candidates=2), 2,
-     None),
-    ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3, None),
-    ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5, None),
-    ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2, None),
+     {}, ("da6373af", "9d54d636")),
+    ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3,
+     {}, ("9bd821d0", "627f0e9f")),
+    ("lowdelay-q32-threads1", dict(qp=32, rd_candidates=2), 3,
+     {"TURING_TPU_ENC_THREADS": "1"}, "lowdelay-q32"),
+    ("lowdelay-q32-no-native", dict(qp=32, rd_candidates=2), 3,
+     {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
+    ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
+     {}, ("96f121dc", "bbf4e27a")),
+    ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
+     {}, ("39d1504c", "568d227c")),
+    ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
+                          sdh=True), 3,
+     {}, ("ca8e49c1", "0de6f066")),
+    ("10bit-q32", dict(qp=32, rd_candidates=2, bit_depth=10), 2,
+     {}, ("6cea06cb", "f4ca3c70")),
+    # field coding needs height % 16 == 0: crop the clip to 640x352
+    ("field-q32", dict(qp=32, rd_candidates=2, field_coding=True,
+                       height=352), 2,
+     {}, ("55024a29", "bbcdd3ca")),
 ]
 
 
-def run(n_decode_frames=24, expected=None):
+def run(n_decode_frames=24, update=False):
     from turingcodec_tpu.decode.decoder import Decoder
     from turingcodec_tpu.encode.encoder import (
         Encoder, EncoderConfig, read_yuv_frame)
@@ -43,59 +66,78 @@ def run(n_decode_frames=24, expected=None):
             [p.astype(np.uint8).ravel() for p in f.planes]).tobytes()
         md5.update(fb)
         yuv += fb
-    golden = hashlib.md5(
-        open("/tmp/caminandes_ref.yuv", "rb").read()).hexdigest() \
-        if False else None
     print(f"decode md5({n_decode_frames}): {md5.hexdigest()}")
 
     failures = 0
     results = {}
-    for (name, overrides, n_frames, exp) in CONFIGS:
-        cfg = EncoderConfig(width=640, height=360, search_range=16,
-                            **overrides)
-        enc = Encoder(cfg)
-        stream = enc.headers()
-        recons = {}
-        for i in range(n_frames):
-            for (idx, nal, recon) in enc.push_frame(
-                    read_yuv_frame(yuv, i, 640, 360)):
+    for (name, overrides, n_frames, env, exp) in CONFIGS:
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            overrides = dict(overrides)
+            overrides.setdefault("height", 360)
+            cfg = EncoderConfig(width=640, search_range=16, **overrides)
+            enc = Encoder(cfg)
+            stream = enc.headers()
+            recons = {}
+            shift = cfg.bit_depth - 8
+            for i in range(n_frames):
+                planes = read_yuv_frame(yuv, i, 640, 360)
+                if cfg.height != 360:
+                    planes = [np.ascontiguousarray(
+                        p[:cfg.height >> (0 if k == 0 else 1)])
+                        for k, p in enumerate(planes)]
+                if shift:
+                    planes = [p << shift for p in planes]
+                for (idx, nal, recon) in enc.push_frame(planes):
+                    stream += nal
+                    recons.setdefault(idx, []).append(recon)
+            for (idx, nal, recon) in enc.flush():
                 stream += nal
-                recons[idx] = recon
-        for (idx, nal, recon) in enc.flush():
-            stream += nal
-            recons[idx] = recon
-        # decode our stream; recon must match bit-exactly (output order ==
-        # input/display order; pocs repeat across IDRs so key by sequence)
-        d2 = Decoder()
-        ok = True
-        rec_md5 = hashlib.md5()
-        for k, f in enumerate(d2.decode_stream(stream)):
-            for a, b in zip(f.planes, recons[k]):
-                if not np.array_equal(a, b):
+                recons.setdefault(idx, []).append(recon)
+            # decode our stream; recon must match bit-exactly
+            d2 = Decoder()
+            ok = True
+            rec_md5 = hashlib.md5()
+            flat = []
+            for idx in sorted(recons):
+                flat.extend(recons[idx])
+            for k, f in enumerate(d2.decode_stream(stream)):
+                for a, b in zip(f.planes, flat[k]):
+                    if not np.array_equal(np.asarray(a), np.asarray(b)):
+                        ok = False
+                if f.hash_ok is False:
                     ok = False
-            if f.hash_ok is False:
-                ok = False
-            rec_md5.update(np.concatenate(
-                [p.astype(np.uint8).ravel() for p in f.planes]).tobytes())
+                dt = np.uint16 if shift else np.uint8
+                rec_md5.update(np.concatenate(
+                    [np.asarray(p).astype(dt).ravel()
+                     for p in f.planes]).tobytes())
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         bits4 = hashlib.md5(stream).hexdigest()[:8]
         rec4 = rec_md5.hexdigest()[:8]
         results[name] = (bits4, rec4)
+        want = results.get(exp) if isinstance(exp, str) else exp
         status = "OK" if ok else "RECON MISMATCH"
-        if exp is not None and (bits4, rec4) != exp:
-            status = f"GOLDEN MISMATCH (want {exp})"
+        if not update and want is not None and (bits4, rec4) != want:
+            status = f"GOLDEN MISMATCH (want {want})"
         if "OK" not in status:
             failures += 1
-        print(f"{name:>16}: bits {bits4}  recon {rec4}  {status}")
-    if expected is not None:
-        for name, want in expected.items():
-            if results.get(name) != tuple(want):
-                failures += 1
-                print(f"golden mismatch {name}: {results.get(name)} != {want}")
+        print(f"{name:>24}: bits {bits4}  recon {rec4}  {status}")
+    if update:
+        print("\npinned goldens:")
+        for name, pair in results.items():
+            print(f'    "{name}": {pair},')
     return failures
 
 
 def main(argv=None):
-    return 1 if run() else 0
+    argv = argv if argv is not None else sys.argv[1:]
+    return 1 if run(update="--update" in argv) else 0
 
 
 if __name__ == "__main__":
