@@ -114,17 +114,40 @@ def _seed_field_program(w: int, h: int):
             hstep, (big, zeros, zeros), offs_h)
         return jnp.stack([bsx, bsy], -1)
 
-    return jax.jit(seed_field), wb, hb
+    return seed_field, wb, hb
+
+
+def seed_fields_frames_sharded(mesh, origs: np.ndarray, refs: np.ndarray):
+    """GOP-batched pre-ME: seed fields for N (orig, ref) picture pairs in
+    one jit, sharded over the mesh 'frame' axis — the encoder-analysis
+    stage of the multi-chip scale-out story (each picture's pre-ME is
+    data-parallel; only the sequential RDO chains pictures). Values are
+    integer-exact twins of the host lowres_prepass."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n, h, w = origs.shape
+    key = ("seedraw", w, h)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = _seed_field_program(w, h)
+    raw, wb, hb = _JIT_CACHE[key]
+    sh = NamedSharding(mesh, P("frame"))
+    fn = jax.jit(jax.vmap(raw), in_shardings=(sh, sh),
+                 out_shardings=sh)
+    a = jax.device_put(np.asarray(origs, np.int16), sh)
+    b = jax.device_put(np.asarray(refs, np.int16), sh)
+    return np.asarray(fn(a, b)).astype(np.int32), wb, hb
 
 
 def seed_field_device(orig_y: np.ndarray, ref_y: np.ndarray):
     """Compute one reference plane's seed field on device; returns
     (seed_mv (hb, wb, 2) int32 numpy, wb, hb) — the exact value of
     inter_search._lowres_seed_field / enc_core lowres_prepass."""
+    import jax
     h, w = orig_y.shape
     key = ("seed", w, h)
     if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = _seed_field_program(w, h)
+        raw, wb, hb = _seed_field_program(w, h)
+        _JIT_CACHE[key] = (jax.jit(raw), wb, hb)
     fn, wb, hb = _JIT_CACHE[key]
     out = np.asarray(fn(np.asarray(orig_y, np.int16),
                         np.asarray(ref_y, np.int16)))
