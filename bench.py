@@ -3,11 +3,15 @@
 
 Headline metric (BASELINE.json): 1080p low-delay encode frames/s at the
 fast preset (RDOQ+SDH on — our fast defaults). Quality at this operating
-point (two-point check on this exact workload, QP 30/34): ~+3% BD-rate
-vs the reference encoder's fast preset while running ~1.4x faster —
-the speed tools (SATD gates, ESD) trade ~1% of that; the rest is search
-scope. Disabling the gates (TC_NO_SATDGATE, --no-esd) recovers most of
-the gap at reference-like speed.
+point (QUALITY.md, 4-QP BD-rate vs the reference encoder, round 3):
+on this exact 1080p workload we BEAT the reference's fast preset by
+-4.4% (LDP) / -9.1% (RA gop8) BD-rate, and its slow preset by -0.1%
+(RA); on the natural 640x360 clip -0.8% (fast LDP) / -3.8% (fast RA),
+with slow-RA the one remaining gap (+4.9%). Reproduce with
+`python -m turingcodec_tpu.tools.bdrate`. The round-3 quality jumps
+came from exact mode-bin CABAC rate estimation in the search (checkRate
+invariant asserted per CTU) and reference-parity MPM-mode RD
+refinement.
 
 The 1080p input is a deterministic 3x nearest-neighbour upscale of the
 bundled caminandes stream decoded by our own decoder; the decode is
