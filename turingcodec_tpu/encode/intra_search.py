@@ -149,6 +149,12 @@ class IntraPictureEncoder:
         # path — integer, equals the writer's estimate re-walk exactly
         self._ctu_frac = 0
         self.ctu_frac_list = []
+        # the slow preset (rd_candidates >= 3) refines candidates
+        # ungated, like the reference; TC_NO_SATDGATE forces it anywhere
+        # (native twin keys off the same condition)
+        import os as _os
+        self._no_gate = (bool(_os.environ.get("TC_NO_SATDGATE"))
+                         or rd_candidates >= 3)
         self.qp_map = None  # per-CTB QP (adaptive quantization)
         self._base_lam_qp = self.qp
         # last 2Nx2N integer-search best per list (mvPreviousInteger2Nx2N
@@ -737,7 +743,8 @@ class IntraPictureEncoder:
         cands, ccosts = self._rank_modes(
             orig_y, rt, rl, corner, size, mpm, count=ncand,
             n_mpm=n_mpm if self.sh.is_i else 0)
-        if budget is not None and ccosts[0] >= budget:
+        if not self._no_gate and budget is not None \
+                and ccosts[0] >= budget:
             return float("inf")
 
         best = None
@@ -747,7 +754,7 @@ class IntraPictureEncoder:
             # RD refinement; planar is exempt. Second clause: adaptive stop
             # once the achieved RD cost undercuts the next candidate's
             # SATD ranking cost.
-            if k > 0 and mode != 0 and (
+            if not self._no_gate and k > 0 and mode != 0 and (
                     ccosts[k] > 1.5 * ccosts[0]
                     or (best is not None and best[0] <= ccosts[k])):
                 continue
@@ -891,14 +898,15 @@ class IntraPictureEncoder:
             # NxN budget bail (native twin): committed sub-PU costs plus
             # this sub-PU's best SATD ranking cost already lose to the
             # 8x8 winner
-            if budget is not None and cost + ccosts[0] >= budget:
+            if not self._no_gate and budget is not None \
+                    and cost + ccosts[0] >= budget:
                 return float("inf")
             ts_on = bool(self.pps.transform_skip_enabled_flag)
             best = None
             for k, mode in enumerate(cands):
                 # SATD-gate (native enc_core twin; planar exempt) + the
                 # adaptive achieved-RD-vs-next-SATD stop
-                if k > 0 and mode != 0 and (
+                if not self._no_gate and k > 0 and mode != 0 and (
                         ccosts[k] > 1.5 * ccosts[0]
                         or (best is not None and best[0] <= ccosts[k])):
                     continue
@@ -992,7 +1000,7 @@ class IntraPictureEncoder:
         keep = set(order[:2])
         best = None
         for k, m in enumerate(cand):
-            if k not in keep:
+            if not self._no_gate and k not in keep:
                 continue
             trials = []
             est = self._mb_est()

@@ -2754,7 +2754,9 @@ double intra_chroma(int cx, int cy, int cs, int clog2, int dm,
     double best_cost = 0.0;
     int best_k = -1;
     for (int k = 0; k < 5; k++) {
-        static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
+        static const bool no_gate_env =
+            getenv("TC_NO_SATDGATE") != nullptr;
+        const bool no_gate = no_gate_env || en.rd_candidates >= 3;
         if (!no_gate && k != keep0 && k != keep1)
             continue;
         int m = cand[k];
@@ -2848,7 +2850,9 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
     int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm, ncand_want,
                            cands, cand_costs, g_sp.is_i ? n_mpm : 0);
     {
-        static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
+        static const bool no_gate_env =
+            getenv("TC_NO_SATDGATE") != nullptr;
+        const bool no_gate = no_gate_env || en.rd_candidates >= 3;
         if (!no_gate && cand_costs[0] >= budget)
             return std::numeric_limits<double>::max();
     }
@@ -2864,7 +2868,9 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
         // SATD-gate (see encode_intra_nxn); the second clause stops the
         // refinement adaptively once the achieved RD cost undercuts the
         // next candidate's SATD ranking cost
-        static const bool no_gate = getenv("TC_NO_SATDGATE") != nullptr;
+        static const bool no_gate_env =
+            getenv("TC_NO_SATDGATE") != nullptr;
+        const bool no_gate = no_gate_env || en.rd_candidates >= 3;
         if (!no_gate && k > 0 && mode != 0
             && (cand_costs[k] > 1.5 * cand_costs[0]
                 || (best_mode >= 0 && best_cost <= cand_costs[k])))
@@ -2963,8 +2969,10 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
         int ncand = rank_modes(orig_b, rt, rl, corner, half, mpm, count,
                                cands, cand_costs, g_sp.is_i ? n_mpm : 0);
         {
-            static const bool no_gate =
+            static const bool no_gate_env =
                 getenv("TC_NO_SATDGATE") != nullptr;
+            const bool no_gate =
+                no_gate_env || en.rd_candidates >= 3;
             if (!no_gate && cost + cand_costs[0] >= budget)
                 return std::numeric_limits<double>::max();
         }
@@ -2976,8 +2984,10 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
             // RD refinement; planar is exempt (kept for its flat-rate win).
             // Second clause: adaptive stop once the achieved RD cost
             // undercuts the next candidate's SATD ranking cost.
-            static const bool no_gate =
+            static const bool no_gate_env =
                 getenv("TC_NO_SATDGATE") != nullptr;
+            const bool no_gate =
+                no_gate_env || en.rd_candidates >= 3;
             if (!no_gate && k > 0 && cands[k] != 0
                 && (cand_costs[k] > 1.5 * cand_costs[0]
                     || (best_mode >= 0 && best_cost <= cand_costs[k])))
