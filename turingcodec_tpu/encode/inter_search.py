@@ -98,11 +98,15 @@ class InterPictureEncoder(IntraPictureEncoder):
         state = self._snapshot(x0, y0, size)
         cost_best = self._encode_inter_cu(x0, y0, log2, depth)
         best_state = self._snapshot(x0, y0, size)
-        # SMP/AMP partitions, Search<prediction_unit> analogue — gated to
-        # 16x16+ CUs at medium+ effort (Speed.h smp/amp gating); an ESD
-        # skip champion ends the partition loop (the reference's esd
-        # break exits all part modes)
-        if (self.rd_candidates >= 2 and log2 >= 4
+        # SMP/AMP partitions, Search<prediction_unit> analogue. Speed.h
+        # useSmp: slow/medium search 2NxN/Nx2N at every size INCLUDING 8x8
+        # (8x4/4x8 PUs give motion boundaries inside an 8x8 separate
+        # vectors — worth ~1% BD at slow). Documented deviation: the
+        # reference's fast searches SMP at 8x8 only; ours searches none at
+        # fast — measured to cost ~30% encode speed for ~0 BD there (our
+        # fast is already ahead of the reference's on BD). An ESD skip
+        # champion ends the partition loop (the reference's esd break).
+        if (self.rd_candidates >= 2 and log2 >= 3
                 and not (getattr(self, "esd", False)
                          and self.plan.skip_flag[y0 >> 2, x0 >> 2])):
             # APS (Aps.h:45-85): gate 2NxN/Nx2N by the residue-energy
@@ -125,7 +129,8 @@ class InterPictureEncoder(IntraPictureEncoder):
                     delta = den >> 2
                     do_nx2n = not (den - delta < num < den + delta)
             parts = [T.PART_2NxN, T.PART_Nx2N]
-            if self.sps.amp_enabled_flag and self.rd_candidates >= 3:
+            if (self.sps.amp_enabled_flag and self.rd_candidates >= 3
+                    and log2 >= 4):
                 parts += [T.PART_2NxnU, T.PART_2NxnD,
                           T.PART_nLx2N, T.PART_nRx2N]
             for part in parts:
@@ -701,10 +706,18 @@ class InterPictureEncoder(IntraPictureEncoder):
         best = None
         seen = set()
         for mi, c in enumerate(merge_cands):
+            # dedup on the RAW candidate (list identity), but predict and
+            # commit the small-PU-cleared motion: bi is forbidden for
+            # 8x4/4x8 PUs, L1 dropped after selection (spec 8.5.3.2.1 —
+            # the decoder applies the same rule, mvp.py:381)
             key = (c.pred_flags, c.mv, c.ref_idx)
             if key in seen or not (c.pred_flags[0] or c.pred_flags[1]):
                 continue
             seen.add(key)
+            if pw + ph == 12 and c.pred_flags[0] and c.pred_flags[1]:
+                c = MotionCand(pred_flags=(1, 0),
+                               mv=(c.mv[0], (0, 0)),
+                               ref_idx=(c.ref_idx[0], -1))
             pred = self._pred_luma_for_motion(c.pred_flags, c.mv, c.ref_idx,
                                               px, py, pw, ph)
             cost = satd_np(orig, pred, blk) + self.lam_me * (2 + mi)
@@ -852,6 +865,8 @@ class InterPictureEncoder(IntraPictureEncoder):
             self.next_id[2] += 1
             dist += float(((rq - oy) ** 2).sum())
 
+            if log2 == 3:
+                continue  # 8x8 SMP: one 4x4 chroma TB pair after the loop
             ch = qh >> 1
             cdy, cdx = dy >> 1, dx >> 1
             for ci, (o_c, p_c, r_c, qp_c, coeff_pl, cbf_pl) in enumerate((
@@ -877,6 +892,38 @@ class InterPictureEncoder(IntraPictureEncoder):
                 coeff_pl[cy + cdy:cy + cdy + ch, cx + cdx:cx + cdx + ch] = lv
                 cbf_pl[bl] = int(lv.any())
                 dist += float(((rc - oc) ** 2).sum())
+        if log2 == 3:
+            # 8x8 SMP: chroma stays one 4x4 TB pair (no split below an
+            # 8x8 luma; the writer's chroma_last path) covering the CU
+            sl8 = (slice(y0 >> 2, (y0 + size) >> 2),
+                   slice(x0 >> 2, (x0 + size) >> 2))
+            for ci, (o_c, p_c, r_c, qp_c, coeff_pl, cbf_pl) in enumerate((
+                    (orig_cb, pred_cb, rec_cb, self.qp_cb,
+                     plan.coeff_cb, plan.cbf_cb),
+                    (orig_cr, pred_cr, rec_cr, self.qp_cr,
+                     plan.coeff_cr, plan.cbf_cr))):
+                cf = forward_transform_np(o_c - p_c, sps.bit_depth_c,
+                                          False)
+                lv = self._quantize_rd(cf, qp_c + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, 2, False,
+                                       ci + 1, 0, cbf=("cbf_chroma", 0))
+                if lv.any():
+                    dd = dequant_block(lv, qp_c + sps.qp_bd_offset_c,
+                                       sps.bit_depth_c, 2)
+                    rc = np.clip(
+                        p_c + inverse_transform(dd, sps.bit_depth_c,
+                                                False),
+                        0, (1 << sps.bit_depth_c) - 1)
+                else:
+                    rc = p_c
+                r_c[:, :] = rc
+                coeff_pl[cy:cy + cs, cx:cx + cs] = lv
+                cbf_pl[sl8] = int(lv.any())
+                if (self.pps.transform_skip_enabled_flag):
+                    tsmap = (plan.transform_skip_cb if ci == 0
+                             else plan.transform_skip_cr)
+                    tsmap[cy >> 1, cx >> 1] = 0
+                dist += float(((rc - o_c) ** 2).sum())
 
         self.recon[0][y0:y0 + size, x0:x0 + size] = rec_y
         self.recon[1][cy:cy + cs, cx:cx + cs] = rec_cb
@@ -900,7 +947,10 @@ class InterPictureEncoder(IntraPictureEncoder):
         has = bool(lv_y.any() or lv_cb.any() or lv_cr.any())
         est.encode_decision(ctx_index("rqt_root_cbf"), int(has))
         if has:
-            self._emit_tt_split(est, log2, lv_y, lv_cb, lv_cr)
+            if log2 == 3:
+                self._emit_tt_split8(est, lv_y, lv_cb, lv_cr)
+            else:
+                self._emit_tt_split(est, log2, lv_y, lv_cb, lv_cr)
         self._mb_adopt(est)
         return dist + self.lam * (est.frac_bits / 256.0)
 

@@ -692,6 +692,28 @@ class IntraPictureEncoder:
             if q_cr:
                 self._emit_residual(est, lcr, log2 - 2, 2, 0, False)
 
+    def _emit_tt_split8(self, est, lv_y, lv_cb, lv_cr):
+        """8x8 inter CU with a one-level transform split: four 4x4 luma
+        TUs but ONE 4x4 chroma TB pair (no chroma split below an 8x8
+        luma; the writer's chroma_last path), in writer order."""
+        sps = self.sps
+        if (3 <= sps.max_tb_log2_size_y and 3 > sps.min_tb_log2_size_y
+                and sps.max_transform_hierarchy_depth_inter > 0):
+            est.encode_decision(ctx_index("split_transform_flag", 2), 1)
+        my_cb, my_cr = int(lv_cb.any()), int(lv_cr.any())
+        self._emit_cbf(est, "cbf_chroma", 0, my_cb)
+        self._emit_cbf(est, "cbf_chroma", 0, my_cr)
+        for (dy, dx) in ((0, 0), (0, 4), (4, 0), (4, 4)):
+            lq = lv_y[dy:dy + 4, dx:dx + 4]
+            nzq = int(lq.any())
+            self._emit_cbf(est, "cbf_luma", 0, nzq)
+            if nzq:
+                self._emit_residual(est, lq, 2, 0, 0, False)
+        if my_cb:
+            self._emit_residual(est, lv_cb, 2, 1, 0, False)
+        if my_cr:
+            self._emit_residual(est, lv_cr, 2, 2, 0, False)
+
     # ------------------------------------------------------------------
     def _encode_cu(self, x0, y0, log2, depth, budget=None) -> float:
         """Commit the best 2Nx2N intra CU at (x0, y0); returns RD cost.

@@ -1646,6 +1646,44 @@ void emit_tt_split(CandRate& cr, int log2, const int16_t* lv_y,
     }
 }
 
+// 8x8 inter CU with a one-level transform split: four 4x4 luma TUs but
+// ONE 4x4 chroma TB pair (no chroma split below an 8x8 luma; the
+// writer's chroma_last path), in writer order
+// (intra_search._emit_tt_split8 twin)
+void emit_tt_split8(CandRate& cr, const int16_t* lv_y,
+                    const int16_t* lv_cb, const int16_t* lv_cr) {
+    if (3 <= g_sp.max_tb_log2 && 3 > g_sp.min_tb_log2
+        && g_sp.mtd_inter > 0)
+        cr.bin(E_SPLIT_TT, 2, 1);
+    auto any4 = [](const int16_t* p, int stride, int x, int y) {
+        for (int yy = 0; yy < 4; yy++)
+            for (int xx = 0; xx < 4; xx++)
+                if (p[(y + yy) * stride + x + xx])
+                    return 1;
+        return 0;
+    };
+    const int my_cb = any4(lv_cb, 4, 0, 0);
+    const int my_cr = any4(lv_cr, 4, 0, 0);
+    cr.bin(E_CBF_CHROMA, 0, my_cb);
+    cr.bin(E_CBF_CHROMA, 0, my_cr);
+    int16_t q_l[16];
+    static const int zo8[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+    for (int zi = 0; zi < 4; zi++) {
+        const int dy = zo8[zi][0] * 4, dx = zo8[zi][1] * 4;
+        const int nzq = any4(lv_y, 8, dx, dy);
+        cr.bin(E_CBF_LUMA, 0, nzq);
+        if (nzq) {
+            for (int y = 0; y < 4; y++)
+                std::memcpy(q_l + y * 4, lv_y + (dy + y) * 8 + dx, 8);
+            emit_residual_ts(cr, q_l, 2, 0, 0, 0, 0);
+        }
+    }
+    if (my_cb)
+        emit_residual_ts(cr, lv_cb, 2, 1, 0, 0, 0);
+    if (my_cr)
+        emit_residual_ts(cr, lv_cr, 2, 2, 0, 0, 0);
+}
+
 // exact writer bins of one 2Nx2N inter CU candidate
 // (inter_search._cand_est_2nx2n twin); kind 0 merge, 1 amvp
 void cand_rate_2nx2n(CandRate& cr, int x0, int y0, int log2, int depth,
@@ -3238,7 +3276,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     // batch-evaluate uncached interior points 4 at a time (multiref SAD);
     // per-point arithmetic is identical to cost_at, so costs are bit-equal
     auto eval_batch = [&](const int (*pts)[2], int npts) {
-        int bx[20], by[20];
+        int bx[32], by[32];
         int nb = 0;
         double c;
         for (int i = 0; i < npts; i++) {
@@ -3412,7 +3450,8 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             FpBest rb{0.0, 0, 0};
             bool have = false;
             for (int qy = -raster_q; qy <= raster_q; qy += 20) {
-                int pts[16][2];
+                // raster_q 240 -> 25 points per row
+                int pts[32][2];
                 int np_ = 0;
                 for (int qx = -raster_q; qx <= raster_q; qx += 20) {
                     int ix = qx >> 2, iy = qy >> 2;
@@ -3743,9 +3782,19 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
         if (dup || !(c.pf0 || c.pf1))
             continue;
         seen[n_seen++] = c;
-        int pf[2] = {c.pf0, c.pf1};
-        int mv[2][2] = {{c.mv00, c.mv01}, {c.mv10, c.mv11}};
-        int ref[2] = {c.r0 < 0 ? 0 : c.r0, c.r1 < 0 ? 0 : c.r1};
+        // dedup on the RAW candidate, but predict/commit the small-PU-
+        // cleared motion: bi is forbidden for 8x4/4x8 PUs, L1 dropped
+        // after selection (spec 8.5.3.2.1; decode/mvp.py:381 twin)
+        Cand cc = c;
+        if (pw + ph == 12 && cc.pf0 && cc.pf1) {
+            cc.pf1 = 0;
+            cc.r1 = -1;
+            cc.mv10 = 0;
+            cc.mv11 = 0;
+        }
+        int pf[2] = {cc.pf0, cc.pf1};
+        int mv[2][2] = {{cc.mv00, cc.mv01}, {cc.mv10, cc.mv11}};
+        int ref[2] = {cc.r0 < 0 ? 0 : cc.r0, cc.r1 < 0 ? 0 : cc.r1};
         pred_luma_for_motion(pf, mv, ref, px, py, pw, ph, pred);
         double cost = (double)satd_region(orig, pred, pw, ph, bs)
                     + cur.lam_me * (2 + mi);
@@ -3753,7 +3802,7 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
             best_cost = cost;
             best.kind = 0;
             best.merge_idx = mi;
-            best.cand = c;
+            best.cand = cc;
             have = true;
         }
     }
@@ -3917,7 +3966,7 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
     snap_save(*best_state, x0, y0, size);
     // an ESD skip champion ends the partition loop (the reference's esd
     // break exits all part modes)
-    if (en.rd_candidates >= 2 && log2 >= 4
+    if (en.rd_candidates >= 2 && log2 >= 3
         && !(en.esd && g_sp.skip_flag[idx4(x0, y0)])) {
         // APS (Aps.h:45-85): gate 2NxN/Nx2N by the residue-energy
         // balance of the 2Nx2N champion's prediction quadrants
@@ -3946,7 +3995,7 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
         int n_parts = 0;
         parts[n_parts++] = 1;  // 2NxN
         parts[n_parts++] = 2;  // Nx2N
-        if (g_sp.amp_enabled && en.rd_candidates >= 3) {
+        if (g_sp.amp_enabled && en.rd_candidates >= 3 && log2 >= 4) {
             parts[n_parts++] = 4;
             parts[n_parts++] = 5;
             parts[n_parts++] = 6;
@@ -4110,7 +4159,9 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
         cur.ids[2]++;
         dist += (double)ssd_i32(rec_b, oy_b, qh * qh);
 
-        // chroma TUs at log2-2
+        // chroma TUs at log2-2 (16x16+ CUs; 8x8 keeps one 4x4 pair)
+        if (log2 == 3)
+            continue;
         int chh2 = qh >> 1;
         int cdy = dy >> 1, cdx = dx >> 1;
         int max_c = (1 << bd_c) - 1;
@@ -4157,6 +4208,51 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
         }
     }
 
+    if (log2 == 3) {
+        // 8x8 SMP: one 4x4 chroma TB pair covering the CU (chroma_last)
+        const int chs = 4;
+        const int max_c = (1 << bd_c) - 1;
+        for (int ci = 0; ci < 2; ci++) {
+            const int32_t* p_c = ci == 0 ? pred_cb : pred_cr;
+            int16_t* rplane = en.rec[ci + 1];
+            int16_t* coeff_pl = ci == 0 ? g_sp.coeff_cb : g_sp.coeff_cr;
+            uint8_t* cbf_pl = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
+            int16_t* lvc = ci == 0 ? lvcb : lvcr;
+            int qp_c = ci == 0 ? cur.qp_cb_full : cur.qp_cr_full;
+            for (int y = 0; y < chs; y++)
+                for (int x = 0; x < chs; x++) {
+                    oy_b[y * chs + x] =
+                        en.orig[ci + 1][(int64_t)(cy + y) * cw_()
+                                        + (cx + x)];
+                    py_b[y * chs + x] = p_c[y * half + x];
+                    res[y * chs + x] = oy_b[y * chs + x]
+                                     - py_b[y * chs + x];
+                }
+            fwd_transform(res, chs, bd_c, 0, coeffs);
+            int nzc = en.rdoq
+                ? rdoq_quantize(coeffs, qp_c, bd_c, 2, ci + 1, 0,
+                                g_sp.off[E_CBF_CHROMA], levels)
+                : quantize(coeffs, chs, qp_c, bd_c, 2, 0, levels);
+            if (nzc && g_sp.sdh_enabled)
+                apply_sdh_c(levels, coeffs, qp_c, bd_c, 2, 0);
+            if (nzc) {
+                std::memcpy(rec_b, py_b, chs * chs * 4);
+                dequant_idct_add(levels, chs, chs, 2, qp_c, bd_c, 0,
+                                 rec_b);
+                for (int i = 0; i < chs * chs; i++)
+                    rec_b[i] = clip3i(0, max_c, rec_b[i]);
+                std::memcpy(lvc, levels, chs * chs * 2);
+                nz_any = 1;
+            } else {
+                std::memcpy(rec_b, py_b, chs * chs * 4);
+            }
+            scatter16(rplane, cw_(), cx, cy, chs, rec_b);
+            scatter_lv(coeff_pl, cw_(), cx, cy, chs, levels);
+            fillq(cbf_pl, x0, y0, size, (uint8_t)(nzc ? 1 : 0));
+            dist += (double)ssd_i32(rec_b, oy_b, chs * chs);
+        }
+    }
+
     // exact writer bins of the whole CU, in order (the only candidate of
     // this part mode — committed immediately; inter_search twin)
     CandRate cr;
@@ -4173,8 +4269,12 @@ double encode_inter_smp(int x0, int y0, int log2, int depth, int part) {
                          ch.mvd, ch.mvp_fl);
     }
     cr.bin(E_RQT_ROOT, 0, nz_any);
-    if (nz_any)
-        emit_tt_split(cr, log2, lvy, lvcb, lvcr);
+    if (nz_any) {
+        if (log2 == 3)
+            emit_tt_split8(cr, lvy, lvcb, lvcr);
+        else
+            emit_tt_split(cr, log2, lvy, lvcb, lvcr);
+    }
     cr_commit(cr);
     return dist + cur.lam * ((double)cr.frac / 256.0);
 }
