@@ -68,6 +68,15 @@ def test_rate_invariant_inter_b_slow():
     _check(cfg, _frames(5, 96, 64))
 
 
+@pytest.mark.parametrize("gop_m", [3, 6])
+def test_rate_invariant_odd_gops(gop_m):
+    # the non-power-of-two SOP tables (InputQueue.cpp:331-379) with their
+    # per-level qp offsets also satisfy search rate == writer rate
+    cfg = EncoderConfig(width=96, height=64, qp=33, gop_m=gop_m, sao=False,
+                        rd_candidates=2, rdoq=True, sdh=True)
+    _check(cfg, _frames(gop_m + 2, 96, 64))
+
+
 def test_rate_invariant_python_oracle():
     # pure-Python twin obeys the same invariant
     os.environ["TURING_TPU_NO_NATIVE"] = "1"
