@@ -73,6 +73,34 @@ def test_scalable_nesting_recurses():
     assert inner_parsed["exact_match_flag"] == 1
 
 
+def test_scalable_nesting_default_op_flag():
+    # spec D.2.27: with default_op_flag=1 the op loop starts at i=1, so
+    # nesting_num_ops_minus1=1 codes exactly ONE (u(3), ue) op pair.
+    inner = sei.SeiMessage(6, _pl(lambda b: (b.se(0), b.u(1, 1),
+                                             b.u(0, 1))))
+    bw = BitWriter()
+    bw.u(1, 1)   # bitstream_subset
+    bw.u(1, 1)   # nesting_op_flag
+    bw.u(1, 1)   # default_op_flag
+    bw.ue(1)     # nesting_num_ops_minus1 = 1
+    bw.u(3, 3)   # nesting_max_temporal_id_plus1[1]
+    bw.ue(5)     # nesting_op_idx[1]
+    while bw.nbits:
+        bw.u(1 if bw.nbits == 8 else 0, 1)  # nesting alignment quirk
+    body = bw.get_bytes()
+    bw2 = BitWriter()
+    bw2.u(inner.payload_type, 8)
+    bw2.u(len(inner.payload), 8)
+    bw2.write_bytes(inner.payload)
+    out = sei.parse_scalable_nesting(body + bw2.get_bytes())
+    assert out["default_op_flag"] == 1
+    assert len(out["ops"]) == 1
+    assert out["ops"][0]["nesting_max_temporal_id_plus1"] == 3
+    assert out["ops"][0]["nesting_op_idx"] == 5
+    # the nested message parses only if alignment after the single op is right
+    assert out["nested"] and out["nested"][0].payload_type == 6
+
+
 def test_unknown_and_extension_types_are_skip_safe():
     for t in (139, 142, 165, 177, 250):
         m = sei.SeiMessage(t, b"\x12\x34")

@@ -540,7 +540,11 @@ def parse_scalable_nesting(payload: bytes) -> dict:
         out["default_op_flag"] = br.u(1)
         out["nesting_num_ops_minus1"] = br.ue()
         ops = []
-        for _ in range(out["nesting_num_ops_minus1"] + 1):
+        # spec D.2.27 / ref sei/scalable_nesting.h:37-41: the op loop starts
+        # at i = default_op_flag (when the default op applies, entry 0 is
+        # implicit and not coded)
+        for _ in range(out["default_op_flag"],
+                       out["nesting_num_ops_minus1"] + 1):
             ops.append({"nesting_max_temporal_id_plus1": br.u(3),
                         "nesting_op_idx": br.ue()})
         out["ops"] = ops
