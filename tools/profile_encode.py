@@ -29,8 +29,10 @@ PHASES = [
     "fwd_xform", "quantize", "rate_est", "pred_full", "pred_luma",
     "sad16", "rank_modes", "intra_nxn", "try_tb", "lowres+half",
 ]
-COUNTS = ["fp_searches", "met_early", "probes4", "rasters", "raster_rows",
-          "c21", "c22", "c23"]
+COUNTS = ["fp_searches", "sad_single", "sad_batched", "met_stops",
+          "batch_puts", "c21ns", "c22", "c23"]
+# extra phase slots 24..31 (g_enc_ns[24..31])
+XPHASES = ["dense_me", "x25", "x26", "x27", "x28", "x29", "x30", "x31"]
 
 
 def main():
@@ -56,7 +58,7 @@ def main():
 
     lib = get_lib()
     lib.tc_enc_counters.argtypes = [ctypes.c_void_p]
-    cnt = np.zeros(24, np.int64)
+    cnt = np.zeros(32, np.int64)
     lib.tc_enc_counters(cnt.ctypes.data)  # reset
 
     cfg = EncoderConfig(width=1920, height=1080, qp=30,
@@ -76,13 +78,19 @@ def main():
     print(f"total {dt:.2f}s  {len(ups) / dt:.3f} fps "
           f"({dt / len(ups):.3f} s/frame, threads="
           f"{os.environ['TURING_TPU_ENC_THREADS']})")
-    rows = sorted(zip(PHASES, cnt[:16]), key=lambda kv: -kv[1])
+    rows = sorted(list(zip(PHASES, cnt[:16])) + list(zip(XPHASES, cnt[24:])),
+                  key=lambda kv: -kv[1])
     for name, ns in rows:
         if ns:
             print(f"  {name:12s} {ns / 1e9 / len(ups):8.4f} s/frame "
                   f"{ns / 1e9 / dt * 100:5.1f}%")
     print("  counts: " + json.dumps(
-        {k: int(v) for k, v in zip(COUNTS, cnt[16:]) if v}))
+        {k: int(v) for k, v in zip(COUNTS, cnt[16:24]) if v}))
+    # device-offloadable prepass fraction (the stages with XLA twins:
+    # lowres pre-ME + dense full-pel ME field)
+    dev = (cnt[15] + cnt[24]) / 1e9
+    print(f"  device-offloadable prepass: {dev / len(ups):.4f} s/frame "
+          f"({dev / dt * 100:.1f}% of wall)")
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ Round-1 scope: P slices, 2Nx2N PUs, one reference.
 from __future__ import annotations
 
 import math
+import os
 from typing import List
 
 import numpy as np
@@ -69,6 +70,8 @@ class InterPictureEncoder(IntraPictureEncoder):
         # lowres pre-ME seed fields, one per reference plane (native
         # lowres_prepass twin; keyed by plane identity)
         self._lr_seed_cache = {}
+        # dense full-res +/-8 ME fields (native dense_prepass twin)
+        self._dense_cache = {}
 
     def encode_picture(self, orig, slice_number=0):
         self.deriver = None  # created lazily (needs plan)
@@ -386,6 +389,60 @@ class InterPictureEncoder(IntraPictureEncoder):
         self._lr_seed_cache[key] = field
         return field
 
+    def _dense_field(self, ref_plane):
+        """Dense full-res ME field: per 16x16 block, the exhaustive +/-8
+        full-pel SAD winner around the lowres seed, over edge-replicated
+        padded planes. cost = (SAD << 2) + |ox| + |oy|, scan-order (oy, ox
+        ascending) strict-improvement tie-break — the Python oracle of
+        enc_core.cpp dense_prepass (and of the XLA/Pallas device twins in
+        device_analysis). This whole-picture batched sweep replaces the
+        star search's wide scanning; it is the encoder's ME hot loop
+        (ref:turing/Search.hpp:1464-1483's role) recast as one dense
+        tensor program. Returns (mv (hb, wb, 2) int full-pel, wb, hb)."""
+        key = id(ref_plane)
+        cached = self._dense_cache.get(key)
+        if cached is not None:
+            return cached
+        sm, wb, hb = self._lowres_seed_field(ref_plane)
+        orig = np.asarray(self.orig[0])
+        h, w = orig.shape
+        P = 48
+        cur = np.pad(orig.astype(np.int32),
+                     ((0, hb * 16 - h), (0, wb * 16 - w)), "edge")
+        ref = np.pad(np.asarray(ref_plane).astype(np.int32),
+                     ((0, hb * 16 - h), (0, wb * 16 - w)), "edge")
+        ref = np.pad(ref, P, "edge")
+        cb = cur.reshape(hb, 16, wb, 16).transpose(0, 2, 1, 3)
+        by, bx = np.mgrid[0:hb, 0:wb]
+        a32 = np.arange(32)
+        ys = (by * 16 + sm[:, :, 1] - 8 + P)[:, :, None, None] \
+            + a32[None, None, :, None]
+        xs = (bx * 16 + sm[:, :, 0] - 8 + P)[:, :, None, None] \
+            + a32[None, None, None, :]
+        patch = ref[ys, xs]  # (hb, wb, 32, 32)
+        best = None
+        box = boy = None
+        for oy in range(17):
+            for ox in range(17):
+                sad = np.abs(cb - patch[:, :, oy:oy + 16,
+                                        ox:ox + 16]).sum((2, 3))
+                cost = (sad.astype(np.int64) << 2) \
+                    + abs(ox - 8) + abs(oy - 8)
+                if best is None:
+                    best = cost
+                    box = np.full((hb, wb), ox)
+                    boy = np.full((hb, wb), oy)
+                else:
+                    m = cost < best
+                    best = np.where(m, cost, best)
+                    box = np.where(m, ox, box)
+                    boy = np.where(m, oy, boy)
+        field = (np.stack([sm[:, :, 0] + box - 8,
+                           sm[:, :, 1] + boy - 8], -1).astype(np.int32),
+                 wb, hb)
+        self._dense_cache[key] = field
+        return field
+
     def _full_pel_search(self, orig, ref_plane, x0, y0, w, h, mvp,
                          seeds=()):
         """Diamond/step pattern integer search; returns best int MV (in
@@ -446,7 +503,13 @@ class InterPictureEncoder(IntraPictureEncoder):
                 return True
             return False
 
-        window = 64 if self.search_range >= 64 else 32
+        # the dense field already scanned +/-8 exhaustively around every
+        # cell's lowres seed: the star is pure local polish (native
+        # full_pel_search has_dense twin)
+        has_dense = (self.search_range >= 16
+                     and not os.environ.get("TC_NO_DENSEME")
+                     and not os.environ.get("TC_NO_LOWRES"))
+        window = 8 if has_dense else (64 if self.search_range >= 64 else 32)
         max_counter = 3 if self.search_range >= 64 else 2
         raster_q = 240 if self.search_range >= 64 else 120
 
@@ -466,19 +529,46 @@ class InterPictureEncoder(IntraPictureEncoder):
         # seed that improves the running best — the zero MV always does —
         # probe around it; no improvement from the probe stops the whole
         # search there
+        def try_seed(sx, sy):
+            """Evaluate one seed MV; True = MET stop (native try_seed)."""
+            nonlocal best
+            if (sx, sy) == (0, 0):
+                return False
+            ((c, cand),) = costs_at([(sx, sy)])
+            if (c, cand) < best:
+                best = (c, cand)
+                if self.met and not met_probe():
+                    return True
+            return False
+
         met_stop = self.met and not met_probe()
         if not met_stop:
             seq = [(mvp[0] >> 2, mvp[1] >> 2)] \
                 + [(int(mx) >> 2, int(my) >> 2) for (mx, my) in seeds]
             for (sx, sy) in seq:
-                if (sx, sy) == (0, 0):
-                    continue
-                ((c, cand),) = costs_at([(sx, sy)])
-                if (c, cand) < best:
-                    best = (c, cand)
-                    if self.met and not met_probe():
-                        met_stop = True
+                if try_seed(sx, sy):
+                    met_stop = True
+                    break
+        # dense full-res ME field winners for the cells under this PU —
+        # same try-seed MET flow as the callers' hints (native twin)
+        if has_dense and not met_stop:
+            dm, wb, hb = self._dense_field(ref_plane)
+
+            def dcell(px, py):
+                bx = min(max(px >> 4, 0), wb - 1)
+                by = min(max(py >> 4, 0), hb - 1)
+                return (int(dm[by, bx, 0]), int(dm[by, bx, 1]))
+
+            s = dcell(x0 + w // 2, y0 + h // 2)
+            met_stop = try_seed(*s)
+            if w >= 32 or h >= 32:
+                for q in range(4):
+                    if met_stop:
                         break
+                    sq = dcell(x0 + (3 * w // 4 if q & 1 else w // 4),
+                               y0 + (3 * h // 4 if q & 2 else h // 4))
+                    if sq != s:
+                        met_stop = try_seed(*sq)
         if met_stop:
             return best[1], best[0]
 
@@ -500,7 +590,11 @@ class InterPictureEncoder(IntraPictureEncoder):
         if dist_best == 1:
             dist_best = 0
             consider(best[1][0], best[1][1], square4, 1, 1)
-        if dist_best > 5 and self.search_range >= 16:
+        if dist_best > 5 and has_dense:
+            # dense field active: the wide scan already happened in the
+            # whole-picture sweep; nothing further to consult
+            dist_best = 5
+        elif dist_best > 5 and self.search_range >= 16:
             # the initial star's winner came from far out: consult the
             # lowres pre-ME winners for the cells under this PU instead of
             # the raster sweep (native enc_core full_pel_search twin)

@@ -30,6 +30,8 @@
 
 #ifdef __AVX2__
 #include <immintrin.h>
+#elif defined(__SSE2__) || defined(_M_X64) || defined(__x86_64__)
+#include <emmintrin.h>
 #endif
 
 #include "core.h"
@@ -37,7 +39,9 @@
 // coarse phase timers (ns): [inter_cu, smp, intra_cu, snap, full_pel,
 // subpel, fwd_xform, quantize, rate_est, pred_full, pred_luma, satd,
 // spare, spare, spare, spare]
-static int64_t g_enc_ns[24];  // [0..15] phase ns, [16..23] event counts
+// [0..15] phase ns, [16..23] event counts, [24..31] extra phase ns
+// (24 = dense full-pel ME field prepass — the device-offloadable stage)
+static int64_t g_enc_ns[32];
 #ifdef TC_ENC_PROF
 #define PROF_COUNT(i, n) (g_enc_ns[i] += (n))
 #else
@@ -64,7 +68,7 @@ struct LeafTimer {
     LeafTimer(int) {}
 };
 #endif
-extern "C" void tc_enc_counters(int64_t* out) {  // out: int64[24]
+extern "C" void tc_enc_counters(int64_t* out) {  // out: int64[32]
     std::memcpy(out, g_enc_ns, sizeof(g_enc_ns));
     std::memset(g_enc_ns, 0, sizeof(g_enc_ns));
 }
@@ -96,6 +100,15 @@ struct EN {
     // seed fields supplied externally for this picture (device pre-ME,
     // encode/device_analysis.py) — lowres_prepass honors and consumes
     int seeds_external = 0;
+    // dense full-res ME field (encoder hot-loop device stage): per 16x16
+    // block, the exhaustive +/-8 full-pel SAD winner around the lowres
+    // seed. Replaces the star search's wide scanning (raster fallback,
+    // big windows) with one whole-picture batched sweep — the same
+    // restructuring that puts the ME hot loop (Search.hpp:1464-1483's
+    // job) on the TPU when TURING_TPU_DEVICE_ENC=1.
+    std::vector<int16_t> dense_mv[2];  // (hb*wb, 2) full-pel winners
+    int have_dense[2] = {0, 0};
+    int dense_external = 0;
 };
 
 EN en;
@@ -297,7 +310,191 @@ static void lowres_search_rows(const int16_t* cur, const int16_t* ref,
 #endif
 }
 
-static void lowres_prepass(int nthreads) {
+// ------------------------------------------------------- dense ME field
+// Exhaustive +/-8 full-pel SAD sweep per 16x16 block around the lowres
+// pre-ME seed, over edge-replicated padded planes (so every SAD is a full
+// 16x16 block read and the arithmetic is identical across the Python /
+// native / XLA twins). cost = (SAD << 2) + |ox| + |oy|, scan-order (oy,
+// ox ascending) strict-improvement tie-break. Python oracle:
+// inter_search._dense_field; device twin: device_analysis.dense_field_*.
+static const int DENSE_R = 8;       // +/- full-pel window around the seed
+static const int DENSE_P = 48;      // ref pad border (max |seed|=36 +8+ext)
+
+template <typename S>
+static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
+                              const int16_t* seeds, int by0, int by1,
+                              int16_t* out) {
+    const int cw = wb * 16;
+    const int rw = wb * 16 + 2 * DENSE_P;
+    for (int by = by0; by < by1; by++)
+        for (int bx = 0; bx < wb; bx++) {
+            const S* c0 = cur + (int64_t)(by * 16) * cw + bx * 16;
+            const int sx = seeds[((int64_t)by * wb + bx) * 2];
+            const int sy = seeds[((int64_t)by * wb + bx) * 2 + 1];
+            const S* r00 = ref
+                + (int64_t)(by * 16 + sy - DENSE_R + DENSE_P) * rw
+                + (bx * 16 + sx - DENSE_R + DENSE_P);
+            uint32_t best = UINT32_MAX;
+            int box = 0, boy = 0;
+#if defined(__SSE2__) || defined(_M_X64) || defined(__x86_64__)
+            if (sizeof(S) == 1) {
+                for (int oy = 0; oy < 2 * DENSE_R + 1; oy++) {
+                    const uint8_t* r0 = (const uint8_t*)(r00
+                        + (int64_t)oy * rw);
+                    for (int ox = 0; ox < 2 * DENSE_R + 1; ox++) {
+                        __m128i acc = _mm_setzero_si128();
+                        for (int y = 0; y < 16; y++) {
+                            const __m128i cv = _mm_loadu_si128(
+                                (const __m128i*)((const uint8_t*)c0
+                                                 + (int64_t)y * cw));
+                            const __m128i rv = _mm_loadu_si128(
+                                (const __m128i*)(r0 + (int64_t)y * rw
+                                                 + ox));
+                            acc = _mm_add_epi64(acc,
+                                                _mm_sad_epu8(cv, rv));
+                        }
+                        const uint32_t sad =
+                            (uint32_t)(_mm_cvtsi128_si64(acc)
+                                       + _mm_extract_epi16(acc, 4));
+                        const uint32_t cost = (sad << 2)
+                            + (ox < DENSE_R ? DENSE_R - ox : ox - DENSE_R)
+                            + (oy < DENSE_R ? DENSE_R - oy : oy - DENSE_R);
+                        if (cost < best) {
+                            best = cost;
+                            box = ox;
+                            boy = oy;
+                        }
+                    }
+                }
+            } else
+#endif
+            {
+                for (int oy = 0; oy < 2 * DENSE_R + 1; oy++)
+                    for (int ox = 0; ox < 2 * DENSE_R + 1; ox++) {
+                        const S* r0 = r00 + (int64_t)oy * rw + ox;
+                        uint32_t sad = 0;
+                        for (int y = 0; y < 16; y++) {
+                            const S* cr = c0 + (int64_t)y * cw;
+                            const S* rr = r0 + (int64_t)y * rw;
+                            for (int x = 0; x < 16; x++) {
+                                const int d = (int)cr[x] - (int)rr[x];
+                                sad += d < 0 ? -d : d;
+                            }
+                        }
+                        const uint32_t cost = (sad << 2)
+                            + (ox < DENSE_R ? DENSE_R - ox : ox - DENSE_R)
+                            + (oy < DENSE_R ? DENSE_R - oy : oy - DENSE_R);
+                        if (cost < best) {
+                            best = cost;
+                            box = ox;
+                            boy = oy;
+                        }
+                    }
+            }
+            out[((int64_t)by * wb + bx) * 2] = (int16_t)(sx + box - DENSE_R);
+            out[((int64_t)by * wb + bx) * 2 + 1] =
+                (int16_t)(sy + boy - DENSE_R);
+        }
+}
+
+// pad src (h, w) to (hb*16 + 2*border, wb*16 + 2*border) by edge
+// replication (grid extension first, then the border)
+template <typename S>
+static void dense_pad_plane(const int16_t* src, int w, int h, int wb,
+                            int hb, int border, S* dst) {
+    const int dw = wb * 16 + 2 * border;
+    const int dh = hb * 16 + 2 * border;
+    for (int y = 0; y < dh; y++) {
+        int sy = y - border;
+        sy = sy < 0 ? 0 : (sy >= h ? h - 1 : sy);
+        const int16_t* row = src + (int64_t)sy * w;
+        S* drow = dst + (int64_t)y * dw;
+        for (int x = 0; x < dw; x++) {
+            int sx = x - border;
+            sx = sx < 0 ? 0 : (sx >= w ? w - 1 : sx);
+            drow[x] = (S)row[sx];
+        }
+    }
+}
+
+static void dense_prepass(int nthreads) {
+    PhaseTimer pt(24);
+    if (en.dense_external) {
+        // device stage already installed this picture's dense fields
+        en.dense_external = 0;
+        return;
+    }
+    en.have_dense[0] = en.have_dense[1] = 0;
+    static const bool off = getenv("TC_NO_DENSEME") != nullptr;
+    if (off || g_sp.is_i || en.search_range < 16)
+        return;
+    const int w = g_sp.pic_w, h = g_sp.pic_h;
+    const int wb = en.seed_wb, hb = en.seed_hb;
+    const bool u8 = g_sp.bit_depth_y == 8;
+    static std::vector<uint8_t> cur8_pad, ref8_pad;
+    static std::vector<int16_t> cur16_pad, ref16_pad;
+    bool have_cur = false;
+    for (int l = 0; l < 2; l++) {
+        if (!en.have_seed[l] || !en.refs[l][0][0])
+            continue;
+        if (l == 1 && en.refs[0][0][0] == en.refs[1][0][0]
+            && en.have_dense[0] && en.seed_mv[0] == en.seed_mv[1]) {
+            // GPB: same plane + same seeds -> same dense field
+            en.dense_mv[1] = en.dense_mv[0];
+            en.have_dense[1] = 1;
+            continue;
+        }
+        if (!have_cur) {
+            if (u8) {
+                cur8_pad.resize((size_t)hb * 16 * (wb * 16));
+                dense_pad_plane<uint8_t>(en.orig[0], w, h, wb, hb, 0,
+                                         cur8_pad.data());
+            } else {
+                cur16_pad.resize((size_t)hb * 16 * (wb * 16));
+                dense_pad_plane<int16_t>(en.orig[0], w, h, wb, hb, 0,
+                                         cur16_pad.data());
+            }
+            have_cur = true;
+        }
+        const size_t rsz = (size_t)(hb * 16 + 2 * DENSE_P)
+            * (wb * 16 + 2 * DENSE_P);
+        if (u8) {
+            ref8_pad.resize(rsz);
+            dense_pad_plane<uint8_t>(en.refs[l][0][0], w, h, wb, hb,
+                                     DENSE_P, ref8_pad.data());
+        } else {
+            ref16_pad.resize(rsz);
+            dense_pad_plane<int16_t>(en.refs[l][0][0], w, h, wb, hb,
+                                     DENSE_P, ref16_pad.data());
+        }
+        en.dense_mv[l].resize((size_t)hb * wb * 2);
+        const int16_t* seeds = en.seed_mv[l].data();
+        int16_t* out = en.dense_mv[l].data();
+        const int T = std::max(1, std::min(nthreads, hb));
+        auto rows = [&](int by0, int by1) {
+            if (u8)
+                dense_search_rows<uint8_t>(cur8_pad.data(),
+                                           ref8_pad.data(), wb, hb, seeds,
+                                           by0, by1, out);
+            else
+                dense_search_rows<int16_t>(cur16_pad.data(),
+                                           ref16_pad.data(), wb, hb, seeds,
+                                           by0, by1, out);
+        };
+        if (T > 1) {
+            std::vector<std::thread> ts;
+            for (int t = 0; t < T; t++)
+                ts.emplace_back(rows, hb * t / T, hb * (t + 1) / T);
+            for (auto& th : ts)
+                th.join();
+        } else {
+            rows(0, hb);
+        }
+        en.have_dense[l] = 1;
+    }
+}
+
+static void lowres_prepass_seeds(int nthreads) {
     PhaseTimer pt_lr(15);
     if (en.seeds_external) {
         // device pre-ME already installed this picture's seed fields
@@ -370,6 +567,11 @@ static void lowres_prepass(int nthreads) {
         }
         en.have_seed[l] = 1;
     }
+}
+
+static void lowres_prepass(int nthreads) {
+    lowres_prepass_seeds(nthreads);
+    dense_prepass(nthreads);
 }
 
 // Per-CTU mutable state. thread_local so WPP rows can run on independent
@@ -3350,7 +3552,10 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     // tight window, and the raster fallback (whose job the exhaustive
     // lowres sweep already did) is skipped
     const bool has_lr = en.have_seed[lx] && ref == 0;
-    const int search_window = en.search_range >= 64 ? 64 : 32;
+    // the dense field already scanned +/-8 exhaustively around every
+    // cell's lowres seed: the star is pure local polish
+    const int search_window = (en.have_dense[lx] && ref == 0)
+        ? 8 : (en.search_range >= 64 ? 64 : 32);
     const int max_counter = en.search_range >= 64 ? 3 : 2;
     const int raster_q = en.search_range >= 64 ? 240 : 120;
     // MET probe (ME early termination; Speed.h useMet fast/medium,
@@ -3389,6 +3594,30 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         met_stop = try_seed(mvp[0] >> 2, mvp[1] >> 2);
     for (int i = 0; i < n_seeds && !met_stop; i++)
         met_stop = try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
+    // dense full-res ME field winners for the cells under this PU (the
+    // whole-picture exhaustive +/-8 sweep already did the wide-scanning
+    // job, so the star below runs with a tight window and no raster /
+    // lowres fallback) — same try-seed MET flow as the callers' hints
+    const bool has_dense = en.have_dense[lx] && ref == 0;
+    if (has_dense && !met_stop) {
+        const int16_t* dm = en.dense_mv[lx].data();
+        const int wb = en.seed_wb, hb = en.seed_hb;
+        auto dcell = [&](int px, int py) -> const int16_t* {
+            int bx = px >> 4, by = py >> 4;
+            bx = bx < 0 ? 0 : (bx >= wb ? wb - 1 : bx);
+            by = by < 0 ? 0 : (by >= hb ? hb - 1 : by);
+            return dm + ((int64_t)by * wb + bx) * 2;
+        };
+        const int16_t* s = dcell(x0 + w / 2, y0 + h / 2);
+        met_stop = try_seed(s[0], s[1]);
+        if (w >= 32 || h >= 32)
+            for (int q = 0; q < 4 && !met_stop; q++) {
+                const int16_t* sq = dcell(x0 + (q & 1 ? 3 * w / 4 : w / 4),
+                                          y0 + (q & 2 ? 3 * h / 4 : h / 4));
+                if (sq[0] != s[0] || sq[1] != s[1])
+                    met_stop = try_seed(sq[0], sq[1]);
+            }
+    }
     if (met_stop) {
         PROF_COUNT(19, 1);
         *out_ix = best.ix;
@@ -3413,7 +3642,11 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             dist_best = 0;
             consider_pattern(best.ix, best.iy, SQUARE4, 4, 1, 1);
         }
-        if (dist_best > 5 && has_lr) {
+        if (dist_best > 5 && has_dense) {
+            // dense field active: the wide scan already happened in the
+            // whole-picture sweep; nothing further to consult
+            dist_best = 5;
+        } else if (dist_best > 5 && has_lr) {
             // the initial star's winner came from far out: instead of the
             // raster sweep below, consult the lowres pre-ME winners for
             // the cells under this PU — the exhaustive quarter-res sweep
@@ -5654,6 +5887,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
             en.ref8[l][r] = dst;
         }
     en.have_seed[0] = en.have_seed[1] = 0;  // per-picture (set in prepass)
+    en.have_dense[0] = en.have_dense[1] = 0;
     int j = 0;
     en.rd_candidates = ip[j++];
     en.max_cu_log2 = ip[j++];
@@ -5770,6 +6004,17 @@ void tc_enc_install_seeds(int32_t l, const int16_t* mv, int32_t wb,
     en.seed_mv[l].assign(mv, mv + (size_t)hb * wb * 2);
     en.have_seed[l] = 1;
     en.seeds_external = 1;
+}
+
+// install a device-computed dense full-pel ME field for list l
+// (encode/device_analysis.py; exact dense_prepass values)
+void tc_enc_install_dense(int32_t l, const int16_t* mv, int32_t wb,
+                          int32_t hb) {
+    en.seed_wb = wb;
+    en.seed_hb = hb;
+    en.dense_mv[l].assign(mv, mv + (size_t)hb * wb * 2);
+    en.have_dense[l] = 1;
+    en.dense_external = 1;
 }
 
 // SATD kernel self-test + cycle bench (havoc_test analogue): random

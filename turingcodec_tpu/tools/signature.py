@@ -29,24 +29,24 @@ CONFIGS = [
     ("all-intra-q32", dict(all_intra=True, qp=32, rd_candidates=2), 2,
      {}, ("da6373af", "9d54d636")),
     ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3,
-     {}, ("2224c920", "576c2970")),
+     {}, ("2d59c697", "12dc9ef5")),
     ("lowdelay-q32-threads1", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_ENC_THREADS": "1"}, "lowdelay-q32"),
     ("lowdelay-q32-no-native", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
     ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
-     {}, ("3712647b", "d0966398")),
+     {}, ("8e74e466", "50320200")),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
-     {}, ("4c5cd5da", "29d1e2b5")),
+     {}, ("e45b7aec", "d008606d")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
                           sdh=True), 3,
-     {}, ("5d40fc49", "ecfc5a5e")),
+     {}, ("1f8da9bb", "34b94f30")),
     ("10bit-q32", dict(qp=32, rd_candidates=2, bit_depth=10), 2,
-     {}, ("3da6cbe3", "aed2abe3")),
+     {}, ("7e0ebd5f", "b8296fcb")),
     # field coding needs height % 16 == 0: crop the clip to 640x352
     ("field-q32", dict(qp=32, rd_candidates=2, field_coding=True,
                        height=352), 2,
-     {}, ("e55ea0d0", "c66355c1")),
+     {}, ("dbe3fe76", "2c7008b3")),
 ]
 
 
