@@ -41,6 +41,29 @@ def test_seed_field_matches_host_oracle():
         np.argwhere(~(dev == host).all(-1))[:5])
 
 
+def test_dense_field_matches_host_oracle():
+    from turingcodec_tpu.encode.device_analysis import analysis_device
+    from turingcodec_tpu.encode.inter_search import InterPictureEncoder
+    rng = np.random.RandomState(5)
+    h, w = 112, 176   # non-multiples of 64 exercise the padding
+    orig = rng.randint(0, 256, (h, w)).astype(np.int16)
+    ref = np.roll(orig, (-7, 9), (0, 1)).astype(np.int16)
+    ref[30:70, 50:120] = rng.randint(0, 256, (40, 70))
+
+    sm_d, dm_d, wb_d, hb_d = analysis_device(orig, ref)
+
+    enc = InterPictureEncoder.__new__(InterPictureEncoder)
+    enc._lr_seed_cache = {}
+    enc._dense_cache = {}
+    enc.orig = [orig]
+    dm_h, wb_h, hb_h = enc._dense_field(ref)
+    sm_h = enc._lr_seed_cache[id(ref)][0]
+    assert (wb_d, hb_d) == (wb_h, hb_h)
+    assert np.array_equal(sm_d, sm_h)
+    assert np.array_equal(dm_d, dm_h), (
+        np.argwhere(~(dm_d == dm_h).all(-1))[:5])
+
+
 def _encode(frames, w, h, env):
     old = {k: os.environ.get(k) for k in env}
     os.environ.update(env)

@@ -131,6 +131,7 @@ class PicturePlan:
     sao_type: np.ndarray = None
     sao_class: np.ndarray = None       # (Hc, Wc, 3)
     sao_offsets: np.ndarray = None     # (Hc, Wc, 3, 4) int8
+    sao_merge: np.ndarray = None       # (Hc, Wc) 0=new 1=left 2=up (encode)
 
     def __post_init__(self):
         if self.cu_list is None:
@@ -176,3 +177,4 @@ class PicturePlan:
         self.sao_type = np.zeros((hc, wc, 3), np.uint8)
         self.sao_class = np.zeros((hc, wc, 3), np.uint8)
         self.sao_offsets = np.zeros((hc, wc, 3, 4), np.int8)
+        self.sao_merge = np.zeros((hc, wc), np.uint8)

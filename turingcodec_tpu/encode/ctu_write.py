@@ -159,16 +159,23 @@ def write_ctu(ws: SliceWriteContext, ctb_addr_rs: int):
 
 
 def write_sao(ws: SliceWriteContext, rx: int, ry: int):
-    """sao() writing: no-merge, explicit params (encoder emits merge flags
-    as 0 for v1; estimation may set identical params without merge)."""
+    """sao() writing: merge-left/up flags per plan.sao_merge (estimator
+    RDO), explicit params otherwise."""
     plan, sh, enc = ws.plan, ws.sh, ws.enc
     sps = ws.sps
+    merge = int(plan.sao_merge[ry, rx]) if plan.sao_merge is not None else 0
     if rx > 0 and plan.slice_idx[ry, rx - 1] == ws.slice_number \
             and ws.geom.tile_id[ry, rx] == ws.geom.tile_id[ry, rx - 1]:
-        enc.encode_decision(ctx_index("sao_merge_flag"), 0)
+        enc.encode_decision(ctx_index("sao_merge_flag"),
+                            1 if merge == 1 else 0)
+        if merge == 1:
+            return
     if ry > 0 and plan.slice_idx[ry - 1, rx] == ws.slice_number \
             and ws.geom.tile_id[ry, rx] == ws.geom.tile_id[ry - 1, rx]:
-        enc.encode_decision(ctx_index("sao_merge_flag"), 0)
+        enc.encode_decision(ctx_index("sao_merge_flag"),
+                            1 if merge == 2 else 0)
+        if merge == 2:
+            return
     for c_idx in range(3 if sps.chroma_array_type else 1):
         if c_idx == 0 and not sh.slice_sao_luma_flag:
             continue

@@ -117,6 +117,77 @@ def _seed_field_program(w: int, h: int):
     return seed_field, wb, hb
 
 
+def _dense_stage(orig, ref, seeds, w, h, wb, hb):
+    """jnp twin of enc_core dense_search_rows + dense_pad_plane: per 16x16
+    block, the exhaustive +/-8 full-pel SAD winner around the lowres seed
+    over edge-replicated padded planes; cost = (SAD << 2) + |ox| + |oy|,
+    scan-order (oy, ox) strict-improvement tie-break. Integer-exact with
+    the host twins (inter_search._dense_field / native dense_prepass)."""
+    import jax
+    import jax.numpy as jnp
+    P = 48
+    cur = jnp.pad(orig.astype(jnp.int32),
+                  ((0, hb * 16 - h), (0, wb * 16 - w)), "edge")
+    r = jnp.pad(ref.astype(jnp.int32),
+                ((0, hb * 16 - h), (0, wb * 16 - w)), "edge")
+    r = jnp.pad(r, P, "edge")
+    cb = cur.reshape(hb, 16, wb, 16).transpose(0, 2, 1, 3)
+    by = jnp.arange(hb)[:, None]
+    bx = jnp.arange(wb)[None, :]
+    a32 = jnp.arange(32)
+    ys = (by * 16 + seeds[:, :, 1] - 8 + P)[:, :, None, None] \
+        + a32[None, None, :, None]
+    xs = (bx * 16 + seeds[:, :, 0] - 8 + P)[:, :, None, None] \
+        + a32[None, None, None, :]
+    patch = r[ys, xs]  # (hb, wb, 32, 32)
+    offs = jnp.array([(oy, ox) for oy in range(17) for ox in range(17)],
+                     jnp.int32)
+    big = jnp.full((hb, wb), np.iinfo(np.int32).max, jnp.int32)
+    zeros = jnp.zeros((hb, wb), jnp.int32)
+
+    def step(carry, off):
+        oy, ox = off[0], off[1]
+        win = jax.lax.dynamic_slice(patch, (0, 0, oy, ox),
+                                    (hb, wb, 16, 16))
+        sad = jnp.abs(cb - win).sum((2, 3))
+        cost = (sad << 2) + jnp.abs(ox - 8) + jnp.abs(oy - 8)
+        bc, bdx, bdy = carry
+        m = cost < bc
+        return (jnp.where(m, cost, bc), jnp.where(m, ox - 8, bdx),
+                jnp.where(m, oy - 8, bdy)), None
+
+    (_, box, boy), _ = jax.lax.scan(step, (big, zeros, zeros), offs)
+    return jnp.stack([seeds[:, :, 0] + box, seeds[:, :, 1] + boy], -1)
+
+
+def _analysis_program(w: int, h: int):
+    """Fused (orig, ref) -> (seed_field, dense_field) program: the lowres
+    pre-ME and the dense full-pel ME sweep in ONE jit dispatch."""
+    seed_field, wb, hb = _seed_field_program(w, h)
+
+    def analysis(orig, ref):
+        seeds = seed_field(orig, ref)
+        dense = _dense_stage(orig, ref, seeds, w, h, wb, hb)
+        return seeds, dense
+
+    return analysis, wb, hb
+
+
+def analysis_device(orig_y: np.ndarray, ref_y: np.ndarray):
+    """Compute one reference plane's (seed, dense) fields on device —
+    integer-exact with the host lowres_prepass + dense_prepass."""
+    import jax
+    h, w = orig_y.shape
+    key = ("analysis", w, h)
+    if key not in _JIT_CACHE:
+        raw, wb, hb = _analysis_program(w, h)
+        _JIT_CACHE[key] = (jax.jit(raw), wb, hb)
+    fn, wb, hb = _JIT_CACHE[key]
+    sm, dm = fn(np.asarray(orig_y, np.int16), np.asarray(ref_y, np.int16))
+    return (np.asarray(sm).astype(np.int32),
+            np.asarray(dm).astype(np.int32), wb, hb)
+
+
 def seed_fields_frames_sharded(mesh, origs: np.ndarray, refs: np.ndarray):
     """GOP-batched pre-ME: seed fields for N (orig, ref) picture pairs in
     one jit, sharded over the mesh 'frame' axis — the encoder-analysis
@@ -155,11 +226,13 @@ def seed_field_device(orig_y: np.ndarray, ref_y: np.ndarray):
 
 
 def install_seed_fields(enc, orig) -> Optional[dict]:
-    """Run the device pre-ME for the encoder's list-0/1 ref-0 planes and
-    prefill the Python seed cache; returns {list: (mv, wb, hb)} for the
+    """Run the device encoder analysis (lowres pre-ME + dense full-pel ME
+    field) for the encoder's list-0/1 ref-0 planes and prefill the Python
+    caches; returns {list: (seed_mv, dense_mv|None, wb, hb)} for the
     native install, or None when the stage does not apply."""
     if enc.sh.is_i or getattr(enc, "search_range", 0) < 16:
         return None
+    want_dense = not os.environ.get("TC_NO_DENSEME")
     fields = {}
     done = {}
     for lx in (0, 1):
@@ -169,9 +242,17 @@ def install_seed_fields(enc, orig) -> Optional[dict]:
         plane = refs[0].planes[0]
         k = id(plane)
         if k not in done:
-            done[k] = seed_field_device(np.asarray(orig[0]),
-                                        np.asarray(plane))
-        sm, wb, hb = done[k]
+            if want_dense:
+                sm, dm, wb, hb = analysis_device(np.asarray(orig[0]),
+                                                 np.asarray(plane))
+            else:
+                sm, wb, hb = seed_field_device(np.asarray(orig[0]),
+                                               np.asarray(plane))
+                dm = None
+            done[k] = (sm, dm, wb, hb)
+        sm, dm, wb, hb = done[k]
         enc._lr_seed_cache[k] = (sm, wb, hb)
-        fields[lx] = (sm, wb, hb)
+        if dm is not None:
+            enc._dense_cache[k] = (dm, wb, hb)
+        fields[lx] = (sm, dm, wb, hb)
     return fields or None

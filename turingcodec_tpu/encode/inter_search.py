@@ -503,13 +503,14 @@ class InterPictureEncoder(IntraPictureEncoder):
                 return True
             return False
 
-        # the dense field already scanned +/-8 exhaustively around every
-        # cell's lowres seed: the star is pure local polish (native
-        # full_pel_search has_dense twin)
+        # dense full-res ME field: extra high-quality seeds from the
+        # whole-picture exhaustive sweep (native full_pel_search has_dense
+        # twin); the star and its fallbacks run unchanged, so quality is a
+        # superset of the un-seeded search
         has_dense = (self.search_range >= 16
                      and not os.environ.get("TC_NO_DENSEME")
                      and not os.environ.get("TC_NO_LOWRES"))
-        window = 8 if has_dense else (64 if self.search_range >= 64 else 32)
+        window = 64 if self.search_range >= 64 else 32
         max_counter = 3 if self.search_range >= 64 else 2
         raster_q = 240 if self.search_range >= 64 else 120
 
@@ -590,11 +591,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         if dist_best == 1:
             dist_best = 0
             consider(best[1][0], best[1][1], square4, 1, 1)
-        if dist_best > 5 and has_dense:
-            # dense field active: the wide scan already happened in the
-            # whole-picture sweep; nothing further to consult
-            dist_best = 5
-        elif dist_best > 5 and self.search_range >= 16:
+        if dist_best > 5 and self.search_range >= 16:
             # the initial star's winner came from far out: consult the
             # lowres pre-ME winners for the cells under this PU instead of
             # the raster sweep (native enc_core full_pel_search twin)

@@ -40,9 +40,12 @@ def _best_offset(n, e, lam, max_off=7, sign=None):
 
 
 def _ctb_candidates(o, r, y0, y1, x0, x1, bd, lam):
-    """Per-candidate (cost, class, offsets) for one CTB of one component.
+    """Per-candidate (cost, class, offsets) for one CTB of one component,
+    plus the raw per-class statistics so merge candidates (applying a
+    NEIGHBOUR's parameters to this CTB) can be distortion-costed.
 
-    Returns {"off": ..., "band": ..., ("eo", 0..3): ...}."""
+    Returns {"off": ..., "band": ..., ("eo", 0..3): ...,
+             ("eostats", 0..3): (cnt[5], esum[5]), "bandstats": (n, e)}."""
     h, w = r.shape
     ob = o[y0:y1, x0:x1]
     rb = r[y0:y1, x0:x1]
@@ -65,13 +68,17 @@ def _ctb_candidates(o, r, y0, y1, x0, x1, bd, lam):
         cat = np.where(valid, remap[cat], 0)
         cost = 0.0
         offs = []
+        cnt = [0] * 5
+        esum = [0.0] * 5
         for cls, sgn in ((1, 1), (2, 1), (3, -1), (4, -1)):
             m = cat == cls
-            k, c = _best_offset(int(m.sum()), float(err[m].sum()), lam,
-                                sign=sgn)
+            cnt[cls] = int(m.sum())
+            esum[cls] = float(err[m].sum())
+            k, c = _best_offset(cnt[cls], esum[cls], lam, sign=sgn)
             offs.append(k)
             cost += c
         out[("eo", eo)] = (cost, eo, offs)
+        out[("eostats", eo)] = (cnt, esum)
 
     shift = bd - 5
     bands = (rb >> shift).ravel()
@@ -87,57 +94,145 @@ def _ctb_candidates(o, r, y0, y1, x0, x1, bd, lam):
         if c < best_cost:
             best_cost, best_pos = c, pos
     out["band"] = (best_cost, best_pos, list(kb[best_pos:best_pos + 4]))
+    out["bandstats"] = (n_b, e_b)
     return out
 
 
+def _explicit_bits(key, cand, bd, c_idx):
+    """Approximate signalling bits of one component's explicit params,
+    mirroring write_sao's bins (type ctx bin + bypass, TR offsets, signs,
+    band position / eo class)."""
+    if key == "off":
+        return 1 if c_idx <= 1 else 0
+    _, cls, offs = cand[:3]
+    bits = 2 if c_idx <= 1 else 0  # type ctx bin + band/edge bypass
+    c_max = (1 << (min(bd, 10) - 5)) - 1
+    for k in offs:
+        v = abs(int(k))
+        bits += min(v, c_max) + (1 if v < c_max else 0)
+    if key == "band":
+        bits += sum(1 for k in offs if k) + 5  # signs + band position
+    elif c_idx <= 1:
+        bits += 2  # eo class (luma; chroma shared on cb)
+    return bits
+
+
+def _merge_delta_ssd(cands, t, cls, offs):
+    """Delta-SSD of applying given (type, class, offsets) to a CTB whose
+    per-class stats are in cands: sum n*k^2 - 2*k*e over affected
+    classes/bands."""
+    if t == 0:
+        return 0.0
+    d = 0.0
+    if t == 1:
+        n_b, e_b = cands["bandstats"]
+        for i in range(4):
+            k = int(offs[i])
+            b = (int(cls) + i) & 31
+            d += float(n_b[b]) * k * k - 2.0 * k * float(e_b[b])
+    else:
+        cnt, esum = cands[("eostats", int(cls))]
+        for i, c in enumerate((1, 2, 3, 4)):
+            k = int(offs[i])
+            d += cnt[c] * k * k - 2.0 * k * esum[c]
+    return d
+
+
+_KEYS = ["off", "band", ("eo", 0), ("eo", 1), ("eo", 2), ("eo", 3)]
+
+
 def estimate_sao(plan: PicturePlan, geom, orig, deblocked, lam: float):
-    """Fill plan.sao_* for all CTBs; luma independent, chroma joint-type."""
+    """Fill plan.sao_* for all CTBs: luma independent, chroma joint-type,
+    and per-CTB merge-left/up decisions against explicit re-signalling
+    (the reference's rdSao merge RDO, EncSao.h:963+). Raster scan so a
+    merge target's parameters are final when consulted."""
     sps = plan.sps
-    if _estimate_sao_native(plan, orig, deblocked, lam):
+    if _estimate_sao_native(plan, geom, orig, deblocked, lam):
         return
     ctb = sps.ctb_size_y
     hc, wc = sps.pic_height_in_ctbs_y, sps.pic_width_in_ctbs_y
-    sig = 2.0 * lam  # type/class signalling proxy bits
+    o32 = [p.astype(np.int32) for p in orig]
+    r32 = [p.astype(np.int32) for p in deblocked]
+    cs = ctb // 2
     for cy in range(hc):
         for cx in range(wc):
-            # luma
-            o = orig[0].astype(np.int32)
-            r = deblocked[0].astype(np.int32)
-            h, w = r.shape
+            h, w = r32[0].shape
             y0, x0 = cy * ctb, cx * ctb
-            cands = _ctb_candidates(o, r, y0, min(y0 + ctb, h),
-                                    x0, min(x0 + ctb, w),
-                                    sps.bit_depth_y, lam)
-            items = [("off", cands["off"][0]),
-                     ("band", cands["band"][0] + sig)]
-            items += [(("eo", e), cands[("eo", e)][0] + sig)
-                      for e in range(4)]
-            key = min(items, key=lambda t: t[1])[0]
-            _apply(plan, cy, cx, 0, key, cands[key])
-
-            # chroma: shared type/class between cb and cr
+            cl = _ctb_candidates(o32[0], r32[0], y0, min(y0 + ctb, h),
+                                 x0, min(x0 + ctb, w), sps.bit_depth_y, lam)
             cands_c = []
             for ci in (1, 2):
-                o = orig[ci].astype(np.int32)
-                r = deblocked[ci].astype(np.int32)
-                h, w = r.shape
-                cs = ctb // 2
-                y0, x0 = cy * cs, cx * cs
+                hh, ww = r32[ci].shape
+                yy, xx = cy * cs, cx * cs
                 cands_c.append(_ctb_candidates(
-                    o, r, y0, min(y0 + cs, h), x0, min(x0 + cs, w),
-                    sps.bit_depth_c, lam))
-            items = [("off", cands_c[0]["off"][0] + cands_c[1]["off"][0]),
-                     ("band", cands_c[0]["band"][0] + cands_c[1]["band"][0]
-                      + sig)]
-            items += [(("eo", e),
-                       cands_c[0][("eo", e)][0] + cands_c[1][("eo", e)][0]
-                       + sig) for e in range(4)]
-            key = min(items, key=lambda t: t[1])[0]
-            _apply(plan, cy, cx, 1, key, cands_c[0][key])
-            _apply(plan, cy, cx, 2, key, cands_c[1][key])
+                    o32[ci], r32[ci], yy, min(yy + cs, hh),
+                    xx, min(xx + cs, ww), sps.bit_depth_c, lam))
+
+            left_ok = (cx > 0
+                       and plan.slice_idx[cy, cx - 1] == plan.slice_idx[cy, cx]
+                       and geom.tile_id[cy, cx] == geom.tile_id[cy, cx - 1])
+            up_ok = (cy > 0
+                     and plan.slice_idx[cy - 1, cx] == plan.slice_idx[cy, cx]
+                     and geom.tile_id[cy, cx] == geom.tile_id[cy - 1, cx])
+
+            # explicit (new) decision per component with signalling bits
+            def kname(key):
+                return key if isinstance(key, str) else "eo"
+
+            lbest, lcost = None, 0.0
+            for key in _KEYS:
+                c = cl[key][0] + lam * _explicit_bits(
+                    kname(key), cl[key], sps.bit_depth_y, 0)
+                if lbest is None or c < lcost:
+                    lbest, lcost = key, c
+            cbest, ccost = None, 0.0
+            for key in _KEYS:
+                c = (cands_c[0][key][0] + cands_c[1][key][0]
+                     + lam * (_explicit_bits(kname(key), cands_c[0][key],
+                                             sps.bit_depth_c, 1)
+                              + _explicit_bits(kname(key), cands_c[1][key],
+                                               sps.bit_depth_c, 2)))
+                if cbest is None or c < ccost:
+                    cbest, ccost = key, c
+            new_cost = lcost + ccost \
+                + lam * ((1 if left_ok else 0) + (1 if up_ok else 0))
+
+            # merge candidates: apply the neighbour's resolved params
+            def merge_cost(ny, nx, flag_bits):
+                d = 0.0
+                for ci, cands in ((0, cl), (1, cands_c[0]), (2, cands_c[1])):
+                    t = int(plan.sao_type[ny, nx, ci])
+                    d += _merge_delta_ssd(cands, t,
+                                          int(plan.sao_class[ny, nx, ci]),
+                                          plan.sao_offsets[ny, nx, ci])
+                return d + lam * flag_bits
+
+            choice = 0
+            best = new_cost
+            if left_ok:
+                c = merge_cost(cy, cx - 1, 1)
+                if c < best:
+                    best, choice = c, 1
+            if up_ok:
+                c = merge_cost(cy - 1, cx, 2 if left_ok else 1)
+                if c < best:
+                    best, choice = c, 2
+            plan.sao_merge[cy, cx] = choice
+            if choice == 1:
+                plan.sao_type[cy, cx] = plan.sao_type[cy, cx - 1]
+                plan.sao_class[cy, cx] = plan.sao_class[cy, cx - 1]
+                plan.sao_offsets[cy, cx] = plan.sao_offsets[cy, cx - 1]
+            elif choice == 2:
+                plan.sao_type[cy, cx] = plan.sao_type[cy - 1, cx]
+                plan.sao_class[cy, cx] = plan.sao_class[cy - 1, cx]
+                plan.sao_offsets[cy, cx] = plan.sao_offsets[cy - 1, cx]
+            else:
+                _apply(plan, cy, cx, 0, lbest, cl[lbest])
+                _apply(plan, cy, cx, 1, cbest, cands_c[0][cbest])
+                _apply(plan, cy, cx, 2, cbest, cands_c[1][cbest])
 
 
-def _estimate_sao_native(plan, orig, deblocked, lam) -> bool:
+def _estimate_sao_native(plan, geom, orig, deblocked, lam) -> bool:
     """C twin of the loop above (enc_core.cpp tc_sao_estimate)."""
     import os
     if os.environ.get("TURING_TPU_NO_NATIVE_ENC"):
@@ -154,10 +249,12 @@ def _estimate_sao_native(plan, orig, deblocked, lam) -> bool:
             return False
     optrs = np.array([p.ctypes.data for p in o], np.int64)
     rptrs = np.array([p.ctypes.data for p in r], np.int64)
+    tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
     lib.tc_sao_estimate(
         optrs.ctypes.data, rptrs.ctypes.data,
         plan.sao_type.ctypes.data, plan.sao_class.ctypes.data,
-        plan.sao_offsets.ctypes.data,
+        plan.sao_offsets.ctypes.data, plan.sao_merge.ctypes.data,
+        plan.slice_idx.ctypes.data, tile_id.ctypes.data,
         sps.pic_width_in_ctbs_y, sps.pic_height_in_ctbs_y, sps.ctb_size_y,
         sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
         sps.bit_depth_y, sps.bit_depth_c, float(lam))

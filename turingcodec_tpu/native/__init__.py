@@ -147,7 +147,8 @@ def _build_and_load():
 
     lib.tc_sao_estimate.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_double]
 
@@ -156,6 +157,9 @@ def _build_and_load():
     lib.tc_enc_set_frac_out.argtypes = [ctypes.c_void_p]
     lib.tc_enc_install_seeds.restype = None
     lib.tc_enc_install_seeds.argtypes = [
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.tc_enc_install_dense.restype = None
+    lib.tc_enc_install_dense.argtypes = [
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
     lib.tc_enc_ctu.restype = ctypes.c_double
     lib.tc_enc_picture.restype = ctypes.c_double
@@ -647,8 +651,8 @@ def _slice_setup(lib, plan, geom, sh, slice_number, hook=None):
         p.pu_id, p.cu_id, p.tu_log2, p.tu_id, p.cbf_y, p.cbf_cb, p.cbf_cr,
         p.transform_skip_y, p.transform_skip_cb, p.transform_skip_cr,
         p.coeff_y, p.coeff_cb, p.coeff_cr, p.sao_type, p.sao_class,
-        p.sao_offsets, cp.cu_pred_mode, cp.ref_idx, cp.mv, cp.ref_poc,
-        cp.ref_is_lt,
+        p.sao_offsets, p.sao_merge, cp.cu_pred_mode, cp.ref_idx, cp.mv,
+        cp.ref_poc, cp.ref_is_lt,
     ]
     for a in ptr_arrays:
         assert a.flags.c_contiguous
@@ -1060,14 +1064,20 @@ class EncNative:
         self.lib.tc_enc_me_seed_reset()
 
     def install_seeds(self, fields):
-        """Install device-computed lowres pre-ME seed fields
-        (encode/device_analysis.py): {list: (mv (hb, wb, 2), wb, hb)}."""
-        for lx, (sm, wb, hb) in fields.items():
+        """Install device-computed encoder analysis fields
+        (encode/device_analysis.py):
+        {list: (seed_mv (hb, wb, 2), dense_mv|None, wb, hb)}."""
+        self._keep_seeds = getattr(self, "_keep_seeds", [])
+        for lx, (sm, dm, wb, hb) in fields.items():
             arr = np.ascontiguousarray(sm, np.int16).reshape(-1)
-            self._keep_seeds = getattr(self, "_keep_seeds", [])
             self._keep_seeds.append(arr)
             self.lib.tc_enc_install_seeds(
                 lx, ctypes.c_void_p(arr.ctypes.data), wb, hb)
+            if dm is not None:
+                darr = np.ascontiguousarray(dm, np.int16).reshape(-1)
+                self._keep_seeds.append(darr)
+                self.lib.tc_enc_install_dense(
+                    lx, ctypes.c_void_p(darr.ctypes.data), wb, hb)
 
     def encode_ctu(self, enc, x0, y0) -> float:
         """Full RDO for the CTU at (x0, y0); advances enc.rd_ctx/next_id."""

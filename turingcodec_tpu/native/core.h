@@ -274,6 +274,7 @@ struct SP {
     int16_t *coeff_cb, *coeff_cr;    // (pic_h/2, pic_w/2)
     uint8_t *sao_type, *sao_class;   // (hc, wc, 3)
     int8_t *sao_offsets;             // (hc, wc, 3, 4)
+    uint8_t *sao_merge;              // (hc, wc) 0=new 1=left 2=up (encode)
     // collocated picture plan (TMVP); null when unavailable
     const uint8_t* col_pm;       // cu_pred_mode
     const int8_t* col_ref_idx;   // (2, h4, w4)

@@ -3552,10 +3552,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     // tight window, and the raster fallback (whose job the exhaustive
     // lowres sweep already did) is skipped
     const bool has_lr = en.have_seed[lx] && ref == 0;
-    // the dense field already scanned +/-8 exhaustively around every
-    // cell's lowres seed: the star is pure local polish
-    const int search_window = (en.have_dense[lx] && ref == 0)
-        ? 8 : (en.search_range >= 64 ? 64 : 32);
+    const int search_window = en.search_range >= 64 ? 64 : 32;
     const int max_counter = en.search_range >= 64 ? 3 : 2;
     const int raster_q = en.search_range >= 64 ? 240 : 120;
     // MET probe (ME early termination; Speed.h useMet fast/medium,
@@ -3642,11 +3639,7 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             dist_best = 0;
             consider_pattern(best.ix, best.iy, SQUARE4, 4, 1, 1);
         }
-        if (dist_best > 5 && has_dense) {
-            // dense field active: the wide scan already happened in the
-            // whole-picture sweep; nothing further to consult
-            dist_best = 5;
-        } else if (dist_best > 5 && has_lr) {
+        if (dist_best > 5 && has_lr) {
             // the initial star's winner came from far out: instead of the
             // raster sweep below, consult the lowres pre-ME winners for
             // the cells under this PU — the exhaustive quarter-res sweep
@@ -5553,10 +5546,19 @@ void sao_best_offset(int64_t n, double e, double lam, int sign, int* out_k,
     *out_c = best_c;
 }
 
+// raw per-class statistics of one CTB of one component, for costing a
+// NEIGHBOUR's params on this CTB (merge candidates) — sao_search twin
+struct SaoStats {
+    int64_t cnt[4][5];   // [eo][class]
+    int64_t esum[4][5];
+    int64_t n_b[32];
+    int64_t e_b[32];
+};
+
 // candidates for one CTB of one component: [0]=off, [1]=band, [2..5]=eo 0..3
 void sao_ctb_candidates(const int16_t* o, const int16_t* r, int w, int h,
                         int y0, int y1, int x0, int x1, int bd, double lam,
-                        SaoCand out[6]) {
+                        SaoCand out[6], SaoStats* st) {
     static const int eo_n[4][2][2] = {{{0, -1}, {0, 1}},
                                       {{-1, 0}, {1, 0}},
                                       {{-1, -1}, {1, 1}},
@@ -5603,6 +5605,11 @@ void sao_ctb_candidates(const int16_t* o, const int16_t* r, int w, int h,
         }
         c.cost = cost;
         c.cls = eo;
+        if (st)
+            for (int i = 0; i < 5; i++) {
+                st->cnt[eo][i] = cnt[i];
+                st->esum[eo][i] = esum[i];
+            }
     }
 
     // band offsets
@@ -5615,6 +5622,11 @@ void sao_ctb_candidates(const int16_t* o, const int16_t* r, int w, int h,
             int b = rv >> shift;
             n_b[b]++;
             e_b[b] += o[(int64_t)y * w + x] - rv;
+        }
+    if (st)
+        for (int b = 0; b < 32; b++) {
+            st->n_b[b] = n_b[b];
+            st->e_b[b] = e_b[b];
         }
     int kb[32];
     double cb[32];
@@ -5769,9 +5781,57 @@ void tc_test_fwd_transform(const int32_t* res, int n, int bit_depth,
 
 // SAO parameter estimation for the whole picture (sao_search.estimate_sao
 // oracle): luma independent, chroma joint-type. Writes plan.sao_* directly.
+// approximate signalling bits of one component's explicit params,
+// mirroring write_sao's bins (sao_search._explicit_bits twin)
+static int sao_explicit_bits(int key /*0 off,1 band,2..5 eo*/,
+                             const SaoCand& c, int bd, int c_idx) {
+    if (key == 0)
+        return c_idx <= 1 ? 1 : 0;
+    int bits = c_idx <= 1 ? 2 : 0;
+    const int c_max = (1 << ((bd < 10 ? bd : 10) - 5)) - 1;
+    for (int i = 0; i < 4; i++) {
+        const int v = c.offs[i] < 0 ? -c.offs[i] : c.offs[i];
+        bits += (v < c_max ? v : c_max) + (v < c_max ? 1 : 0);
+    }
+    if (key == 1) {
+        for (int i = 0; i < 4; i++)
+            bits += c.offs[i] != 0;
+        bits += 5;
+    } else if (c_idx <= 1) {
+        bits += 2;
+    }
+    return bits;
+}
+
+// delta-SSD of applying (type, class, offsets) to a CTB with stats st
+// (sao_search._merge_delta_ssd twin)
+static double sao_merge_delta(const SaoStats& st, int t, int cls,
+                              const int8_t* offs) {
+    if (t == 0)
+        return 0.0;
+    double d = 0.0;
+    if (t == 1) {
+        for (int i = 0; i < 4; i++) {
+            const int k = offs[i];
+            const int b = (cls + i) & 31;
+            d += (double)st.n_b[b] * k * k - 2.0 * k * (double)st.e_b[b];
+        }
+    } else {
+        static const int map_[4] = {1, 2, 3, 4};
+        for (int i = 0; i < 4; i++) {
+            const int k = offs[i];
+            d += (double)st.cnt[cls][map_[i]] * k * k
+               - 2.0 * k * (double)st.esum[cls][map_[i]];
+        }
+    }
+    return d;
+}
+
 void tc_sao_estimate(const int64_t* orig_ptrs, const int64_t* rec_ptrs,
                      int64_t sao_type_p, int64_t sao_class_p,
-                     int64_t sao_offsets_p, int32_t wc, int32_t hc,
+                     int64_t sao_offsets_p, int64_t sao_merge_p,
+                     int64_t slice_idx_p, int64_t tile_id_p,
+                     int32_t wc, int32_t hc,
                      int32_t ctb, int32_t pic_w, int32_t pic_h,
                      int32_t bd_y, int32_t bd_c, double lam) {
     const int16_t* o[3];
@@ -5783,56 +5843,107 @@ void tc_sao_estimate(const int64_t* orig_ptrs, const int64_t* rec_ptrs,
     uint8_t* sao_type = (uint8_t*)sao_type_p;
     uint8_t* sao_class = (uint8_t*)sao_class_p;
     int8_t* sao_offsets = (int8_t*)sao_offsets_p;
-    const double sig = 2.0 * lam;
+    uint8_t* sao_merge = (uint8_t*)sao_merge_p;
+    const int32_t* slice_idx = (const int32_t*)slice_idx_p;
+    const int32_t* tile_id = (const int32_t*)tile_id_p;
     const int cwd = pic_w >> 1, chd = pic_h >> 1;
+    const int cs = ctb >> 1;
     for (int cy = 0; cy < hc; cy++)
         for (int cx = 0; cx < wc; cx++) {
-            int64_t cur = (int64_t)cy * wc + cx;
-            // luma
+            const int64_t cur = (int64_t)cy * wc + cx;
             SaoCand cl[6];
+            SaoStats stl;
             {
                 int y0 = cy * ctb, x0 = cx * ctb;
                 int y1 = y0 + ctb < pic_h ? y0 + ctb : pic_h;
                 int x1 = x0 + ctb < pic_w ? x0 + ctb : pic_w;
                 sao_ctb_candidates(o[0], r[0], pic_w, pic_h, y0, y1, x0, x1,
-                                   bd_y, lam, cl);
+                                   bd_y, lam, cl, &stl);
             }
-            // candidate order: off, band, eo0..3 — first minimum wins
-            double costs[6] = {cl[0].cost, cl[1].cost + sig,
-                               cl[2].cost + sig, cl[3].cost + sig,
-                               cl[4].cost + sig, cl[5].cost + sig};
-            int key = 0;
-            for (int i = 1; i < 6; i++)
-                if (costs[i] < costs[key])
-                    key = i;
-            sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 0, key,
-                      cl[key]);
-
-            // chroma: shared type/class
             SaoCand cc[2][6];
-            int cs = ctb >> 1;
+            SaoStats stc[2];
             for (int ci = 0; ci < 2; ci++) {
                 int y0 = cy * cs, x0 = cx * cs;
                 int y1 = y0 + cs < chd ? y0 + cs : chd;
                 int x1 = x0 + cs < cwd ? x0 + cs : cwd;
                 sao_ctb_candidates(o[ci + 1], r[ci + 1], cwd, chd, y0, y1,
-                                   x0, x1, bd_c, lam, cc[ci]);
+                                   x0, x1, bd_c, lam, cc[ci], &stc[ci]);
             }
-            double costs_c[6] = {
-                cc[0][0].cost + cc[1][0].cost,
-                cc[0][1].cost + cc[1][1].cost + sig,
-                cc[0][2].cost + cc[1][2].cost + sig,
-                cc[0][3].cost + cc[1][3].cost + sig,
-                cc[0][4].cost + cc[1][4].cost + sig,
-                cc[0][5].cost + cc[1][5].cost + sig};
-            int keyc = 0;
-            for (int i = 1; i < 6; i++)
-                if (costs_c[i] < costs_c[keyc])
-                    keyc = i;
-            sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 1, keyc,
-                      cc[0][keyc]);
-            sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 2, keyc,
-                      cc[1][keyc]);
+            const bool left_ok = cx > 0 && slice_idx[cur - 1] == slice_idx[cur]
+                && tile_id[cur] == tile_id[cur - 1];
+            const bool up_ok = cy > 0 && slice_idx[cur - wc] == slice_idx[cur]
+                && tile_id[cur] == tile_id[cur - wc];
+
+            // explicit (new) decision per component with signalling bits;
+            // candidate order off, band, eo0..3 — first minimum wins
+            int lkey = 0;
+            double lcost = 0.0;
+            for (int key = 0; key < 6; key++) {
+                const double c = cl[key].cost
+                    + lam * sao_explicit_bits(key, cl[key], bd_y, 0);
+                if (key == 0 || c < lcost) {
+                    lkey = key;
+                    lcost = c;
+                }
+            }
+            int ckey = 0;
+            double ccost = 0.0;
+            for (int key = 0; key < 6; key++) {
+                const double c = cc[0][key].cost + cc[1][key].cost
+                    + lam * (sao_explicit_bits(key, cc[0][key], bd_c, 1)
+                             + sao_explicit_bits(key, cc[1][key], bd_c, 2));
+                if (key == 0 || c < ccost) {
+                    ckey = key;
+                    ccost = c;
+                }
+            }
+            const double new_cost = lcost + ccost
+                + lam * ((left_ok ? 1 : 0) + (up_ok ? 1 : 0));
+
+            // merge candidates: apply the neighbour's resolved params
+            auto merge_cost = [&](int64_t nb, int flag_bits) -> double {
+                double d = 0.0;
+                const SaoStats* sts[3] = {&stl, &stc[0], &stc[1]};
+                for (int ci = 0; ci < 3; ci++)
+                    d += sao_merge_delta(*sts[ci], sao_type[nb * 3 + ci],
+                                         sao_class[nb * 3 + ci],
+                                         sao_offsets + nb * 12 + ci * 4);
+                return d + lam * flag_bits;
+            };
+            int choice = 0;
+            double best = new_cost;
+            if (left_ok) {
+                const double c = merge_cost(cur - 1, 1);
+                if (c < best) {
+                    best = c;
+                    choice = 1;
+                }
+            }
+            if (up_ok) {
+                const double c = merge_cost(cur - wc, left_ok ? 2 : 1);
+                if (c < best) {
+                    best = c;
+                    choice = 2;
+                }
+            }
+            sao_merge[cur] = (uint8_t)choice;
+            if (choice) {
+                const int64_t nb = choice == 1 ? cur - 1 : cur - wc;
+                for (int ci = 0; ci < 3; ci++) {
+                    sao_type[cur * 3 + ci] = sao_type[nb * 3 + ci];
+                    sao_class[cur * 3 + ci] = sao_class[nb * 3 + ci];
+                    for (int i = 0; i < 4; i++)
+                        sao_offsets[cur * 12 + ci * 4 + i] =
+                            sao_offsets[nb * 12 + ci * 4 + i];
+                }
+            } else {
+                sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 0,
+                          lkey, cl[lkey]);
+                sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 1,
+                          ckey, cc[0][ckey]);
+                sao_apply(sao_type, sao_class, sao_offsets, wc, cur, 2,
+                          ckey, cc[1][ckey]);
+            }
         }
 }
 

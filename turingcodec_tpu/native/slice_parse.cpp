@@ -1318,6 +1318,7 @@ void tc_slice_setup(const int64_t* ptrs, const int32_t* ip,
     g_sp.sao_type = (uint8_t*)ptrs[k++];
     g_sp.sao_class = (uint8_t*)ptrs[k++];
     g_sp.sao_offsets = (int8_t*)ptrs[k++];
+    g_sp.sao_merge = (uint8_t*)ptrs[k++];
     g_sp.col_pm = (const uint8_t*)ptrs[k++];
     g_sp.col_ref_idx = (const int8_t*)ptrs[k++];
     g_sp.col_mv = (const int16_t*)ptrs[k++];

@@ -189,12 +189,19 @@ inline int region_any(const int16_t* plane, int stride, int x0, int y0,
 // ---- SAO writing (ctu_write.write_sao) --------------------------------------
 void write_sao(WS& ws, int rx, int ry) {
     int64_t cur = (int64_t)ry * g_sp.wc + rx;
+    const int merge = g_sp.sao_merge ? g_sp.sao_merge[cur] : 0;
     if (rx > 0 && g_sp.slice_idx[cur - 1] == g_sp.slice_number
-        && g_sp.tile_id[cur] == g_sp.tile_id[cur - 1])
-        dec_w(ws, E_SAO_MERGE, 0, 0);
+        && g_sp.tile_id[cur] == g_sp.tile_id[cur - 1]) {
+        dec_w(ws, E_SAO_MERGE, 0, merge == 1 ? 1 : 0);
+        if (merge == 1)
+            return;
+    }
     if (ry > 0 && g_sp.slice_idx[cur - g_sp.wc] == g_sp.slice_number
-        && g_sp.tile_id[cur] == g_sp.tile_id[cur - g_sp.wc])
-        dec_w(ws, E_SAO_MERGE, 0, 0);
+        && g_sp.tile_id[cur] == g_sp.tile_id[cur - g_sp.wc]) {
+        dec_w(ws, E_SAO_MERGE, 0, merge == 2 ? 1 : 0);
+        if (merge == 2)
+            return;
+    }
     for (int c_idx = 0; c_idx < 3; c_idx++) {
         if (c_idx == 0 && !g_sp.sao_luma)
             continue;

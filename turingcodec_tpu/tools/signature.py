@@ -27,26 +27,26 @@ DECODE_MD5 = "05c8e88dd7a694829f34ad9486a0dd8e"
 # first. The determinism rows reference another row's goldens by name.
 CONFIGS = [
     ("all-intra-q32", dict(all_intra=True, qp=32, rd_candidates=2), 2,
-     {}, ("da6373af", "9d54d636")),
+     {}, ("a514d624", "2d230370")),
     ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3,
-     {}, ("2d59c697", "12dc9ef5")),
+     {}, ("299d0630", "21805ea5")),
     ("lowdelay-q32-threads1", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_ENC_THREADS": "1"}, "lowdelay-q32"),
     ("lowdelay-q32-no-native", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
     ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
-     {}, ("8e74e466", "50320200")),
+     {}, ("beca6e98", "de020608")),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
-     {}, ("e45b7aec", "d008606d")),
+     {}, ("69796ea5", "47e456cc")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
                           sdh=True), 3,
-     {}, ("1f8da9bb", "34b94f30")),
+     {}, ("8f58d5bd", "d0ae6c2d")),
     ("10bit-q32", dict(qp=32, rd_candidates=2, bit_depth=10), 2,
-     {}, ("7e0ebd5f", "b8296fcb")),
+     {}, ("071e6f24", "f29271a2")),
     # field coding needs height % 16 == 0: crop the clip to 640x352
     ("field-q32", dict(qp=32, rd_candidates=2, field_coding=True,
                        height=352), 2,
-     {}, ("dbe3fe76", "2c7008b3")),
+     {}, ("9265bddc", "df5bf296")),
 ]
 
 
