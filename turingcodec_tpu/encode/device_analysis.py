@@ -36,6 +36,18 @@ def device_enc_enabled() -> bool:
         and not os.environ.get("TC_NO_LOWRES")
 
 
+def _dense_use_pallas() -> bool:
+    """Pallas is the default device implementation of the dense-ME sweep
+    on real TPUs; CPU-backend runs (unit tests) default to the plain-XLA
+    scan formulation because interpret-mode Pallas is ~1000x slower.
+    TC_DENSE_PALLAS=1/0 forces either way."""
+    import jax
+    v = os.environ.get("TC_DENSE_PALLAS")
+    if v is not None:
+        return v != "0"
+    return jax.default_backend() == "tpu"
+
+
 def _lowres_plane_j(src, f, b, wb, hb, border):
     """jnp twin of enc_core lowres_plane<F,B> (edge-clamped decimation by
     rounded mean, padded to (hb*b, wb*b) + border)."""
@@ -140,6 +152,16 @@ def _dense_stage(orig, ref, seeds, w, h, wb, hb):
     xs = (bx * 16 + seeds[:, :, 0] - 8 + P)[:, :, None, None] \
         + a32[None, None, None, :]
     patch = r[ys, xs]  # (hb, wb, 32, 32)
+    if _dense_use_pallas():
+        # production Pallas path: the 17x17 sweep + argmin as one
+        # VMEM-resident kernel (ops/pallas_kernels.dense_me_argmin)
+        from turingcodec_tpu.ops.pallas_kernels import dense_me_argmin
+        interp = jax.default_backend() != "tpu"
+        off = dense_me_argmin(cb.reshape(hb * wb, 16, 16),
+                              patch.reshape(hb * wb, 32, 32),
+                              interpret=interp).reshape(hb, wb, 2)
+        return seeds + off
+
     offs = jnp.array([(oy, ox) for oy in range(17) for ox in range(17)],
                      jnp.int32)
     big = jnp.full((hb, wb), np.iinfo(np.int32).max, jnp.int32)

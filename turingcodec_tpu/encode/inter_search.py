@@ -551,7 +551,10 @@ class InterPictureEncoder(IntraPictureEncoder):
                     met_stop = True
                     break
         # dense full-res ME field winners for the cells under this PU —
-        # same try-seed MET flow as the callers' hints (native twin)
+        # evaluated as plain cost candidates (NO MET interleave: a strong
+        # SAD-only winner must not early-terminate the search before the
+        # rate-aware star runs; measured -0.8% BD at fast with try-seed
+        # flow). Native twin: full_pel_search deval.
         if has_dense and not met_stop:
             dm, wb, hb = self._dense_field(ref_plane)
 
@@ -560,16 +563,20 @@ class InterPictureEncoder(IntraPictureEncoder):
                 by = min(max(py >> 4, 0), hb - 1)
                 return (int(dm[by, bx, 0]), int(dm[by, bx, 1]))
 
+            def deval(sx, sy):
+                nonlocal best
+                ((c, cand),) = costs_at([(sx, sy)])
+                if (c, cand) < best:
+                    best = (c, cand)
+
             s = dcell(x0 + w // 2, y0 + h // 2)
-            met_stop = try_seed(*s)
+            deval(*s)
             if w >= 32 or h >= 32:
                 for q in range(4):
-                    if met_stop:
-                        break
                     sq = dcell(x0 + (3 * w // 4 if q & 1 else w // 4),
                                y0 + (3 * h // 4 if q & 2 else h // 4))
                     if sq != s:
-                        met_stop = try_seed(*sq)
+                        deval(*sq)
         if met_stop:
             return best[1], best[0]
 

@@ -3591,10 +3591,10 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         met_stop = try_seed(mvp[0] >> 2, mvp[1] >> 2);
     for (int i = 0; i < n_seeds && !met_stop; i++)
         met_stop = try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
-    // dense full-res ME field winners for the cells under this PU (the
-    // whole-picture exhaustive +/-8 sweep already did the wide-scanning
-    // job, so the star below runs with a tight window and no raster /
-    // lowres fallback) — same try-seed MET flow as the callers' hints
+    // dense full-res ME field winners for the cells under this PU —
+    // evaluated as plain cost candidates (NO MET interleave: a strong
+    // SAD-only winner must not early-terminate the search before the
+    // rate-aware star runs; measured -0.8% BD at fast with try-seed flow)
     const bool has_dense = en.have_dense[lx] && ref == 0;
     if (has_dense && !met_stop) {
         const int16_t* dm = en.dense_mv[lx].data();
@@ -3605,14 +3605,19 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             by = by < 0 ? 0 : (by >= hb ? hb - 1 : by);
             return dm + ((int64_t)by * wb + bx) * 2;
         };
+        auto deval = [&](int sx, int sy) {
+            double c = cost_at(sx, sy);
+            if (fp_better(c, sx, sy, best))
+                best = {c, sx, sy};
+        };
         const int16_t* s = dcell(x0 + w / 2, y0 + h / 2);
-        met_stop = try_seed(s[0], s[1]);
+        deval(s[0], s[1]);
         if (w >= 32 || h >= 32)
-            for (int q = 0; q < 4 && !met_stop; q++) {
+            for (int q = 0; q < 4; q++) {
                 const int16_t* sq = dcell(x0 + (q & 1 ? 3 * w / 4 : w / 4),
                                           y0 + (q & 2 ? 3 * h / 4 : h / 4));
                 if (sq[0] != s[0] || sq[1] != s[1])
-                    met_stop = try_seed(sq[0], sq[1]);
+                    deval(sq[0], sq[1]);
             }
     }
     if (met_stop) {

@@ -133,6 +133,65 @@ def sad_grid(orig: jax.Array, window: jax.Array,
     )(orig.astype(jnp.int32), window.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_me_argmin(cur: jax.Array, patches: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """Production dense-ME kernel (encoder full-pel prepass): for each
+    block, the (oy, ox) in [-8, 8]^2 minimizing
+    (SAD(cur, patch[oy:oy+16, ox:ox+16]) << 2) + |ox| + |oy|, scan-order
+    strict-improvement tie-break — integer-exact with the host twins
+    (enc_core dense_search_rows / inter_search._dense_field).
+
+    cur: (B, 16, 16) int32 source blocks; patches: (B, 32, 32) int32
+    reference windows at seed-8. Returns (B, 2) int32 [ox, oy] offsets.
+    The whole 17x17 sweep stays VMEM-resident per 256-block tile (one HBM
+    read per input element) instead of re-streaming the patch tensor 289
+    times as the XLA scan formulation does.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = cur.shape[0]
+    tile = 256
+    bp = -(-b // tile) * tile
+    if bp != b:
+        cur = jnp.pad(cur, ((0, bp - b), (0, 0), (0, 0)))
+        patches = jnp.pad(patches, ((0, bp - b), (0, 0), (0, 0)))
+
+    def kernel(c_ref, p_ref, out_ref):
+        c = c_ref[...]
+        best = jnp.full((tile,), np.iinfo(np.int32).max, jnp.int32)
+        box = jnp.zeros((tile,), jnp.int32)
+        boy = jnp.zeros((tile,), jnp.int32)
+        for oy in range(17):       # static unroll: all slices are static
+            for ox in range(17):
+                sad = jnp.sum(
+                    jnp.abs(c - p_ref[:, oy:oy + 16, ox:ox + 16]), (1, 2))
+                cost = (sad << 2) + abs(ox - 8) + abs(oy - 8)
+                m = cost < best
+                best = jnp.where(m, cost, best)
+                box = jnp.where(m, ox - 8, box)
+                boy = jnp.where(m, oy - 8, boy)
+        out_ref[:, 0] = box
+        out_ref[:, 1] = boy
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        out_shape=jax.ShapeDtypeStruct((bp, 2), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((tile, 16, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 32, 32), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cur.astype(jnp.int32), patches.astype(jnp.int32))
+    return out[:b]
+
+
 def sad_grid_np(orig, window):
     h, w = orig.shape
     rh = window.shape[0] - h + 1

@@ -29,24 +29,24 @@ CONFIGS = [
     ("all-intra-q32", dict(all_intra=True, qp=32, rd_candidates=2), 2,
      {}, ("a514d624", "2d230370")),
     ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3,
-     {}, ("299d0630", "21805ea5")),
+     {}, ("93abaf47", "fed81ebb")),
     ("lowdelay-q32-threads1", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_ENC_THREADS": "1"}, "lowdelay-q32"),
     ("lowdelay-q32-no-native", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
     ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
-     {}, ("beca6e98", "de020608")),
+     {}, ("c0160364", "524fa285")),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
-     {}, ("69796ea5", "47e456cc")),
+     {}, ("2a6bd079", "658dfbb3")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
                           sdh=True), 3,
-     {}, ("8f58d5bd", "d0ae6c2d")),
+     {}, ("b2262cb7", "f2c3a7d7")),
     ("10bit-q32", dict(qp=32, rd_candidates=2, bit_depth=10), 2,
-     {}, ("071e6f24", "f29271a2")),
+     {}, ("82280b14", "f6bd0988")),
     # field coding needs height % 16 == 0: crop the clip to 640x352
     ("field-q32", dict(qp=32, rd_candidates=2, field_coding=True,
                        height=352), 2,
-     {}, ("9265bddc", "df5bf296")),
+     {}, ("ec1eb30b", "0b812e9d")),
 ]
 
 
