@@ -50,18 +50,29 @@ def test_dense_field_matches_host_oracle():
     ref = np.roll(orig, (-7, 9), (0, 1)).astype(np.int16)
     ref[30:70, 50:120] = rng.randint(0, 256, (40, 70))
 
-    sm_d, dm_d, wb_d, hb_d = analysis_device(orig, ref)
+    sm_d, dm_d, ds_d, wb_d, hb_d = analysis_device(orig, ref)
 
     enc = InterPictureEncoder.__new__(InterPictureEncoder)
     enc._lr_seed_cache = {}
     enc._dense_cache = {}
     enc.orig = [orig]
-    dm_h, wb_h, hb_h = enc._dense_field(ref)
+    dm_h, ds_h, wb_h, hb_h = enc._dense_field(ref)
     sm_h = enc._lr_seed_cache[id(ref)][0]
     assert (wb_d, hb_d) == (wb_h, hb_h)
     assert np.array_equal(sm_d, sm_h)
     assert np.array_equal(dm_d, dm_h), (
         np.argwhere(~(dm_d == dm_h).all(-1))[:5])
+    assert np.array_equal(ds_d, ds_h)
+
+    # the native standalone analysis must agree too
+    from turingcodec_tpu import native
+    res = native.dense_analysis(orig, ref, 8)
+    if res is not None:
+        sm_n, dm_n, ds_n, wb_n, hb_n = res
+        assert (wb_n, hb_n) == (wb_h, hb_h)
+        assert np.array_equal(sm_n, sm_h)
+        assert np.array_equal(dm_n, dm_h)
+        assert np.array_equal(ds_n, ds_h)
 
 
 def _encode(frames, w, h, env):

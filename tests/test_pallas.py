@@ -48,7 +48,7 @@ def test_dense_me_argmin_matches_scan_formulation():
     pat[1, 0:16, 0:16] = cur[1]          # offset (-8, -8)
     pat[2, 16:32, 13:29] = cur[2]        # offset (+5, +8)
     got = np.asarray(dense_me_argmin(cur, pat, interpret=True))
-    want = np.zeros((b, 2), np.int64)
+    want = np.zeros((b, 3), np.int64)
     for i in range(b):
         best = None
         for oy in range(17):
@@ -58,8 +58,8 @@ def test_dense_me_argmin_matches_scan_formulation():
                 cost = (sad << 2) + abs(ox - 8) + abs(oy - 8)
                 if best is None or cost < best:
                     best = cost
-                    want[i] = (ox - 8, oy - 8)
+                    want[i] = (ox - 8, oy - 8, sad)
     np.testing.assert_array_equal(got, want)
-    assert tuple(got[0]) == (0, 0)
-    assert tuple(got[1]) == (-8, -8)
-    assert tuple(got[2]) == (5, 8)
+    assert tuple(got[0]) == (0, 0, 0)
+    assert tuple(got[1]) == (-8, -8, 0)
+    assert tuple(got[2]) == (5, 8, 0)

@@ -157,10 +157,11 @@ def _dense_stage(orig, ref, seeds, w, h, wb, hb):
         # VMEM-resident kernel (ops/pallas_kernels.dense_me_argmin)
         from turingcodec_tpu.ops.pallas_kernels import dense_me_argmin
         interp = jax.default_backend() != "tpu"
-        off = dense_me_argmin(cb.reshape(hb * wb, 16, 16),
+        res = dense_me_argmin(cb.reshape(hb * wb, 16, 16),
                               patch.reshape(hb * wb, 32, 32),
-                              interpret=interp).reshape(hb, wb, 2)
-        return seeds + off
+                              interpret=interp)
+        off = res[:, :2].reshape(hb, wb, 2)
+        return seeds + off, res[:, 2].reshape(hb, wb)
 
     offs = jnp.array([(oy, ox) for oy in range(17) for ox in range(17)],
                      jnp.int32)
@@ -173,13 +174,16 @@ def _dense_stage(orig, ref, seeds, w, h, wb, hb):
                                     (hb, wb, 16, 16))
         sad = jnp.abs(cb - win).sum((2, 3))
         cost = (sad << 2) + jnp.abs(ox - 8) + jnp.abs(oy - 8)
-        bc, bdx, bdy = carry
+        bc, bs, bdx, bdy = carry
         m = cost < bc
-        return (jnp.where(m, cost, bc), jnp.where(m, ox - 8, bdx),
+        return (jnp.where(m, cost, bc), jnp.where(m, sad, bs),
+                jnp.where(m, ox - 8, bdx),
                 jnp.where(m, oy - 8, bdy)), None
 
-    (_, box, boy), _ = jax.lax.scan(step, (big, zeros, zeros), offs)
-    return jnp.stack([seeds[:, :, 0] + box, seeds[:, :, 1] + boy], -1)
+    (_, bsad, box, boy), _ = jax.lax.scan(step, (big, zeros, zeros, zeros),
+                                          offs)
+    return (jnp.stack([seeds[:, :, 0] + box, seeds[:, :, 1] + boy], -1),
+            bsad)
 
 
 def _analysis_program(w: int, h: int):
@@ -189,14 +193,14 @@ def _analysis_program(w: int, h: int):
 
     def analysis(orig, ref):
         seeds = seed_field(orig, ref)
-        dense = _dense_stage(orig, ref, seeds, w, h, wb, hb)
-        return seeds, dense
+        dense, dsad = _dense_stage(orig, ref, seeds, w, h, wb, hb)
+        return seeds, dense, dsad
 
     return analysis, wb, hb
 
 
 def analysis_device(orig_y: np.ndarray, ref_y: np.ndarray):
-    """Compute one reference plane's (seed, dense) fields on device —
+    """Compute one reference plane's (seed, dense, sad) fields on device —
     integer-exact with the host lowres_prepass + dense_prepass."""
     import jax
     h, w = orig_y.shape
@@ -205,9 +209,11 @@ def analysis_device(orig_y: np.ndarray, ref_y: np.ndarray):
         raw, wb, hb = _analysis_program(w, h)
         _JIT_CACHE[key] = (jax.jit(raw), wb, hb)
     fn, wb, hb = _JIT_CACHE[key]
-    sm, dm = fn(np.asarray(orig_y, np.int16), np.asarray(ref_y, np.int16))
+    sm, dm, ds = fn(np.asarray(orig_y, np.int16),
+                    np.asarray(ref_y, np.int16))
     return (np.asarray(sm).astype(np.int32),
-            np.asarray(dm).astype(np.int32), wb, hb)
+            np.asarray(dm).astype(np.int32),
+            np.asarray(ds).astype(np.int32), wb, hb)
 
 
 def seed_fields_frames_sharded(mesh, origs: np.ndarray, refs: np.ndarray):
@@ -265,16 +271,16 @@ def install_seed_fields(enc, orig) -> Optional[dict]:
         k = id(plane)
         if k not in done:
             if want_dense:
-                sm, dm, wb, hb = analysis_device(np.asarray(orig[0]),
-                                                 np.asarray(plane))
+                sm, dm, ds, wb, hb = analysis_device(np.asarray(orig[0]),
+                                                     np.asarray(plane))
             else:
                 sm, wb, hb = seed_field_device(np.asarray(orig[0]),
                                                np.asarray(plane))
-                dm = None
-            done[k] = (sm, dm, wb, hb)
-        sm, dm, wb, hb = done[k]
+                dm = ds = None
+            done[k] = (sm, dm, ds, wb, hb)
+        sm, dm, ds, wb, hb = done[k]
         enc._lr_seed_cache[k] = (sm, wb, hb)
         if dm is not None:
-            enc._dense_cache[k] = (dm, wb, hb)
+            enc._dense_cache[k] = (dm, ds, wb, hb)
         fields[lx] = (sm, dm, wb, hb)
     return fields or None

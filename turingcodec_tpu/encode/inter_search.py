@@ -73,17 +73,76 @@ class InterPictureEncoder(IntraPictureEncoder):
         # dense full-res +/-8 ME fields (native dense_prepass twin)
         self._dense_cache = {}
 
+    # dense-SAD median above this -> the picture is motion-unpredictable
+    # (noise-dominated): 3 SAD/pixel over a 16x16 block. Measured medians:
+    # caminandes 12-134, 3x-upscaled 1080p 62, white-noise synthetic 1506.
+    NOISE_SAD_MEDIAN = 768
+
     def encode_picture(self, orig, slice_number=0):
         self.deriver = None  # created lazily (needs plan)
         # TURING_TPU_DEVICE_ENC=1: run the picture's data-parallel
-        # pre-analysis (lowres pre-ME seed fields) on the TPU in one jit
-        # call; bit-identical values feed the host RDO (device_analysis)
+        # pre-analysis (lowres pre-ME + dense ME fields) on the TPU in one
+        # jit call; bit-identical values feed the host RDO (device_analysis)
         from turingcodec_tpu.encode.device_analysis import (
             device_enc_enabled, install_seed_fields)
         self._device_seeds = None
         if device_enc_enabled():
             self._device_seeds = install_seed_fields(self, orig)
+        self._noise_adapt(orig)
         return super().encode_picture(orig, slice_number)
+
+    def _noise_adapt(self, orig):
+        """Noise-adaptive RDOQ: when the dense ME field says the picture
+        is temporally unpredictable (median winner SAD > NOISE_SAD_MEDIAN),
+        RD-optimal level-1 retention pollutes the reference chain — every
+        kept noise coefficient raises all future residuals — so fall back
+        to dead-zone quantization for this picture. Closes the
+        white-noise BD gap (+8% -> ~0) while keeping RDOQ's 5-7% win on
+        natural content. The decision uses the same integer SAD field in
+        the native / Python / device paths, so bitstreams stay identical
+        across them."""
+        if not self.use_rdoq or self.sh.is_i or self.search_range < 16:
+            return
+        if os.environ.get("TC_NO_NOISE_ADAPT") \
+                or os.environ.get("TC_NO_DENSEME") \
+                or os.environ.get("TC_NO_LOWRES"):
+            return
+        refs = self.ref_lists[0] if self.ref_lists else []
+        if not refs:
+            return
+        plane = refs[0].planes[0]
+        k = id(plane)
+        cached = self._dense_cache.get(k)
+        if cached is None:
+            from turingcodec_tpu import native
+            res = native.dense_analysis(np.asarray(orig[0]),
+                                        np.asarray(plane),
+                                        self.sps.bit_depth_y)
+            if res is not None:
+                sm, dm, ds, wb, hb = res
+                self._lr_seed_cache[k] = (sm, wb, hb)
+                self._dense_cache[k] = (dm, ds, wb, hb)
+                # feed the in-picture native prepass the same fields
+                # (the install path the device stage already uses)
+                fields = {}
+                for lx in (0, 1):
+                    r2 = self.ref_lists[lx] if lx < len(self.ref_lists) \
+                        else []
+                    if r2 and r2[0].planes[0] is plane:
+                        fields[lx] = (sm, dm, wb, hb)
+                if fields:
+                    prior = self._device_seeds or {}
+                    prior.update({lx: f for lx, f in fields.items()
+                                  if lx not in prior})
+                    self._device_seeds = prior
+                cached = self._dense_cache[k]
+            else:
+                self.orig = orig  # _dense_field reads self.orig
+                cached = self._dense_field(plane)
+        _dm, dsad, _wb, _hb = cached
+        flat = np.sort(np.asarray(dsad), axis=None)
+        if int(flat[flat.size // 2]) > self.NOISE_SAD_MEDIAN:
+            self.use_rdoq = False
 
     # ------------------------------------------------------------------
     def _get_deriver(self) -> InterDeriver:
@@ -398,7 +457,9 @@ class InterPictureEncoder(IntraPictureEncoder):
         device_analysis). This whole-picture batched sweep replaces the
         star search's wide scanning; it is the encoder's ME hot loop
         (ref:turing/Search.hpp:1464-1483's role) recast as one dense
-        tensor program. Returns (mv (hb, wb, 2) int full-pel, wb, hb)."""
+        tensor program. Returns (mv (hb, wb, 2) int full-pel,
+        sad (hb, wb) int32 winner SADs, wb, hb) — the SADs double as the
+        per-picture temporal-unpredictability map (noise-adaptive RDOQ)."""
         key = id(ref_plane)
         cached = self._dense_cache.get(key)
         if cached is not None:
@@ -420,7 +481,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         xs = (bx * 16 + sm[:, :, 0] - 8 + P)[:, :, None, None] \
             + a32[None, None, None, :]
         patch = ref[ys, xs]  # (hb, wb, 32, 32)
-        best = None
+        best = bsad = None
         box = boy = None
         for oy in range(17):
             for ox in range(17):
@@ -430,16 +491,18 @@ class InterPictureEncoder(IntraPictureEncoder):
                     + abs(ox - 8) + abs(oy - 8)
                 if best is None:
                     best = cost
+                    bsad = sad.copy()
                     box = np.full((hb, wb), ox)
                     boy = np.full((hb, wb), oy)
                 else:
                     m = cost < best
                     best = np.where(m, cost, best)
+                    bsad = np.where(m, sad, bsad)
                     box = np.where(m, ox, box)
                     boy = np.where(m, oy, boy)
         field = (np.stack([sm[:, :, 0] + box - 8,
                            sm[:, :, 1] + boy - 8], -1).astype(np.int32),
-                 wb, hb)
+                 bsad.astype(np.int32), wb, hb)
         self._dense_cache[key] = field
         return field
 
@@ -556,7 +619,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         # rate-aware star runs; measured -0.8% BD at fast with try-seed
         # flow). Native twin: full_pel_search deval.
         if has_dense and not met_stop:
-            dm, wb, hb = self._dense_field(ref_plane)
+            dm, _dsad, wb, hb = self._dense_field(ref_plane)
 
             def dcell(px, py):
                 bx = min(max(px >> 4, 0), wb - 1)

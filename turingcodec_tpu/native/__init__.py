@@ -161,6 +161,11 @@ def _build_and_load():
     lib.tc_enc_install_dense.restype = None
     lib.tc_enc_install_dense.argtypes = [
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.tc_dense_analysis.restype = None
+    lib.tc_dense_analysis.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
     lib.tc_enc_ctu.restype = ctypes.c_double
     lib.tc_enc_picture.restype = ctypes.c_double
     lib.tc_enc_picture.argtypes = [
@@ -492,6 +497,31 @@ def sao_apply(plan, geom, deblocked):
         int(pps.loop_filter_across_tiles_enabled_flag),
         skip.ctypes.data if skip is not None else 0, geom.w4)
     return out
+
+
+def dense_analysis(orig_y, ref_y, bd, nthreads=1):
+    """Standalone encoder pre-analysis (lowres seeds + dense full-pel ME
+    field + winner SADs) via tc_dense_analysis; None when native is
+    unavailable. Values are integer-exact with the Python twins
+    (inter_search._lowres_seed_field / _dense_field)."""
+    if os.environ.get("TURING_TPU_NO_NATIVE") \
+            or os.environ.get("TURING_TPU_NO_NATIVE_ENC"):
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = orig_y.shape
+    lw, lh = -(-w // 4), -(-h // 4)
+    wb, hb = -(-lw // 4), -(-lh // 4)
+    o = np.ascontiguousarray(orig_y, np.int16)
+    r = np.ascontiguousarray(ref_y, np.int16)
+    sm = np.zeros((hb, wb, 2), np.int16)
+    dm = np.zeros((hb, wb, 2), np.int16)
+    ds = np.zeros((hb, wb), np.int32)
+    lib.tc_dense_analysis(o.ctypes.data, r.ctypes.data, w, h, bd,
+                          nthreads, sm.ctypes.data, dm.ctypes.data,
+                          ds.ctypes.data)
+    return (sm.astype(np.int32), dm.astype(np.int32), ds, wb, hb)
 
 
 def intra_recon(pr) -> bool:

@@ -323,7 +323,7 @@ static const int DENSE_P = 48;      // ref pad border (max |seed|=36 +8+ext)
 template <typename S>
 static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
                               const int16_t* seeds, int by0, int by1,
-                              int16_t* out) {
+                              int16_t* out, int32_t* out_sad) {
     const int cw = wb * 16;
     const int rw = wb * 16 + 2 * DENSE_P;
     for (int by = by0; by < by1; by++)
@@ -334,7 +334,7 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
             const S* r00 = ref
                 + (int64_t)(by * 16 + sy - DENSE_R + DENSE_P) * rw
                 + (bx * 16 + sx - DENSE_R + DENSE_P);
-            uint32_t best = UINT32_MAX;
+            uint32_t best = UINT32_MAX, bsad = 0;
             int box = 0, boy = 0;
 #if defined(__SSE2__) || defined(_M_X64) || defined(__x86_64__)
             if (sizeof(S) == 1) {
@@ -361,6 +361,7 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
                             + (oy < DENSE_R ? DENSE_R - oy : oy - DENSE_R);
                         if (cost < best) {
                             best = cost;
+                            bsad = sad;
                             box = ox;
                             boy = oy;
                         }
@@ -386,6 +387,7 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
                             + (oy < DENSE_R ? DENSE_R - oy : oy - DENSE_R);
                         if (cost < best) {
                             best = cost;
+                            bsad = sad;
                             box = ox;
                             boy = oy;
                         }
@@ -394,6 +396,8 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
             out[((int64_t)by * wb + bx) * 2] = (int16_t)(sx + box - DENSE_R);
             out[((int64_t)by * wb + bx) * 2 + 1] =
                 (int16_t)(sy + boy - DENSE_R);
+            if (out_sad)
+                out_sad[(int64_t)by * wb + bx] = (int32_t)bsad;
         }
 }
 
@@ -475,11 +479,11 @@ static void dense_prepass(int nthreads) {
             if (u8)
                 dense_search_rows<uint8_t>(cur8_pad.data(),
                                            ref8_pad.data(), wb, hb, seeds,
-                                           by0, by1, out);
+                                           by0, by1, out, nullptr);
             else
                 dense_search_rows<int16_t>(cur16_pad.data(),
                                            ref16_pad.data(), wb, hb, seeds,
-                                           by0, by1, out);
+                                           by0, by1, out, nullptr);
         };
         if (T > 1) {
             std::vector<std::thread> ts;
@@ -6120,6 +6124,86 @@ void tc_enc_install_seeds(int32_t l, const int16_t* mv, int32_t wb,
     en.seed_mv[l].assign(mv, mv + (size_t)hb * wb * 2);
     en.have_seed[l] = 1;
     en.seeds_external = 1;
+}
+
+// Standalone encoder pre-analysis on arbitrary planes: lowres pre-ME
+// seeds + dense full-pel ME field + winner SADs (the facade's
+// noise-adaptivity input). Twin of inter_search._lowres_seed_field +
+// _dense_field; identical integers to the in-picture prepass. orig/ref:
+// int16 (h, w) planes; out_seeds/out_dense: (hb*wb, 2) int16;
+// out_sad: (hb*wb) int32.
+void tc_dense_analysis(const int16_t* orig, const int16_t* ref, int32_t w,
+                       int32_t h, int32_t bd, int32_t nthreads,
+                       int16_t* out_seeds, int16_t* out_dense,
+                       int32_t* out_sad) {
+    const int lw = (w + 3) >> 2, lh = (h + 3) >> 2;
+    const int wb = (lw + 3) >> 2, hb = (lh + 3) >> 2;
+    const int B = 8;
+    const int dw = wb * 4 + 2 * B;
+    static std::vector<int16_t> lr_cur, lr_ref, cur_t, cur_h, cur_ht, ref_h;
+    lr_cur.resize((size_t)(hb * 4 + 2 * B) * dw);
+    lr_ref.resize((size_t)(hb * 4 + 2 * B) * dw);
+    lowres_plane<4, 4>(orig, w, h, wb, hb, B, lr_cur.data());
+    lowres_plane<4, 4>(ref, w, h, wb, hb, B, lr_ref.data());
+    const int cw = wb * 4;
+    cur_t.resize((size_t)hb * 4 * cw);
+    for (int y = 0; y < hb * 4; y++)
+        std::memcpy(cur_t.data() + (int64_t)y * cw,
+                    lr_cur.data() + (int64_t)(y + B) * dw + B,
+                    cw * sizeof(int16_t));
+    const int B2 = 24;
+    const int cw2 = wb * 8, dw2 = wb * 8 + 2 * B2;
+    cur_h.resize((size_t)(hb * 8 + 2 * B2) * dw2);
+    lowres_plane<2, 8>(orig, w, h, wb, hb, B2, cur_h.data());
+    cur_ht.resize((size_t)hb * 8 * cw2);
+    for (int y = 0; y < hb * 8; y++)
+        std::memcpy(cur_ht.data() + (int64_t)y * cw2,
+                    cur_h.data() + (int64_t)(y + B2) * dw2 + B2,
+                    cw2 * sizeof(int16_t));
+    ref_h.resize((size_t)(hb * 8 + 2 * B2) * dw2);
+    lowres_plane<2, 8>(ref, w, h, wb, hb, B2, ref_h.data());
+    const bool u8 = bd == 8;
+    static std::vector<uint8_t> c8, r8;
+    static std::vector<int16_t> c16, r16;
+    const size_t rsz = (size_t)(hb * 16 + 2 * DENSE_P)
+        * (wb * 16 + 2 * DENSE_P);
+    if (u8) {
+        c8.resize((size_t)hb * 16 * (wb * 16));
+        r8.resize(rsz);
+        dense_pad_plane<uint8_t>(orig, w, h, wb, hb, 0, c8.data());
+        dense_pad_plane<uint8_t>(ref, w, h, wb, hb, DENSE_P, r8.data());
+    } else {
+        c16.resize((size_t)hb * 16 * (wb * 16));
+        r16.resize(rsz);
+        dense_pad_plane<int16_t>(orig, w, h, wb, hb, 0, c16.data());
+        dense_pad_plane<int16_t>(ref, w, h, wb, hb, DENSE_P, r16.data());
+    }
+    const int T = std::max(1, std::min((int)nthreads, hb));
+    auto rows = [&](int by0, int by1) {
+        lowres_search_rows(cur_t.data(), lr_ref.data(), wb, hb, B, by0,
+                           by1, out_seeds);
+        halfres_refine_rows(cur_ht.data(), ref_h.data(), wb, hb, B2, by0,
+                            by1, out_seeds);
+        if (u8)
+            dense_search_rows<uint8_t>(c8.data(), r8.data(), wb, hb,
+                                       out_seeds, by0, by1, out_dense,
+                                       out_sad);
+        else
+            dense_search_rows<int16_t>(c16.data(), r16.data(), wb, hb,
+                                       out_seeds, by0, by1, out_dense,
+                                       out_sad);
+    };
+    if (T > 1) {
+        // two barriers: dense reads seeds of its own rows only, so the
+        // same row split can run both stages back to back per thread
+        std::vector<std::thread> ts;
+        for (int t = 0; t < T; t++)
+            ts.emplace_back(rows, hb * t / T, hb * (t + 1) / T);
+        for (auto& th : ts)
+            th.join();
+    } else {
+        rows(0, hb);
+    }
 }
 
 // install a device-computed dense full-pel ME field for list l

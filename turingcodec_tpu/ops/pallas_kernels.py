@@ -143,10 +143,12 @@ def dense_me_argmin(cur: jax.Array, patches: jax.Array,
     (enc_core dense_search_rows / inter_search._dense_field).
 
     cur: (B, 16, 16) int32 source blocks; patches: (B, 32, 32) int32
-    reference windows at seed-8. Returns (B, 2) int32 [ox, oy] offsets.
-    The whole 17x17 sweep stays VMEM-resident per 256-block tile (one HBM
-    read per input element) instead of re-streaming the patch tensor 289
-    times as the XLA scan formulation does.
+    reference windows at seed-8. Returns (B, 3) int32 [ox, oy, sad] —
+    winner offsets plus the winner's pure SAD (the facade's
+    noise-adaptivity input). The whole 17x17 sweep stays VMEM-resident
+    per 256-block tile (one HBM read per input element) instead of
+    re-streaming the patch tensor 289 times as the XLA scan formulation
+    does.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -161,6 +163,7 @@ def dense_me_argmin(cur: jax.Array, patches: jax.Array,
     def kernel(c_ref, p_ref, out_ref):
         c = c_ref[...]
         best = jnp.full((tile,), np.iinfo(np.int32).max, jnp.int32)
+        bsad = jnp.zeros((tile,), jnp.int32)
         box = jnp.zeros((tile,), jnp.int32)
         boy = jnp.zeros((tile,), jnp.int32)
         for oy in range(17):       # static unroll: all slices are static
@@ -170,22 +173,24 @@ def dense_me_argmin(cur: jax.Array, patches: jax.Array,
                 cost = (sad << 2) + abs(ox - 8) + abs(oy - 8)
                 m = cost < best
                 best = jnp.where(m, cost, best)
+                bsad = jnp.where(m, sad, bsad)
                 box = jnp.where(m, ox - 8, box)
                 boy = jnp.where(m, oy - 8, boy)
         out_ref[:, 0] = box
         out_ref[:, 1] = boy
+        out_ref[:, 2] = bsad
 
     out = pl.pallas_call(
         kernel,
         grid=(bp // tile,),
-        out_shape=jax.ShapeDtypeStruct((bp, 2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bp, 3), jnp.int32),
         in_specs=[
             pl.BlockSpec((tile, 16, 16), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 32, 32), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 2), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(cur.astype(jnp.int32), patches.astype(jnp.int32))
