@@ -568,9 +568,8 @@ class InterPictureEncoder(IntraPictureEncoder):
 
         # dense full-res ME field: extra high-quality seeds from the
         # whole-picture exhaustive sweep (native full_pel_search has_dense
-        # twin); the star and its fallbacks run unchanged, so quality is a
-        # superset of the un-seeded search
-        has_dense = (self.search_range >= 16
+        # twin) — non-MET presets only (see the native comment)
+        has_dense = (self.search_range >= 16 and not self.met
                      and not os.environ.get("TC_NO_DENSEME")
                      and not os.environ.get("TC_NO_LOWRES"))
         window = 64 if self.search_range >= 64 else 32

@@ -3596,10 +3596,11 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     for (int i = 0; i < n_seeds && !met_stop; i++)
         met_stop = try_seed(seeds[i][0] >> 2, seeds[i][1] >> 2);
     // dense full-res ME field winners for the cells under this PU —
-    // evaluated as plain cost candidates (NO MET interleave: a strong
-    // SAD-only winner must not early-terminate the search before the
-    // rate-aware star runs; measured -0.8% BD at fast with try-seed flow)
-    const bool has_dense = en.have_dense[lx] && ref == 0;
+    // evaluated as plain cost candidates, and only on non-MET presets
+    // (slow): with MET's early stops the extra SAD-optimal candidates
+    // measured -0.3..-0.9% BD at fast by bending the star's trajectory,
+    // while at slow they are a pure candidate-set superset
+    const bool has_dense = en.have_dense[lx] && ref == 0 && !en.met;
     if (has_dense && !met_stop) {
         const int16_t* dm = en.dense_mv[lx].data();
         const int wb = en.seed_wb, hb = en.seed_hb;

@@ -29,24 +29,24 @@ CONFIGS = [
     ("all-intra-q32", dict(all_intra=True, qp=32, rd_candidates=2), 2,
      {}, ("a514d624", "2d230370")),
     ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3,
-     {}, ("93abaf47", "fed81ebb")),
+     {}, ("b7248a34", "09a022c9")),
     ("lowdelay-q32-threads1", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_ENC_THREADS": "1"}, "lowdelay-q32"),
     ("lowdelay-q32-no-native", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
     ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
-     {}, ("c0160364", "524fa285")),
+     {}, ("83ce926f", "bbce10e3")),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
-     {}, ("2a6bd079", "658dfbb3")),
+     {}, ("0d0868bd", "8dff5fc6")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
                           sdh=True), 3,
-     {}, ("b2262cb7", "f2c3a7d7")),
+     {}, ("ab73ff8b", "3cc68edb")),
     ("10bit-q32", dict(qp=32, rd_candidates=2, bit_depth=10), 2,
-     {}, ("82280b14", "f6bd0988")),
+     {}, ("6896943c", "7b0dc06e")),
     # field coding needs height % 16 == 0: crop the clip to 640x352
     ("field-q32", dict(qp=32, rd_candidates=2, field_coding=True,
                        height=352), 2,
-     {}, ("ec1eb30b", "0b812e9d")),
+     {}, ("0fb78118", "93decaa5")),
 ]
 
 
