@@ -130,6 +130,7 @@ class Encoder:
         self.vps = self._setup_vps()
         self.geom = PictureGeometry(self.sps, self.pps)
         self.frame_count = 0
+        self._noise_streak = 0   # consecutive unpredictable inter pictures
         self._user_data_sent = False
         self._decode_count = 0   # pictures emitted in decode order
         self._timing = {}        # input_index -> (pts, dts, keyframe)
@@ -581,6 +582,10 @@ class Encoder:
             # adaptive partition selection (Speed.h useAps: medium+)
             enc.aps = (self.cfg.aps if self.cfg.aps is not None
                        else self.cfg.rd_candidates == 2)
+            # noise-adaptive RDOQ persistence: only a STREAK of
+            # unpredictable inter pictures means noise (a lone one is a
+            # scene cut, whose coded detail future frames need)
+            enc.noise_streak = self._noise_streak
         # picture lambda (Measure.h computeLambda parity): per-position
         # qpFactor with the I-slice gopM scale and the non-anchor multiplier
         import math
@@ -637,6 +642,9 @@ class Encoder:
                 rows[bounds[i]:bounds[i + 1]] = 0 if dep else i
             enc.slice_row_map = rows
         plan, search_recon = enc.encode_picture(yuv)
+        if not sh.is_i:
+            self._noise_streak = getattr(enc, "noise_streak",
+                                         self._noise_streak)
         if self.cfg.aq_strength > 0 or getattr(enc, "ctu_rc", None):
             self._reconcile_qp(plan, sh)
 

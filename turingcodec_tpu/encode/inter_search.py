@@ -141,8 +141,15 @@ class InterPictureEncoder(IntraPictureEncoder):
                 cached = self._dense_field(plane)
         _dm, dsad, _wb, _hb = cached
         flat = np.sort(np.asarray(dsad), axis=None)
-        if int(flat[flat.size // 2]) > self.NOISE_SAD_MEDIAN:
+        hit = int(flat[flat.size // 2]) > self.NOISE_SAD_MEDIAN
+        # persistence: noise is unpredictable EVERY frame; a lone
+        # unpredictable picture is a scene cut whose coded detail future
+        # frames need (caminandes' cut measured median 5551 and cost
+        # ~1.3% BD when it flipped rdoq off)
+        streak = getattr(self, "noise_streak", 0)
+        if hit and streak >= 1:
             self.use_rdoq = False
+        self.noise_streak = streak + 1 if hit else 0
 
     # ------------------------------------------------------------------
     def _get_deriver(self) -> InterDeriver:

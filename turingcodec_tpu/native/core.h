@@ -288,7 +288,14 @@ struct SP {
     int32_t off[N_ELEMS];
 };
 
-extern SP g_sp;
+// One parse/encode picture context per concurrently-processed picture.
+// Worker threads bind a context with tc_ctx_bind (ctypes calls run on the
+// calling OS thread); native helper threads inherit the spawner's pointer
+// by capture. The default context preserves the historical
+// single-picture behavior.
+extern SP g_sp_default;
+extern thread_local SP* g_sp_ptr;
+#define g_sp (*g_sp_ptr)
 
 inline int clip3i(int lo, int hi, int v) {
     return v < lo ? lo : (v > hi ? hi : v);

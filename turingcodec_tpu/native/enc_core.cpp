@@ -100,6 +100,8 @@ struct EN {
     // seed fields supplied externally for this picture (device pre-ME,
     // encode/device_analysis.py) — lowres_prepass honors and consumes
     int seeds_external = 0;
+    // per-picture CTU frac-bits output buffer (raster, wc*hc)
+    int64_t* frac_out = nullptr;
     // dense full-res ME field (encoder hot-loop device stage): per 16x16
     // block, the exhaustive +/-8 full-pel SAD winner around the lowres
     // seed. Replaces the star search's wide scanning (raster fallback,
@@ -111,7 +113,9 @@ struct EN {
     int dense_external = 0;
 };
 
-EN en;
+EN g_en_default;
+thread_local EN* g_en_ptr = &g_en_default;
+#define en (*g_en_ptr)
 
 // set when both bit depths are 8: every satd_region input is then in
 // [0, 255] and the int16 AVX-512BW SATD kernel is exact
@@ -435,8 +439,8 @@ static void dense_prepass(int nthreads) {
     const int w = g_sp.pic_w, h = g_sp.pic_h;
     const int wb = en.seed_wb, hb = en.seed_hb;
     const bool u8 = g_sp.bit_depth_y == 8;
-    static std::vector<uint8_t> cur8_pad, ref8_pad;
-    static std::vector<int16_t> cur16_pad, ref16_pad;
+    static thread_local std::vector<uint8_t> cur8_pad, ref8_pad;
+    static thread_local std::vector<int16_t> cur16_pad, ref16_pad;
     bool have_cur = false;
     for (int l = 0; l < 2; l++) {
         if (!en.have_seed[l] || !en.refs[l][0][0])
@@ -475,20 +479,32 @@ static void dense_prepass(int nthreads) {
         const int16_t* seeds = en.seed_mv[l].data();
         int16_t* out = en.dense_mv[l].data();
         const int T = std::max(1, std::min(nthreads, hb));
-        auto rows = [&](int by0, int by1) {
+        // raw pointers: the scratch vectors are thread_local, so helper
+        // threads must receive the spawner's storage, not their own
+        const uint8_t* c8p = u8 ? cur8_pad.data() : nullptr;
+        const uint8_t* r8p = u8 ? ref8_pad.data() : nullptr;
+        const int16_t* c16p = u8 ? nullptr : cur16_pad.data();
+        const int16_t* r16p = u8 ? nullptr : ref16_pad.data();
+        auto rows = [=](int by0, int by1) {
             if (u8)
-                dense_search_rows<uint8_t>(cur8_pad.data(),
-                                           ref8_pad.data(), wb, hb, seeds,
+                dense_search_rows<uint8_t>(c8p, r8p, wb, hb, seeds,
                                            by0, by1, out, nullptr);
             else
-                dense_search_rows<int16_t>(cur16_pad.data(),
-                                           ref16_pad.data(), wb, hb, seeds,
+                dense_search_rows<int16_t>(c16p, r16p, wb, hb, seeds,
                                            by0, by1, out, nullptr);
         };
         if (T > 1) {
+            // helper threads inherit the spawner's picture context
+            SP* sp_ = g_sp_ptr;
+            EN* en_ = g_en_ptr;
+            auto trows = [&rows, sp_, en_](int a, int b) {
+                g_sp_ptr = sp_;
+                g_en_ptr = en_;
+                rows(a, b);
+            };
             std::vector<std::thread> ts;
             for (int t = 0; t < T; t++)
-                ts.emplace_back(rows, hb * t / T, hb * (t + 1) / T);
+                ts.emplace_back(trows, hb * t / T, hb * (t + 1) / T);
             for (auto& th : ts)
                 th.join();
         } else {
@@ -519,7 +535,7 @@ static void lowres_prepass_seeds(int nthreads) {
     lowres_plane<4, 4>(en.orig[0], w, h, wb, hb, B, en.lr_cur.data());
     // skip the unpadded interior offset: search reads cur without border
     const int cw = wb * 4, dw = wb * 4 + 2 * B;
-    static std::vector<int16_t> cur_tight;
+    static thread_local std::vector<int16_t> cur_tight;
     cur_tight.resize((size_t)hb * 4 * cw);
     for (int y = 0; y < hb * 4; y++)
         std::memcpy(cur_tight.data() + (int64_t)y * cw,
@@ -530,7 +546,7 @@ static void lowres_prepass_seeds(int nthreads) {
     // refine and the 8-sample block extent)
     const int B2 = 24;
     const int cw2 = wb * 8, dw2 = wb * 8 + 2 * B2;
-    static std::vector<int16_t> cur_half, cur_half_t;
+    static thread_local std::vector<int16_t> cur_half, cur_half_t;
     cur_half.resize((size_t)(hb * 8 + 2 * B2) * dw2);
     lowres_plane<2, 8>(en.orig[0], w, h, wb, hb, B2, cur_half.data());
     cur_half_t.resize((size_t)hb * 8 * cw2);
@@ -538,7 +554,7 @@ static void lowres_prepass_seeds(int nthreads) {
         std::memcpy(cur_half_t.data() + (int64_t)y * cw2,
                     cur_half.data() + (int64_t)(y + B2) * dw2 + B2,
                     cw2 * sizeof(int16_t));
-    static std::vector<int16_t> ref_half;
+    static thread_local std::vector<int16_t> ref_half;
     for (int l = 0; l < 2; l++) {
         const int16_t* ref = en.refs[l][0][0];
         if (!ref)
@@ -554,16 +570,29 @@ static void lowres_prepass_seeds(int nthreads) {
         lowres_plane<2, 8>(ref, w, h, wb, hb, B2, ref_half.data());
         en.seed_mv[l].resize((size_t)hb * wb * 2);
         const int T = std::max(1, std::min(nthreads, hb));
-        auto rows = [&](int by0, int by1) {
-            lowres_search_rows(cur_tight.data(), en.lr_ref[l].data(), wb,
-                               hb, B, by0, by1, en.seed_mv[l].data());
-            halfres_refine_rows(cur_half_t.data(), ref_half.data(), wb, hb,
-                                B2, by0, by1, en.seed_mv[l].data());
+        // raw pointers: the scratch vectors are thread_local, so helper
+        // threads must receive the spawner's storage, not their own
+        const int16_t* ctp = cur_tight.data();
+        const int16_t* lrp = en.lr_ref[l].data();
+        const int16_t* chp = cur_half_t.data();
+        const int16_t* rhp = ref_half.data();
+        int16_t* smp = en.seed_mv[l].data();
+        auto rows = [=](int by0, int by1) {
+            lowres_search_rows(ctp, lrp, wb, hb, B, by0, by1, smp);
+            halfres_refine_rows(chp, rhp, wb, hb, B2, by0, by1, smp);
         };
         if (T > 1) {
+            // helper threads inherit the spawner's picture context
+            SP* sp_ = g_sp_ptr;
+            EN* en_ = g_en_ptr;
+            auto trows = [&rows, sp_, en_](int a, int b) {
+                g_sp_ptr = sp_;
+                g_en_ptr = en_;
+                rows(a, b);
+            };
             std::vector<std::thread> ts;
             for (int t = 0; t < T; t++)
-                ts.emplace_back(rows, hb * t / T, hb * (t + 1) / T);
+                ts.emplace_back(trows, hb * t / T, hb * (t + 1) / T);
             for (auto& th : ts)
                 th.join();
         } else {
@@ -5691,7 +5720,6 @@ struct RowProgress {
 };
 
 // optional per-CTU committed-frac output (checkRate invariant harness)
-int64_t* g_frac_out = nullptr;
 
 double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                       const double* lam3, int snap_rx,
@@ -5739,8 +5767,8 @@ double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                 ctu_cost[i] = decide_cqt(rx << g_sp.ctb_log2,
                                          ry << g_sp.ctb_log2,
                                          g_sp.ctb_log2, 0);
-                if (g_frac_out)
-                    g_frac_out[i] = cur.ctu_frac;
+                if (en.frac_out)
+                    en.frac_out[i] = cur.ctu_frac;
                 if (cur.err) {
                     err.store(1, std::memory_order_relaxed);
                     return;
@@ -5756,8 +5784,16 @@ double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
 
     std::vector<std::thread> threads;
     threads.reserve(T - 1);
+    // WPP row threads inherit the spawner's picture context
+    SP* sp_ = g_sp_ptr;
+    EN* en_ = g_en_ptr;
+    auto tworker = [&worker, sp_, en_](int t) {
+        g_sp_ptr = sp_;
+        g_en_ptr = en_;
+        worker(t);
+    };
     for (int t = 1; t < T; t++)
-        threads.emplace_back(worker, t);
+        threads.emplace_back(tworker, t);
     worker(0);
     for (auto& th : threads)
         th.join();
@@ -5982,7 +6018,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     // u8 shadows of the reference luma planes for the psadbw ME fast
     // path (bit-equal: 8-bit samples fit a byte); planes shared between
     // lists (GPB) convert once
-    static std::vector<uint8_t> ref8_store[2][16];
+    static thread_local std::vector<uint8_t> ref8_store[2][16];
     for (int l = 0; l < 2; l++)
         for (int r = 0; r < 16; r++) {
             en.ref8[l][r] = nullptr;
@@ -6069,8 +6105,8 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
             cur.ctu_frac = 0;
             total += decide_cqt(rx << g_sp.ctb_log2, ry << g_sp.ctb_log2,
                                 g_sp.ctb_log2, 0);
-            if (g_frac_out)
-                g_frac_out[i] = cur.ctu_frac;
+            if (en.frac_out)
+                en.frac_out[i] = cur.ctu_frac;
             if (cur.err)
                 return -1.0;
             if (wpp && rx == snap_rx) {
@@ -6104,17 +6140,17 @@ double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
     cur.err = 0;
     cur.ctu_frac = 0;
     double cost = decide_cqt(x0, y0, g_sp.ctb_log2, 0);
-    if (g_frac_out) {
+    if (en.frac_out) {
         const int wc2 = (g_sp.pic_w + (1 << g_sp.ctb_log2) - 1)
                         >> g_sp.ctb_log2;
-        g_frac_out[(int64_t)(y0 >> g_sp.ctb_log2) * wc2
+        en.frac_out[(int64_t)(y0 >> g_sp.ctb_log2) * wc2
                    + (x0 >> g_sp.ctb_log2)] = cur.ctu_frac;
     }
     return cur.err ? -1.0 : cost;
 }
 
 // install/clear the per-CTU frac output buffer (raster order, wc*hc)
-void tc_enc_set_frac_out(int64_t* p) { g_frac_out = p; }
+void tc_enc_set_frac_out(int64_t* p) { en.frac_out = p; }
 
 // install a device-computed lowres pre-ME seed field for list l
 // (encode/device_analysis.py; exact lowres_prepass values)
@@ -6141,7 +6177,8 @@ void tc_dense_analysis(const int16_t* orig, const int16_t* ref, int32_t w,
     const int wb = (lw + 3) >> 2, hb = (lh + 3) >> 2;
     const int B = 8;
     const int dw = wb * 4 + 2 * B;
-    static std::vector<int16_t> lr_cur, lr_ref, cur_t, cur_h, cur_ht, ref_h;
+    static thread_local std::vector<int16_t> lr_cur, lr_ref, cur_t,
+        cur_h, cur_ht, ref_h;
     lr_cur.resize((size_t)(hb * 4 + 2 * B) * dw);
     lr_ref.resize((size_t)(hb * 4 + 2 * B) * dw);
     lowres_plane<4, 4>(orig, w, h, wb, hb, B, lr_cur.data());
@@ -6164,8 +6201,8 @@ void tc_dense_analysis(const int16_t* orig, const int16_t* ref, int32_t w,
     ref_h.resize((size_t)(hb * 8 + 2 * B2) * dw2);
     lowres_plane<2, 8>(ref, w, h, wb, hb, B2, ref_h.data());
     const bool u8 = bd == 8;
-    static std::vector<uint8_t> c8, r8;
-    static std::vector<int16_t> c16, r16;
+    static thread_local std::vector<uint8_t> c8, r8;
+    static thread_local std::vector<int16_t> c16, r16;
     const size_t rsz = (size_t)(hb * 16 + 2 * DENSE_P)
         * (wb * 16 + 2 * DENSE_P);
     if (u8) {
@@ -6180,19 +6217,25 @@ void tc_dense_analysis(const int16_t* orig, const int16_t* ref, int32_t w,
         dense_pad_plane<int16_t>(ref, w, h, wb, hb, DENSE_P, r16.data());
     }
     const int T = std::max(1, std::min((int)nthreads, hb));
-    auto rows = [&](int by0, int by1) {
-        lowres_search_rows(cur_t.data(), lr_ref.data(), wb, hb, B, by0,
-                           by1, out_seeds);
-        halfres_refine_rows(cur_ht.data(), ref_h.data(), wb, hb, B2, by0,
-                            by1, out_seeds);
+    // raw pointers: the scratch vectors are thread_local, so helper
+    // threads must receive the spawner's storage, not their own
+    const int16_t* ctp = cur_t.data();
+    const int16_t* lrp = lr_ref.data();
+    const int16_t* chp = cur_ht.data();
+    const int16_t* rhp = ref_h.data();
+    const uint8_t* c8p = u8 ? c8.data() : nullptr;
+    const uint8_t* r8p = u8 ? r8.data() : nullptr;
+    const int16_t* c16p = u8 ? nullptr : c16.data();
+    const int16_t* r16p = u8 ? nullptr : r16.data();
+    auto rows = [=](int by0, int by1) {
+        lowres_search_rows(ctp, lrp, wb, hb, B, by0, by1, out_seeds);
+        halfres_refine_rows(chp, rhp, wb, hb, B2, by0, by1, out_seeds);
         if (u8)
-            dense_search_rows<uint8_t>(c8.data(), r8.data(), wb, hb,
-                                       out_seeds, by0, by1, out_dense,
-                                       out_sad);
+            dense_search_rows<uint8_t>(c8p, r8p, wb, hb, out_seeds, by0,
+                                       by1, out_dense, out_sad);
         else
-            dense_search_rows<int16_t>(c16.data(), r16.data(), wb, hb,
-                                       out_seeds, by0, by1, out_dense,
-                                       out_sad);
+            dense_search_rows<int16_t>(c16p, r16p, wb, hb, out_seeds, by0,
+                                       by1, out_dense, out_sad);
     };
     if (T > 1) {
         // two barriers: dense reads seeds of its own rows only, so the
@@ -6216,6 +6259,38 @@ void tc_enc_install_dense(int32_t l, const int16_t* mv, int32_t wb,
     en.dense_mv[l].assign(mv, mv + (size_t)hb * wb * 2);
     en.have_dense[l] = 1;
     en.dense_external = 1;
+}
+
+// ------------------------------------------------- picture contexts
+// Concurrent-frame encoding (reference --concurrent-frames analogue,
+// TaskEncodeInput.cpp:41-52): each in-flight picture gets its own
+// (SP, EN) context; a Python worker thread binds one and every
+// subsequent native call from that thread (setup, prepass install,
+// encode, write) operates on it. Native helper threads inherit the
+// spawner's binding by capture.
+struct TcCtx {
+    SP sp;
+    EN enc;  // named 'enc': 'en' is the context-pointer macro
+};
+
+void* tc_ctx_new() {
+    TcCtx* c = new TcCtx();
+    return c;
+}
+
+void tc_ctx_bind(void* ctx) {
+    if (ctx) {
+        TcCtx* c = (TcCtx*)ctx;
+        g_sp_ptr = &c->sp;
+        g_en_ptr = &c->enc;
+    } else {
+        g_sp_ptr = &g_sp_default;
+        g_en_ptr = &g_en_default;
+    }
+}
+
+void tc_ctx_free(void* ctx) {
+    delete (TcCtx*)ctx;
 }
 
 // SATD kernel self-test + cycle bench (havoc_test analogue): random

@@ -20,7 +20,8 @@
 
 #include "core.h"
 
-SP g_sp;
+SP g_sp_default;
+thread_local SP* g_sp_ptr = &g_sp_default;
 
 namespace {
 
