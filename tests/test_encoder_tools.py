@@ -141,3 +141,46 @@ def test_hrd_signalling():
     assert (e["bit_rate_value_minus1"] + 1) << (6 + hrd.bit_rate_scale) \
         == 99840  # 100 kb/s quantized to 256-bit units
     assert sl["fixed_pic_rate_general_flag"] == 1
+
+
+def test_frame_parallel_bit_identical():
+    """Frame-parallel encoding (2 in-flight pictures, per-picture native
+    contexts) must reproduce the sequential walk byte-exactly — the
+    reference's concurrent-frames determinism contract
+    (TaskEncodeInput.cpp:41-52 + its signature threads-1 row)."""
+    import os
+    import hashlib
+    import numpy as np
+    from turingcodec_tpu.encode.encoder import EncoderConfig, Encoder
+
+    rng = np.random.default_rng(3)
+    h, w = 96, 160
+    prev = rng.integers(0, 255, (h + 64, w + 64), np.int16)
+    frames = []
+    for i in range(9):
+        y = np.ascontiguousarray(prev[i * 2:i * 2 + h, i * 3:i * 3 + w])
+        frames.append([y, np.full((h // 2, w // 2), 100, np.int16),
+                       np.full((h // 2, w // 2), 120, np.int16)])
+
+    def run(ft):
+        old = os.environ.get("TURING_TPU_FRAME_THREADS")
+        os.environ["TURING_TPU_FRAME_THREADS"] = ft
+        try:
+            cfg = EncoderConfig(width=w, height=h, qp=32, gop_m=8,
+                                rd_candidates=2)
+            enc = Encoder(cfg)
+            out = [enc.headers()]
+            for fr in frames:
+                for (_i, nal, _r) in enc.push_frame(
+                        [p.copy() for p in fr]):
+                    out.append(nal)
+            for (_i, nal, _r) in enc.flush():
+                out.append(nal)
+            return hashlib.md5(b"".join(out)).hexdigest()
+        finally:
+            if old is None:
+                del os.environ["TURING_TPU_FRAME_THREADS"]
+            else:
+                os.environ["TURING_TPU_FRAME_THREADS"] = old
+
+    assert run("1") == run("2") == run("3")

@@ -131,6 +131,7 @@ class Encoder:
         self.geom = PictureGeometry(self.sps, self.pps)
         self.frame_count = 0
         self._noise_streak = 0   # consecutive unpredictable inter pictures
+        self._pool = None        # frame-parallel worker pool (lazy)
         self._user_data_sent = False
         self._decode_count = 0   # pictures emitted in decode order
         self._timing = {}        # input_index -> (pts, dts, keyframe)
@@ -459,27 +460,74 @@ class Encoder:
             # lands exactly on the cut
             self._scd.push(yuv[0])
             self._la_queue.append(idx)
+            dockets = []
             while self._la_queue and self._la_queue[0] < \
                     self._scd.decided_upto():
                 i = self._la_queue.pop(0)
-                for docket in self._planner.push(
-                        self._scd.is_shot_change(i)):
-                    out.append(self._encode_docket(docket))
-            return out
-        for docket in self._planner.push(False):
-            out.append(self._encode_docket(docket))
-        return out
+                dockets += self._planner.push(self._scd.is_shot_change(i))
+            return out + self._encode_dockets(dockets)
+        return out + self._encode_dockets(self._planner.push(False))
 
     def flush(self) -> List[tuple]:
-        out = []
+        dockets = []
         if self._scd is not None:
             self._scd.finish()
             while self._la_queue:
                 i = self._la_queue.pop(0)
-                for docket in self._planner.push(
-                        self._scd.is_shot_change(i)):
-                    out.append(self._encode_docket(docket))
-        out += [self._encode_docket(d) for d in self._planner.flush()]
+                dockets += self._planner.push(self._scd.is_shot_change(i))
+        dockets += self._planner.flush()
+        return self._encode_dockets(dockets)
+
+    # ------------------------------------------------------------------
+    def _frame_threads(self) -> int:
+        """In-flight picture budget (reference --concurrent-frames
+        analogue). Frame-parallel encoding is bit-identical with the
+        sequential walk (asserted by a signature row): batches contain
+        only mutually-independent pictures, and all cross-picture state
+        (DPB/RPS, SEI counters, noise streak) advances in the sequential
+        prepare/finalize phases. Rate control stays sequential (its
+        picture model chains through every picture's actual bits)."""
+        if self._rc is not None or self.cfg.slices > 1:
+            return 1
+        import os
+        v = os.environ.get("TURING_TPU_FRAME_THREADS")
+        if v:
+            return max(1, int(v))
+        return 2 if (os.cpu_count() or 1) > 1 else 1
+
+    def _encode_dockets(self, dockets) -> List[tuple]:
+        ft = self._frame_threads()
+        out = []
+        i = 0
+        while i < len(dockets):
+            batch = [dockets[i]]
+            i += 1
+            while ft > 1 and i < len(dockets) and len(batch) < ft:
+                d = dockets[i]
+                pocs = {b.poc for b in batch}
+                if d.is_idr or any(b.is_idr for b in batch) \
+                        or pocs & set(d.refs_before) \
+                        or pocs & set(d.refs_after):
+                    break
+                batch.append(d)
+                i += 1
+            jobs = [self._docket_prepare(d) for d in batch]
+            if len(jobs) == 1:
+                self._docket_encode(jobs[0])
+            else:
+                from turingcodec_tpu import native
+                if self._pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._pool = ThreadPoolExecutor(max_workers=ft)
+                wpp = max(1, native.enc_threads() // len(jobs))
+
+                def run(job):
+                    native.bind_thread_ctx()
+                    native.set_thread_enc_threads(wpp)
+                    self._docket_encode(job)
+
+                list(self._pool.map(run, jobs))
+            out += [self._docket_finalize(j) for j in jobs]
         return out
 
     def timing(self, input_index: int):
@@ -525,6 +573,17 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _encode_docket(self, docket) -> tuple:
+        """Sequential single-picture path: prepare + encode + finalize."""
+        job = self._docket_prepare(docket)
+        self._docket_encode(job)
+        return self._docket_finalize(job)
+
+    def _docket_prepare(self, docket):
+        """Sequential phase: everything that touches cross-picture state —
+        DPB/RPS, SEI counters, lambda/RC setup, pre-analysis (noise
+        streak), and the DPB stub insertion so the NEXT picture's RPS sees
+        this one. Returns the job consumed by _docket_encode."""
+        from types import SimpleNamespace
         from turingcodec_tpu.decode.dpb import DecodedPicture
         from turingcodec_tpu.encode.inter_search import InterPictureEncoder
 
@@ -641,10 +700,34 @@ class Encoder:
                 # prediction continues across segment boundaries
                 rows[bounds[i]:bounds[i + 1]] = 0 if dep else i
             enc.slice_row_map = rows
-        plan, search_recon = enc.encode_picture(yuv)
+
+        # pre-analysis (device fields + noise streak) is cross-picture
+        # sequential state: run it here, not in the parallel encode phase
         if not sh.is_i:
+            enc.prepare_analysis(yuv)
             self._noise_streak = getattr(enc, "noise_streak",
                                          self._noise_streak)
+
+        # DPB stub: inserted now so the NEXT picture's RPS retains this
+        # one; planes/plan are filled in _docket_finalize (nothing reads
+        # them before this batch completes — batches are independent)
+        pic = DecodedPicture(poc=poc)
+        pic.is_reference = True
+        self._dpb.picture_done(pic, sh)
+
+        return SimpleNamespace(
+            docket=docket, yuv=yuv, sh=sh, poc=poc, enc=enc,
+            n_slices=n_slices, bounds=bounds if n_slices > 1 else None,
+            nal_prefix=self._prefix_sei(docket), pic=pic,
+            nal=None, recon=None, plan=None)
+
+    def _docket_encode(self, job) -> None:
+        """Parallel-safe phase: the picture's RDO, loop filters, SAO
+        estimation and CABAC write — no cross-picture state (worker
+        threads bind their own native context, native.bind_thread_ctx)."""
+        docket, yuv, sh, enc = job.docket, job.yuv, job.sh, job.enc
+        n_slices, bounds = job.n_slices, job.bounds
+        plan, search_recon = enc.encode_picture(yuv)
         if self.cfg.aq_strength > 0 or getattr(enc, "ctu_rc", None):
             self._reconcile_qp(plan, sh)
 
@@ -658,17 +741,15 @@ class Encoder:
         if self.cfg.sao:
             # SAO estimation needs the deblocked picture; its parameters go
             # into the per-CTU syntax, so estimate before writing slice data
-            import math
             from turingcodec_tpu.encode.sao_search import estimate_sao
-            from turingcodec_tpu.decode.sao import sao_picture
-            estimate_sao(plan, self.geom, yuv, recon, self._pic_lambda)
+            estimate_sao(plan, self.geom, yuv, recon, enc.lam)
 
         # slice data: WPP entry point offsets go into the header.
         # Offsets count EBSP bytes; per-substream emulation prevention equals
         # whole-buffer EP3 because every substream ends in a non-zero byte
         # (the CABAC flush '1' lands in the final byte).
         from turingcodec_tpu.bitstream.reader import insert_emulation_prevention
-        nal = self._prefix_sei(docket)
+        nal = job.nal_prefix
         if n_slices == 1:
             seg_shs = [sh]
         else:
@@ -718,21 +799,24 @@ class Encoder:
                                             self.cfg.bit_depth)
             nal += write_sei_nal([msg], suffix=True,
                                  temporal_id=docket.temporal_id)
+        job.nal = nal
+        job.recon = recon
+        job.plan = plan
 
+    def _docket_finalize(self, job) -> tuple:
+        """Sequential phase, in docket order: rate-control/CPB updates and
+        filling the DPB stub with the finished planes/plan."""
+        nal, sh, enc = job.nal, job.sh, job.enc
         if self._rc is not None:
             self._rc.post_picture(8 * len(nal))
             self._cpb.update(8 * len(nal))
-
-        pic = DecodedPicture(poc=poc)
-        pic.planes = recon
-        pic.plan = plan
-        pic.is_reference = True
-        self._dpb.picture_done(pic, sh)
-        self._last_plan = plan
+        job.pic.planes = job.recon
+        job.pic.plan = job.plan
+        self._last_plan = job.plan
         # exposed for the checkRate invariant test (encode/rate_check.py)
         self._last_sh = sh
         self._last_ctu_frac = list(enc.ctu_frac_list)
-        return docket.input_index, nal, recon
+        return job.docket.input_index, nal, job.recon
 
 
 def read_yuv_frame(yuv_bytes: bytes, i: int, w: int, h: int):

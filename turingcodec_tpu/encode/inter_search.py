@@ -80,16 +80,24 @@ class InterPictureEncoder(IntraPictureEncoder):
 
     def encode_picture(self, orig, slice_number=0):
         self.deriver = None  # created lazily (needs plan)
-        # TURING_TPU_DEVICE_ENC=1: run the picture's data-parallel
-        # pre-analysis (lowres pre-ME + dense ME fields) on the TPU in one
-        # jit call; bit-identical values feed the host RDO (device_analysis)
+        if not getattr(self, "_noise_done", False):
+            self.prepare_analysis(orig)
+        return super().encode_picture(orig, slice_number)
+
+    def prepare_analysis(self, orig):
+        """Per-picture pre-analysis, callable ahead of encode_picture so
+        the frame-parallel facade can run it in the sequential prepare
+        phase: TURING_TPU_DEVICE_ENC=1 runs the lowres pre-ME + dense ME
+        fields on the TPU in one jit call (bit-identical values feed the
+        host RDO), and the noise-adaptive RDOQ decision consumes the
+        dense SAD field."""
         from turingcodec_tpu.encode.device_analysis import (
             device_enc_enabled, install_seed_fields)
         self._device_seeds = None
         if device_enc_enabled():
             self._device_seeds = install_seed_fields(self, orig)
         self._noise_adapt(orig)
-        return super().encode_picture(orig, slice_number)
+        self._noise_done = True
 
     def _noise_adapt(self, orig):
         """Noise-adaptive RDOQ: when the dense ME field says the picture

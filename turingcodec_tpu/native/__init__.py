@@ -20,15 +20,50 @@ _LIB = None
 _TRIED = False
 
 
+_TLS = None  # created lazily (threading import kept off the hot path)
+
+
+def _tls():
+    global _TLS
+    if _TLS is None:
+        import threading
+        _TLS = threading.local()
+    return _TLS
+
+
 def enc_threads() -> int:
     """WPP row threads for the native picture encode (TaskEncodeSubstream
     analogue). Default = CPU count; output is bit-identical at any count
     (reference signature.cpp's threads-1 row asserts the same invariant).
-    Override with TURING_TPU_ENC_THREADS (1 = sequential walk)."""
+    Override with TURING_TPU_ENC_THREADS (1 = sequential walk), or per
+    thread via set_thread_enc_threads (frame-parallel encoding divides
+    the budget between in-flight pictures)."""
+    ov = getattr(_tls(), "enc_threads", None)
+    if ov:
+        return ov
     nthr = os.environ.get("TURING_TPU_ENC_THREADS")
     if nthr:
         return max(1, int(nthr))
     return os.cpu_count() or 1
+
+
+def set_thread_enc_threads(n) -> None:
+    """Per-thread WPP thread budget (None clears the override)."""
+    _tls().enc_threads = n
+
+
+def bind_thread_ctx() -> None:
+    """Bind this thread's native picture context (allocated on first
+    use): every later native call from this thread (slice setup, encode,
+    write) operates on that context, so pictures can encode concurrently
+    (tc_ctx_new/bind in enc_core.cpp)."""
+    lib = get_lib()
+    if lib is None:
+        return
+    t = _tls()
+    if getattr(t, "ctx", None) is None:
+        t.ctx = lib.tc_ctx_new()
+    lib.tc_ctx_bind(t.ctx)
 
 
 def _build_and_load():
@@ -166,6 +201,12 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.tc_ctx_new.restype = ctypes.c_void_p
+    lib.tc_ctx_new.argtypes = []
+    lib.tc_ctx_bind.restype = None
+    lib.tc_ctx_bind.argtypes = [ctypes.c_void_p]
+    lib.tc_ctx_free.restype = None
+    lib.tc_ctx_free.argtypes = [ctypes.c_void_p]
     lib.tc_enc_ctu.restype = ctypes.c_double
     lib.tc_enc_picture.restype = ctypes.c_double
     lib.tc_enc_picture.argtypes = [

@@ -36,6 +36,11 @@ CONFIGS = [
      {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
     ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
      {}, ("83ce926f", "bbce10e3")),
+    # frame-parallel determinism: one-picture-at-a-time must reproduce
+    # the default (2 in-flight pictures) exactly — the reference's
+    # concurrent-frames invariant
+    ("gop4-q32-frame-seq", dict(qp=32, rd_candidates=2, gop_m=4), 5,
+     {"TURING_TPU_FRAME_THREADS": "1"}, "gop4-q32"),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
      {}, ("0d0868bd", "8dff5fc6")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
