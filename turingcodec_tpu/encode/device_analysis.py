@@ -216,6 +216,31 @@ def analysis_device(orig_y: np.ndarray, ref_y: np.ndarray):
             np.asarray(ds).astype(np.int32), wb, hb)
 
 
+def analysis_frames_sharded(mesh, origs: np.ndarray, refs: np.ndarray):
+    """GOP-batched encoder analysis (lowres pre-ME + dense full-pel ME
+    fields + winner SADs) for N (orig, ref) picture pairs in one jit,
+    sharded over the mesh 'frame' axis — the 2+-picture-overlap form of
+    the production TURING_TPU_DEVICE_ENC stage (each in-flight picture of
+    the concurrent-frame encoder computes its analysis on its own mesh
+    slice). Values are integer-exact twins of the host prepass."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n, h, w = origs.shape
+    key = ("analysisraw", w, h)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = _analysis_program(w, h)
+    raw, wb, hb = _JIT_CACHE[key]
+    sh = NamedSharding(mesh, P("frame"))
+    fn = jax.jit(jax.vmap(raw), in_shardings=(sh, sh),
+                 out_shardings=(sh, sh, sh))
+    a = jax.device_put(np.asarray(origs, np.int16), sh)
+    b = jax.device_put(np.asarray(refs, np.int16), sh)
+    sm, dm, ds = fn(a, b)
+    return (np.asarray(sm).astype(np.int32),
+            np.asarray(dm).astype(np.int32),
+            np.asarray(ds).astype(np.int32), wb, hb)
+
+
 def seed_fields_frames_sharded(mesh, origs: np.ndarray, refs: np.ndarray):
     """GOP-batched pre-ME: seed fields for N (orig, ref) picture pairs in
     one jit, sharded over the mesh 'frame' axis — the encoder-analysis
