@@ -1,9 +1,22 @@
-"""Adaptive quantization: TM5-style activity-based per-CTB dQP
-(turing/AdaptiveQuantisation.h:101 analogue).
+"""Adaptive quantization: TM5 activity-based per-CTB dQP
+(turing/AdaptiveQuantisation.h analogue at CTB granularity).
 
-dQP(ctb) = clip(strength * (log2 act(ctb) - log2 avg_act), +-max_range),
-activity = 1 + min variance over the CTB's 8x8 sub-blocks (computed on the
-source picture, vectorized).
+The reference builds an activity pyramid (layers of maxCuSize>>d units,
+AdaptiveQuantisation.h:120-128) and queries per-CU offsets during the
+search (Search.hpp:1145); our encoder signals dQP at CTB quantization
+groups, so the depth-0 layer semantics apply per CTB:
+
+  activity(u)        = 1 + min variance over u's four quadrant blocks
+                       (TM5's minvar; AdaptiveQuantisation.h:230-241)
+  norm(u)            = (s*act + avg) / (act + s*avg),  s = 2^(range/6)
+  qp_offset(u)       = floor(log2(norm) * 6 + 0.49999)
+                       (AdaptiveQuantisation.h:138-154)
+
+scaled by the configured strength (strength 1.0 = the reference's
+formula). Deviation noted: the reference's quadrant-0/1 sum-of-squares
+accumulators are buggy (assignment instead of accumulation, missing
+square — AdaptiveQuantisation.h:186-200); this implementation computes
+all four quadrant variances correctly.
 """
 from __future__ import annotations
 
@@ -16,15 +29,16 @@ def compute_aq_map(luma: np.ndarray, ctb_log2: int, strength: float,
     ctb = 1 << ctb_log2
     hc = -(-h // ctb)
     wc = -(-w // ctb)
-    # pad to CTB multiple
     pad = np.pad(luma.astype(np.float64),
                  ((0, hc * ctb - h), (0, wc * ctb - w)), mode="edge")
-    # 8x8 block variances
-    b = pad.reshape(hc * ctb // 8, 8, wc * ctb // 8, 8).transpose(0, 2, 1, 3)
-    v = b.var(axis=(2, 3)) + 1.0
-    k = ctb // 8
-    v_ctb = v.reshape(hc, k, wc, k).transpose(0, 2, 1, 3).min(axis=(2, 3))
-    act = np.log2(v_ctb)
-    avg = act.mean()
-    dqp = np.clip(np.round(strength * (act - avg)), -max_range, max_range)
-    return dqp.astype(np.int32)
+    # quadrant (half-CTB) block variances -> TM5 minvar per CTB
+    q = ctb // 2
+    b = pad.reshape(hc * 2, q, wc * 2, q).transpose(0, 2, 1, 3)
+    v = b.var(axis=(2, 3))
+    minvar = v.reshape(hc, 2, wc, 2).transpose(0, 2, 1, 3).min(axis=(2, 3))
+    act = 1.0 + minvar
+    avg = float(act.mean())
+    s = 2.0 ** (max_range / 6.0)
+    norm = (s * act + avg) / (act + s * avg)
+    dqp = np.floor(strength * (np.log2(norm) * 6.0) + 0.49999)
+    return np.clip(dqp, -max_range, max_range).astype(np.int32)

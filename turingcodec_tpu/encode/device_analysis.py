@@ -204,7 +204,7 @@ def analysis_device(orig_y: np.ndarray, ref_y: np.ndarray):
     integer-exact with the host lowres_prepass + dense_prepass."""
     import jax
     h, w = orig_y.shape
-    key = ("analysis", w, h)
+    key = ("analysis", w, h, _dense_use_pallas())
     if key not in _JIT_CACHE:
         raw, wb, hb = _analysis_program(w, h)
         _JIT_CACHE[key] = (jax.jit(raw), wb, hb)
@@ -226,7 +226,7 @@ def analysis_frames_sharded(mesh, origs: np.ndarray, refs: np.ndarray):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     n, h, w = origs.shape
-    key = ("analysisraw", w, h)
+    key = ("analysisraw", w, h, _dense_use_pallas())
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = _analysis_program(w, h)
     raw, wb, hb = _JIT_CACHE[key]

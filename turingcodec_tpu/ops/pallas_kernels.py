@@ -148,7 +148,10 @@ def dense_me_argmin(cur: jax.Array, patches: jax.Array,
     noise-adaptivity input). The whole 17x17 sweep stays VMEM-resident
     per 256-block tile (one HBM read per input element) instead of
     re-streaming the patch tensor 289 times as the XLA scan formulation
-    does.
+    does. Layout: blocks ride the 128-lane dimension — inputs are
+    transposed to (rows, cols, B) so every slice/reduce is lane-parallel
+    across blocks and all stores are full-lane rows (Mosaic rejects the
+    naive (B, 16, 16) formulation's strided small-lane layouts).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -159,42 +162,45 @@ def dense_me_argmin(cur: jax.Array, patches: jax.Array,
     if bp != b:
         cur = jnp.pad(cur, ((0, bp - b), (0, 0), (0, 0)))
         patches = jnp.pad(patches, ((0, bp - b), (0, 0), (0, 0)))
+    cur_t = jnp.transpose(cur.astype(jnp.int32), (1, 2, 0))      # (16,16,B)
+    pat_t = jnp.transpose(patches.astype(jnp.int32), (1, 2, 0))  # (32,32,B)
 
     def kernel(c_ref, p_ref, out_ref):
         c = c_ref[...]
-        best = jnp.full((tile,), np.iinfo(np.int32).max, jnp.int32)
-        bsad = jnp.zeros((tile,), jnp.int32)
-        box = jnp.zeros((tile,), jnp.int32)
-        boy = jnp.zeros((tile,), jnp.int32)
+        best = jnp.full((1, tile), np.iinfo(np.int32).max, jnp.int32)
+        bsad = jnp.zeros((1, tile), jnp.int32)
+        box = jnp.zeros((1, tile), jnp.int32)
+        boy = jnp.zeros((1, tile), jnp.int32)
         for oy in range(17):       # static unroll: all slices are static
             for ox in range(17):
                 sad = jnp.sum(
-                    jnp.abs(c - p_ref[:, oy:oy + 16, ox:ox + 16]), (1, 2))
+                    jnp.abs(c - p_ref[oy:oy + 16, ox:ox + 16, :]),
+                    (0, 1)).reshape(1, tile)
                 cost = (sad << 2) + abs(ox - 8) + abs(oy - 8)
                 m = cost < best
                 best = jnp.where(m, cost, best)
                 bsad = jnp.where(m, sad, bsad)
                 box = jnp.where(m, ox - 8, box)
                 boy = jnp.where(m, oy - 8, boy)
-        out_ref[:, 0] = box
-        out_ref[:, 1] = boy
-        out_ref[:, 2] = bsad
+        out_ref[0:1, :] = box
+        out_ref[1:2, :] = boy
+        out_ref[2:3, :] = bsad
 
     out = pl.pallas_call(
         kernel,
         grid=(bp // tile,),
-        out_shape=jax.ShapeDtypeStruct((bp, 3), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((3, bp), jnp.int32),
         in_specs=[
-            pl.BlockSpec((tile, 16, 16), lambda i: (i, 0, 0),
+            pl.BlockSpec((16, 16, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 32, 32), lambda i: (i, 0, 0),
+            pl.BlockSpec((32, 32, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 3), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((3, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(cur.astype(jnp.int32), patches.astype(jnp.int32))
-    return out[:b]
+    )(cur_t, pat_t)
+    return out[:, :b].T
 
 
 def sad_grid_np(orig, window):

@@ -58,6 +58,55 @@ def main():
           f"warm {t_warm * 1e3:.0f}ms, exact vs host: {exact}")
     assert exact
 
+    # 1b) dense ME field parity + Pallas-vs-XLA A/B timing
+    from turingcodec_tpu.encode.device_analysis import analysis_device
+
+    def bench_dense(pallas):
+        os.environ["TC_DENSE_PALLAS"] = "1" if pallas else "0"
+        try:
+            t0 = time.time()
+            sm2, dm, ds, wb2, hb2 = analysis_device(frames[1][0],
+                                                    frames[0][0])
+            cold = time.time() - t0
+            t0 = time.time()
+            n_rep = 3
+            for _ in range(n_rep):
+                analysis_device(frames[1][0], frames[0][0])
+            warm = (time.time() - t0) / n_rep
+            return sm2, dm, ds, wb2, hb2, cold, warm
+        finally:
+            os.environ.pop("TC_DENSE_PALLAS", None)
+
+    smx, dmx, dsx, wb2, hb2, cold_x, warm_x = bench_dense(False)
+    h2 = InterPictureEncoder.__new__(InterPictureEncoder)
+    h2._lr_seed_cache = {}
+    h2._dense_cache = {}
+    h2.orig = [frames[1][0]]
+    dmh, dsh, _, _ = h2._dense_field(frames[0][0])
+    exact_x = bool(np.array_equal(dmx, dmh) and np.array_equal(dsx, dsh))
+    n_blocks = hb2 * wb2
+    sad_ops = n_blocks * 289 * 256  # |a-b| accumulations per plane sweep
+    print(f"dense ME field XLA-scan: cold {cold_x:.1f}s, "
+          f"warm {warm_x * 1e3:.0f}ms "
+          f"({sad_ops / max(warm_x, 1e-9) / 1e9:.1f} G sad-ops/s, "
+          f"{n_blocks / max(warm_x, 1e-9) / 1e3:.0f} k blocks/s), "
+          f"exact vs host: {exact_x}")
+    assert exact_x
+    if plat != "cpu":
+        smp, dmp, dsp, _, _, cold_p, warm_p = bench_dense(True)
+        exact_p = bool(np.array_equal(dmp, dmh)
+                       and np.array_equal(dsp, dsh)
+                       and np.array_equal(smp, smx))
+        print(f"dense ME field Pallas:   cold {cold_p:.1f}s, "
+              f"warm {warm_p * 1e3:.0f}ms "
+              f"({sad_ops / max(warm_p, 1e-9) / 1e9:.1f} G sad-ops/s), "
+              f"exact vs host: {exact_p}, "
+              f"speedup vs XLA-scan: {warm_x / max(warm_p, 1e-9):.2f}x")
+        assert exact_p
+    else:
+        print("(CPU backend: skipping the Pallas variant — interpret "
+              "mode is ~1000x slower; TPU runs bench it for real)")
+
     # 2) byte-identical bitstreams with the stage on
     def enc_once(dev):
         if dev:
