@@ -5,10 +5,11 @@ Headline metric (BASELINE.json): 1080p low-delay encode frames/s at the
 fast preset (RDOQ+SDH on — our fast defaults). Quality at this operating
 point (QUALITY.md, 4-QP BD-rate vs the reference encoder, round 3):
 on this exact 1080p workload we BEAT the reference's fast preset by
--4.4% (LDP) / -9.1% (RA gop8) BD-rate, and its slow preset by -0.7%
-(RA); on the natural 640x360 clip -0.8% (fast LDP) / -3.8% (fast RA),
-with slow-RA the one remaining natural-content gap (+2.2% after the
-round-3 SMP8/ungated-refinement work). Reproduce with
+-4.4% (LDP) / -9.1% (RA gop8) BD-rate, and its slow preset by -5.7%
+(RA, after the round-4 SAO merge RDO); on the natural 640x360 clip
+-0.8% (fast LDP) / -3.8% (fast RA), with slow-RA the one remaining
+natural-content gap (+1.1%). Round-4 quiet-host band: 1.546-1.601 fps
+over 5 runs (vs_baseline 1.15-1.19). Reproduce with
 `python -m turingcodec_tpu.tools.bdrate`. The round-3 quality jumps
 came from exact mode-bin CABAC rate estimation in the search (checkRate
 invariant asserted per CTU) and reference-parity MPM-mode RD

@@ -32,7 +32,8 @@ PHASES = [
 COUNTS = ["fp_searches", "sad_single", "sad_batched", "met_stops",
           "batch_puts", "c21ns", "c22", "c23"]
 # extra phase slots 24..31 (g_enc_ns[24..31])
-XPHASES = ["dense_me", "x25", "x26", "x27", "x28", "x29", "x30", "x31"]
+XPHASES = ["dense_me", "analysis", "x26", "x27", "x28", "x29", "x30",
+           "x31"]
 
 
 def main():
@@ -87,8 +88,9 @@ def main():
     print("  counts: " + json.dumps(
         {k: int(v) for k, v in zip(COUNTS, cnt[16:24]) if v}))
     # device-offloadable prepass fraction (the stages with XLA twins:
-    # lowres pre-ME + dense full-pel ME field)
-    dev = (cnt[15] + cnt[24]) / 1e9
+    # lowres pre-ME + dense full-pel ME field, whether computed in-picture
+    # [15/24] or by the facade's standalone analysis call [25])
+    dev = (cnt[15] + cnt[24] + cnt[25]) / 1e9
     print(f"  device-offloadable prepass: {dev / len(ups):.4f} s/frame "
           f"({dev / dt * 100:.1f}% of wall)")
 

@@ -6173,6 +6173,7 @@ void tc_dense_analysis(const int16_t* orig, const int16_t* ref, int32_t w,
                        int32_t h, int32_t bd, int32_t nthreads,
                        int16_t* out_seeds, int16_t* out_dense,
                        int32_t* out_sad) {
+    PhaseTimer pt(25);  // facade-driven prepass (device-offloadable)
     const int lw = (w + 3) >> 2, lh = (h + 3) >> 2;
     const int wb = (lw + 3) >> 2, hb = (lh + 3) >> 2;
     const int B = 8;

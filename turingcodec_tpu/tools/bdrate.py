@@ -147,9 +147,14 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="QUALITY.md")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on sequence names "
+                         "(partial re-measurement; merge by hand)")
     args = ap.parse_args()
 
     seqs = load_sequences(args.quick)
+    if args.only:
+        seqs = {k: v for k, v in seqs.items() if args.only in k}
     points = [("fast", 1, "fast-LDP (max-gop-m 1)"),
               ("fast", 8, "fast-RA (max-gop-m 8)"),
               ("slow", 8, "slow-RA (max-gop-m 8)")]
