@@ -184,3 +184,56 @@ def test_frame_parallel_bit_identical():
                 os.environ["TURING_TPU_FRAME_THREADS"] = old
 
     assert run("1") == run("2") == run("3")
+
+
+def test_noise_adaptive_rdoq_persistence():
+    """The dense-ME SAD median flips RDOQ to dead-zone quantization only
+    after 2+ consecutive unpredictable inter pictures (white noise);
+    a single unpredictable picture (a scene cut) keeps RDOQ."""
+    import numpy as np
+    from turingcodec_tpu.encode.encoder import EncoderConfig, Encoder
+    import turingcodec_tpu.encode.inter_search as IS
+
+    rng = np.random.RandomState(7)
+    h, w = 96, 160
+    flat = np.full((h, w), 128, np.int16)
+    grad = (np.add.outer(np.arange(h), np.arange(w)) % 256).astype(np.int16)
+
+    def noise():
+        return np.clip(grad + rng.randint(-24, 25, (h, w)), 0,
+                       255).astype(np.int16)
+
+    decisions = []
+    orig_na = IS.InterPictureEncoder._noise_adapt
+
+    def probe(self, orig):
+        r = orig_na(self, orig)
+        decisions.append(self.use_rdoq)
+        return r
+
+    IS.InterPictureEncoder._noise_adapt = probe
+    try:
+        cfg = EncoderConfig(width=w, height=h, qp=32, gop_m=1,
+                            search_range=32, rd_candidates=1, rdoq=True,
+                            sdh=True)
+        enc = Encoder(cfg)
+        # frames: IDR(flat), P flat (predictable), P cut-to-noise (one
+        # unpredictable), then independent-noise Ps (persistent)
+        frames = [flat, flat.copy()] + [noise() for _ in range(4)]
+        for y in frames:
+            fr = [y, np.full((h // 2, w // 2), 100, np.int16),
+                  np.full((h // 2, w // 2), 120, np.int16)]
+            for _ in enc.push_frame([p.copy() for p in fr]):
+                pass
+        for _ in enc.flush():
+            pass
+    finally:
+        IS.InterPictureEncoder._noise_adapt = orig_na
+
+    # decisions cover the 5 inter pictures in order:
+    # predictable P -> rdoq on; first noise P (streak 0) -> still on;
+    # subsequent noise Ps -> off
+    assert decisions[0] is True          # flat P
+    assert decisions[1] is True          # scene cut to noise: keep RDOQ
+    assert decisions[2] is False         # persistent noise: dead-zone
+    assert decisions[3] is False
