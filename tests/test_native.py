@@ -271,3 +271,43 @@ def test_native_python_encoder_aps_bit_identical():
         del os.environ["TURING_TPU_NO_NATIVE_ENC"]
     assert md5_nat == md5_py
     assert hashlib.md5(bs_nat).hexdigest() == hashlib.md5(bs_py).hexdigest()
+
+
+def test_native_python_encoder_bpic_seed_install_bit_identical():
+    """Hierarchical-B at a MET preset with RDOQ: the noise-adapt path runs
+    native dense_analysis for list-0's ref plane and installs it as an
+    external seed field. On B pictures whose list-1 ref-0 is a DIFFERENT
+    plane, the install is partial — the native prepass must compute the
+    missing list's seeds in-picture (matching the lazily-per-plane Python
+    twin) rather than dropping list-1's lowres ME candidate."""
+    import hashlib
+
+    from turingcodec_tpu.encode.encoder import (EncoderConfig,
+                                                encode_yuv_stream)
+    if native.get_lib() is None:
+        pytest.skip("native core unavailable")
+    rng2 = np.random.default_rng(47)
+    w, h = 192, 128
+    n_frames = 5  # gop_m=4: IDR + 1 full SOP (mid + leaf Bs)
+    base = rng2.integers(0, 256, (2 * h, 2 * w), np.int32)
+    frames = []
+    for i in range(n_frames):
+        # fast pan so the lowres/dense seed candidates matter for both
+        # reference lists on the B pictures
+        y = base[h // 2 + 12 * i:h // 2 + 12 * i + h,
+                 w // 2 + 8 * i:w // 2 + 8 * i + w]
+        u = np.full((h // 2, w // 2), 128)
+        frames.append(y.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes()
+                      + u.astype(np.uint8).tobytes())
+    raw = b"".join(frames)
+    cfg = EncoderConfig(width=w, height=h, qp=30, rd_candidates=2,
+                        search_range=32, met=True, rdoq=True, gop_m=4)
+    bs_nat, md5_nat = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    os.environ["TURING_TPU_NO_NATIVE_ENC"] = "1"
+    try:
+        bs_py, md5_py = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    finally:
+        del os.environ["TURING_TPU_NO_NATIVE_ENC"]
+    assert md5_nat == md5_py
+    assert hashlib.md5(bs_nat).hexdigest() == hashlib.md5(bs_py).hexdigest()

@@ -490,6 +490,15 @@ class Encoder:
         if self._rc is not None or self.cfg.slices > 1:
             return 1
         import os
+
+        from turingcodec_tpu import native
+        if native.get_lib() is None \
+                or os.environ.get("TURING_TPU_NO_NATIVE_ENC") \
+                or os.environ.get("TURING_TPU_NO_NATIVE"):
+            # the pure-Python search shares module-level caches across
+            # pictures; only the native path (per-thread contexts) is
+            # designed and signature-pinned for concurrent pictures
+            return 1
         v = os.environ.get("TURING_TPU_FRAME_THREADS")
         if v:
             return max(1, int(v))

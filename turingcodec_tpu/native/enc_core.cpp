@@ -41,9 +41,13 @@
 // spare, spare, spare, spare]
 // [0..15] phase ns, [16..23] event counts, [24..31] extra phase ns
 // (24 = dense full-pel ME field prepass — the device-offloadable stage)
-static int64_t g_enc_ns[32];
+// atomic (relaxed): pictures encode concurrently in separate contexts
+// (TURING_TPU_FRAME_THREADS>1) and WPP rows in helper threads, so the
+// accumulations would otherwise race and drop counts
+static std::atomic<int64_t> g_enc_ns[32];
 #ifdef TC_ENC_PROF
-#define PROF_COUNT(i, n) (g_enc_ns[i] += (n))
+#define PROF_COUNT(i, n) \
+    (g_enc_ns[i].fetch_add((n), std::memory_order_relaxed))
 #else
 #define PROF_COUNT(i, n) ((void)0)
 #endif
@@ -56,7 +60,9 @@ struct PhaseTimer {
     int i;
     int64_t t0;
     PhaseTimer(int idx) : i(idx), t0(now_ns()) {}
-    ~PhaseTimer() { g_enc_ns[i] += now_ns() - t0; }
+    ~PhaseTimer() {
+        g_enc_ns[i].fetch_add(now_ns() - t0, std::memory_order_relaxed);
+    }
 };
 // leaf-kernel timers: clock_gettime in the per-block kernels costs ~5-8% of
 // the whole encode, so they compile to nothing unless TC_ENC_PROF is set
@@ -69,8 +75,8 @@ struct LeafTimer {
 };
 #endif
 extern "C" void tc_enc_counters(int64_t* out) {  // out: int64[32]
-    std::memcpy(out, g_enc_ns, sizeof(g_enc_ns));
-    std::memset(g_enc_ns, 0, sizeof(g_enc_ns));
+    for (int i = 0; i < 32; i++)
+        out[i] = g_enc_ns[i].exchange(0, std::memory_order_relaxed);
 }
 
 namespace {
@@ -427,12 +433,21 @@ static void dense_pad_plane(const int16_t* src, int w, int h, int wb,
 
 static void dense_prepass(int nthreads) {
     PhaseTimer pt(24);
+    int ext[2] = {0, 0};
     if (en.dense_external) {
-        // device stage already installed this picture's dense fields
+        // device stage installed fields — possibly only for some lists
+        // (a B picture's distinct list-1 ref-0 plane may be missing when
+        // the facade only analysed list 0); keep what was installed and
+        // compute the rest in-picture so native matches the lazy
+        // per-plane Python twin
         en.dense_external = 0;
-        return;
+        ext[0] = en.have_dense[0];
+        ext[1] = en.have_dense[1];
+        if (ext[0] && ext[1])
+            return;
     }
-    en.have_dense[0] = en.have_dense[1] = 0;
+    en.have_dense[0] = ext[0];
+    en.have_dense[1] = ext[1];
     static const bool off = getenv("TC_NO_DENSEME") != nullptr;
     if (off || g_sp.is_i || en.search_range < 16)
         return;
@@ -443,6 +458,8 @@ static void dense_prepass(int nthreads) {
     static thread_local std::vector<int16_t> cur16_pad, ref16_pad;
     bool have_cur = false;
     for (int l = 0; l < 2; l++) {
+        if (ext[l])
+            continue;  // externally installed for this list
         if (!en.have_seed[l] || !en.refs[l][0][0])
             continue;
         if (l == 1 && en.refs[0][0][0] == en.refs[1][0][0]
@@ -516,12 +533,19 @@ static void dense_prepass(int nthreads) {
 
 static void lowres_prepass_seeds(int nthreads) {
     PhaseTimer pt_lr(15);
+    int ext[2] = {0, 0};
     if (en.seeds_external) {
-        // device pre-ME already installed this picture's seed fields
+        // device pre-ME installed seed fields — possibly only for some
+        // lists (partial install on B pictures with a distinct list-1
+        // ref-0 plane); compute the missing lists in-picture
         en.seeds_external = 0;
-        return;
+        ext[0] = en.have_seed[0];
+        ext[1] = en.have_seed[1];
+        if (ext[0] && ext[1])
+            return;
     }
-    en.have_seed[0] = en.have_seed[1] = 0;
+    en.have_seed[0] = ext[0];
+    en.have_seed[1] = ext[1];
     static const bool off = getenv("TC_NO_LOWRES") != nullptr;
     if (off || g_sp.is_i || en.search_range < 16)
         return;
@@ -556,6 +580,8 @@ static void lowres_prepass_seeds(int nthreads) {
                     cw2 * sizeof(int16_t));
     static thread_local std::vector<int16_t> ref_half;
     for (int l = 0; l < 2; l++) {
+        if (ext[l])
+            continue;  // externally installed for this list
         const int16_t* ref = en.refs[l][0][0];
         if (!ref)
             continue;
