@@ -32,8 +32,8 @@ PHASES = [
 COUNTS = ["fp_searches", "sad_single", "sad_batched", "met_stops",
           "batch_puts", "c21ns", "c22", "c23"]
 # extra phase slots 24..31 (g_enc_ns[24..31])
-XPHASES = ["dense_me", "analysis", "x26", "x27", "x28", "x29", "x30",
-           "x31"]
+XPHASES = ["dense_me", "analysis", "subpel_planes", "x27", "x28", "x29",
+           "x30", "x31"]
 
 
 def main():

@@ -25,6 +25,7 @@
 
 #include <array>
 #include <atomic>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -117,6 +118,35 @@ struct EN {
     std::vector<int16_t> dense_mv[2];  // (hb*wb, 2) full-pel winners
     int have_dense[2] = {0, 0};
     int dense_external = 0;
+    // ---- subpel plane cache (whole-plane 14-bit interpolation) ----
+    // The subpel search's interpolation (sub_pel_refine probes, merge
+    // SATD, bi refinement — Search.hpp:2340-2358's interpolate-and-SATD
+    // job) restructured as a batched per-reference-plane stage: each
+    // fractional position is filtered ONCE over a padded plane and
+    // candidates read blocks out of it. Bit-equal to per-candidate
+    // mc_interp (coordinate clamping == edge-replicated padding; same
+    // >>shift1 / >>6 integer arithmetic), so bitstreams are unchanged.
+    // Lifetime: one picture (flags cleared in tc_enc_setup; buffers
+    // reused). An XLA twin (encode/device_analysis.py subpel_planes)
+    // can install externally computed planes — integer-exact, so the
+    // device path stays byte-identical.
+    struct SubpelSet {
+        std::vector<int16_t> ext;       // edge-replicated integer plane,
+                                        // pad SP_EXT
+        std::vector<int16_t> hplane[4]; // H-filtered (xf=1..3), pad SP_EXT
+        std::vector<int16_t> plane[16]; // finished planes, pad SP_P
+        std::atomic<char> built[16];
+        char ext_built = 0, h_built[4] = {0, 0, 0, 0};
+        std::mutex mtx;                 // guards lazy builds (WPP rows)
+        SubpelSet() {
+            for (auto& b : built)
+                b.store(0, std::memory_order_relaxed);
+        }
+    };
+    static const int N_SPSETS = 6;
+    SubpelSet spsets[N_SPSETS];
+    int8_t sp_of[2][16];  // (list, ref) -> set index or -1
+    EN() { std::memset(sp_of, -1, sizeof(sp_of)); }
 };
 
 EN g_en_default;
@@ -3146,8 +3176,18 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
     int ncand_want = en.rd_candidates >= 3
         ? 8 : (log2 > 3 ? 3 : (en.rd_candidates == 2 ? 8 : 4));
     double cand_costs[35];
-    int ncand = rank_modes(orig_y, rt, rl, corner, size, mpm, ncand_want,
-                           cands, cand_costs, g_sp.is_i ? n_mpm : 0);
+    // TC_SRC_RANK experiment: SATD-rank with SOURCE-referenced neighbour
+    // samples (availability is purely positional, so this ranking is a
+    // whole-picture precomputable stage); RD refinement keeps recon refs
+    static const bool src_rank = getenv("TC_SRC_RANK") != nullptr;
+    int32_t srt[64], srl[64], scorner;
+    if (src_rank)
+        build_intra_refs(en.orig[0], g_sp.pic_w, g_sp.pic_h, en.zscan32,
+                         g_sp.w4, x0, y0, size, 1, bd, srt, srl, &scorner);
+    int ncand = rank_modes(orig_y, src_rank ? srt : rt, src_rank ? srl : rl,
+                           src_rank ? scorner : corner, size, mpm,
+                           ncand_want, cands, cand_costs,
+                           g_sp.is_i ? n_mpm : 0);
     {
         static const bool no_gate_env =
             getenv("TC_NO_SATDGATE") != nullptr;
@@ -3265,8 +3305,17 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
         int count = en.rd_candidates >= 2 ? 8 : 4;
         int cands[35];
         double cand_costs[35];
-        int ncand = rank_modes(orig_b, rt, rl, corner, half, mpm, count,
-                               cands, cand_costs, g_sp.is_i ? n_mpm : 0);
+        static const bool src_rank = getenv("TC_SRC_RANK") != nullptr;
+        int32_t srt[64], srl[64], scorner;
+        if (src_rank)
+            build_intra_refs(en.orig[0], g_sp.pic_w, g_sp.pic_h,
+                             en.zscan32, g_sp.w4, xb, yb, half, 1, bd,
+                             srt, srl, &scorner);
+        int ncand = rank_modes(orig_b, src_rank ? srt : rt,
+                               src_rank ? srl : rl,
+                               src_rank ? scorner : corner, half, mpm,
+                               count, cands, cand_costs,
+                               g_sp.is_i ? n_mpm : 0);
         {
             static const bool no_gate_env =
                 getenv("TC_NO_SATDGATE") != nullptr;
@@ -3328,12 +3377,162 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
 
 // ---------------------------------------------------------------- inter
 
-// 14-bit luma MC for one motion (inter_search._mc14 luma part)
+// ---- subpel plane cache build/read (see EN::SubpelSet) ----
+// SP_B: integer-pel reach beyond the picture still served by the planes
+// (larger motions fall back to per-candidate mc_interp, bit-equal).
+static const int SP_B = 24;
+static const int SP_P = SP_B + 4;    // stored plane pad (V taps reach +4)
+static const int SP_EXT = SP_P + 4;  // ext/H-plane pad (H taps reach +4)
+
+static void sp_build_ext(EN::SubpelSet& s, const int16_t* ref) {
+    const int w = g_sp.pic_w, h = g_sp.pic_h;
+    const int pw = w + 2 * SP_EXT, ph = h + 2 * SP_EXT;
+    s.ext.resize((size_t)pw * ph);
+    int16_t* dst = s.ext.data();
+    for (int y = 0; y < ph; y++) {
+        const int sy = clip3i(0, h - 1, y - SP_EXT);
+        const int16_t* row = ref + (int64_t)sy * w;
+        int16_t* drow = dst + (int64_t)y * pw;
+        for (int x = 0; x < SP_EXT; x++)
+            drow[x] = row[0];
+        std::memcpy(drow + SP_EXT, row, w * sizeof(int16_t));
+        for (int x = 0; x < SP_EXT; x++)
+            drow[SP_EXT + w + x] = row[w - 1];
+    }
+    s.ext_built = 1;
+}
+
+// H-filtered intermediate for xf (rows cover pad SP_EXT vertically so the
+// 2D V pass can read its tap reach); same acc>>shift1 as mc_interp
+static void sp_build_h(EN::SubpelSet& s, int xf) {
+    const int w = g_sp.pic_w, h = g_sp.pic_h;
+    const int pw = w + 2 * SP_EXT, ph = h + 2 * SP_EXT;
+    const int shift1 = g_sp.bit_depth_y - 8;
+    const int32_t* fh = en.luma_filt[xf];
+    auto& hp = s.hplane[xf];
+    hp.resize((size_t)pw * ph);
+    const int16_t* ext = s.ext.data();
+    int16_t* dst = hp.data();
+    // output col x (ext coords) needs ext[x-3 .. x+4]: valid for
+    // x in [3, pw-5]; edge cols replicate the clamped filter result
+    for (int y = 0; y < ph; y++) {
+        const int16_t* row = ext + (int64_t)y * pw;
+        int16_t* drow = dst + (int64_t)y * pw;
+        for (int x = 0; x < pw; x++) {
+            int acc = 0;
+            if (x >= 3 && x + 4 < pw) {
+                const int16_t* p = row + x - 3;
+                for (int k = 0; k < 8; k++)
+                    acc += fh[k] * p[k];
+            } else {
+                for (int k = 0; k < 8; k++)
+                    acc += fh[k] * row[clip3i(0, pw - 1, x - 3 + k)];
+            }
+            drow[x] = (int16_t)(acc >> shift1);
+        }
+    }
+    s.h_built[xf] = 1;
+}
+
+static void sp_build_plane(EN::SubpelSet& s, const int16_t* ref, int xf,
+                           int yf) {
+    PhaseTimer pt(26);
+    const int w = g_sp.pic_w, h = g_sp.pic_h;
+    const int pw = w + 2 * SP_P, ph = h + 2 * SP_P;
+    const int ew = w + 2 * SP_EXT;
+    const int shift1 = g_sp.bit_depth_y - 8;
+    const int pos = xf + 4 * yf;
+    auto& pl = s.plane[pos];
+    pl.resize((size_t)pw * ph);
+    int16_t* dst = pl.data();
+    if (!s.ext_built)
+        sp_build_ext(s, ref);
+    const int d = SP_EXT - SP_P;  // = 4: ext/h coords minus plane coords
+    if (yf == 0) {
+        if (!s.h_built[xf])
+            sp_build_h(s, xf);
+        const int16_t* hp = s.hplane[xf].data();
+        for (int y = 0; y < ph; y++)
+            std::memcpy(dst + (int64_t)y * pw,
+                        hp + (int64_t)(y + d) * ew + d,
+                        pw * sizeof(int16_t));
+    } else if (xf == 0) {
+        const int32_t* fv = en.luma_filt[yf];
+        const int16_t* ext = s.ext.data();
+        for (int y = 0; y < ph; y++) {
+            // V taps read ext rows y+d-3 .. y+d+4 — always in range
+            const int16_t* col0 = ext + (int64_t)(y + d - 3) * ew + d;
+            int16_t* drow = dst + (int64_t)y * pw;
+            for (int x = 0; x < pw; x++) {
+                int acc = 0;
+                for (int k = 0; k < 8; k++)
+                    acc += fv[k] * col0[(int64_t)k * ew + x];
+                drow[x] = (int16_t)(acc >> shift1);
+            }
+        }
+    } else {
+        if (!s.h_built[xf])
+            sp_build_h(s, xf);
+        const int32_t* fv = en.luma_filt[yf];
+        const int16_t* hp = s.hplane[xf].data();
+        for (int y = 0; y < ph; y++) {
+            const int16_t* col0 = hp + (int64_t)(y + d - 3) * ew + d;
+            int16_t* drow = dst + (int64_t)y * pw;
+            for (int x = 0; x < pw; x++) {
+                int acc = 0;
+                for (int k = 0; k < 8; k++)
+                    acc += fv[k] * col0[(int64_t)k * ew + x];
+                drow[x] = (int16_t)(acc >> 6);
+            }
+        }
+    }
+    s.built[pos].store(1, std::memory_order_release);
+}
+
+// plane lookup: returns the padded plane for (lx, ref, xf, yf), building
+// it lazily (thread-safe: WPP row threads may race on first use), or
+// nullptr when the cache doesn't cover this reference
+static inline const int16_t* sp_plane(int lx, int ref, int xf, int yf) {
+    const int si = en.sp_of[lx][ref];
+    if (si < 0)
+        return nullptr;
+    EN::SubpelSet& s = en.spsets[si];
+    const int pos = xf + 4 * yf;
+    if (s.built[pos].load(std::memory_order_acquire))
+        return s.plane[pos].data();
+    std::lock_guard<std::mutex> lk(s.mtx);
+    if (!s.built[pos].load(std::memory_order_acquire))
+        sp_build_plane(s, en.refs[lx][ref][0], xf, yf);
+    return s.plane[pos].data();
+}
+
+// 14-bit luma MC for one motion (inter_search._mc14 luma part).
+// Fractional positions are served from the subpel plane cache when the
+// footprint fits its pad (bit-equal values); larger excursions and
+// integer positions fall through to per-candidate mc_interp.
 inline void mc14_luma(int lx, int ref, int mvx, int mvy, int x0, int y0,
                       int w, int h, int32_t* out) {
-    mc_interp(en.refs[lx][ref][0], g_sp.pic_w, g_sp.pic_h,
-              x0 + (mvx >> 2), y0 + (mvy >> 2), mvx & 3, mvy & 3, w, h,
-              g_sp.bit_depth_y, 8, en.luma_filt, 8, out);
+    const int xf = mvx & 3, yf = mvy & 3;
+    const int xi = x0 + (mvx >> 2), yi = y0 + (mvy >> 2);
+    if (xf | yf) {
+        if (xi >= -SP_P && yi >= -SP_P && xi + w <= g_sp.pic_w + SP_P
+            && yi + h <= g_sp.pic_h + SP_P) {
+            const int16_t* pl = sp_plane(lx, ref, xf, yf);
+            if (pl) {
+                const int pw = g_sp.pic_w + 2 * SP_P;
+                for (int y = 0; y < h; y++) {
+                    const int16_t* row =
+                        pl + (int64_t)(yi + y + SP_P) * pw + xi + SP_P;
+                    int32_t* drow = out + (int64_t)y * w;
+                    for (int x = 0; x < w; x++)
+                        drow[x] = row[x];
+                }
+                return;
+            }
+        }
+    }
+    mc_interp(en.refs[lx][ref][0], g_sp.pic_w, g_sp.pic_h, xi, yi, xf, yf,
+              w, h, g_sp.bit_depth_y, 8, en.luma_filt, 8, out);
 }
 
 inline void mc14_chroma(int lx, int ref, int c, int mvx, int mvy, int x0,
@@ -3917,10 +4116,13 @@ void sub_pel_refine(const int32_t* orig, int x0, int y0, int w, int h,
             pmy[d] = by + dirs[d][1] * step;
             fresh[d] = !cached(pmx[d], pmy[d], &pcs[d]);
         }
-        // half-pel pass around an integer center: shared-H batch
+        // half-pel pass around an integer center: shared-H batch (only
+        // when the subpel plane cache doesn't already serve this ref —
+        // plane-served probes are cheaper than the shared-H rebuild)
         bool batched = false;
         double bc8[8];
-        if (step == 2 && (bx & 3) == 0 && (by & 3) == 0)
+        if (step == 2 && (bx & 3) == 0 && (by & 3) == 0
+            && en.sp_of[lx][ref] < 0)
             batched = half_probe_costs(orig, x0, y0, w, h, lx, ref,
                                        bx >> 2, by >> 2, mvp, dirs, bs,
                                        bc8);
@@ -6071,6 +6273,47 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
         }
     en.have_seed[0] = en.have_seed[1] = 0;  // per-picture (set in prepass)
     en.have_dense[0] = en.have_dense[1] = 0;
+    // subpel plane cache: one set per distinct hot reference plane,
+    // nearest refs first (they take nearly all subpel probes); planes
+    // rebuild lazily per picture (flags cleared here — reference recon
+    // storage may be reused across pictures, so no cross-picture reuse)
+    {
+        static const bool sp_off =
+            getenv("TC_NO_SUBPEL_PLANES") != nullptr;
+        std::memset(en.sp_of, -1, sizeof(en.sp_of));
+        int next = 0;
+        if (!sp_off && !g_sp.is_i) {
+            static const int prio[6][2] = {{0, 0}, {1, 0}, {0, 1},
+                                           {1, 1}, {0, 2}, {0, 3}};
+            for (auto& pr : prio) {
+                const int l = pr[0], r = pr[1];
+                const int16_t* p = en.refs[l][r][0];
+                if (!p)
+                    continue;
+                int found = -1;
+                for (int l2 = 0; l2 < 2 && found < 0; l2++)
+                    for (int r2 = 0; r2 < 16; r2++)
+                        if (en.sp_of[l2][r2] >= 0
+                            && en.refs[l2][r2][0] == p) {
+                            found = en.sp_of[l2][r2];
+                            break;
+                        }
+                if (found >= 0) {
+                    en.sp_of[l][r] = (int8_t)found;
+                    continue;
+                }
+                if (next >= EN::N_SPSETS)
+                    continue;
+                EN::SubpelSet& s = en.spsets[next];
+                s.ext_built = 0;
+                for (int i = 0; i < 4; i++)
+                    s.h_built[i] = 0;
+                for (int i = 0; i < 16; i++)
+                    s.built[i].store(0, std::memory_order_relaxed);
+                en.sp_of[l][r] = (int8_t)next++;
+            }
+        }
+    }
     int j = 0;
     en.rd_candidates = ip[j++];
     en.max_cu_log2 = ip[j++];
