@@ -110,3 +110,50 @@ def test_device_enc_bitstream_identical_python_twin():
     dev = _encode(frames, 96, 64, {"TURING_TPU_NO_NATIVE": "1",
                                    "TURING_TPU_DEVICE_ENC": "1"})
     assert dev == ref
+
+
+def test_subpel_planes_match_mc_oracle():
+    """The XLA subpel-plane twin must reproduce mc_interp semantics
+    (per-sample coordinate clamping, >>shift1 / >>6 integer arithmetic)
+    for every fractional position, including the padded border."""
+    from turingcodec_tpu.encode.device_analysis import (SP_P,
+                                                        subpel_planes_device)
+    from turingcodec_tpu.hevc.tables import LUMA_FILTER
+    rng = np.random.RandomState(7)
+    h, w = 22, 37
+    for bd in (8, 10):
+        ref = rng.randint(0, 1 << bd, (h, w)).astype(np.int16)
+        got = subpel_planes_device(ref, bd)
+        assert got.shape == (15, h + 2 * SP_P, w + 2 * SP_P)
+        shift1 = bd - 8
+
+        def refpx(y, x):
+            return int(ref[min(max(y, 0), h - 1), min(max(x, 0), w - 1)])
+
+        def hval(y, x, xf):
+            f = LUMA_FILTER[xf]
+            acc = sum(int(f[k]) * refpx(y, x - 3 + k) for k in range(8))
+            return acc >> shift1
+
+        for yf in range(4):
+            for xf in range(4):
+                if xf == 0 and yf == 0:
+                    continue
+                pos = xf + 4 * yf
+                pl = got[pos - 1]
+                # spot-check a grid incl. the pad corners
+                for py in (0, 1, SP_P, SP_P + 5, h + 2 * SP_P - 1):
+                    for px in (0, 1, SP_P, SP_P + 11, w + 2 * SP_P - 1):
+                        y, x = py - SP_P, px - SP_P
+                        if yf == 0:
+                            exp = hval(y, x, xf)
+                        elif xf == 0:
+                            f = LUMA_FILTER[yf]
+                            exp = sum(int(f[k]) * refpx(y - 3 + k, x)
+                                      for k in range(8)) >> shift1
+                        else:
+                            f = LUMA_FILTER[yf]
+                            exp = sum(int(f[k]) * hval(y - 3 + k, x, xf)
+                                      for k in range(8)) >> 6
+                        exp = np.int16(exp)
+                        assert pl[py, px] == exp, (bd, xf, yf, py, px)

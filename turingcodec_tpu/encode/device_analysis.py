@@ -278,6 +278,124 @@ def seed_field_device(orig_y: np.ndarray, ref_y: np.ndarray):
     return out.astype(np.int32), wb, hb
 
 
+SP_P = 28   # stored-plane pad (enc_core SP_P)
+SP_EXT2 = 36  # edge pad so every clamped tap read is a plain slice
+
+
+def _subpel_planes_program(w: int, h: int, bd: int):
+    """Jitted ref-plane -> (15, h+2*SP_P, w+2*SP_P) int16 program: the 15
+    fractional luma positions interpolated over the padded grid, each
+    value bit-equal to enc_core sp_build_plane (edge-replicated padding ==
+    per-sample coordinate clamping; same >>shift1 / >>6 arithmetic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from turingcodec_tpu.hevc.tables import LUMA_FILTER
+    filt = np.asarray(LUMA_FILTER, np.int32)  # (4 phases, 8 taps)
+    shift1 = bd - 8
+    pw, ph = w + 2 * SP_P, h + 2 * SP_P
+    pwe, phe = w + 2 * (SP_P + 4), h + 2 * (SP_P + 4)
+
+    def planes(ref):
+        ext2 = jnp.pad(ref.astype(jnp.int32), SP_EXT2, "edge")
+        # H-filtered intermediates for xf=1..3 over the full ext grid
+        # (rows phe so the 2D V pass can reach its taps)
+        hplanes = {}
+        for xf in (1, 2, 3):
+            acc = sum(int(filt[xf][k])
+                      * jax.lax.dynamic_slice(ext2, (4, 1 + k), (phe, pwe))
+                      for k in range(8))
+            hplanes[xf] = jnp.right_shift(acc, shift1) if shift1 else acc
+        out = []
+        for yf in range(4):
+            for xf in range(4):
+                if xf == 0 and yf == 0:
+                    continue
+                if yf == 0:
+                    p = jax.lax.dynamic_slice(hplanes[xf], (4, 4),
+                                              (ph, pw))
+                elif xf == 0:
+                    acc = sum(int(filt[yf][k]) * jax.lax.dynamic_slice(
+                        ext2, (5 + k, 8), (ph, pw)) for k in range(8))
+                    p = jnp.right_shift(acc, shift1) if shift1 else acc
+                else:
+                    acc = sum(int(filt[yf][k]) * jax.lax.dynamic_slice(
+                        hplanes[xf], (1 + k, 4), (ph, pw))
+                        for k in range(8))
+                    p = jnp.right_shift(acc, 6)
+                out.append(p.astype(jnp.int16))
+        return jnp.stack(out)
+
+    import jax
+    return jax.jit(planes)
+
+
+def subpel_planes_host(ref_y: np.ndarray, bd: int = 8) -> np.ndarray:
+    """Vectorized numpy twin of subpel_planes_device / sp_build_plane
+    (full-plane oracle for the real-chip exactness check)."""
+    from turingcodec_tpu.hevc.tables import LUMA_FILTER
+    filt = np.asarray(LUMA_FILTER, np.int32)
+    h, w = ref_y.shape
+    shift1 = bd - 8
+    pw, ph = w + 2 * SP_P, h + 2 * SP_P
+    pwe, phe = w + 2 * (SP_P + 4), h + 2 * (SP_P + 4)
+    ext2 = np.pad(ref_y.astype(np.int32), SP_EXT2, "edge")
+    hplanes = {}
+    for xf in (1, 2, 3):
+        acc = sum(int(filt[xf][k]) * ext2[4:4 + phe, 1 + k:1 + k + pwe]
+                  for k in range(8))
+        hplanes[xf] = acc >> shift1 if shift1 else acc
+    out = []
+    for yf in range(4):
+        for xf in range(4):
+            if xf == 0 and yf == 0:
+                continue
+            if yf == 0:
+                p = hplanes[xf][4:4 + ph, 4:4 + pw]
+            elif xf == 0:
+                acc = sum(int(filt[yf][k])
+                          * ext2[5 + k:5 + k + ph, 8:8 + pw]
+                          for k in range(8))
+                p = acc >> shift1 if shift1 else acc
+            else:
+                acc = sum(int(filt[yf][k])
+                          * hplanes[xf][1 + k:1 + k + ph, 4:4 + pw]
+                          for k in range(8))
+                p = acc >> 6
+            out.append(p.astype(np.int16))
+    return np.stack(out)
+
+
+def subpel_planes_device(ref_y: np.ndarray, bd: int = 8) -> np.ndarray:
+    """Compute the 15 subpel planes of one reference plane on device;
+    (15, h+2*SP_P, w+2*SP_P) int16, exact sp_build_plane values."""
+    h, w = ref_y.shape
+    key = ("subpel", w, h, bd)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = _subpel_planes_program(w, h, bd)
+    return np.asarray(_JIT_CACHE[key](np.asarray(ref_y, np.int16)))
+
+
+def install_subpel_fields(enc) -> Optional[dict]:
+    """Device-compute the subpel planes of each list's ref-0 plane for
+    native install; {(list, 0): (15, ph, pw) int16} or None."""
+    if enc.sh.is_i or os.environ.get("TC_NO_SUBPEL_PLANES"):
+        return None
+    out = {}
+    done = {}
+    for lx in (0, 1):
+        refs = enc.ref_lists[lx] if lx < len(enc.ref_lists) else []
+        if not refs:
+            continue
+        plane = refs[0].planes[0]
+        k = id(plane)
+        if k not in done:
+            done[k] = subpel_planes_device(np.asarray(plane),
+                                           enc.sps.bit_depth_y)
+        out[(lx, 0)] = done[k]
+    return out or None
+
+
 def install_seed_fields(enc, orig) -> Optional[dict]:
     """Run the device encoder analysis (lowres pre-ME + dense full-pel ME
     field) for the encoder's list-0/1 ref-0 planes and prefill the Python

@@ -92,10 +92,12 @@ class InterPictureEncoder(IntraPictureEncoder):
         host RDO), and the noise-adaptive RDOQ decision consumes the
         dense SAD field."""
         from turingcodec_tpu.encode.device_analysis import (
-            device_enc_enabled, install_seed_fields)
+            device_enc_enabled, install_seed_fields, install_subpel_fields)
         self._device_seeds = None
+        self._device_subpel = None
         if device_enc_enabled():
             self._device_seeds = install_seed_fields(self, orig)
+            self._device_subpel = install_subpel_fields(self)
         self._noise_adapt(orig)
         self._noise_done = True
 

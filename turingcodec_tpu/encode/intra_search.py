@@ -200,6 +200,8 @@ class IntraPictureEncoder:
         nat = native.EncNative.try_create(self, plan)
         if nat is not None and getattr(self, "_device_seeds", None):
             nat.install_seeds(self._device_seeds)
+        if nat is not None and getattr(self, "_device_subpel", None):
+            nat.install_subpel(self._device_subpel)
         ctb = sps.ctb_size_y
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
         wc = sps.pic_width_in_ctbs_y

@@ -196,6 +196,14 @@ def _build_and_load():
     lib.tc_enc_install_dense.restype = None
     lib.tc_enc_install_dense.argtypes = [
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.tc_enc_install_subpel.restype = None
+    lib.tc_enc_install_subpel.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32]
+    lib.tc_enc_subpel_plane.restype = None
+    lib.tc_enc_subpel_plane.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p]
     lib.tc_dense_analysis.restype = None
     lib.tc_dense_analysis.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
@@ -1149,6 +1157,27 @@ class EncNative:
                 self._keep_seeds.append(darr)
                 self.lib.tc_enc_install_dense(
                     lx, ctypes.c_void_p(darr.ctypes.data), wb, hb)
+
+    def install_subpel(self, fields):
+        """Install device-computed subpel planes
+        ({(list, ref): (15, ph, pw) int16}, encode/device_analysis.py
+        subpel_planes_device — exact sp_build_plane values)."""
+        self._keep_subpel = []
+        for (lx, r), planes in fields.items():
+            arr = np.ascontiguousarray(planes, np.int16)
+            self._keep_subpel.append(arr)
+            _, ph, pw = arr.shape
+            self.lib.tc_enc_install_subpel(
+                lx, r, ctypes.c_void_p(arr.ctypes.data), pw, ph)
+
+    def subpel_plane(self, lx, r, xf, yf, pic_w, pic_h):
+        """Read one (natively built) subpel plane — device-twin
+        verification hook; (ph, pw) int16."""
+        ph, pw = pic_h + 2 * 28, pic_w + 2 * 28
+        out = np.zeros((ph, pw), np.int16)
+        self.lib.tc_enc_subpel_plane(
+            lx, r, xf, yf, ctypes.c_void_p(out.ctypes.data))
+        return out
 
     def encode_ctu(self, enc, x0, y0) -> float:
         """Full RDO for the CTU at (x0, y0); advances enc.rd_ctx/next_id."""

@@ -6421,6 +6421,35 @@ double tc_enc_ctu(int32_t x0, int32_t y0, uint8_t* ctx, int32_t* ids,
 // install/clear the per-CTU frac output buffer (raster order, wc*hc)
 void tc_enc_set_frac_out(int64_t* p) { en.frac_out = p; }
 
+// install device-computed subpel planes for (list, ref): data is
+// (15, ph, pw) int16, positions xf + 4*yf for pos 1..15, pad SP_P —
+// integer-exact twins of sp_build_plane (device_analysis.subpel_planes)
+void tc_enc_install_subpel(int32_t l, int32_t r, const int16_t* data,
+                           int32_t pw, int32_t ph) {
+    const int si = en.sp_of[l][r];
+    if (si < 0 || pw != g_sp.pic_w + 2 * SP_P
+        || ph != g_sp.pic_h + 2 * SP_P)
+        return;
+    EN::SubpelSet& s = en.spsets[si];
+    for (int pos = 1; pos < 16; pos++) {
+        s.plane[pos].assign(data + (size_t)(pos - 1) * ph * pw,
+                            data + (size_t)pos * ph * pw);
+        s.built[pos].store(1, std::memory_order_release);
+    }
+}
+
+// read one subpel plane (building it natively if needed) — device-twin
+// verification hook; out: (ph, pw) int16
+void tc_enc_subpel_plane(int32_t l, int32_t r, int32_t xf, int32_t yf,
+                         int16_t* out) {
+    const int16_t* pl = sp_plane(l, r, xf, yf);
+    if (!pl)
+        return;
+    const size_t n = (size_t)(g_sp.pic_w + 2 * SP_P)
+                     * (g_sp.pic_h + 2 * SP_P);
+    std::memcpy(out, pl, n * sizeof(int16_t));
+}
+
 // install a device-computed lowres pre-ME seed field for list l
 // (encode/device_analysis.py; exact lowres_prepass values)
 void tc_enc_install_seeds(int32_t l, const int16_t* mv, int32_t wb,

@@ -107,6 +107,23 @@ def main():
         print("(CPU backend: skipping the Pallas variant — interpret "
               "mode is ~1000x slower; TPU runs bench it for real)")
 
+    # 1c) subpel-plane stage parity + timing (the interpolated-reference
+    # planes the subpel search reads; enc_core sp_build_plane twins)
+    from turingcodec_tpu.encode.device_analysis import (subpel_planes_device,
+                                                        subpel_planes_host)
+    t0 = time.time()
+    spd = subpel_planes_device(frames[0][0], 8)
+    sp_cold = time.time() - t0
+    t0 = time.time()
+    subpel_planes_device(frames[0][0], 8)
+    sp_warm = time.time() - t0
+    sph = subpel_planes_host(frames[0][0], 8)
+    sp_exact = bool(np.array_equal(spd, sph))
+    print(f"subpel planes (15x{sph.shape[1]}x{sph.shape[2]}): "
+          f"cold {sp_cold:.1f}s, warm {sp_warm * 1e3:.0f}ms/ref, "
+          f"exact vs host: {sp_exact}")
+    assert sp_exact
+
     # 2) byte-identical bitstreams with the stage on
     def enc_once(dev):
         if dev:
