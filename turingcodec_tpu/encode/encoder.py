@@ -621,6 +621,17 @@ class Encoder:
         self._dpb.apply_rps(sh, poc)
         self._dpb.build_ref_lists(sh)
 
+        import os
+        if os.environ.get("TC_SRC_SEEDS"):
+            # stash source Y planes for source-referenced pre-analysis
+            # (pocs reset at IDR: clear so stale planes can't collide)
+            if docket.is_idr:
+                self._src_by_poc = {}
+            stash = self.__dict__.setdefault("_src_by_poc", {})
+            stash[poc] = np.asarray(yuv[0])
+            for p in sorted(stash)[:-12]:
+                del stash[p]
+
         if sh.is_i:
             enc = IntraPictureEncoder(self.sps, self.pps, sh, self.geom,
                                       rd_candidates=self.cfg.rd_candidates,
@@ -713,6 +724,17 @@ class Encoder:
         # pre-analysis (device fields + noise streak) is cross-picture
         # sequential state: run it here, not in the parallel encode phase
         if not sh.is_i:
+            # TC_SRC_SEEDS: analyse against reference SOURCES (stashed Y
+            # planes) instead of reconstructions — removes the analysis'
+            # recon dependency (GOP-batchable; overlap-safe)
+            if os.environ.get("TC_SRC_SEEDS"):
+                stash = getattr(self, "_src_by_poc", {})
+                ss = {}
+                for lx, refs in enumerate(self._dpb.ref_pic_list):
+                    if refs and refs[0].poc in stash:
+                        ss[lx] = stash[refs[0].poc]
+                if ss:
+                    enc._seed_src = ss
             enc.prepare_analysis(yuv)
             self._noise_streak = getattr(enc, "noise_streak",
                                          self._noise_streak)

@@ -122,39 +122,57 @@ class InterPictureEncoder(IntraPictureEncoder):
                 or os.environ.get("TC_NO_DENSEME") \
                 or os.environ.get("TC_NO_LOWRES"):
             return
-        refs = self.ref_lists[0] if self.ref_lists else []
-        if not refs:
+        # _seed_src (facade, TC_SRC_SEEDS): analyse against the reference
+        # picture's SOURCE plane instead of its reconstruction — the
+        # x264-lookahead structure. Seeds/noise stats then depend only on
+        # input pictures, so the analysis of a whole GOP can run before
+        # (or concurrent with) any encode: the enabler for GOP-batched
+        # device analysis and dependent-picture overlap.
+        ss = getattr(self, "_seed_src", None) or {}
+
+        def seed_plane(lx):
+            r2 = self.ref_lists[lx] if lx < len(self.ref_lists) else []
+            if not r2:
+                return None
+            sp = ss.get(lx)
+            return sp if sp is not None else r2[0].planes[0]
+
+        plane0 = seed_plane(0)
+        if plane0 is None:
             return
-        plane = refs[0].planes[0]
-        k = id(plane)
-        cached = self._dense_cache.get(k)
-        if cached is None:
-            from turingcodec_tpu import native
-            res = native.dense_analysis(np.asarray(orig[0]),
-                                        np.asarray(plane),
-                                        self.sps.bit_depth_y)
-            if res is not None:
+        from turingcodec_tpu import native
+        fields = {}
+        have_native = True
+        for lx in (0, 1):
+            pl = seed_plane(lx)
+            if pl is None:
+                continue
+            k = id(pl)
+            if k not in self._dense_cache:
+                res = native.dense_analysis(np.asarray(orig[0]),
+                                            np.asarray(pl),
+                                            self.sps.bit_depth_y)
+                if res is None:
+                    have_native = False
+                    break
                 sm, dm, ds, wb, hb = res
                 self._lr_seed_cache[k] = (sm, wb, hb)
                 self._dense_cache[k] = (dm, ds, wb, hb)
-                # feed the in-picture native prepass the same fields
-                # (the install path the device stage already uses)
-                fields = {}
-                for lx in (0, 1):
-                    r2 = self.ref_lists[lx] if lx < len(self.ref_lists) \
-                        else []
-                    if r2 and r2[0].planes[0] is plane:
-                        fields[lx] = (sm, dm, wb, hb)
-                if fields:
-                    prior = self._device_seeds or {}
-                    prior.update({lx: f for lx, f in fields.items()
-                                  if lx not in prior})
-                    self._device_seeds = prior
-                cached = self._dense_cache[k]
-            else:
-                self.orig = orig  # _dense_field reads self.orig
-                cached = self._dense_field(plane)
-        _dm, dsad, _wb, _hb = cached
+            sm = self._lr_seed_cache[k][0]
+            dm, ds, wb, hb = self._dense_cache[k]
+            fields[lx] = (sm, dm, wb, hb)
+        if have_native:
+            # feed the in-picture native prepass the same fields
+            # (the install path the device stage already uses)
+            if fields:
+                prior = self._device_seeds or {}
+                prior.update({lx: f for lx, f in fields.items()
+                              if lx not in prior})
+                self._device_seeds = prior
+            dsad = self._dense_cache[id(plane0)][1]
+        else:
+            self.orig = orig  # _dense_field reads self.orig
+            dsad = self._dense_field(plane0)[1]
         flat = np.sort(np.asarray(dsad), axis=None)
         hit = int(flat[flat.size // 2]) > self.NOISE_SAD_MEDIAN
         # persistence: noise is unpredictable EVERY frame; a lone

@@ -754,6 +754,14 @@ class IntraPictureEncoder:
 
         # SATD sweep over all 35 modes, batched (encode/sweep.py)
         rt, rl, corner = self.refs.build(self.recon[0], x0, y0, size, 0, self.bd)
+        if self._use_src_rank():
+            # MET presets rank with SOURCE-referenced neighbours (native
+            # twin; pure positional function of the input picture);
+            # refinement keeps the exact recon refs above
+            srt, srl, scorner = self.refs.build(self.orig[0], x0, y0,
+                                                size, 0, self.bd)
+        else:
+            srt, srl, scorner = rt, rl, corner
 
         class _PS:
             pass
@@ -765,7 +773,7 @@ class IntraPictureEncoder:
         ncand = 8 if self.rd_candidates >= 3 else (
             3 if log2 > 3 else (8 if self.rd_candidates == 2 else 4))
         cands, ccosts = self._rank_modes(
-            orig_y, rt, rl, corner, size, mpm, count=ncand,
+            orig_y, srt, srl, scorner, size, mpm, count=ncand,
             n_mpm=n_mpm if self.sh.is_i else 0)
         if not self._no_gate and budget is not None \
                 and ccosts[0] >= budget:
@@ -825,6 +833,16 @@ class IntraPictureEncoder:
         return cost
 
     # ------------------------------------------------------------------
+    def _use_src_rank(self) -> bool:
+        """Source-referenced SATD ranking (enc_core twin): default at MET
+        presets (rd_candidates <= 2); TC_SRC_RANK forces, TC_NO_SRC_RANK
+        disables."""
+        import os
+        if os.environ.get("TC_NO_SRC_RANK"):
+            return False
+        return bool(os.environ.get("TC_SRC_RANK")) \
+            or self.rd_candidates <= 2
+
     def _rank_modes(self, orig_b, rt, rl, corner, n, mpm, count=None,
                     n_mpm=0):
         """SATD-rank all 35 modes with one batched prediction+SATD pass.
@@ -914,9 +932,14 @@ class IntraPictureEncoder:
             orig_b = self.orig[0][yb:yb + half, xb:xb + half].astype(np.int32)
             rt, rl, corner = self.refs.build(self.recon[0], xb, yb, half, 0,
                                              self.bd)
+            if self._use_src_rank():
+                srt, srl, scorner = self.refs.build(self.orig[0], xb, yb,
+                                                    half, 0, self.bd)
+            else:
+                srt, srl, scorner = rt, rl, corner
             mpm, n_mpm = _intra_mpm_n(ps, xb, yb)
             cands, ccosts = self._rank_modes(
-                orig_b, rt, rl, corner, half, mpm,
+                orig_b, srt, srl, scorner, half, mpm,
                 count=8 if self.rd_candidates >= 2 else 4,
                 n_mpm=n_mpm if self.sh.is_i else 0)
             # NxN budget bail (native twin): committed sub-PU costs plus

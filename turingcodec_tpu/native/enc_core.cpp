@@ -3176,10 +3176,17 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
     int ncand_want = en.rd_candidates >= 3
         ? 8 : (log2 > 3 ? 3 : (en.rd_candidates == 2 ? 8 : 4));
     double cand_costs[35];
-    // TC_SRC_RANK experiment: SATD-rank with SOURCE-referenced neighbour
-    // samples (availability is purely positional, so this ranking is a
-    // whole-picture precomputable stage); RD refinement keeps recon refs
-    static const bool src_rank = getenv("TC_SRC_RANK") != nullptr;
+    // Source-referenced SATD ranking (default at MET presets): neighbour
+    // samples come from the SOURCE plane, so the ranking is a pure
+    // positional function of the input picture — a whole-picture
+    // precomputable stage with a device twin (rank SATD tables). RD
+    // refinement keeps exact recon refs. BD vs recon-ranking (24f
+    // caminandes): fast-LDP -0.16%, fast-RA +0.34% — kept off at slow
+    // (+0.27% there). TC_SRC_RANK forces on, TC_NO_SRC_RANK off.
+    static const bool src_force = getenv("TC_SRC_RANK") != nullptr;
+    static const bool src_off = getenv("TC_NO_SRC_RANK") != nullptr;
+    const bool src_rank =
+        !src_off && (src_force || en.rd_candidates <= 2);
     int32_t srt[64], srl[64], scorner;
     if (src_rank)
         build_intra_refs(en.orig[0], g_sp.pic_w, g_sp.pic_h, en.zscan32,
@@ -3305,7 +3312,10 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
         int count = en.rd_candidates >= 2 ? 8 : 4;
         int cands[35];
         double cand_costs[35];
-        static const bool src_rank = getenv("TC_SRC_RANK") != nullptr;
+        static const bool src_force = getenv("TC_SRC_RANK") != nullptr;
+        static const bool src_off = getenv("TC_NO_SRC_RANK") != nullptr;
+        const bool src_rank =
+            !src_off && (src_force || en.rd_candidates <= 2);
         int32_t srt[64], srl[64], scorner;
         if (src_rank)
             build_intra_refs(en.orig[0], g_sp.pic_w, g_sp.pic_h,

@@ -27,31 +27,31 @@ DECODE_MD5 = "05c8e88dd7a694829f34ad9486a0dd8e"
 # first. The determinism rows reference another row's goldens by name.
 CONFIGS = [
     ("all-intra-q32", dict(all_intra=True, qp=32, rd_candidates=2), 2,
-     {}, ("a514d624", "2d230370")),
+     {}, ("41f2f9cc", "97e573ba")),
     ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3,
-     {}, ("b7248a34", "09a022c9")),
+     {}, ("241f9e85", "2e00febe")),
     ("lowdelay-q32-threads1", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_ENC_THREADS": "1"}, "lowdelay-q32"),
     ("lowdelay-q32-no-native", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
     ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
-     {}, ("83ce926f", "bbce10e3")),
+     {}, ("90c8982c", "94eb11c1")),
     # frame-parallel determinism: one-picture-at-a-time must reproduce
     # the default (2 in-flight pictures) exactly — the reference's
     # concurrent-frames invariant
     ("gop4-q32-frame-seq", dict(qp=32, rd_candidates=2, gop_m=4), 5,
      {"TURING_TPU_FRAME_THREADS": "1"}, "gop4-q32"),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
-     {}, ("0d0868bd", "8dff5fc6")),
+     {}, ("289b5ede", "7441da42")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
                           sdh=True), 3,
-     {}, ("ab73ff8b", "3cc68edb")),
+     {}, ("53e0a8bd", "f3a95b73")),
     ("10bit-q32", dict(qp=32, rd_candidates=2, bit_depth=10), 2,
-     {}, ("6896943c", "7b0dc06e")),
+     {}, ("852391ee", "dc7c9a9f")),
     # field coding needs height % 16 == 0: crop the clip to 640x352
     ("field-q32", dict(qp=32, rd_candidates=2, field_coding=True,
                        height=352), 2,
-     {}, ("0fb78118", "93decaa5")),
+     {}, ("e6b57e1e", "c55569b4")),
 ]
 
 
