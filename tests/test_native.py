@@ -311,3 +311,42 @@ def test_native_python_encoder_bpic_seed_install_bit_identical():
         del os.environ["TURING_TPU_NO_NATIVE_ENC"]
     assert md5_nat == md5_py
     assert hashlib.md5(bs_nat).hexdigest() == hashlib.md5(bs_py).hexdigest()
+
+
+def test_native_python_encoder_intra64_bit_identical():
+    """64x64 intra CUs (slow preset, forced TU split): native and Python
+    searchers stay byte-identical, and the 64x64 trial actually wins
+    somewhere (smooth gradients at high QP — the stream changes when the
+    trial is disabled)."""
+    import hashlib
+
+    from turingcodec_tpu.encode.encoder import (EncoderConfig,
+                                                encode_yuv_stream)
+    if native.get_lib() is None:
+        pytest.skip("native core unavailable")
+    w, h = 192, 128
+    n_frames = 3
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n_frames):
+        # smooth diagonal gradient, slowly drifting: large intra CUs win
+        y = ((xx + yy * 2 + i * 5) // 3 % 256).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append(y.tobytes() + u.tobytes() + u.tobytes())
+    raw = b"".join(frames)
+    cfg = EncoderConfig(width=w, height=h, qp=37, rd_candidates=3,
+                        search_range=16, gop_m=4, rdoq=True, sdh=True)
+    bs_nat, md5_nat = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    os.environ["TURING_TPU_NO_NATIVE_ENC"] = "1"
+    try:
+        bs_py, md5_py = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    finally:
+        del os.environ["TURING_TPU_NO_NATIVE_ENC"]
+    assert md5_nat == md5_py
+    assert hashlib.md5(bs_nat).hexdigest() == hashlib.md5(bs_py).hexdigest()
+    os.environ["TC_NO_I64"] = "1"
+    try:
+        bs_no, _ = encode_yuv_stream(raw, cfg, n_frames=n_frames)
+    finally:
+        del os.environ["TC_NO_I64"]
+    assert bs_no != bs_nat, "64x64 intra trial never won"

@@ -260,14 +260,19 @@ class InterPictureEncoder(IntraPictureEncoder):
                 or self.plan.cbf_cb[y0 >> 2, x0 >> 2]
                 or self.plan.cbf_cr[y0 >> 2, x0 >> 2]):
             return cost_best
-        if log2 > self.sps.max_tb_log2_size_y:
-            return cost_best  # 64x64: inter only (intra needs TU-split RDO)
+        if log2 > self.sps.max_tb_log2_size_y and (
+                log2 != 6 or self.rd_candidates < 3
+                or os.environ.get("TC_NO_I64")):
+            # 64x64 intra (forced TU split) is trialed at slow only
+            return cost_best
         self._restore(x0, y0, size, state)
         # intra trial: its cost includes its own cu_skip/pred_mode/part
         # mode bins exactly (committed inside _encode_cu), so the budget
         # is simply the inter champion's total cost
-        cost_intra = super()._encode_cu(x0, y0, log2, depth,
-                                        budget=cost_best)
+        cost_intra = (self._encode_cu64(x0, y0, depth)
+                      if log2 > self.sps.max_tb_log2_size_y
+                      else super()._encode_cu(x0, y0, log2, depth,
+                                              budget=cost_best))
         if cost_best <= cost_intra:
             self._restore(x0, y0, size, best_state)
             return cost_best

@@ -354,6 +354,27 @@ class IntraPictureEncoder:
         limit = self.max_cu_log2 if self.sh.is_i else \
             getattr(self, "max_cu_inter_log2", self.max_cu_log2)
         if log2 > limit:
+            # 64x64 intra CU trial at slow (forced TU split; native twin)
+            import os
+            if (log2 == 6 and self.sh.is_i and self.rd_candidates >= 3
+                    and not os.environ.get("TC_NO_I64")):
+                state = self._snapshot(x0, y0, size)
+                f0 = self._commit_split_flag(x0, y0, log2, depth, 0)
+                cost_here = self._encode_cu64(x0, y0, depth) \
+                    + self.lam * (f0 / 256.0)
+                here = self._snapshot(x0, y0, size)
+                self._restore(x0, y0, size, state)
+                f1 = self._commit_split_flag(x0, y0, log2, depth, 1)
+                cost_split = self.lam * (f1 / 256.0)
+                half = size >> 1
+                for (dx, dy) in ((0, 0), (half, 0), (0, half),
+                                 (half, half)):
+                    cost_split += self._decide_cqt(x0 + dx, y0 + dy,
+                                                   log2 - 1, depth + 1)
+                if cost_here <= cost_split:
+                    self._restore(x0, y0, size, here)
+                    return cost_here
+                return cost_split
             f1 = self._commit_split_flag(x0, y0, log2, depth, 1)
             cost = self.lam * (f1 / 256.0)
             half = size >> 1
@@ -833,6 +854,225 @@ class IntraPictureEncoder:
         return cost
 
     # ------------------------------------------------------------------
+    def _mode_satds(self, orig_b, rt, rl, corner, n):
+        """Per-mode Hadamard SATDs of all 35 predictions (the _rank_modes
+        core without the mode-bit bias; spec 8.4.4.2.3 per-mode edge
+        filtering)."""
+        from turingcodec_tpu.decode.reconstruct import _HVD_THRES
+        from turingcodec_tpu.encode.sweep import intra_all_modes_np, satd_many
+        sps = self.sps
+        preds = intra_all_modes_np(rt, rl, corner, n, self.bd)
+        if n > 4:
+            frt, frl, fc = filter_reference_samples(
+                rt, rl, corner, n, 0,
+                bool(sps.strong_intra_smoothing_enabled_flag), self.bd)
+            preds_f = intra_all_modes_np(frt, frl, fc, n, self.bd)
+            thres = _HVD_THRES[n]
+            for mode in range(35):
+                if mode == 1:
+                    continue
+                if mode != 0 and min(abs(mode - 26),
+                                     abs(mode - 10)) <= thres:
+                    continue
+                preds[mode] = preds_f[mode]
+        return satd_many(orig_b, preds, 8 if n >= 8 else 4)
+
+    def _encode_chroma64(self, plan, x0, y0, dm):
+        """Chroma half of a 64x64 intra CU: four 16x16 TB pairs under the
+        depth-0 chroma cbf, reconstructed sequentially (native twin:
+        intra_chroma64)."""
+        sps = self.sps
+        cx, cy = x0 >> 1, y0 >> 1
+        cand = [dm, 0, 26, 10, 1]
+        cand[1:] = [34 if c == dm else c for c in cand[1:]]
+        z4 = ((0, 0), (0, 1), (1, 0), (1, 1))  # (dy, dx)
+        planes = ((self.orig[1], self.recon[1], plan.coeff_cb, plan.cbf_cb,
+                   self.qp_cb),
+                  (self.orig[2], self.recon[2], plan.coeff_cr, plan.cbf_cr,
+                   self.qp_cr))
+        base_rec = [self.recon[c][cy:cy + 32, cx:cx + 32].copy()
+                    for c in (1, 2)]
+        best = None
+        for k, m in enumerate(cand):
+            dist = 0.0
+            lv_q = [[None] * 4 for _ in range(2)]
+            nz_q = [[0] * 4 for _ in range(2)]
+            for q in range(4):
+                qx, qy = cx + z4[q][1] * 16, cy + z4[q][0] * 16
+                for ci, (plane_o, _r, _c, _f, qp) in enumerate(planes):
+                    rt_c, rl_c, c_c = self.refs.build(
+                        self.recon[ci + 1], qx, qy, 16, 1,
+                        sps.bit_depth_c)
+                    pred = intra_predict(m, rt_c, rl_c, c_c, 16, 1,
+                                         sps.bit_depth_c)
+                    orig_c = plane_o[qy:qy + 16, qx:qx + 16] \
+                        .astype(np.int32)
+                    res = orig_c - pred
+                    coeffs = forward_transform_np(res, sps.bit_depth_c,
+                                                  False)
+                    levels = self._quantize_rd(
+                        coeffs, qp + sps.qp_bd_offset_c, sps.bit_depth_c,
+                        4, True, ci + 1, m, cbf=("cbf_chroma", 1))
+                    if levels.any():
+                        d = dequant_block(levels, qp + sps.qp_bd_offset_c,
+                                          sps.bit_depth_c, 4)
+                        rec_c = np.clip(
+                            pred + inverse_transform(d, sps.bit_depth_c,
+                                                     False),
+                            0, (1 << sps.bit_depth_c) - 1)
+                    else:
+                        rec_c = np.clip(pred, 0, (1 << sps.bit_depth_c) - 1)
+                    dist += float(((rec_c - orig_c) ** 2).sum())
+                    lv_q[ci][q] = levels
+                    nz_q[ci][q] = int(levels.any())
+                    self.recon[ci + 1][qy:qy + 16, qx:qx + 16] = rec_c
+            est = self._mb_est()
+            self._emit_chroma_mode(est, k)
+            p_cb = int(any(nz_q[0]))
+            p_cr = int(any(nz_q[1]))
+            self._emit_cbf(est, "cbf_chroma", 0, p_cb)
+            self._emit_cbf(est, "cbf_chroma", 0, p_cr)
+            for q in range(4):
+                if p_cb:
+                    self._emit_cbf(est, "cbf_chroma", 1, nz_q[0][q])
+                if p_cr:
+                    self._emit_cbf(est, "cbf_chroma", 1, nz_q[1][q])
+                if nz_q[0][q]:
+                    self._emit_residual(est, lv_q[0][q], 4, 1, m, True)
+                if nz_q[1][q]:
+                    self._emit_residual(est, lv_q[1][q], 4, 2, m, True)
+            ck = dist + self.lam * (est.frac_bits / 256.0)
+            if best is None or ck < best[0]:
+                best = (ck, k, m, lv_q, nz_q, est,
+                        [self.recon[c][cy:cy + 32, cx:cx + 32].copy()
+                         for c in (1, 2)])
+            if k < 4:
+                for i, c in enumerate((1, 2)):
+                    self.recon[c][cy:cy + 32, cx:cx + 32] = base_rec[i]
+        ck, _k, m, lv_q, nz_q, est, rec = best
+        self._mb_adopt(est)
+        sl64 = (slice(y0 >> 2, (y0 + 64) >> 2),
+                slice(x0 >> 2, (x0 + 64) >> 2))
+        plan.intra_mode_c[sl64] = m
+        for ci, (_o, _r, coeffp, cbfp, _q) in enumerate(planes):
+            for q in range(4):
+                qx, qy = cx + z4[q][1] * 16, cy + z4[q][0] * 16
+                coeffp[qy:qy + 16, qx:qx + 16] = lv_q[ci][q]
+                qsl = (slice((y0 + z4[q][0] * 32) >> 2,
+                             (y0 + z4[q][0] * 32 + 32) >> 2),
+                       slice((x0 + z4[q][1] * 32) >> 2,
+                             (x0 + z4[q][1] * 32 + 32) >> 2))
+                cbfp[qsl] = nz_q[ci][q]
+            self.recon[ci + 1][cy:cy + 32, cx:cx + 32] = rec[ci]
+        return ck
+
+    def _encode_cu64(self, x0, y0, depth):
+        """64x64 intra CU with the forced transform split (native twin:
+        encode_intra_cu64; Search.hpp:374): four 32x32 TUs sharing one
+        luma mode, ranked with SOURCE-referenced quadrant SATDs and
+        refined with sequential exact-recon reconstruction."""
+        plan, sps = self.plan, self.sps
+        sl = (slice(y0 >> 2, (y0 + 64) >> 2),
+              slice(x0 >> 2, (x0 + 64) >> 2))
+        plan.ct_depth[sl] = depth
+        plan.cu_pred_mode[sl] = 1
+        plan.part_mode[sl] = 0
+        plan.cu_size_log2[sl] = 6
+        plan.cu_id[sl] = self.next_id[0]
+        plan.pu_id[sl] = self.next_id[1]
+        self.next_id[0] += 1
+        self.next_id[1] += 1
+        head = self._mb_live()
+        if not self.sh.is_i:
+            self._emit_cu_skip(head, x0, y0, 0)
+            head.encode_decision(ctx_index("pred_mode_flag"), 1)
+        self._ctu_frac += head.frac_bits
+        head_bits = self.lam * (head.frac_bits / 256.0)
+
+        from turingcodec_tpu.decode.ctu_parse import _intra_mpm_n
+
+        class _PS:
+            pass
+        ps = _PS()
+        ps.plan, ps.geom, ps.sps = plan, self.geom, sps
+        mpm, _n_mpm = _intra_mpm_n(ps, x0, y0)
+        z4 = ((0, 0), (0, 1), (1, 0), (1, 1))  # (dy, dx)
+        orig_q = []
+        satd = []
+        for q in range(4):
+            qx, qy = x0 + z4[q][1] * 32, y0 + z4[q][0] * 32
+            ob = self.orig[0][qy:qy + 32, qx:qx + 32].astype(np.int32)
+            orig_q.append(ob)
+            srt, srl, sc = self.refs.build(self.orig[0], qx, qy, 32, 0,
+                                           self.bd)
+            satd.append(self._mode_satds(ob, srt, srl, sc, 32))
+        costs = [float(int(satd[0][m]) + int(satd[1][m]) + int(satd[2][m])
+                       + int(satd[3][m]))
+                 + self.lam_bits * (2.0 if m in mpm else 6.0)
+                 for m in range(35)]
+        ncand = 8 if self.rd_candidates >= 3 else 3
+        cands = sorted(range(35), key=lambda m: (costs[m], m))[:ncand]
+
+        base_rec = self.recon[0][y0:y0 + 64, x0:x0 + 64].copy()
+        best = None
+        for k, mode in enumerate(cands):
+            est = self._mb_est()
+            self._emit_intra_luma_mode(est, mode, mpm)
+            dist = 0.0
+            lv_q, nz_q = [], []
+            for q in range(4):
+                qx, qy = x0 + z4[q][1] * 32, y0 + z4[q][0] * 32
+                rt, rl, corner = self.refs.build(self.recon[0], qx, qy,
+                                                 32, 0, self.bd)
+                frt, frl, fc = filter_reference_samples(
+                    rt, rl, corner, 32, mode,
+                    bool(sps.strong_intra_smoothing_enabled_flag),
+                    self.bd)
+                pred = intra_predict(mode, frt, frl, fc, 32, 0, self.bd)
+                res = orig_q[q] - pred
+                coeffs = forward_transform_np(res, self.bd, False)
+                levels = self._quantize_rd(coeffs,
+                                           self.qp + sps.qp_bd_offset_y,
+                                           self.bd, 5, True, 0, mode,
+                                           cbf=("cbf_luma", 0))
+                if levels.any():
+                    d = dequant_block(levels,
+                                      self.qp + sps.qp_bd_offset_y,
+                                      self.bd, 5)
+                    rec = np.clip(pred + inverse_transform(d, self.bd,
+                                                           False),
+                                  0, (1 << self.bd) - 1)
+                else:
+                    rec = np.clip(pred, 0, (1 << self.bd) - 1)
+                dist += float(((rec - orig_q[q]) ** 2).sum())
+                self.recon[0][qy:qy + 32, qx:qx + 32] = rec
+                lv_q.append(levels)
+                nz_q.append(int(levels.any()))
+                self._emit_cbf(est, "cbf_luma", 0, nz_q[q])
+                if nz_q[q]:
+                    self._emit_residual(est, levels, 5, 0, mode, True)
+            cost = dist + self.lam * (est.frac_bits / 256.0)
+            if best is None or cost < best[0]:
+                best = (cost, mode, lv_q, nz_q, est,
+                        self.recon[0][y0:y0 + 64, x0:x0 + 64].copy())
+            if k < len(cands) - 1:
+                self.recon[0][y0:y0 + 64, x0:x0 + 64] = base_rec
+        cost, mode, lv_q, nz_q, best_est, rec = best
+        self._mb_adopt(best_est)
+        cost += head_bits
+        plan.intra_mode_y[sl] = mode
+        plan.tu_log2[sl] = 5
+        for q in range(4):
+            qx, qy = x0 + z4[q][1] * 32, y0 + z4[q][0] * 32
+            qsl = (slice(qy >> 2, (qy + 32) >> 2),
+                   slice(qx >> 2, (qx + 32) >> 2))
+            plan.tu_id[qsl] = self.next_id[2]
+            self.next_id[2] += 1
+            plan.coeff_y[qy:qy + 32, qx:qx + 32] = lv_q[q]
+            plan.cbf_y[qsl] = nz_q[q]
+        self.recon[0][y0:y0 + 64, x0:x0 + 64] = rec
+        return cost + self._encode_chroma64(plan, x0, y0, mode)
+
     def _use_src_rank(self) -> bool:
         """Source-referenced SATD ranking (enc_core twin): default at MET
         presets (rd_candidates <= 2); TC_SRC_RANK forces, TC_NO_SRC_RANK
@@ -849,24 +1089,7 @@ class IntraPictureEncoder:
 
         Per-mode reference filtering follows spec 8.4.4.2.3 (the RD
         refinement recomputes exact predictions, edge filters included)."""
-        from turingcodec_tpu.encode.sweep import intra_all_modes_np, satd_many
-        from turingcodec_tpu.decode.reconstruct import _HVD_THRES
-
-        sps = self.sps
-        preds = intra_all_modes_np(rt, rl, corner, n, self.bd)
-        if n > 4:
-            frt, frl, fc = filter_reference_samples(
-                rt, rl, corner, n, 0,
-                bool(sps.strong_intra_smoothing_enabled_flag), self.bd)
-            preds_f = intra_all_modes_np(frt, frl, fc, n, self.bd)
-            thres = _HVD_THRES[n]
-            for mode in range(35):
-                if mode == 1:
-                    continue
-                if mode != 0 and min(abs(mode - 26), abs(mode - 10)) <= thres:
-                    continue
-                preds[mode] = preds_f[mode]
-        satds = satd_many(orig_b, preds, 8 if n >= 8 else 4)
+        satds = self._mode_satds(orig_b, rt, rl, corner, n)
         mode_bits = np.array([2 if m in mpm else 6 for m in range(35)])
         costs = satds + self.lam_bits * mode_bits
         order = np.argsort(costs, kind="stable")

@@ -2323,7 +2323,8 @@ struct Sweep4Tables {
 
 int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
-               int* out_cands, double* out_costs = nullptr, int n_mpm = 0) {
+               int* out_cands, double* out_costs = nullptr, int n_mpm = 0,
+               int64_t* out_satd = nullptr) {
     LeafTimer pt(12);
     static thread_local int32_t pred[32 * 32], orig_t[32 * 32];
     const int bd = g_sp.bit_depth_y;
@@ -2349,6 +2350,8 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                   || mode == cands_mpm[2];
         mc[mode].cost = (double)satd + cur.lam_bits * (in_mpm ? 2 : 6);
         mc[mode].mode = mode;
+        if (out_satd)
+            out_satd[mode] = satd;
     };
     int mode_begin = 0;
     if (n == 4) {
@@ -3383,6 +3386,269 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
     }
     return cost + intra_chroma(x0 >> 1, y0 >> 1, size >> 1, 2, modes[0],
                                x0, y0, size);
+}
+
+// 64x64 intra CU with the forced transform split (Search.hpp:374
+// searchIntraCu at log2CbSize 6: four 32x32 TUs sharing one luma mode;
+// chroma codes four 16x16 TB pairs under the depth-0 cbf). Trialed at
+// the slow preset (rd_candidates >= 3) against the quadtree split.
+// Ranking uses SOURCE-referenced neighbours for all four quadrants
+// (quadrants 1-3 have no reconstruction before the mode is chosen);
+// the RD refinement reconstructs quadrants sequentially from exact
+// recon references, so decoder replay matches bit-exactly.
+static const int Z4[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};  // (dy,dx)
+
+double intra_chroma64(int x0, int y0, int dm) {
+    const int bd_c = g_sp.bit_depth_c;
+    const int cx = x0 >> 1, cy = y0 >> 1;  // 32x32 chroma area
+    int cand[5] = {dm, 0, 26, 10, 1};
+    for (int i = 1; i < 5; i++)
+        if (cand[i] == dm)
+            cand[i] = 34;
+    static thread_local int32_t orig_q[2][4][16 * 16], pred[16 * 16];
+    static thread_local int16_t base_rec[2][32 * 32], best_rec[2][32 * 32];
+    static thread_local int16_t cur_lv[2][4][16 * 16],
+        best_lv[2][4][16 * 16];
+    int cur_nz[2][4], best_nz[2][4];
+    const int cw = cw_();
+    for (int ci = 0; ci < 2; ci++)
+        for (int q = 0; q < 4; q++)
+            gather32(en.orig[ci + 1], cw, cx + Z4[q][1] * 16,
+                     cy + Z4[q][0] * 16, 16, orig_q[ci][q]);
+    for (int ci = 0; ci < 2; ci++)
+        for (int y = 0; y < 32; y++)
+            std::memcpy(base_rec[ci] + y * 32,
+                        en.rec[ci + 1] + (int64_t)(cy + y) * cw + cx,
+                        32 * 2);
+    CandRate best_cr;
+    double best_cost = 0.0;
+    int best_k = -1;
+    int32_t rt[64], rl[64], corner;
+    static thread_local TbTrial t;
+    for (int k = 0; k < 5; k++) {
+        const int m = cand[k];
+        // reconstruct the four 16x16 TB pairs sequentially (later
+        // quadrants predict from earlier ones' recon)
+        double dist = 0.0;
+        for (int q = 0; q < 4; q++) {
+            const int qx = cx + Z4[q][1] * 16, qy = cy + Z4[q][0] * 16;
+            for (int ci = 0; ci < 2; ci++) {
+                build_intra_refs(en.rec[ci + 1], cw, chh_(), en.zscan32,
+                                 g_sp.w4, qx, qy, 16, 2, bd_c, rt, rl,
+                                 &corner);
+                intra_predict_core(m, rt, rl, corner, 16, 1, bd_c, 0,
+                                   pred);
+                try_tb(orig_q[ci][q], pred, 16, 4,
+                       ci == 0 ? cur.qp_cb_full : cur.qp_cr_full, bd_c, 0,
+                       1, scan_for(4, ci + 1, m, 1), ci + 1,
+                       g_sp.off[E_CBF_CHROMA] + 1, t);
+                std::memcpy(cur_lv[ci][q], t.levels, 16 * 16 * 2);
+                cur_nz[ci][q] = t.nz;
+                dist += t.dist;
+                scatter16(en.rec[ci + 1], cw, qx, qy, 16, t.rec);
+            }
+        }
+        // exact chroma-group bins in writer order: mode, parent cbf_cb/
+        // cbf_cr (ctx 0), then per quadrant cbf pair (ctx 1) + residuals
+        CandRate crk;
+        crk.init();
+        emit_chroma_mode(crk, k);
+        // nz is a nonzero-coefficient count: normalize to bin values
+        const int p_cb = (cur_nz[0][0] || cur_nz[0][1] || cur_nz[0][2]
+                          || cur_nz[0][3]) ? 1 : 0;
+        const int p_cr = (cur_nz[1][0] || cur_nz[1][1] || cur_nz[1][2]
+                          || cur_nz[1][3]) ? 1 : 0;
+        crk.bin(E_CBF_CHROMA, 0, p_cb);
+        crk.bin(E_CBF_CHROMA, 0, p_cr);
+        for (int q = 0; q < 4; q++) {
+            if (p_cb)
+                crk.bin(E_CBF_CHROMA, 1, cur_nz[0][q] ? 1 : 0);
+            if (p_cr)
+                crk.bin(E_CBF_CHROMA, 1, cur_nz[1][q] ? 1 : 0);
+            if (cur_nz[0][q])
+                emit_residual_ts(crk, cur_lv[0][q], 4, 1, m, 1, 0);
+            if (cur_nz[1][q])
+                emit_residual_ts(crk, cur_lv[1][q], 4, 2, m, 1, 0);
+        }
+        const double ck = dist + cur.lam * ((double)crk.frac / 256.0);
+        const bool take = best_k < 0 || ck < best_cost;
+        if (take) {
+            best_cost = ck;
+            best_k = k;
+            best_cr = crk;
+            std::memcpy(best_nz, cur_nz, sizeof(cur_nz));
+            std::memcpy(best_lv, cur_lv, sizeof(cur_lv));
+            for (int ci = 0; ci < 2; ci++)
+                for (int y = 0; y < 32; y++)
+                    std::memcpy(best_rec[ci] + y * 32,
+                                en.rec[ci + 1] + (int64_t)(cy + y) * cw
+                                    + cx, 32 * 2);
+        }
+        // roll the trial recon back for the next candidate
+        if (k < 4)
+            for (int ci = 0; ci < 2; ci++)
+                for (int y = 0; y < 32; y++)
+                    std::memcpy(en.rec[ci + 1] + (int64_t)(cy + y) * cw
+                                    + cx, base_rec[ci] + y * 32, 32 * 2);
+    }
+    cr_commit(best_cr);
+    const int m = cand[best_k];
+    fillq(g_sp.intra_mode_c, x0, y0, 64, (uint8_t)m);
+    for (int ci = 0; ci < 2; ci++) {
+        int16_t* coeffp = ci == 0 ? g_sp.coeff_cb : g_sp.coeff_cr;
+        uint8_t* cbfp = ci == 0 ? g_sp.cbf_cb : g_sp.cbf_cr;
+        for (int q = 0; q < 4; q++) {
+            const int qx = cx + Z4[q][1] * 16, qy = cy + Z4[q][0] * 16;
+            for (int y = 0; y < 16; y++)
+                std::memcpy(coeffp + (int64_t)(qy + y) * cw + qx,
+                            best_lv[ci][q] + y * 16, 16 * 2);
+            fillq(cbfp, x0 + Z4[q][1] * 32, y0 + Z4[q][0] * 32, 32,
+                  (uint8_t)(best_nz[ci][q] ? 1 : 0));
+        }
+        for (int y = 0; y < 32; y++)
+            std::memcpy(en.rec[ci + 1] + (int64_t)(cy + y) * cw + cx,
+                        best_rec[ci] + y * 32, 32 * 2);
+    }
+    return best_cost;
+}
+
+double encode_intra_cu64(int x0, int y0, int depth,
+                         double budget
+                         = std::numeric_limits<double>::max()) {
+    PhaseTimer pt(2);
+    const int bd = g_sp.bit_depth_y;
+    fillq(g_sp.ct_depth, x0, y0, 64, (uint8_t)depth);
+    fillq(g_sp.cu_pred_mode, x0, y0, 64, (uint8_t)1);
+    fillq(g_sp.part_mode, x0, y0, 64, (uint8_t)0);
+    fillq(g_sp.cu_size_log2, x0, y0, 64, (uint8_t)6);
+    fillq(g_sp.cu_id, x0, y0, 64, cur.ids[0]);
+    fillq(g_sp.pu_id, x0, y0, 64, cur.ids[1]);
+    cur.ids[0]++;
+    cur.ids[1]++;
+
+    CandRate head;
+    head.init();
+    if (!g_sp.is_i) {
+        emit_cu_skip(head, x0, y0, 0);
+        head.bin(E_PRED_MODE, 0, 1);
+    }
+    cr_commit(head);
+    const double head_bits = cur.lam * ((double)head.frac / 256.0);
+
+    // per-quadrant SOURCE-referenced 35-mode SATD, summed per mode
+    static thread_local int32_t orig_q[4][32 * 32];
+    int64_t satd[4][35];
+    int mpm[3];
+    sp_intra_mpm_n(x0, y0, mpm);
+    {
+        int32_t srt[64], srl[64], sc;
+        int dummy[35];
+        for (int q = 0; q < 4; q++) {
+            const int qx = x0 + Z4[q][1] * 32, qy = y0 + Z4[q][0] * 32;
+            gather32(en.orig[0], g_sp.pic_w, qx, qy, 32, orig_q[q]);
+            build_intra_refs(en.orig[0], g_sp.pic_w, g_sp.pic_h,
+                             en.zscan32, g_sp.w4, qx, qy, 32, 1, bd, srt,
+                             srl, &sc);
+            rank_modes(orig_q[q], srt, srl, sc, 32, mpm, 1, dummy,
+                       nullptr, 0, satd[q]);
+        }
+    }
+    struct MC {
+        double cost;
+        int mode;
+    } mc[35];
+    for (int m = 0; m < 35; m++) {
+        const int in_mpm = m == mpm[0] || m == mpm[1] || m == mpm[2];
+        mc[m].cost = (double)(satd[0][m] + satd[1][m] + satd[2][m]
+                              + satd[3][m])
+                   + cur.lam_bits * (in_mpm ? 2 : 6);
+        mc[m].mode = m;
+    }
+    const int ncand = en.rd_candidates >= 3 ? 8 : 3;
+    for (int i = 0; i < ncand; i++) {  // stable partial selection
+        int best = i;
+        for (int j = i + 1; j < 35; j++)
+            if (mc[j].cost < mc[best].cost)
+                best = j;
+        if (best != i) {
+            MC tmp = mc[best];
+            std::memmove(mc + i + 1, mc + i, (best - i) * sizeof(MC));
+            mc[i] = tmp;
+        }
+    }
+
+    // refinement: reconstruct the four 32x32 TUs sequentially per mode
+    static thread_local int16_t base_rec[64 * 64], best_rec[64 * 64];
+    static thread_local int16_t cur_lv[4][32 * 32], best_lv[4][32 * 32];
+    static thread_local int32_t pred[32 * 32];
+    static thread_local TbTrial t;
+    int cur_nz[4], best_nz[4];
+    const int pw = g_sp.pic_w;
+    for (int y = 0; y < 64; y++)
+        std::memcpy(base_rec + y * 64,
+                    en.rec[0] + (int64_t)(y0 + y) * pw + x0, 64 * 2);
+    CandRate best_cr;
+    double best_cost = 0.0;
+    int best_mode = -1;
+    int32_t rt[64], rl[64], corner, frt[64], frl[64], fc;
+    for (int k = 0; k < ncand; k++) {
+        const int mode = mc[k].mode;
+        double dist = 0.0;
+        CandRate crc;
+        crc.init();
+        emit_intra_luma_mode(crc, mode, mpm);
+        for (int q = 0; q < 4; q++) {
+            const int qx = x0 + Z4[q][1] * 32, qy = y0 + Z4[q][0] * 32;
+            build_intra_refs(en.rec[0], pw, g_sp.pic_h, en.zscan32,
+                             g_sp.w4, qx, qy, 32, 1, bd, rt, rl, &corner);
+            std::memcpy(frt, rt, 2 * 32 * 4);
+            std::memcpy(frl, rl, 2 * 32 * 4);
+            fc = corner;
+            filter_intra_refs(frt, frl, &fc, 32, mode, en.strong, bd);
+            intra_predict_core(mode, frt, frl, fc, 32, 0, bd, 0, pred);
+            try_tb(orig_q[q], pred, 32, 5, cur.qp_full, bd, 0, 1,
+                   scan_for(5, 0, mode, 1), 0, g_sp.off[E_CBF_LUMA], t);
+            std::memcpy(cur_lv[q], t.levels, 32 * 32 * 2);
+            cur_nz[q] = t.nz;
+            dist += t.dist;
+            scatter16(en.rec[0], pw, qx, qy, 32, t.rec);
+            crc.bin(E_CBF_LUMA, 0, t.nz ? 1 : 0);
+            if (t.nz)
+                emit_residual_ts(crc, cur_lv[q], 5, 0, mode, 1, 0);
+        }
+        const double cost = dist + cur.lam * ((double)crc.frac / 256.0);
+        if (best_mode < 0 || cost < best_cost) {
+            best_cost = cost;
+            best_mode = mode;
+            best_cr = crc;
+            std::memcpy(best_nz, cur_nz, sizeof(cur_nz));
+            std::memcpy(best_lv, cur_lv, sizeof(cur_lv));
+            for (int y = 0; y < 64; y++)
+                std::memcpy(best_rec + y * 64,
+                            en.rec[0] + (int64_t)(y0 + y) * pw + x0,
+                            64 * 2);
+        }
+        if (k < ncand - 1)
+            for (int y = 0; y < 64; y++)
+                std::memcpy(en.rec[0] + (int64_t)(y0 + y) * pw + x0,
+                            base_rec + y * 64, 64 * 2);
+    }
+    cr_commit(best_cr);
+    best_cost += head_bits;
+    fillq(g_sp.intra_mode_y, x0, y0, 64, (uint8_t)best_mode);
+    fillq(g_sp.tu_log2, x0, y0, 64, (uint8_t)5);
+    for (int q = 0; q < 4; q++) {
+        const int qx = x0 + Z4[q][1] * 32, qy = y0 + Z4[q][0] * 32;
+        fillq(g_sp.tu_id, qx, qy, 32, cur.ids[2]);
+        cur.ids[2]++;
+        scatter_lv(g_sp.coeff_y, pw, qx, qy, 32, best_lv[q]);
+        fillq(g_sp.cbf_y, qx, qy, 32, (uint8_t)(best_nz[q] ? 1 : 0));
+    }
+    for (int y = 0; y < 64; y++)
+        std::memcpy(en.rec[0] + (int64_t)(y0 + y) * pw + x0,
+                    best_rec + y * 64, 64 * 2);
+    (void)budget;
+    return best_cost + intra_chroma64(x0, y0, best_mode);
 }
 
 // ---------------------------------------------------------------- inter
@@ -4534,8 +4800,12 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
         snap_free(best_state);
         return cost_best;
     }
-    if (log2 > g_sp.max_tb_log2 || getenv("TC_NO_II")) {
-        // 64x64: inter only (intra would need TU-split RDO)
+    static const bool no_ii = getenv("TC_NO_II") != nullptr;
+    if (no_ii
+        || (log2 > g_sp.max_tb_log2
+            && (getenv("TC_NO_I64") || log2 != 6
+                || en.rd_candidates < 3))) {
+        // 64x64 intra (forced TU split) is trialed at slow only
         snap_free(state);
         snap_free(best_state);
         return cost_best;
@@ -4543,7 +4813,9 @@ double encode_cu_dispatch(int x0, int y0, int log2, int depth) {
     snap_restore(*state, x0, y0, size);
     // the intra trial's cost includes its own cu_skip/pred_mode/part_mode
     // bins exactly (committed inside encode_intra_cu)
-    double cost_intra = encode_intra_cu(x0, y0, log2, depth, cost_best);
+    double cost_intra = log2 > g_sp.max_tb_log2
+        ? encode_intra_cu64(x0, y0, depth, cost_best)
+        : encode_intra_cu(x0, y0, log2, depth, cost_best);
     if (cost_best <= cost_intra) {
         snap_restore(*best_state, x0, y0, size);
         snap_free(state);
@@ -5699,6 +5971,34 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
     }
     int cu_limit = g_sp.is_i ? en.max_cu_log2 : en.max_cu_inter;
     if (log2 > cu_limit) {
+        // 64x64 intra CU trial at slow (forced TU split,
+        // Search.hpp:374): compare the whole-CTB intra CU with the split
+        // dynamic getenv: tests toggle TC_NO_I64 in-process
+        if (!getenv("TC_NO_I64") && log2 == 6 && g_sp.is_i
+            && en.rd_candidates >= 3) {
+            Snap* state = snap_new();
+            snap_save(*state, x0, y0, size);
+            const double f0 = commit_split_flag(x0, y0, log2, depth, 0);
+            const double cost_here = encode_intra_cu64(x0, y0, depth) + f0;
+            Snap* here = snap_new();
+            snap_save(*here, x0, y0, size);
+            snap_restore(*state, x0, y0, size);
+            snap_free(state);
+            double cost_split = commit_split_flag(x0, y0, log2, depth, 1);
+            int half = size >> 1;
+            static const int q6[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+            for (int i = 0; i < 4; i++)
+                cost_split += decide_cqt(x0 + q6[i][0] * half,
+                                         y0 + q6[i][1] * half, log2 - 1,
+                                         depth + 1);
+            if (cost_here <= cost_split) {
+                snap_restore(*here, x0, y0, size);
+                snap_free(here);
+                return cost_here;
+            }
+            snap_free(here);
+            return cost_split;
+        }
         double cost = commit_split_flag(x0, y0, log2, depth, 1);
         int half = size >> 1;
         static const int q[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
