@@ -376,6 +376,209 @@ def subpel_planes_device(ref_y: np.ndarray, bd: int = 8) -> np.ndarray:
     return np.asarray(_JIT_CACHE[key](np.asarray(ref_y, np.int16)))
 
 
+def _rank_grid_refs(plane, zscan, n, bd):
+    """Batched source-referenced intra reference samples for every
+    in-picture n-aligned block: returns vals (hn*wn, 4n+1) int32 in scan
+    order (left bottom-up, corner, top), with spec 8.4.4.2.2
+    availability substitution (z-scan positional availability — the
+    simple single-slice/no-tile case the prepass supports)."""
+    h, w = plane.shape
+    hn, wn = h // n, w // n
+    m = 4 * n + 1
+    tx = np.empty(m, np.int32)
+    ty = np.empty(m, np.int32)
+    tx[:2 * n + 1] = -1
+    tx[2 * n + 1:] = np.arange(2 * n)
+    ty[:2 * n] = 2 * n - 1 - np.arange(2 * n)
+    ty[2 * n:] = -1
+    bx = (np.arange(wn) * n)[None, :, None]
+    by = (np.arange(hn) * n)[:, None, None]
+    px = bx + tx[None, None, :]
+    py = by + ty[None, None, :]
+    inb = (px >= 0) & (py >= 0) & (px < w) & (py < h)
+    pxc = np.clip(px, 0, w - 1)
+    pyc = np.clip(py, 0, h - 1)
+    zcur = zscan[by[:, :, 0] >> 2, bx[:, :, 0] >> 2][:, :, None]
+    ok = inb & (zscan[pyc >> 2, pxc >> 2] <= zcur)
+    vals = plane[pyc, pxc].astype(np.int32)
+    vals = vals.reshape(-1, m)
+    ok = ok.reshape(-1, m)
+    mid = 1 << (bd - 1)
+    any_ok = ok.any(axis=1)
+    first = np.argmax(ok, axis=1)
+    b = np.arange(vals.shape[0])
+    vals[:, 0] = np.where(ok[:, 0], vals[:, 0], vals[b, first])
+    ok[:, 0] = True
+    vals = np.where(ok, vals, 0)
+    src = np.where(ok, np.arange(m)[None, :], 0)
+    np.maximum.accumulate(src, axis=1, out=src)
+    vals = vals[b[:, None], src]
+    vals = np.where(any_ok[:, None], vals, mid)
+    return vals
+
+
+def _filter_grid_refs(vals, n, strong, bd):
+    """Batched spec 8.4.4.2.3 reference filtering of scan-order vals
+    (B, 4n+1): [1 2 1] smoothing, with the strong bilinear variant at
+    n == 32 when the flatness thresholds pass."""
+    B, m = vals.shape
+    co = vals[:, 2 * n]
+    rl = vals[:, :2 * n][:, ::-1]  # rl[i] = p[-1][i] top-down
+    rt = vals[:, 2 * n + 1:]
+    ft = np.empty_like(rt)
+    fl = np.empty_like(rl)
+    ft[:, 0] = (co + 2 * rt[:, 0] + rt[:, 1] + 2) >> 2
+    fl[:, 0] = (co + 2 * rl[:, 0] + rl[:, 1] + 2) >> 2
+    ft[:, 1:2 * n - 1] = (rt[:, :2 * n - 2] + 2 * rt[:, 1:2 * n - 1]
+                          + rt[:, 2:] + 2) >> 2
+    fl[:, 1:2 * n - 1] = (rl[:, :2 * n - 2] + 2 * rl[:, 1:2 * n - 1]
+                          + rl[:, 2:] + 2) >> 2
+    ft[:, 2 * n - 1] = rt[:, 2 * n - 1]
+    fl[:, 2 * n - 1] = rl[:, 2 * n - 1]
+    fc = (rl[:, 0] + 2 * co + rt[:, 0] + 2) >> 2
+    if strong and n == 32:
+        t1 = np.abs(co + rt[:, 2 * n - 1] - 2 * rt[:, n - 1])
+        t2 = np.abs(co + rl[:, 2 * n - 1] - 2 * rl[:, n - 1])
+        is_str = (t1 < (1 << (bd - 5))) & (t2 < (1 << (bd - 5)))
+        i = np.arange(63)
+        st = ((63 - i)[None, :] * co[:, None]
+              + (i + 1)[None, :] * rt[:, 63][:, None] + 32) >> 6
+        sl = ((63 - i)[None, :] * co[:, None]
+              + (i + 1)[None, :] * rl[:, 63][:, None] + 32) >> 6
+        ft[:, :63] = np.where(is_str[:, None], st, ft[:, :63])
+        fl[:, :63] = np.where(is_str[:, None], sl, fl[:, :63])
+        ft[:, 63] = np.where(is_str, rt[:, 63], ft[:, 63])
+        fl[:, 63] = np.where(is_str, rl[:, 63], fl[:, 63])
+        fc = np.where(is_str, co, fc)
+    out = np.empty_like(vals)
+    out[:, :2 * n] = fl[:, ::-1]
+    out[:, 2 * n] = fc
+    out[:, 2 * n + 1:] = ft
+    return out
+
+
+def _grid_mode_satds(orig_blocks, vals, fvals, n, bd):
+    """(B, n, n) originals + scan-order refs -> (B, 35) SATDs, matching
+    intra_search._mode_satds (per-mode filtered/unfiltered choice, no
+    edge filters in the ranking predictions)."""
+    from turingcodec_tpu.decode.reconstruct import _HVD_THRES
+    from turingcodec_tpu.encode.sweep import _h4, _h8, _stacked_tables
+    B = vals.shape[0]
+    rl = vals[:, :2 * n][:, ::-1]
+    co = vals[:, 2 * n]
+    rt = vals[:, 2 * n + 1:]
+    x = np.arange(n)
+    log2n = int(n).bit_length() - 1
+    out = np.empty((B, 35), np.int64)
+    block = 8 if n >= 8 else 4
+    hb = _h8() if block == 8 else _h4()
+    d0 = orig_blocks.astype(np.int32)
+
+    def satd(preds):  # (B, M, n, n) -> (B, M)
+        mm = preds.shape[1]
+        d = d0[:, None] - preds
+        bh = n // block
+        d = d.reshape(B, mm, bh, block, bh, block).transpose(
+            0, 1, 2, 4, 3, 5)
+        t = hb @ d @ hb
+        s = np.abs(t).sum(axis=(4, 5))
+        s = (s + 2) >> 2 if block == 8 else (s + 1) >> 1
+        return s.sum(axis=(2, 3)).astype(np.int64)
+
+    use_f = np.zeros(35, bool)
+    if n > 4:
+        thres = _HVD_THRES[n]
+        for mode in range(35):
+            if mode == 1:
+                continue
+            if mode != 0 and min(abs(mode - 26), abs(mode - 10)) <= thres:
+                continue
+            use_f[mode] = True
+
+    def pick(src_u, src_f, mode):
+        return src_f if use_f[mode] else src_u
+
+    for which, src in (("u", (rt, rl, co)),) + (
+            (("f", None),) if n > 4 else ()):
+        pass  # (clarity: filtered refs derived below)
+
+    frl = fvals[:, :2 * n][:, ::-1] if fvals is not None else rl
+    fco = fvals[:, 2 * n] if fvals is not None else co
+    frt = fvals[:, 2 * n + 1:] if fvals is not None else rt
+
+    # planar + DC from the per-mode-appropriate refs
+    def planar(rt_, rl_):
+        return (((n - 1 - x)[None, None, :] * rl_[:, :n, None]
+                 + (x + 1)[None, None, :] * rt_[:, n][:, None, None]
+                 + (n - 1 - x)[None, :, None] * rt_[:, None, :n]
+                 + (x + 1)[None, :, None] * rl_[:, n][:, None, None]
+                 + n) >> (log2n + 1)).astype(np.int32)
+
+    p0 = planar(frt, frl) if use_f[0] else planar(rt, rl)
+    rtd, rld = (frt, frl) if use_f[1] else (rt, rl)
+    dc = ((rtd[:, :n].sum(axis=1) + rld[:, :n].sum(axis=1) + n)
+          >> (log2n + 1))
+    p1 = np.broadcast_to(dc[:, None, None].astype(np.int32),
+                         (B, n, n)).copy()
+    out[:, 0] = satd(p0[:, None])[:, 0]
+    out[:, 1] = satd(p1[:, None])[:, 0]
+
+    # angular modes via the stacked gather tables, one ext per variant
+    pos0, fact, neg = _stacked_tables(n)
+
+    def build_ext(rt_, rl_, co_):
+        ext = np.empty((B, 33, 3 * n + 2), np.int32)
+        ext[:, :16, :n] = np.where(neg[None, :16] < 0, co_[:, None, None],
+                                   rt_[:, np.maximum(neg[:16], 0)])
+        ext[:, 16:, :n] = np.where(neg[None, 16:] < 0, co_[:, None, None],
+                                   rl_[:, np.maximum(neg[16:], 0)])
+        ext[:, :, n] = co_[:, None]
+        ext[:, :16, n + 1:3 * n + 1] = rl_[:, None, :2 * n]
+        ext[:, 16:, n + 1:3 * n + 1] = rt_[:, None, :2 * n]
+        ext[:, :16, 3 * n + 1] = rl_[:, 2 * n - 1][:, None]
+        ext[:, 16:, 3 * n + 1] = rt_[:, 2 * n - 1][:, None]
+        return ext.reshape(B, -1)
+
+    ext_u = build_ext(rt, rl, co)
+    ext_f = build_ext(frt, frl, fco) if n > 4 else ext_u
+    bidx = np.arange(B)[:, None, None, None]
+    pf = pos0[None]
+    gu = ext_u[bidx[..., 0], pf]
+    g1u = ext_u[bidx[..., 0], pf + 1]
+    pu = ((32 - fact[None]) * gu + fact[None] * g1u + 16) >> 5
+    if n > 4:
+        gf = ext_f[bidx[..., 0], pf]
+        g1f = ext_f[bidx[..., 0], pf + 1]
+        pfa = ((32 - fact[None]) * gf + fact[None] * g1f + 16) >> 5
+        sel = use_f[2:][None, :, None, None]
+        pang = np.where(sel, pfa, pu)
+    else:
+        pang = pu
+    out[:, 2:] = satd(pang.astype(np.int32))
+    return out
+
+
+def rank_satd_tables_host(plane, zscan, bd, strong, sizes=(4, 8, 16, 32)):
+    """Source-referenced 35-mode SATD tables for every aligned block of
+    each size: {n: (hn, wn, 35) int32}. The exact integers the in-loop
+    rank computes at those positions (intra_search._mode_satds /
+    enc_core rank_modes sweep with source refs)."""
+    plane = np.asarray(plane)
+    out = {}
+    for n in sizes:
+        h, w = plane.shape
+        hn, wn = h // n, w // n
+        if hn == 0 or wn == 0:
+            continue
+        vals = _rank_grid_refs(plane, zscan, n, bd)
+        fvals = _filter_grid_refs(vals, n, strong, bd) if n > 4 else None
+        ob = plane[:hn * n, :wn * n].reshape(hn, n, wn, n) \
+            .transpose(0, 2, 1, 3).reshape(-1, n, n)
+        satds = _grid_mode_satds(ob, vals, fvals, n, bd)
+        out[n] = satds.reshape(hn, wn, 35).astype(np.int32)
+    return out
+
+
 def install_subpel_fields(enc) -> Optional[dict]:
     """Device-compute the subpel planes of each list's ref-0 plane for
     native install; {(list, 0): (15, ph, pw) int16} or None."""

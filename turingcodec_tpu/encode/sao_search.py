@@ -105,11 +105,10 @@ def _explicit_bits(key, cand, bd, c_idx):
     if key == "off":
         return 1 if c_idx <= 1 else 0
     _, cls, offs = cand[:3]
+    # offset TR bits are NOT counted here: _best_offset already folds
+    # lam*(|k|+1) per offset into the candidate cost (counting them again
+    # biased decisions toward merge/off)
     bits = 2 if c_idx <= 1 else 0  # type ctx bin + band/edge bypass
-    c_max = (1 << (min(bd, 10) - 5)) - 1
-    for k in offs:
-        v = abs(int(k))
-        bits += min(v, c_max) + (1 if v < c_max else 0)
     if key == "band":
         bits += sum(1 for k in offs if k) + 5  # signs + band position
     elif c_idx <= 1:

@@ -6371,12 +6371,10 @@ static int sao_explicit_bits(int key /*0 off,1 band,2..5 eo*/,
                              const SaoCand& c, int bd, int c_idx) {
     if (key == 0)
         return c_idx <= 1 ? 1 : 0;
+    // offset TR bits are NOT counted here: _best_offset already folds
+    // lam*(|k|+1) per offset into the candidate cost (counting them
+    // again biased decisions toward merge/off)
     int bits = c_idx <= 1 ? 2 : 0;
-    const int c_max = (1 << ((bd < 10 ? bd : 10) - 5)) - 1;
-    for (int i = 0; i < 4; i++) {
-        const int v = c.offs[i] < 0 ? -c.offs[i] : c.offs[i];
-        bits += (v < c_max ? v : c_max) + (v < c_max ? 1 : 0);
-    }
     if (key == 1) {
         for (int i = 0; i < 4; i++)
             bits += c.offs[i] != 0;

@@ -27,31 +27,31 @@ DECODE_MD5 = "05c8e88dd7a694829f34ad9486a0dd8e"
 # first. The determinism rows reference another row's goldens by name.
 CONFIGS = [
     ("all-intra-q32", dict(all_intra=True, qp=32, rd_candidates=2), 2,
-     {}, ("41f2f9cc", "97e573ba")),
+     {}, ("2bd67113", "5d6fe9e0")),
     ("lowdelay-q32", dict(qp=32, rd_candidates=2), 3,
-     {}, ("241f9e85", "2e00febe")),
+     {}, ("ecfe6823", "5c692f97")),
     ("lowdelay-q32-threads1", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_ENC_THREADS": "1"}, "lowdelay-q32"),
     ("lowdelay-q32-no-native", dict(qp=32, rd_candidates=2), 3,
      {"TURING_TPU_NO_NATIVE": "1"}, "lowdelay-q32"),
     ("gop4-q32", dict(qp=32, rd_candidates=2, gop_m=4), 5,
-     {}, ("90c8982c", "94eb11c1")),
+     {}, ("54e1595d", "bca186e4")),
     # frame-parallel determinism: one-picture-at-a-time must reproduce
     # the default (2 in-flight pictures) exactly — the reference's
     # concurrent-frames invariant
     ("gop4-q32-frame-seq", dict(qp=32, rd_candidates=2, gop_m=4), 5,
      {"TURING_TPU_FRAME_THREADS": "1"}, "gop4-q32"),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
-     {}, ("289b5ede", "7441da42")),
+     {}, ("fe6834fc", "c0dd0a34")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
                           sdh=True), 3,
-     {}, ("53e0a8bd", "f3a95b73")),
+     {}, ("466c47d9", "613c4fe6")),
     ("10bit-q32", dict(qp=32, rd_candidates=2, bit_depth=10), 2,
-     {}, ("852391ee", "dc7c9a9f")),
+     {}, ("78804b70", "9b9a061f")),
     # field coding needs height % 16 == 0: crop the clip to 640x352
     ("field-q32", dict(qp=32, rd_candidates=2, field_coding=True,
                        height=352), 2,
-     {}, ("e6b57e1e", "c55569b4")),
+     {}, ("01f871da", "8fb4f3a7")),
 ]
 
 
