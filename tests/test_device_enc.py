@@ -157,3 +157,66 @@ def test_subpel_planes_match_mc_oracle():
                                       for k in range(8)) >> 6
                         exp = np.int16(exp)
                         assert pl[py, px] == exp, (bd, xf, yf, py, px)
+
+
+def _mk_ctx(w, h):
+    from turingcodec_tpu.decode.plan import PicturePlan
+    from turingcodec_tpu.decode.reconstruct import ReferenceSampleBuilder
+    from turingcodec_tpu.hevc.geometry import PictureGeometry
+    cfg = EncoderConfig(width=w, height=h, qp=32, rd_candidates=2)
+    enc = Encoder(cfg)
+    plan = PicturePlan(enc.sps, enc.pps)
+    geom = enc.geom
+    refs = ReferenceSampleBuilder(plan, geom)
+    return enc, plan, geom, refs
+
+
+def test_rank_satd_tables_match_inloop_oracle():
+    """The batched source-referenced rank-SATD tables must equal the
+    in-loop ranking's integers (refs.build + _mode_satds) at every
+    sampled aligned position and size."""
+    from turingcodec_tpu.encode.device_analysis import rank_satd_tables_host
+    from turingcodec_tpu.encode.intra_search import IntraPictureEncoder
+    rng = np.random.RandomState(9)
+    w, h = 192, 128
+    plane = rng.randint(0, 256, (h, w)).astype(np.int16)
+    plane[40:80, 60:140] = (np.add.outer(np.arange(40), np.arange(80)) * 2
+                            % 256)
+    enc, plan, geom, refs = _mk_ctx(w, h)
+    strong = bool(enc.sps.strong_intra_smoothing_enabled_flag)
+    tabs = rank_satd_tables_host(plane, geom.zscan, 8, strong)
+
+    probe = IntraPictureEncoder.__new__(IntraPictureEncoder)
+    probe.sps = enc.sps
+    probe.bd = 8
+    probe.refs = refs
+    probe.rd_candidates = 2
+    for n in (4, 8, 16, 32):
+        hn, wn = h // n, w // n
+        assert tabs[n].shape == (hn, wn, 35)
+        # sample positions incl. borders
+        for by, bx in [(0, 0), (0, wn - 1), (hn - 1, 0),
+                       (hn // 2, wn // 2), (hn - 1, wn - 1)]:
+            x0, y0 = bx * n, by * n
+            rt, rl, co = refs.build(plane, x0, y0, n, 0, 8)
+            ob = plane[y0:y0 + n, x0:x0 + n].astype(np.int32)
+            exp = probe._mode_satds(ob, rt, rl, co, n)
+            got = tabs[n][by, bx]
+            assert np.array_equal(got, np.asarray(exp).astype(np.int32)), \
+                (n, by, bx)
+
+
+def test_rank_satd_tables_device_matches_host():
+    """XLA rank-SATD tables must be integer-exact vs the numpy twin."""
+    from turingcodec_tpu.encode.device_analysis import (
+        rank_satd_tables_device, rank_satd_tables_host)
+    rng = np.random.RandomState(5)
+    w, h = 128, 96
+    plane = rng.randint(0, 256, (h, w)).astype(np.int16)
+    plane[20:60, 30:100] = (np.add.outer(np.arange(40), np.arange(70))
+                            % 256)
+    _enc, _plan, geom, _refs = _mk_ctx(w, h)
+    hostt = rank_satd_tables_host(plane, geom.zscan, 8, True)
+    devt = rank_satd_tables_device(plane, geom.zscan, 8, True)
+    for n in (4, 8, 16, 32):
+        assert np.array_equal(hostt[n], devt[n]), n

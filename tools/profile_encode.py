@@ -87,11 +87,16 @@ def main():
                   f"{ns / 1e9 / dt * 100:5.1f}%")
     print("  counts: " + json.dumps(
         {k: int(v) for k, v in zip(COUNTS, cnt[16:24]) if v}))
-    # device-offloadable prepass fraction (the stages with XLA twins:
-    # lowres pre-ME + dense full-pel ME field, whether computed in-picture
-    # [15/24] or by the facade's standalone analysis call [25])
-    dev = (cnt[15] + cnt[24] + cnt[25]) / 1e9
-    print(f"  device-offloadable prepass: {dev / len(ups):.4f} s/frame "
+    # device-twin-covered fraction: stages with proven integer-exact XLA
+    # twins (tools/device_enc_check.py, byte-identical bitstreams with
+    # TURING_TPU_DEVICE_ENC=1):
+    #   [15/24/25] lowres pre-ME + dense ME field (+ facade analysis)
+    #   [26] subpel plane builds (device_analysis.subpel_planes_device)
+    #   [12] rank_modes — the source-referenced 35-mode SATD ranking of
+    #        the MET presets (device_analysis.rank_satd_tables_device);
+    #        this workload runs rd_candidates=1, so src-rank is active
+    dev = (cnt[12] + cnt[15] + cnt[24] + cnt[25] + cnt[26]) / 1e9
+    print(f"  device-twin-covered stages: {dev / len(ups):.4f} s/frame "
           f"({dev / dt * 100:.1f}% of wall)")
 
 

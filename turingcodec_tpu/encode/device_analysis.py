@@ -495,13 +495,6 @@ def _grid_mode_satds(orig_blocks, vals, fvals, n, bd):
                 continue
             use_f[mode] = True
 
-    def pick(src_u, src_f, mode):
-        return src_f if use_f[mode] else src_u
-
-    for which, src in (("u", (rt, rl, co)),) + (
-            (("f", None),) if n > 4 else ()):
-        pass  # (clarity: filtered refs derived below)
-
     frl = fvals[:, :2 * n][:, ::-1] if fvals is not None else rl
     fco = fvals[:, 2 * n] if fvals is not None else co
     frt = fvals[:, 2 * n + 1:] if fvals is not None else rt
@@ -543,12 +536,12 @@ def _grid_mode_satds(orig_blocks, vals, fvals, n, bd):
     ext_f = build_ext(frt, frl, fco) if n > 4 else ext_u
     bidx = np.arange(B)[:, None, None, None]
     pf = pos0[None]
-    gu = ext_u[bidx[..., 0], pf]
-    g1u = ext_u[bidx[..., 0], pf + 1]
+    gu = ext_u[bidx, pf]
+    g1u = ext_u[bidx, pf + 1]
     pu = ((32 - fact[None]) * gu + fact[None] * g1u + 16) >> 5
     if n > 4:
-        gf = ext_f[bidx[..., 0], pf]
-        g1f = ext_f[bidx[..., 0], pf + 1]
+        gf = ext_f[bidx, pf]
+        g1f = ext_f[bidx, pf + 1]
         pfa = ((32 - fact[None]) * gf + fact[None] * g1f + 16) >> 5
         sel = use_f[2:][None, :, None, None]
         pang = np.where(sel, pfa, pu)
@@ -576,6 +569,185 @@ def rank_satd_tables_host(plane, zscan, bd, strong, sizes=(4, 8, 16, 32)):
             .transpose(0, 2, 1, 3).reshape(-1, n, n)
         satds = _grid_mode_satds(ob, vals, fvals, n, bd)
         out[n] = satds.reshape(hn, wn, 35).astype(np.int32)
+    return out
+
+
+def _rank_tables_program(w, h, n, bd, strong, zscan_np):
+    """Jitted plane -> (hn, wn, 35) int32 rank-SATD table for one size:
+    the XLA twin of rank_satd_tables_host (identical integers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from turingcodec_tpu.decode.reconstruct import _HVD_THRES
+    from turingcodec_tpu.encode.sweep import _h4, _h8, _stacked_tables
+    hn, wn = h // n, w // n
+    B = hn * wn
+    m = 4 * n + 1
+    tx = np.empty(m, np.int32)
+    ty = np.empty(m, np.int32)
+    tx[:2 * n + 1] = -1
+    tx[2 * n + 1:] = np.arange(2 * n)
+    ty[:2 * n] = 2 * n - 1 - np.arange(2 * n)
+    ty[2 * n:] = -1
+    bx = (np.arange(wn) * n)[None, :, None]
+    by = (np.arange(hn) * n)[:, None, None]
+    px = np.broadcast_to(bx + tx[None, None, :], (hn, wn, m)) \
+        .reshape(B, m)
+    py = np.broadcast_to(by + ty[None, None, :], (hn, wn, m)) \
+        .reshape(B, m)
+    inb = (px >= 0) & (py >= 0) & (px < w) & (py < h)
+    pxc = np.clip(px, 0, w - 1)
+    pyc = np.clip(py, 0, h - 1)
+    zcur = zscan_np[by[:, :, 0] >> 2, bx[:, :, 0] >> 2].reshape(B, 1)
+    ok_np = inb & (zscan_np[pyc >> 2, pxc >> 2] <= zcur)  # static per geom
+    mid = 1 << (bd - 1)
+    x = np.arange(n)
+    log2n = int(n).bit_length() - 1
+    block = 8 if n >= 8 else 4
+    hb = np.asarray(_h8() if block == 8 else _h4())
+    pos0, fact, neg = _stacked_tables(n)
+    use_f = np.zeros(35, bool)
+    if n > 4:
+        thres = _HVD_THRES[n]
+        for mode in range(35):
+            if mode == 1:
+                continue
+            if mode != 0 and min(abs(mode - 26), abs(mode - 10)) <= thres:
+                continue
+            use_f[mode] = True
+    # per-mode ext gather indices relative to the mode's own ext row
+    pos_rel = (np.asarray(pos0)
+               - (np.arange(33, dtype=np.int64) * (3 * n + 2))[:, None,
+                                                               None])
+    negc = np.maximum(np.asarray(neg), 0)
+    neg_is_c = np.asarray(neg) < 0
+
+    def program(plane):
+        p32 = plane.astype(jnp.int32)
+        vals = p32[pyc, pxc]  # (B, m) — static index arrays
+        ok = jnp.asarray(ok_np)
+        any_ok = ok.any(axis=1)
+        first = jnp.argmax(ok, axis=1)
+        barange = jnp.arange(B)
+        vals = vals.at[:, 0].set(
+            jnp.where(ok[:, 0], vals[:, 0], vals[barange, first]))
+        ok = ok.at[:, 0].set(True)
+        vals = jnp.where(ok, vals, 0)
+        src = jnp.where(ok, jnp.arange(m)[None, :], 0)
+        src = jax.lax.cummax(src, axis=1)
+        vals = jnp.take_along_axis(vals, src, axis=1)
+        vals = jnp.where(any_ok[:, None], vals, mid)
+
+        rl = vals[:, :2 * n][:, ::-1]
+        co = vals[:, 2 * n]
+        rt = vals[:, 2 * n + 1:]
+        if n > 4:
+            ft0 = (co + 2 * rt[:, 0] + rt[:, 1] + 2) >> 2
+            fl0 = (co + 2 * rl[:, 0] + rl[:, 1] + 2) >> 2
+            ftm = (rt[:, :2 * n - 2] + 2 * rt[:, 1:2 * n - 1]
+                   + rt[:, 2:] + 2) >> 2
+            flm = (rl[:, :2 * n - 2] + 2 * rl[:, 1:2 * n - 1]
+                   + rl[:, 2:] + 2) >> 2
+            frt = jnp.concatenate([ft0[:, None], ftm,
+                                   rt[:, 2 * n - 1][:, None]], axis=1)
+            frl = jnp.concatenate([fl0[:, None], flm,
+                                   rl[:, 2 * n - 1][:, None]], axis=1)
+            fco = (rl[:, 0] + 2 * co + rt[:, 0] + 2) >> 2
+            if strong and n == 32:
+                t1 = jnp.abs(co + rt[:, 2 * n - 1] - 2 * rt[:, n - 1])
+                t2 = jnp.abs(co + rl[:, 2 * n - 1] - 2 * rl[:, n - 1])
+                is_str = (t1 < (1 << (bd - 5))) & (t2 < (1 << (bd - 5)))
+                i = jnp.arange(63)
+                st = ((63 - i)[None, :] * co[:, None]
+                      + (i + 1)[None, :] * rt[:, 63][:, None] + 32) >> 6
+                sl = ((63 - i)[None, :] * co[:, None]
+                      + (i + 1)[None, :] * rl[:, 63][:, None] + 32) >> 6
+                frt = jnp.where(is_str[:, None],
+                                jnp.concatenate(
+                                    [st, rt[:, 63][:, None]], axis=1), frt)
+                frl = jnp.where(is_str[:, None],
+                                jnp.concatenate(
+                                    [sl, rl[:, 63][:, None]], axis=1), frl)
+                fco = jnp.where(is_str, co, fco)
+        else:
+            frt, frl, fco = rt, rl, co
+
+        ob = p32[:hn * n, :wn * n].reshape(hn, n, wn, n) \
+            .transpose(0, 2, 1, 3).reshape(B, n, n)
+
+        def satd1(pred):  # (B, n, n) -> (B,)
+            d = ob - pred
+            bh_ = n // block
+            d = d.reshape(B, bh_, block, bh_, block).transpose(0, 1, 3, 2,
+                                                               4)
+            t = jnp.asarray(hb) @ d @ jnp.asarray(hb)
+            s = jnp.abs(t).sum(axis=(3, 4))
+            s = (s + 2) >> 2 if block == 8 else (s + 1) >> 1
+            return s.sum(axis=(1, 2))
+
+        def planar(rt_, rl_):
+            return (((n - 1 - x)[None, None, :] * rl_[:, :n, None]
+                     + (x + 1)[None, None, :] * rt_[:, n][:, None, None]
+                     + (n - 1 - x)[None, :, None] * rt_[:, None, :n]
+                     + (x + 1)[None, :, None] * rl_[:, n][:, None, None]
+                     + n) >> (log2n + 1))
+
+        s0 = satd1(planar(frt, frl) if use_f[0] else planar(rt, rl))
+        rtd, rld = (frt, frl) if use_f[1] else (rt, rl)
+        dc = ((rtd[:, :n].sum(axis=1) + rld[:, :n].sum(axis=1) + n)
+              >> (log2n + 1))
+        s1 = satd1(jnp.broadcast_to(dc[:, None, None], (B, n, n)))
+
+        use_f_ang = jnp.asarray(use_f[2:])
+
+        def ang_step(mi, acc):
+            # stacked-table rows 0..15 = modes 2..17 (main ref = LEFT,
+            # negative extension gathered from TOP); rows 16.. = vertical
+            topside = mi >= 16
+            fsel = use_f_ang[mi]
+            rt_m = jnp.where(fsel, frt, rt)
+            rl_m = jnp.where(fsel, frl, rl)
+            co_m = jnp.where(fsel, fco, co)
+            mainn = jnp.where(topside, rt_m, rl_m)
+            other = jnp.where(topside, rl_m, rt_m)
+            negm = jnp.asarray(negc)[mi]
+            negc_m = jnp.asarray(neg_is_c)[mi]
+            extneg = jnp.where(negc_m[None, :], co_m[:, None],
+                               jnp.take(other, negm, axis=1))
+            ext = jnp.concatenate(
+                [extneg, co_m[:, None], mainn,
+                 mainn[:, 2 * n - 1][:, None]], axis=1)
+            idx = jnp.asarray(pos_rel)[mi]
+            g0 = jnp.take(ext, idx, axis=1)
+            g1 = jnp.take(ext, idx + 1, axis=1)
+            f = jnp.asarray(fact)[mi]
+            pred = ((32 - f) * g0 + f * g1 + 16) >> 5
+            return acc.at[:, mi].set(satd1(pred).astype(jnp.int32))
+
+        sang = jax.lax.fori_loop(
+            0, 33, ang_step, jnp.zeros((B, 33), jnp.int32))
+        out = jnp.concatenate([s0[:, None], s1[:, None], sang], axis=1)
+        return out.reshape(hn, wn, 35).astype(jnp.int32)
+
+    import jax
+    return jax.jit(program)
+
+
+def rank_satd_tables_device(plane, zscan, bd, strong,
+                            sizes=(4, 8, 16, 32)):
+    """Device twin of rank_satd_tables_host: {n: (hn, wn, 35) int32}."""
+    plane = np.asarray(plane, np.int16)
+    h, w = plane.shape
+    out = {}
+    for n in sizes:
+        if h // n == 0 or w // n == 0:
+            continue
+        key = ("rank", w, h, n, bd, bool(strong))
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = _rank_tables_program(w, h, n, bd,
+                                                   bool(strong),
+                                                   np.asarray(zscan))
+        out[n] = np.asarray(_JIT_CACHE[key](plane))
     return out
 
 

@@ -673,6 +673,14 @@ class Encoder:
         qp_pic = sh.slice_qp_y
         if sh.is_i:
             scale = 1.0 - min(max(0.05 * (m - 1.0), 0.0), 0.5)
+            if scale < 1.0 and self._idr_unpredictable(docket, yuv):
+                # the gopM discount buys I-frame quality that propagates
+                # through prediction; on temporally-unpredictable (noise)
+                # content nothing propagates, and the discounted lambda
+                # overspends on a flat RD surface (measured: 3.3x I-frame
+                # rate for +0.35 dB at the synthetic qp38 tail) — keep
+                # the undiscounted intra lambda there
+                scale = 1.0
             qf = 0.57 * scale
         else:
             qf = docket.qp_factor
@@ -721,6 +729,22 @@ class Encoder:
                 rows[bounds[i]:bounds[i + 1]] = 0 if dep else i
             enc.slice_row_map = rows
 
+        # device rank-SATD tables (source-referenced ranking presets):
+        # pure function of the input picture, computed for I and inter
+        # pictures alike; the native search reads the installed integers
+        # instead of sweeping (byte-identical — exact twins)
+        from turingcodec_tpu.encode.device_analysis import (
+            device_enc_enabled, rank_satd_tables_device)
+        if (device_enc_enabled()
+                and not os.environ.get("TC_NO_SRC_RANK")
+                and (self.cfg.rd_candidates <= 2
+                     or os.environ.get("TC_SRC_RANK"))
+                and self.cfg.slices == 1 and self.cfg.tile_cols == 1
+                and self.cfg.tile_rows == 1):
+            enc._device_ranksatd = rank_satd_tables_device(
+                np.asarray(yuv[0]), self.geom.zscan, self.cfg.bit_depth,
+                bool(self.sps.strong_intra_smoothing_enabled_flag))
+
         # pre-analysis (device fields + noise streak) is cross-picture
         # sequential state: run it here, not in the parallel encode phase
         if not sh.is_i:
@@ -751,6 +775,39 @@ class Encoder:
             n_slices=n_slices, bounds=bounds if n_slices > 1 else None,
             nal_prefix=self._prefix_sei(docket), pic=pic,
             nal=None, recon=None, plan=None)
+
+    def _idr_unpredictable(self, docket, yuv) -> bool:
+        """Lookahead temporal-unpredictability of an IDR: dense-ME the IDR
+        source against the NEXT input picture (the RA planner holds the
+        IDR one input so it is available) and compare the winner-SAD
+        median against the noise threshold — the same integer field and
+        rule the inter noise-adaptive RDOQ uses, so the decision is a
+        deterministic function of the inputs."""
+        import os
+        if os.environ.get("TC_NO_NOISE_ADAPT") \
+                or os.environ.get("TC_NO_DENSEME") \
+                or os.environ.get("TC_NO_LOWRES") \
+                or self._rc is not None:
+            return False
+        nxt = self._inputs.get(docket.input_index + 1)
+        if nxt is None:
+            return False
+        from turingcodec_tpu import native
+        from turingcodec_tpu.encode.inter_search import InterPictureEncoder
+        a = np.asarray(yuv[0])
+        res = native.dense_analysis(np.asarray(nxt[0]), a,
+                                    self.cfg.bit_depth)
+        if res is not None:
+            dsad = res[2]
+        else:
+            probe = InterPictureEncoder.__new__(InterPictureEncoder)
+            probe._lr_seed_cache = {}
+            probe._dense_cache = {}
+            probe.orig = [np.asarray(nxt[0])]
+            dsad = probe._dense_field(a)[1]
+        flat = np.sort(np.asarray(dsad), axis=None)
+        return int(flat[flat.size // 2]) \
+            > InterPictureEncoder.NOISE_SAD_MEDIAN
 
     def _docket_encode(self, job) -> None:
         """Parallel-safe phase: the picture's RDO, loop filters, SAO

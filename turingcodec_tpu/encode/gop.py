@@ -81,6 +81,7 @@ class GopPlanner:
         self.n_in = 0
         self.base_poc = 0              # POC of the last scheduled SOP end
         self.idr_input = 0             # input index of the current IDR
+        self._held_idr = None          # IDR delayed one input (RA only)
 
     def push(self, force_idr: bool = False) -> List[Docket]:
         """Register one more input frame; returns any newly-ready dockets.
@@ -91,13 +92,25 @@ class GopPlanner:
         idx = self.n_in
         self.n_in += 1
         out = []
+        if self._held_idr is not None:
+            # release the 1-input-delayed IDR (RA lookahead slot) before
+            # anything that follows it
+            out.append(Docket(input_index=self._held_idr, poc=0,
+                              is_idr=True, slice_type=2))
+            self._held_idr = None
         if self._is_idr_input(idx) or force_idr:
-            out.extend(self.flush())
-            out.append(Docket(input_index=idx, poc=0, is_idr=True,
-                              slice_type=2))
+            out.extend(self._drain_sops())
             self.idr_input = idx
             self.base_poc = 0
             self.pending = []
+            if self.m > 1:
+                # hierarchical GOPs already reorder: hold the IDR one
+                # input so its pre-analysis can consult the next source
+                # picture (temporal-unpredictability lambda rule)
+                self._held_idr = idx
+                return out
+            out.append(Docket(input_index=idx, poc=0, is_idr=True,
+                              slice_type=2))
             return out
         self.pending.append(idx)
         if len(self.pending) == self.m:
@@ -105,7 +118,17 @@ class GopPlanner:
         return out
 
     def flush(self) -> List[Docket]:
-        """Emit dockets for a final partial SOP (low-delay order)."""
+        """Emit dockets for a held IDR and a final partial SOP
+        (low-delay order)."""
+        out = []
+        if self._held_idr is not None:
+            out.append(Docket(input_index=self._held_idr, poc=0,
+                              is_idr=True, slice_type=2))
+            self._held_idr = None
+        out.extend(self._drain_sops())
+        return out
+
+    def _drain_sops(self) -> List[Docket]:
         out = []
         while self.pending:
             # encode remaining frames as one exact-size SOP (the

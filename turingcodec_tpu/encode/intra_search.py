@@ -202,6 +202,8 @@ class IntraPictureEncoder:
             nat.install_seeds(self._device_seeds)
         if nat is not None and getattr(self, "_device_subpel", None):
             nat.install_subpel(self._device_subpel)
+        if nat is not None and getattr(self, "_device_ranksatd", None):
+            nat.install_ranksatd(self._device_ranksatd)
         ctb = sps.ctb_size_y
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
         wc = sps.pic_width_in_ctbs_y

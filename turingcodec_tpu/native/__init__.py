@@ -204,6 +204,9 @@ def _build_and_load():
     lib.tc_enc_subpel_plane.argtypes = [
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p]
+    lib.tc_enc_install_ranksatd.restype = None
+    lib.tc_enc_install_ranksatd.argtypes = [
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
     lib.tc_dense_analysis.restype = None
     lib.tc_dense_analysis.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
@@ -1169,6 +1172,19 @@ class EncNative:
             _, ph, pw = arr.shape
             self.lib.tc_enc_install_subpel(
                 lx, r, ctypes.c_void_p(arr.ctypes.data), pw, ph)
+
+    def install_ranksatd(self, tables):
+        """Install device-computed source-referenced rank-SATD tables
+        ({n: (hn, wn, 35) int32}, device_analysis.rank_satd_tables_device
+        — the exact integers rank_modes' source-ref sweep produces)."""
+        self._keep_rank = []
+        for n, tab in tables.items():
+            arr = np.ascontiguousarray(tab, np.int32)
+            self._keep_rank.append(arr)
+            hn, wn, _ = arr.shape
+            self.lib.tc_enc_install_ranksatd(
+                int(n).bit_length() - 1,
+                ctypes.c_void_p(arr.ctypes.data), hn, wn)
 
     def subpel_plane(self, lx, r, xf, yf, pic_w, pic_h):
         """Read one (natively built) subpel plane — device-twin

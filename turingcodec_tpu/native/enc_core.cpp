@@ -143,6 +143,13 @@ struct EN {
                 b.store(0, std::memory_order_relaxed);
         }
     };
+    // device-computed source-referenced rank-SATD tables
+    // (encode/device_analysis.py rank_satd_tables_*): per size log2 2..5,
+    // (hn, wn, 35) int32 — the exact integers rank_modes' sweep produces
+    // with source refs at aligned positions
+    std::vector<int32_t> ranksatd[6];
+    int ranksatd_wn[6] = {0, 0, 0, 0, 0, 0};
+    int have_ranksatd = 0;
     static const int N_SPSETS = 6;
     SubpelSet spsets[N_SPSETS];
     int8_t sp_of[2][16];  // (list, ref) -> set index or -1
@@ -2324,12 +2331,26 @@ struct Sweep4Tables {
 int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
                int32_t corner, int n, const int cands_mpm[3], int count,
                int* out_cands, double* out_costs = nullptr, int n_mpm = 0,
-               int64_t* out_satd = nullptr) {
+               int64_t* out_satd = nullptr, int x0 = -1, int y0 = -1,
+               int from_src = 0) {
     LeafTimer pt(12);
+    // device-installed source-referenced SATD table: when the caller
+    // ranks from SOURCE refs at an aligned position and the device stage
+    // installed this size's table, the sweep's exact integers are read
+    // instead of recomputed (TURING_TPU_DEVICE_ENC rank stage)
+    const int32_t* tab = nullptr;
+    if (from_src && x0 >= 0 && en.have_ranksatd) {
+        const int lg = n == 4 ? 2 : (n == 8 ? 3 : (n == 16 ? 4 : 5));
+        if ((en.have_ranksatd >> lg) & 1) {
+            const int wn = en.ranksatd_wn[lg];
+            tab = en.ranksatd[lg].data()
+                + ((size_t)(y0 / n) * wn + x0 / n) * 35;
+        }
+    }
     static thread_local int32_t pred[32 * 32], orig_t[32 * 32];
     const int bd = g_sp.bit_depth_y;
     int32_t frt[64], frl[64], fc = corner;
-    bool have_f = n > 4;
+    bool have_f = !tab && n > 4;
     if (have_f) {
         std::memcpy(frt, rt, 2 * n * 4);
         std::memcpy(frl, rl, 2 * n * 4);
@@ -2338,9 +2359,10 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
     const int thres = n == 8 ? 7 : (n == 16 ? 1 : 0);
     int bs = n >= 8 ? 8 : 4;
     // transposed original for the scan-major (mode < 18) comparisons
-    for (int y = 0; y < n; y++)
-        for (int x = 0; x < n; x++)
-            orig_t[x * n + y] = orig_b[y * n + x];
+    if (!tab)
+        for (int y = 0; y < n; y++)
+            for (int x = 0; x < n; x++)
+                orig_t[x * n + y] = orig_b[y * n + x];
     struct MC {
         double cost;
         int mode;
@@ -2354,7 +2376,11 @@ int rank_modes(const int32_t* orig_b, const int32_t* rt, const int32_t* rl,
             out_satd[mode] = satd;
     };
     int mode_begin = 0;
-    if (n == 4) {
+    if (tab) {
+        for (int mode = 0; mode < 35; mode++)
+            score(mode, (int64_t)tab[mode]);
+        mode_begin = 35;
+    } else if (n == 4) {
         // planar + DC via the generic path (no edge filtering at n=4)
         for (int mode = 0; mode < 2; mode++) {
             intra_predict_core(mode, rt, rl, corner, 4, 0, bd, 1, pred);
@@ -3197,7 +3223,8 @@ double encode_intra_cu(int x0, int y0, int log2, int depth,
     int ncand = rank_modes(orig_y, src_rank ? srt : rt, src_rank ? srl : rl,
                            src_rank ? scorner : corner, size, mpm,
                            ncand_want, cands, cand_costs,
-                           g_sp.is_i ? n_mpm : 0);
+                           g_sp.is_i ? n_mpm : 0, nullptr, x0, y0,
+                           src_rank ? 1 : 0);
     {
         static const bool no_gate_env =
             getenv("TC_NO_SATDGATE") != nullptr;
@@ -3328,7 +3355,8 @@ double encode_intra_nxn(int x0, int y0, int log2, int depth,
                                src_rank ? srl : rl,
                                src_rank ? scorner : corner, half, mpm,
                                count, cands, cand_costs,
-                               g_sp.is_i ? n_mpm : 0);
+                               g_sp.is_i ? n_mpm : 0, nullptr, xb, yb,
+                               src_rank ? 1 : 0);
         {
             static const bool no_gate_env =
                 getenv("TC_NO_SATDGATE") != nullptr;
@@ -3550,7 +3578,7 @@ double encode_intra_cu64(int x0, int y0, int depth,
                              en.zscan32, g_sp.w4, qx, qy, 32, 1, bd, srt,
                              srl, &sc);
             rank_modes(orig_q[q], srt, srl, sc, 32, mpm, 1, dummy,
-                       nullptr, 0, satd[q]);
+                       nullptr, 0, satd[q], qx, qy, 1);
         }
     }
     struct MC {
@@ -6581,6 +6609,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
         }
     en.have_seed[0] = en.have_seed[1] = 0;  // per-picture (set in prepass)
     en.have_dense[0] = en.have_dense[1] = 0;
+    en.have_ranksatd = 0;  // per-picture (device install after setup)
     // subpel plane cache: one set per distinct hot reference plane,
     // nearest refs first (they take nearly all subpel probes); planes
     // rebuild lazily per picture (flags cleared here — reference recon
@@ -6756,6 +6785,17 @@ void tc_enc_subpel_plane(int32_t l, int32_t r, int32_t xf, int32_t yf,
     const size_t n = (size_t)(g_sp.pic_w + 2 * SP_P)
                      * (g_sp.pic_h + 2 * SP_P);
     std::memcpy(out, pl, n * sizeof(int16_t));
+}
+
+// install a device-computed rank-SATD table for size 1<<log2:
+// (hn, wn, 35) int32, hn*wn aligned blocks
+void tc_enc_install_ranksatd(int32_t log2, const int32_t* data,
+                             int32_t hn, int32_t wn) {
+    if (log2 < 2 || log2 > 5)
+        return;
+    en.ranksatd[log2].assign(data, data + (size_t)hn * wn * 35);
+    en.ranksatd_wn[log2] = wn;
+    en.have_ranksatd |= 1 << log2;
 }
 
 // install a device-computed lowres pre-ME seed field for list l

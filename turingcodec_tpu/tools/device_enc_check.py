@@ -124,6 +124,27 @@ def main():
           f"exact vs host: {sp_exact}")
     assert sp_exact
 
+    # 1d) rank-SATD tables (source-referenced 35-mode intra ranking —
+    # rank_modes' sweep as one batched device stage)
+    from turingcodec_tpu.encode.device_analysis import (
+        rank_satd_tables_device, rank_satd_tables_host)
+    from turingcodec_tpu.encode.encoder import EncoderConfig as _EC
+    from turingcodec_tpu.encode.encoder import Encoder as _E
+    geom = _E(_EC(width=640, height=360, qp=32)).geom
+    t0 = time.time()
+    rkd = rank_satd_tables_device(frames[0][0], geom.zscan, 8, True)
+    rk_cold = time.time() - t0
+    t0 = time.time()
+    rank_satd_tables_device(frames[0][0], geom.zscan, 8, True)
+    rk_warm = time.time() - t0
+    rkh = rank_satd_tables_host(frames[0][0], geom.zscan, 8, True)
+    rk_exact = all(np.array_equal(rkd[n], rkh[n]) for n in rkd)
+    nsat = sum(v.size for v in rkd.values())
+    print(f"rank-SATD tables ({nsat} block-mode SATDs, sizes 4..32): "
+          f"cold {rk_cold:.1f}s, warm {rk_warm * 1e3:.0f}ms/picture, "
+          f"exact vs host: {rk_exact}")
+    assert rk_exact
+
     # 2) byte-identical bitstreams with the stage on
     def enc_once(dev):
         if dev:
