@@ -111,6 +111,118 @@ class EncoderConfig:
     sei_hrd_timing: bool = False  # buffering_period at IRAPs + pic_timing
                                   # CPB/DPB delays (needs bitrate; beyond
                                   # the reference, which emits neither)
+    frame_overlap: bool = False  # inter-picture overlap: dependent
+                                 # pictures encode concurrently behind a
+                                 # row-granular loop-filter wavefront, MV
+                                 # reach y-clamped (the reference's
+                                 # --concurrent-frames operating point,
+                                 # TaskEncodeSubstream.cpp:71-93 +
+                                 # Search.hpp:1366-1408). Its own
+                                 # deterministic operating point:
+                                 # bitstreams are byte-identical at any
+                                 # thread count with overlap on, but
+                                 # differ from the sequential walk (the
+                                 # clamp). Env TURING_TPU_FRAME_OVERLAP
+                                 # overrides (1/0).
+
+
+class _OverlapFollower:
+    """Loop-filter follower for inter-picture overlap: for every in-flight
+    picture it copies finished search-recon rows into the DPB planes, runs
+    the banded native deblock lagging one CTU row behind the search,
+    maintains the u8 ME shadow, and publishes the final-row count that
+    dependent pictures' native row-waits consume (the analogue of the
+    reference's deblock/SAO tasks advancing the wavefront the next
+    picture's `blocked()` checks, TaskEncodeSubstream.cpp:71-93 /
+    TaskDeblock). Timing only affects WHEN rows publish, never their
+    values, so bitstreams are byte-identical at any thread count."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._jobs = []
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def add(self, job):
+        import threading
+        job.ovl_done = threading.Event()
+        job.ovl_st = {"r": 0, "e": 0, "pub": 0, "dbn": None}
+        with self._lock:
+            self._jobs.append(job)
+
+    def stop(self):
+        self._stop = True
+        self._thread.join()
+
+    def _run(self):
+        import time
+        while not self._stop:
+            with self._lock:
+                jobs = list(self._jobs)
+            busy = False
+            done = []
+            for job in jobs:
+                try:
+                    if self._advance(job):
+                        busy = True
+                except BaseException:
+                    # never leave a dependent picture waiting forever
+                    job.ovl_st["error"] = True
+                    job.pic.ovl_rows[0] = 1 << 30
+                    job.ovl_done.set()
+                if job.ovl_done.is_set():
+                    done.append(job)
+            if done:
+                with self._lock:
+                    for job in done:
+                        if job in self._jobs:
+                            self._jobs.remove(job)
+            if not busy:
+                time.sleep(0.0005)
+
+    def _advance(self, job) -> bool:
+        s = int(job.search_rows[0])
+        st = job.ovl_st
+        if st["r"] >= s:
+            return False
+        enc, pic = job.enc, job.pic
+        sps = enc.sps
+        H = sps.pic_height_in_luma_samples
+        S = sps.ctb_size_y
+        hc = sps.pic_height_in_ctbs_y
+        if st["dbn"] is None:
+            from turingcodec_tpu import native
+            st["dbn"] = native.DeblockNative.try_create(
+                enc.plan, enc.geom, *pic.planes)
+            assert st["dbn"] is not None, "overlap requires native deblock"
+        while st["r"] < s:
+            r = st["r"]
+            y0, y1 = r * S, min((r + 1) * S, H)
+            for c, (dst, src) in enumerate(zip(pic.planes, enc.recon)):
+                a, b = (y0, y1) if c == 0 else (y0 // 2, y1 // 2)
+                dst[a:b] = src[a:b]
+            # horizontal edges lag 4 luma rows (they read 4
+            # vertically-filtered rows below); the last band drains them
+            ey1 = H if r == hc - 1 else y1 - 4
+            st["dbn"].run_band(y0, y1, st["e"], ey1)
+            st["e"] = ey1
+            # rows 0..r-1 are fully final after band r (row r's last 4
+            # luma lines wait for the next band's boundary edge)
+            pub = hc if r == hc - 1 else r
+            if pub > st["pub"]:
+                u8 = getattr(pic, "ovl_u8", None)
+                if u8 is not None:
+                    u8[st["pub"] * S:min(pub * S, H)] = \
+                        pic.planes[0][st["pub"] * S:min(pub * S, H)]
+                st["pub"] = pub
+                pic.ovl_rows[0] = pub  # plain release store (x86 TSO);
+                # pairs with the consumer's native acquire load
+            st["r"] = r + 1
+        if st["r"] >= hc:
+            job.ovl_done.set()
+        return True
 
 
 class Encoder:
@@ -132,6 +244,7 @@ class Encoder:
         self.frame_count = 0
         self._noise_streak = 0   # consecutive unpredictable inter pictures
         self._pool = None        # frame-parallel worker pool (lazy)
+        self._ovl_state = None   # inter-picture overlap pipeline (lazy)
         self._user_data_sent = False
         self._decode_count = 0   # pictures emitted in decode order
         self._timing = {}        # input_index -> (pts, dts, keyframe)
@@ -476,7 +589,7 @@ class Encoder:
                 i = self._la_queue.pop(0)
                 dockets += self._planner.push(self._scd.is_shot_change(i))
         dockets += self._planner.flush()
-        return self._encode_dockets(dockets)
+        return self._encode_dockets(dockets) + self._drain_overlap()
 
     # ------------------------------------------------------------------
     def _frame_threads(self) -> int:
@@ -504,7 +617,88 @@ class Encoder:
             return max(1, int(v))
         return 2 if (os.cpu_count() or 1) > 1 else 1
 
+    # ------------------------------------------------------------------
+    def _overlap_on(self) -> bool:
+        """Inter-picture overlap (the reference's --concurrent-frames
+        dependent-picture wavefront): opt-in, its own deterministic
+        operating point (see EncoderConfig.frame_overlap)."""
+        import os
+        v = os.environ.get("TURING_TPU_FRAME_OVERLAP")
+        on = self.cfg.frame_overlap if v is None else v not in ("", "0")
+        if not on:
+            return False
+        cfg = self.cfg
+        if (self._rc is not None or cfg.slices > 1 or cfg.sao
+                or cfg.aq_strength > 0 or cfg.tile_cols > 1
+                or cfg.tile_rows > 1 or cfg.wp_luma is not None
+                or cfg.tskip):
+            return False
+        if os.environ.get("TURING_TPU_NO_NATIVE") \
+                or os.environ.get("TURING_TPU_NO_NATIVE_ENC") \
+                or os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
+            return False
+        from turingcodec_tpu import native
+        return native.get_lib() is not None
+
+    def _ovl_frames(self) -> int:
+        """In-flight picture budget for overlap mode (the reference
+        defaults to 4 concurrent frames, encode.cpp:151)."""
+        import os
+        v = os.environ.get("TURING_TPU_FRAME_THREADS")
+        if v:
+            return max(1, int(v))
+        return min(4, max(2, os.cpu_count() or 1))
+
+    def _encode_dockets_overlap(self, dockets) -> List[tuple]:
+        """Pipelined dependent-picture encoding: prepare sequentially,
+        encode each picture on its own worker behind the native
+        row-granular wavefront, finalize strictly in decode order.
+        Results return as pictures complete (push_frame may return [] and
+        a later call several — same contract as GOP reordering)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from turingcodec_tpu import native
+        st = self._ovl_state
+        if st is None:
+            st = self._ovl_state = {
+                "q": [], "pool": ThreadPoolExecutor(
+                    max_workers=self._ovl_frames()),
+                "fol": _OverlapFollower()}
+        ft = self._ovl_frames()
+        wpp = max(1, native.enc_threads() // min(ft, 2))
+        out = []
+
+        def run(job):
+            native.bind_thread_ctx()
+            native.set_thread_enc_threads(wpp)
+            self._docket_encode(job)
+
+        for d in dockets:
+            while len(st["q"]) >= ft:
+                j0, f0 = st["q"].pop(0)
+                f0.result()
+                out.append(self._docket_finalize(j0))
+            job = self._docket_prepare(d)
+            st["fol"].add(job)
+            st["q"].append((job, st["pool"].submit(run, job)))
+        while st["q"] and st["q"][0][1].done():
+            j0, f0 = st["q"].pop(0)
+            f0.result()
+            out.append(self._docket_finalize(j0))
+        return out
+
+    def _drain_overlap(self) -> List[tuple]:
+        st = self._ovl_state
+        out = []
+        if st is not None:
+            while st["q"]:
+                j0, f0 = st["q"].pop(0)
+                f0.result()
+                out.append(self._docket_finalize(j0))
+        return out
+
     def _encode_dockets(self, dockets) -> List[tuple]:
+        if self._overlap_on():
+            return self._encode_dockets_overlap(dockets)
         ft = self._frame_threads()
         out = []
         i = 0
@@ -622,9 +816,12 @@ class Encoder:
         self._dpb.build_ref_lists(sh)
 
         import os
-        if os.environ.get("TC_SRC_SEEDS"):
+        ovl = self._overlap_on()
+        if os.environ.get("TC_SRC_SEEDS") or ovl:
             # stash source Y planes for source-referenced pre-analysis
-            # (pocs reset at IDR: clear so stale planes can't collide)
+            # (pocs reset at IDR: clear so stale planes can't collide).
+            # Overlap mode REQUIRES source-referenced analysis: reference
+            # reconstructions are still being encoded at prepare time.
             if docket.is_idr:
                 self._src_by_poc = {}
             stash = self.__dict__.setdefault("_src_by_poc", {})
@@ -747,11 +944,14 @@ class Encoder:
 
         # pre-analysis (device fields + noise streak) is cross-picture
         # sequential state: run it here, not in the parallel encode phase
+        enc._overlap = ovl
         if not sh.is_i:
             # TC_SRC_SEEDS: analyse against reference SOURCES (stashed Y
             # planes) instead of reconstructions — removes the analysis'
-            # recon dependency (GOP-batchable; overlap-safe)
-            if os.environ.get("TC_SRC_SEEDS"):
+            # recon dependency (GOP-batchable; overlap-safe). Overlap
+            # mode depends on it: in-flight reference reconstructions
+            # must not be read here.
+            if os.environ.get("TC_SRC_SEEDS") or ovl:
                 stash = getattr(self, "_src_by_poc", {})
                 ss = {}
                 for lx, refs in enumerate(self._dpb.ref_pic_list):
@@ -765,16 +965,37 @@ class Encoder:
 
         # DPB stub: inserted now so the NEXT picture's RPS retains this
         # one; planes/plan are filled in _docket_finalize (nothing reads
-        # them before this batch completes — batches are independent)
+        # them before this batch completes — batches are independent).
+        # Overlap mode pre-allocates the final planes + live plan here so
+        # dependent pictures bind them before this one finishes: samples
+        # are valid up to the follower-published row count, plan tensors
+        # (TMVP motion) up to the search's published rows.
         pic = DecodedPicture(poc=poc)
         pic.is_reference = True
         self._dpb.picture_done(pic, sh)
 
-        return SimpleNamespace(
+        job = SimpleNamespace(
             docket=docket, yuv=yuv, sh=sh, poc=poc, enc=enc,
             n_slices=n_slices, bounds=bounds if n_slices > 1 else None,
             nal_prefix=self._prefix_sei(docket), pic=pic,
-            nal=None, recon=None, plan=None)
+            nal=None, recon=None, plan=None, ovl=ovl)
+        if ovl:
+            from turingcodec_tpu.decode.plan import PicturePlan
+            sps = self.sps
+            h, w = (sps.pic_height_in_luma_samples,
+                    sps.pic_width_in_luma_samples)
+            plan = PicturePlan(sps, self.pps)
+            enc._preset_plan = plan
+            pic.plan = plan
+            pic.planes = [np.zeros((h, w), np.int16),
+                          np.zeros((h // 2, w // 2), np.int16),
+                          np.zeros((h // 2, w // 2), np.int16)]
+            pic.ovl_rows = np.zeros(1, np.int64)
+            if self.cfg.bit_depth == 8:
+                pic.ovl_u8 = np.zeros((h, w), np.uint8)
+            job.search_rows = np.zeros(1, np.int64)
+            enc._ovl_self_rows = job.search_rows
+        return job
 
     def _idr_unpredictable(self, docket, yuv) -> bool:
         """Lookahead temporal-unpredictability of an IDR: dense-ME the IDR
@@ -819,12 +1040,24 @@ class Encoder:
         if self.cfg.aq_strength > 0 or getattr(enc, "ctu_rc", None):
             self._reconcile_qp(plan, sh)
 
-        # reconstruction: search recon + the decoder's own deblocking over
-        # the same plan (round-trip tests assert bit-exact decoder agreement,
-        # the signature.cpp:171-177 invariant)
-        from turingcodec_tpu.decode.deblock_vec import deblock_picture_vec
-        recon = [p.copy() for p in search_recon]
-        deblock_picture_vec(plan, self.geom, recon[0], recon[1], recon[2])
+        if job.ovl:
+            # overlap: the follower deblocked band-by-band behind the
+            # search into the pre-allocated DPB planes; wait for it to
+            # drain the tail bands (sample-exact with the whole-picture
+            # pass — banded-deblock equivalence is pinned by test)
+            job.ovl_done.wait()
+            if job.ovl_st.get("error"):
+                raise RuntimeError("overlap follower failed")
+            recon = job.pic.planes
+        else:
+            # reconstruction: search recon + the decoder's own deblocking
+            # over the same plan (round-trip tests assert bit-exact
+            # decoder agreement, the signature.cpp:171-177 invariant)
+            from turingcodec_tpu.decode.deblock_vec import (
+                deblock_picture_vec)
+            recon = [p.copy() for p in search_recon]
+            deblock_picture_vec(plan, self.geom, recon[0], recon[1],
+                                recon[2])
 
         if self.cfg.sao:
             # SAO estimation needs the deblocked picture; its parameters go

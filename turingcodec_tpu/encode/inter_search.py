@@ -95,7 +95,9 @@ class InterPictureEncoder(IntraPictureEncoder):
             device_enc_enabled, install_seed_fields, install_subpel_fields)
         self._device_seeds = None
         self._device_subpel = None
-        if device_enc_enabled():
+        if device_enc_enabled() and not getattr(self, "_overlap", False):
+            # overlap: reference reconstructions are in flight — the
+            # source-referenced fields from _noise_adapt stand in
             self._device_seeds = install_seed_fields(self, orig)
             self._device_subpel = install_subpel_fields(self)
         self._noise_adapt(orig)
@@ -135,6 +137,11 @@ class InterPictureEncoder(IntraPictureEncoder):
             if not r2:
                 return None
             sp = ss.get(lx)
+            if sp is None and getattr(self, "_overlap", False):
+                # overlap: never touch an in-flight reconstruction here
+                # (no stashed source for this ref -> no field, which is a
+                # static function of the docket sequence: deterministic)
+                return None
             return sp if sp is not None else r2[0].planes[0]
 
         plane0 = seed_plane(0)

@@ -185,7 +185,12 @@ class IntraPictureEncoder:
     def encode_picture(self, orig: List[np.ndarray], slice_number: int = 0
                        ) -> Tuple[PicturePlan, List[np.ndarray]]:
         sps = self.sps
-        plan = PicturePlan(self.sps, self.pps)
+        # overlap mode pre-creates the plan in the facade's prepare phase
+        # so dependent pictures' TMVP binds these tensors while this
+        # picture is still encoding
+        plan = getattr(self, "_preset_plan", None)
+        if plan is None:
+            plan = PicturePlan(self.sps, self.pps)
         plan.slice_headers.append(self.sh)
         self.plan = plan
         self.orig = orig
@@ -204,6 +209,10 @@ class IntraPictureEncoder:
             nat.install_subpel(self._device_subpel)
         if nat is not None and getattr(self, "_device_ranksatd", None):
             nat.install_ranksatd(self._device_ranksatd)
+        if getattr(self, "_overlap", False):
+            assert nat is not None, \
+                "inter-picture overlap requires the native search core"
+            nat.setup_overlap(self)
         ctb = sps.ctb_size_y
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
         wc = sps.pic_width_in_ctbs_y

@@ -171,7 +171,8 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int32, ctypes.c_int32]
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
 
     lib.tc_intra_recon.restype = ctypes.c_int
     lib.tc_intra_recon.argtypes = [
@@ -207,6 +208,9 @@ def _build_and_load():
     lib.tc_enc_install_ranksatd.restype = None
     lib.tc_enc_install_ranksatd.argtypes = [
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.tc_enc_overlap_setup.restype = None
+    lib.tc_enc_overlap_setup.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     lib.tc_dense_analysis.restype = None
     lib.tc_dense_analysis.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
@@ -645,49 +649,81 @@ def intra_recon(pr) -> bool:
     return True
 
 
+class DeblockNative:
+    """Reusable (banded) native deblock driver for one picture's planes.
+
+    `run_band(vy0, vy1, ey0, ey1)` filters vertical-edge segments with
+    luma y in [vy0, vy1) and horizontal edges at luma y in [ey0, ey1) —
+    a lagged band sequence is sample-exact with the whole-picture pass
+    (the inter-picture overlap follower publishes loop-filtered rows
+    this way while the CTU search below still runs)."""
+
+    @staticmethod
+    def try_create(plan, geom, ry, rcb, rcr):
+        if os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
+            return None
+        lib = get_lib()
+        if lib is None:
+            return None
+        if plan.sps.chroma_array_type != 1:
+            return None
+        p = plan
+        arrays = [ry, rcb, rcr, p.tu_id, p.pu_id, p.cu_id, p.cu_pred_mode,
+                  p.cbf_y, p.ref_idx, p.ref_poc, p.mv, p.qp_y, p.slice_idx]
+        for a in arrays:
+            if not a.flags.c_contiguous:
+                return None
+        return DeblockNative(lib, plan, geom, arrays)
+
+    def __init__(self, lib, plan, geom, arrays):
+        self.lib = lib
+        sps, pps = plan.sps, plan.pps
+        tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
+        ptrs = np.array(
+            [a.ctypes.data for a in arrays] + [tile_id.ctypes.data],
+            np.int64)
+        iparams = _recon_iparams(plan, geom)
+        from turingcodec_tpu.decode.deblock import BETA_TABLE, TC_TABLE
+        beta = np.ascontiguousarray(BETA_TABLE, np.int32)
+        tc = np.ascontiguousarray(TC_TABLE, np.int32)
+        cqt = _cqt_table(sps)
+        cb_off, cr_off = _slice_qp_offsets(plan)
+        n_sl = len(cb_off)
+        sl_dis = np.zeros(n_sl, np.int32)
+        sl_beta = np.zeros(n_sl, np.int32)
+        sl_tc = np.zeros(n_sl, np.int32)
+        sl_across = np.zeros(n_sl, np.int32)
+        for i, sh in enumerate(plan.slice_headers):
+            sl_dis[i] = int(sh.slice_deblocking_filter_disabled_flag)
+            sl_beta[i] = sh.slice_beta_offset_div2
+            sl_tc[i] = sh.slice_tc_offset_div2
+            sl_across[i] = \
+                int(sh.slice_loop_filter_across_slices_enabled_flag)
+        self._keep = (arrays, tile_id, ptrs, iparams, beta, tc, cqt,
+                      cb_off, cr_off, sl_dis, sl_beta, sl_tc, sl_across)
+        self._args = (ptrs.ctypes.data, iparams.ctypes.data,
+                      beta.ctypes.data, tc.ctypes.data, cqt.ctypes.data,
+                      len(cqt), sl_dis.ctypes.data, sl_beta.ctypes.data,
+                      sl_tc.ctypes.data, sl_across.ctypes.data,
+                      cb_off.ctypes.data, cr_off.ctypes.data,
+                      int(pps.loop_filter_across_tiles_enabled_flag),
+                      len(cb_off))
+        self.pic_h = plan.sps.pic_height_in_luma_samples
+
+    def run_band(self, vy0, vy1, ey0, ey1):
+        self.lib.tc_deblock(*self._args, vy0, vy1, ey0, ey1)
+
+    def run(self):
+        self.run_band(0, self.pic_h, 0, self.pic_h)
+
+
 def deblock(plan, geom, ry, rcb, rcr) -> bool:
     """Native deblocking of the three planes in place. False -> caller runs
     the numpy path."""
-    if os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
+    db = DeblockNative.try_create(plan, geom, ry, rcb, rcr)
+    if db is None:
         return False
-    lib = get_lib()
-    if lib is None:
-        return False
-    sps, pps = plan.sps, plan.pps
-    if sps.chroma_array_type != 1:
-        return False
-    p = plan
-    arrays = [ry, rcb, rcr, p.tu_id, p.pu_id, p.cu_id, p.cu_pred_mode,
-              p.cbf_y, p.ref_idx, p.ref_poc, p.mv, p.qp_y, p.slice_idx]
-    for a in arrays:
-        if not a.flags.c_contiguous:
-            return False
-    tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
-    ptrs = np.array([a.ctypes.data for a in arrays] + [tile_id.ctypes.data],
-                    np.int64)
-    iparams = _recon_iparams(plan, geom)
-    from turingcodec_tpu.decode.deblock import BETA_TABLE, TC_TABLE
-    beta = np.ascontiguousarray(BETA_TABLE, np.int32)
-    tc = np.ascontiguousarray(TC_TABLE, np.int32)
-    cqt = _cqt_table(sps)
-    cb_off, cr_off = _slice_qp_offsets(plan)
-    n_sl = len(cb_off)
-    sl_dis = np.zeros(n_sl, np.int32)
-    sl_beta = np.zeros(n_sl, np.int32)
-    sl_tc = np.zeros(n_sl, np.int32)
-    sl_across = np.zeros(n_sl, np.int32)
-    for i, sh in enumerate(plan.slice_headers):
-        sl_dis[i] = int(sh.slice_deblocking_filter_disabled_flag)
-        sl_beta[i] = sh.slice_beta_offset_div2
-        sl_tc[i] = sh.slice_tc_offset_div2
-        sl_across[i] = int(sh.slice_loop_filter_across_slices_enabled_flag)
-    lib.tc_deblock(ptrs.ctypes.data, iparams.ctypes.data, beta.ctypes.data,
-                   tc.ctypes.data, cqt.ctypes.data, len(cqt),
-                   sl_dis.ctypes.data, sl_beta.ctypes.data,
-                   sl_tc.ctypes.data, sl_across.ctypes.data,
-                   cb_off.ctypes.data, cr_off.ctypes.data,
-                   int(pps.loop_filter_across_tiles_enabled_flag),
-                   len(cb_off))
+    db.run()
     return True
 
 
@@ -1067,7 +1103,8 @@ class EncNative:
                         int(getattr(enc, "fdam", False)),
                         int(getattr(enc, "rqt", False)),
                         int(getattr(enc, "esd", False)),
-                        int(getattr(enc, "aps", False))], np.int32)
+                        int(getattr(enc, "aps", False)),
+                        int(getattr(enc, "_overlap", False))], np.int32)
         from turingcodec_tpu.hevc.tables import QUANT_SCALES
         qs = np.ascontiguousarray(QUANT_SCALES, np.int32)
         lf, cf, _, _ = _recon_tables()
@@ -1077,6 +1114,32 @@ class EncNative:
                       eip, qs, lf, cf, deriver)
         self.ids = np.zeros(3, np.int32)
         self.sps = sps
+
+    def setup_overlap(self, enc):
+        """Bind the inter-picture overlap plumbing (call after __init__,
+        which passed the overlap flag to tc_enc_setup via eip[13]): this
+        picture's search-row counter, plus each reference picture's
+        follower-published final-row counter and u8 luma shadow. A ref
+        without an `ovl_rows` slot predates overlap mode and is complete
+        (native converts its u8 shadow eagerly)."""
+        ref_lists = getattr(enc, "ref_lists", None) or [[], []]
+        rows = np.zeros(32, np.int64)
+        u8s = np.zeros(32, np.int64)
+        keep = []
+        for l in (0, 1):
+            for r, pic in enumerate(ref_lists[l][:16]):
+                slot = getattr(pic, "ovl_rows", None)
+                if slot is not None:
+                    rows[l * 16 + r] = slot.ctypes.data
+                    keep.append(slot)
+                p8 = getattr(pic, "ovl_u8", None)
+                if p8 is not None:
+                    u8s[l * 16 + r] = p8.ctypes.data
+                    keep.append(p8)
+        sr = enc._ovl_self_rows
+        self._keep_ovl = (rows, u8s, keep, sr)
+        self.lib.tc_enc_overlap_setup(int(sr.ctypes.data),
+                                      rows.ctypes.data, u8s.ctypes.data)
 
     def encode_picture_all(self, enc) -> float:
         """Whole-picture CTU walk in one native call (WPP rate-context

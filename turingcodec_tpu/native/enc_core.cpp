@@ -135,12 +135,25 @@ struct EN {
                                         // pad SP_EXT
         std::vector<int16_t> hplane[4]; // H-filtered (xf=1..3), pad SP_EXT
         std::vector<int16_t> plane[16]; // finished planes, pad SP_P
-        std::atomic<char> built[16];
-        char ext_built = 0, h_built[4] = {0, 0, 0, 0};
+        // rows built per position (plane coords, exclusive): complete
+        // references build whole planes in one step; in-flight overlap
+        // references build in bands bounded by the producer's published
+        // final rows (src_prog)
+        std::atomic<int> rows_built[16];
+        int ext_rows = 0, h_rows[4] = {0, 0, 0, 0};
+        const volatile int64_t* src_prog = nullptr;
         std::mutex mtx;                 // guards lazy builds (WPP rows)
         SubpelSet() {
-            for (auto& b : built)
+            for (auto& b : rows_built)
                 b.store(0, std::memory_order_relaxed);
+        }
+        void reset(const volatile int64_t* prog) {
+            ext_rows = 0;
+            for (int i = 0; i < 4; i++)
+                h_rows[i] = 0;
+            for (auto& b : rows_built)
+                b.store(0, std::memory_order_relaxed);
+            src_prog = prog;
         }
     };
     // device-computed source-referenced rank-SATD tables
@@ -153,12 +166,69 @@ struct EN {
     static const int N_SPSETS = 6;
     SubpelSet spsets[N_SPSETS];
     int8_t sp_of[2][16];  // (list, ref) -> set index or -1
+    // ---- inter-picture overlap (concurrent dependent pictures) ----
+    // The reference overlaps dependent pictures with a CTU-granular
+    // wavefront: a CTU encodes once each reference picture's loop-filter
+    // has passed (rx+4, ry+3) (TaskEncodeSubstream.cpp:71-93,
+    // Global.h:1561-1562), with LimitFullPelMv bounding how far down the
+    // search may reach (Search.hpp:1366-1408, howCloseDoYouDare=15).
+    // This is the row-granular equivalent: waits are per CTU row (which
+    // removes the reference's x-clamp entirely — whole rows are final),
+    // the publisher is the Python follower running the banded native
+    // deblock behind the search, and the MV clamp is y-only. All bounds
+    // are static functions of the CTU position, so bitstreams are
+    // byte-identical at any thread count / realized concurrency.
+    struct Overlap {
+        int active = 0;  // waits on refs + external-only analysis
+        int clamp = 0;   // deterministic MV y-clamp (overlap mode on)
+        volatile int64_t* self_rows = nullptr;        // search rows out
+        const volatile int64_t* ref_rows[2][16] = {};  // refs' FINAL rows
+    } ovl;
     EN() { std::memset(sp_of, -1, sizeof(sp_of)); }
 };
 
 EN g_en_default;
 thread_local EN* g_en_ptr = &g_en_default;
 #define en (*g_en_ptr)
+
+// monotonic max-publish of a picture's completed-row count (the follower
+// and multiple WPP row threads may race; the count must never regress)
+static void ovl_publish(volatile int64_t* p, int64_t v) {
+    int64_t curv = __atomic_load_n(p, __ATOMIC_RELAXED);
+    while (curv < v
+           && !__atomic_compare_exchange_n((int64_t*)p, &curv, v, true,
+                                           __ATOMIC_RELEASE,
+                                           __ATOMIC_RELAXED)) {
+    }
+}
+
+static inline int ovl_hc() {
+    return (g_sp.pic_h + (1 << g_sp.ctb_log2) - 1) >> g_sp.ctb_log2;
+}
+
+// Block until every reference picture has published enough FINAL
+// (loop-filtered) CTU rows for this picture's row ry: the y-clamp lets
+// row ry's search/merge reach at most into the refs' first ry+4 rows.
+static void ovl_wait_row(int ry) {
+    if (!en.ovl.active)
+        return;
+    const int64_t need = std::min(ry + 4, ovl_hc());
+    for (int l = 0; l < 2; l++)
+        for (int r = 0; r < 16; r++) {
+            const volatile int64_t* p = en.ovl.ref_rows[l][r];
+            if (!p)
+                continue;
+            int spins = 0;
+            while (__atomic_load_n(p, __ATOMIC_ACQUIRE) < need) {
+                if (++spins < 64) {
+                    std::this_thread::yield();
+                } else {
+                    struct timespec ts = {0, 200000};  // 0.2 ms
+                    nanosleep(&ts, nullptr);
+                }
+            }
+        }
+}
 
 // set when both bit depths are 8: every satd_region input is then in
 // [0, 255] and the int16 AVX-512BW SATD kernel is exact
@@ -488,6 +558,9 @@ static void dense_prepass(int nthreads) {
     static const bool off = getenv("TC_NO_DENSEME") != nullptr;
     if (off || g_sp.is_i || en.search_range < 16)
         return;
+    if (en.ovl.active)
+        return;  // overlap: refs are still encoding — external fields
+                 // (source-referenced) only, never an in-picture sweep
     const int w = g_sp.pic_w, h = g_sp.pic_h;
     const int wb = en.seed_wb, hb = en.seed_hb;
     const bool u8 = g_sp.bit_depth_y == 8;
@@ -586,6 +659,8 @@ static void lowres_prepass_seeds(int nthreads) {
     static const bool off = getenv("TC_NO_LOWRES") != nullptr;
     if (off || g_sp.is_i || en.search_range < 16)
         return;
+    if (en.ovl.active)
+        return;  // overlap: external (source-referenced) seeds only
     const int w = g_sp.pic_w, h = g_sp.pic_h;
     const int lw = (w + 3) >> 2, lh = (h + 3) >> 2;
     const int wb = (lw + 3) >> 2, hb = (lh + 3) >> 2;
@@ -3688,12 +3763,19 @@ static const int SP_B = 24;
 static const int SP_P = SP_B + 4;    // stored plane pad (V taps reach +4)
 static const int SP_EXT = SP_P + 4;  // ext/H-plane pad (H taps reach +4)
 
-static void sp_build_ext(EN::SubpelSet& s, const int16_t* ref) {
+// All three build stages are row-banded so that overlap-mode consumers
+// can filter an in-flight reference plane incrementally, bounded by its
+// producer's published final rows (values identical to the whole-plane
+// build: every row is a pure function of the ref rows it reads).
+static void sp_build_ext_rows(EN::SubpelSet& s, const int16_t* ref,
+                              int y1) {
     const int w = g_sp.pic_w, h = g_sp.pic_h;
     const int pw = w + 2 * SP_EXT, ph = h + 2 * SP_EXT;
+    if (y1 > ph)
+        y1 = ph;
     s.ext.resize((size_t)pw * ph);
     int16_t* dst = s.ext.data();
-    for (int y = 0; y < ph; y++) {
+    for (int y = s.ext_rows; y < y1; y++) {
         const int sy = clip3i(0, h - 1, y - SP_EXT);
         const int16_t* row = ref + (int64_t)sy * w;
         int16_t* drow = dst + (int64_t)y * pw;
@@ -3703,14 +3785,19 @@ static void sp_build_ext(EN::SubpelSet& s, const int16_t* ref) {
         for (int x = 0; x < SP_EXT; x++)
             drow[SP_EXT + w + x] = row[w - 1];
     }
-    s.ext_built = 1;
+    if (y1 > s.ext_rows)
+        s.ext_rows = y1;
 }
 
 // H-filtered intermediate for xf (rows cover pad SP_EXT vertically so the
 // 2D V pass can read its tap reach); same acc>>shift1 as mc_interp
-static void sp_build_h(EN::SubpelSet& s, int xf) {
+static void sp_build_h_rows(EN::SubpelSet& s, const int16_t* ref, int xf,
+                            int y1) {
     const int w = g_sp.pic_w, h = g_sp.pic_h;
     const int pw = w + 2 * SP_EXT, ph = h + 2 * SP_EXT;
+    if (y1 > ph)
+        y1 = ph;
+    sp_build_ext_rows(s, ref, y1);
     const int shift1 = g_sp.bit_depth_y - 8;
     const int32_t* fh = en.luma_filt[xf];
     auto& hp = s.hplane[xf];
@@ -3719,7 +3806,7 @@ static void sp_build_h(EN::SubpelSet& s, int xf) {
     int16_t* dst = hp.data();
     // output col x (ext coords) needs ext[x-3 .. x+4]: valid for
     // x in [3, pw-5]; edge cols replicate the clamped filter result
-    for (int y = 0; y < ph; y++) {
+    for (int y = s.h_rows[xf]; y < y1; y++) {
         const int16_t* row = ext + (int64_t)y * pw;
         int16_t* drow = dst + (int64_t)y * pw;
         for (int x = 0; x < pw; x++) {
@@ -3735,35 +3822,39 @@ static void sp_build_h(EN::SubpelSet& s, int xf) {
             drow[x] = (int16_t)(acc >> shift1);
         }
     }
-    s.h_built[xf] = 1;
+    if (y1 > s.h_rows[xf])
+        s.h_rows[xf] = y1;
 }
 
-static void sp_build_plane(EN::SubpelSet& s, const int16_t* ref, int xf,
-                           int yf) {
+static void sp_build_plane_rows(EN::SubpelSet& s, const int16_t* ref,
+                                int xf, int yf, int y1p) {
     PhaseTimer pt(26);
     const int w = g_sp.pic_w, h = g_sp.pic_h;
     const int pw = w + 2 * SP_P, ph = h + 2 * SP_P;
     const int ew = w + 2 * SP_EXT;
     const int shift1 = g_sp.bit_depth_y - 8;
     const int pos = xf + 4 * yf;
+    if (y1p > ph)
+        y1p = ph;
     auto& pl = s.plane[pos];
     pl.resize((size_t)pw * ph);
     int16_t* dst = pl.data();
-    if (!s.ext_built)
-        sp_build_ext(s, ref);
+    const int y0p = s.rows_built[pos].load(std::memory_order_relaxed);
+    if (y0p >= y1p)
+        return;
     const int d = SP_EXT - SP_P;  // = 4: ext/h coords minus plane coords
     if (yf == 0) {
-        if (!s.h_built[xf])
-            sp_build_h(s, xf);
+        sp_build_h_rows(s, ref, xf, y1p + 8);
         const int16_t* hp = s.hplane[xf].data();
-        for (int y = 0; y < ph; y++)
+        for (int y = y0p; y < y1p; y++)
             std::memcpy(dst + (int64_t)y * pw,
                         hp + (int64_t)(y + d) * ew + d,
                         pw * sizeof(int16_t));
     } else if (xf == 0) {
+        sp_build_ext_rows(s, ref, y1p + 8);
         const int32_t* fv = en.luma_filt[yf];
         const int16_t* ext = s.ext.data();
-        for (int y = 0; y < ph; y++) {
+        for (int y = y0p; y < y1p; y++) {
             // V taps read ext rows y+d-3 .. y+d+4 — always in range
             const int16_t* col0 = ext + (int64_t)(y + d - 3) * ew + d;
             int16_t* drow = dst + (int64_t)y * pw;
@@ -3775,11 +3866,10 @@ static void sp_build_plane(EN::SubpelSet& s, const int16_t* ref, int xf,
             }
         }
     } else {
-        if (!s.h_built[xf])
-            sp_build_h(s, xf);
+        sp_build_h_rows(s, ref, xf, y1p + 8);
         const int32_t* fv = en.luma_filt[yf];
         const int16_t* hp = s.hplane[xf].data();
-        for (int y = 0; y < ph; y++) {
+        for (int y = y0p; y < y1p; y++) {
             const int16_t* col0 = hp + (int64_t)(y + d - 3) * ew + d;
             int16_t* drow = dst + (int64_t)y * pw;
             for (int x = 0; x < pw; x++) {
@@ -3790,23 +3880,42 @@ static void sp_build_plane(EN::SubpelSet& s, const int16_t* ref, int xf,
             }
         }
     }
-    s.built[pos].store(1, std::memory_order_release);
+    s.rows_built[pos].store(y1p, std::memory_order_release);
 }
 
-// plane lookup: returns the padded plane for (lx, ref, xf, yf), building
-// it lazily (thread-safe: WPP row threads may race on first use), or
-// nullptr when the cache doesn't cover this reference
-static inline const int16_t* sp_plane(int lx, int ref, int xf, int yf) {
+// plane lookup: returns the padded plane for (lx, ref, xf, yf) with at
+// least need_rows plane rows built (lazy, thread-safe: WPP row threads
+// may race on first use), or nullptr when the cache doesn't cover this
+// reference / the producer hasn't published enough rows yet (caller
+// falls back to per-candidate mc_interp, bit-equal)
+static inline const int16_t* sp_plane(int lx, int ref, int xf, int yf,
+                                      int need_rows) {
     const int si = en.sp_of[lx][ref];
     if (si < 0)
         return nullptr;
     EN::SubpelSet& s = en.spsets[si];
     const int pos = xf + 4 * yf;
-    if (s.built[pos].load(std::memory_order_acquire))
+    const int ph = g_sp.pic_h + 2 * SP_P;
+    if (need_rows > ph)
+        need_rows = ph;
+    if (s.rows_built[pos].load(std::memory_order_acquire) >= need_rows)
         return s.plane[pos].data();
+    // build budget: complete refs build the whole plane at once; for an
+    // in-flight ref, plane row y needs ref rows <= y - SP_P + 4, so the
+    // published V final rows allow plane rows < V + SP_P - 4
+    int budget = ph;
+    if (s.src_prog) {
+        const int64_t P =
+            __atomic_load_n((const int64_t*)s.src_prog, __ATOMIC_ACQUIRE);
+        const int V = (int)std::min<int64_t>(P << g_sp.ctb_log2,
+                                             g_sp.pic_h);
+        budget = V >= g_sp.pic_h ? ph : V + SP_P - 4;
+        if (budget < need_rows)
+            return nullptr;
+    }
     std::lock_guard<std::mutex> lk(s.mtx);
-    if (!s.built[pos].load(std::memory_order_acquire))
-        sp_build_plane(s, en.refs[lx][ref][0], xf, yf);
+    if (s.rows_built[pos].load(std::memory_order_relaxed) < need_rows)
+        sp_build_plane_rows(s, en.refs[lx][ref][0], xf, yf, budget);
     return s.plane[pos].data();
 }
 
@@ -3821,7 +3930,7 @@ inline void mc14_luma(int lx, int ref, int mvx, int mvy, int x0, int y0,
     if (xf | yf) {
         if (xi >= -SP_P && yi >= -SP_P && xi + w <= g_sp.pic_w + SP_P
             && yi + h <= g_sp.pic_h + SP_P) {
-            const int16_t* pl = sp_plane(lx, ref, xf, yf);
+            const int16_t* pl = sp_plane(lx, ref, xf, yf, yi + h + SP_P);
             if (pl) {
                 const int pw = g_sp.pic_w + 2 * SP_P;
                 for (int y = 0; y < h; y++) {
@@ -3995,9 +4104,27 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
     else
         for (int i = 0; i < w * h; i++)
             orig16[i] = (int16_t)orig[i];
+    // overlap-mode MV y-clamp (LimitFullPelMv's job, Search.hpp:1378-1394
+    // with howCloseDoYouDare=15): probes may not reach below the rows the
+    // reference picture is guaranteed to have finished. Row-granular
+    // waits make the reference's x-clamp unnecessary. Static in the CTU
+    // position -> deterministic at any thread count. Saturates off near
+    // the picture bottom, where the wait guarantees the whole reference.
+    int iy_max = INT32_MAX;
+    if (en.ovl.clamp) {
+        const int ctb = 1 << g_sp.ctb_log2;
+        const int yctb = y0 & ~(ctb - 1);
+        if ((yctb >> g_sp.ctb_log2) + 4 < ovl_hc())
+            iy_max = yctb + 2 * ctb - 15 - y0 - h;
+    }
     auto cost_at = [&](int ix, int iy) -> double {
         double c;
         if (!fp_cache.get(ix, iy, &c)) {
+            if (iy > iy_max) {
+                c = 1e30;  // outside the overlap reach bound
+                fp_cache.put(ix, iy, c);
+                return c;
+            }
             PROF_COUNT(17, 1);
             int64_t sad;
             if (x0 + ix >= 0 && y0 + iy >= 0 && x0 + ix + w <= g_sp.pic_w
@@ -4047,7 +4174,9 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             const int ix = pts[i][0], iy = pts[i][1];
             if (fp_cache.get(ix, iy, &c))
                 continue;
-            if (x0 + ix >= 0 && y0 + iy >= 0 && x0 + ix + w <= g_sp.pic_w
+            if (iy <= iy_max
+                && x0 + ix >= 0 && y0 + iy >= 0
+                && x0 + ix + w <= g_sp.pic_w
                 && y0 + iy + h <= g_sp.pic_h) {
                 bx[nb] = ix;
                 by[nb] = iy;
@@ -4544,6 +4673,28 @@ void bi_refine(const int32_t* orig, int x0, int y0, int w, int h,
     }
 }
 
+// Overlap-mode merge/skip candidate gate: the wait rule only guarantees
+// the refs' first min(ry+4, hc) CTU rows are final, so a merge candidate
+// whose luma prediction (incl. the 8-tap's +3-row reach) would read
+// beyond that is not trialed. The reference leaves merge unchecked and
+// relies on the wait slack (TaskEncodeSubstream.cpp:71-93); checking
+// makes the no-race guarantee unconditional. Static in (y0, ph, mv) ->
+// deterministic at any thread count.
+static inline bool ovl_cand_ok(const Cand& c, int y0, int ph) {
+    if (!en.ovl.clamp)
+        return true;
+    const int ctb = 1 << g_sp.ctb_log2;
+    const int ry = (y0 & ~(ctb - 1)) >> g_sp.ctb_log2;
+    if (ry + 4 >= ovl_hc())
+        return true;  // wait guarantees the whole reference
+    const int limit = (ry + 4) * ctb - 16;
+    if (c.pf0 && y0 + ph + ((c.mv01 + 3) >> 2) + 4 > limit)
+        return false;
+    if (c.pf1 && y0 + ph + ((c.mv11 + 3) >> 2) + 4 > limit)
+        return false;
+    return true;
+}
+
 // one PU's motion decision (inter_search._search_pu). Returns the choice.
 struct PuChoice {
     int kind;          // 0 merge, 1 amvp
@@ -4579,6 +4730,8 @@ void search_pu(int px, int py, int pw, int ph, const int cb_info[6],
         if (dup || !(c.pf0 || c.pf1))
             continue;
         seen[n_seen++] = c;
+        if (!ovl_cand_ok(c, py, ph))
+            continue;
         // dedup on the RAW candidate, but predict/commit the small-PU-
         // cleared motion: bi is forbidden for 8x4/4x8 PUs, L1 dropped
         // after selection (spec 8.5.3.2.1; decode/mvp.py:381 twin)
@@ -5134,6 +5287,8 @@ double encode_inter_cu(int x0, int y0, int log2, int depth) {
             continue;
         seen[n_seen++] = c;
         if (!(c.pf0 || c.pf1))
+            continue;
+        if (!ovl_cand_ok(c, y0, size))
             continue;
         Scored& s = scored[n_scored];
         s.kind = 0;
@@ -6307,6 +6462,7 @@ double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
             cur.ctx = myctx;
             cur.ids = myids;
             cur.prev_int_valid[0] = cur.prev_int_valid[1] = 0;
+            ovl_wait_row(ry);
             for (int rx = 0; rx < wc; rx++) {
                 if (ry > 0) {
                     const int need = std::min(wc, rx + 2);
@@ -6343,6 +6499,11 @@ double enc_picture_mt(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                     std::memcpy(snaps[ry].data(), myctx, nctx);
                 prog[ry].done.store(rx + 1, std::memory_order_release);
             }
+            // rows complete in order (the WPP top-right rule transitively
+            // requires row ry-1 done before row ry's last CTU); publish
+            // via CAS-max since the stores race across row threads
+            if (en.ovl.self_rows)
+                ovl_publish(en.ovl.self_rows, ry + 1);
             if (ry == hc - 1)  // caller continues from the last row's state
                 std::memcpy(ctx, myctx, nctx);
         }
@@ -6579,6 +6740,13 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
         for (int r = 0; r < 16; r++)
             for (int c = 0; c < 3; c++)
                 en.refs[l][r][c] = (const int16_t*)ptrs[k++];
+    // overlap mode (ip[13], see EN::Overlap): reference planes are still
+    // being encoded, so nothing here may read them eagerly — the u8
+    // shadows come from the producer pictures' follower
+    // (tc_enc_overlap_setup) and the subpel plane cache stays off
+    const int ovl_flag = ip[13];
+    en.ovl = EN::Overlap();
+    en.ovl.active = en.ovl.clamp = ovl_flag;
     // u8 shadows of the reference luma planes for the psadbw ME fast
     // path (bit-equal: 8-bit samples fit a byte); planes shared between
     // lists (GPB) convert once
@@ -6587,7 +6755,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
         for (int r = 0; r < 16; r++) {
             en.ref8[l][r] = nullptr;
             const int16_t* src = en.refs[l][r][0];
-            if (g_sp.bit_depth_y != 8 || !src)
+            if (g_sp.bit_depth_y != 8 || !src || ovl_flag)
                 continue;
             bool shared = false;
             for (int l2 = 0; l2 <= l && !shared; l2++)
@@ -6619,7 +6787,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
             getenv("TC_NO_SUBPEL_PLANES") != nullptr;
         std::memset(en.sp_of, -1, sizeof(en.sp_of));
         int next = 0;
-        if (!sp_off && !g_sp.is_i) {
+        if (!sp_off && !g_sp.is_i && !ovl_flag) {
             static const int prio[6][2] = {{0, 0}, {1, 0}, {0, 1},
                                            {1, 1}, {0, 2}, {0, 3}};
             for (auto& pr : prio) {
@@ -6641,12 +6809,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
                 }
                 if (next >= EN::N_SPSETS)
                     continue;
-                EN::SubpelSet& s = en.spsets[next];
-                s.ext_built = 0;
-                for (int i = 0; i < 4; i++)
-                    s.h_built[i] = 0;
-                for (int i = 0; i < 16; i++)
-                    s.built[i].store(0, std::memory_order_relaxed);
+                en.spsets[next].reset(nullptr);
                 en.sp_of[l][r] = (int8_t)next++;
             }
         }
@@ -6668,6 +6831,86 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     std::memcpy(en.quant_scales, quant_scales, sizeof(en.quant_scales));
     std::memcpy(en.luma_filt, luma_filt, sizeof(en.luma_filt));
     std::memcpy(en.chroma_filt, chroma_filt, sizeof(en.chroma_filt));
+}
+
+// Bind the inter-picture overlap plumbing for the picture bound to this
+// thread's context (call after tc_enc_setup with overlap flagged).
+// self_rows: int64* receiving the search's completed CTU rows (0 = none).
+// ref_rows[l*16+r]: int64* (as intptr; 0 = reference already complete)
+// holding the reference's published FINAL (loop-filtered) CTU row count.
+// ref_u8[l*16+r]: u8 luma shadow maintained by the reference's follower,
+// valid up to the published rows (0 = none).
+void tc_enc_overlap_setup(int64_t self_rows, const int64_t* ref_rows,
+                          const int64_t* ref_u8) {
+    en.ovl.self_rows = (volatile int64_t*)self_rows;
+    static thread_local std::vector<uint8_t> ovl_u8_store[2][16];
+    for (int l = 0; l < 2; l++)
+        for (int r = 0; r < 16; r++) {
+            en.ovl.ref_rows[l][r] = nullptr;
+            const int16_t* src = en.refs[l][r][0];
+            if (!src)
+                continue;
+            en.ovl.ref_rows[l][r] =
+                (const volatile int64_t*)ref_rows[l * 16 + r];
+            if (ref_u8[l * 16 + r]) {
+                en.ref8[l][r] = (const uint8_t*)ref_u8[l * 16 + r];
+            } else if (!ref_rows[l * 16 + r] && g_sp.bit_depth_y == 8) {
+                // complete reference without a follower shadow: eager
+                // conversion is safe now (skipped in tc_enc_setup)
+                bool shared = false;
+                for (int l2 = 0; l2 <= l && !shared; l2++)
+                    for (int r2 = 0; r2 < (l2 == l ? r : 16); r2++)
+                        if (en.refs[l2][r2][0] == src && en.ref8[l2][r2]) {
+                            en.ref8[l][r] = en.ref8[l2][r2];
+                            shared = true;
+                            break;
+                        }
+                if (shared)
+                    continue;
+                const int64_t n = (int64_t)g_sp.pic_w * g_sp.pic_h;
+                auto& v = ovl_u8_store[l][r];
+                v.resize(n);
+                uint8_t* dst = v.data();
+                for (int64_t i = 0; i < n; i++)
+                    dst[i] = (uint8_t)src[i];
+                en.ref8[l][r] = dst;
+            }
+        }
+    // subpel plane cache for COMPLETE references only (their samples are
+    // final, so the whole-plane lazy build is safe; in-flight refs fall
+    // back to per-candidate mc14 interpolation, whose reads the y-clamp
+    // bounds)
+    static const bool sp_off = getenv("TC_NO_SUBPEL_PLANES") != nullptr;
+    if (!sp_off && !g_sp.is_i) {
+        int next = 0;
+        static const int prio[6][2] = {{0, 0}, {1, 0}, {0, 1},
+                                       {1, 1}, {0, 2}, {0, 3}};
+        for (auto& pr : prio) {
+            const int l = pr[0], r = pr[1];
+            const int16_t* p = en.refs[l][r][0];
+            if (!p)
+                continue;
+            int found = -1;
+            for (int l2 = 0; l2 < 2 && found < 0; l2++)
+                for (int r2 = 0; r2 < 16; r2++)
+                    if (en.sp_of[l2][r2] >= 0
+                        && en.refs[l2][r2][0] == p) {
+                        found = en.sp_of[l2][r2];
+                        break;
+                    }
+            if (found >= 0) {
+                en.sp_of[l][r] = (int8_t)found;
+                continue;
+            }
+            if (next >= EN::N_SPSETS)
+                continue;
+            // in-flight refs build in bands bounded by the producer's
+            // published final rows; complete refs (null prog) build whole
+            en.spsets[next].reset(
+                (const volatile int64_t*)ref_rows[l * 16 + r]);
+            en.sp_of[l][r] = (int8_t)next++;
+        }
+    }
 }
 
 // Encode a whole picture's CTUs (full RDO), replacing the per-CTU Python
@@ -6692,7 +6935,8 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
     static thread_local uint8_t snap_ctx[512];
     bool have_snap = false;
     double total = 0.0;
-    for (int ry = 0; ry < hc; ry++)
+    for (int ry = 0; ry < hc; ry++) {
+        ovl_wait_row(ry);
         for (int rx = 0; rx < wc; rx++) {
             if (rx == 0)  // ME seed state is row-local (thread-count inv.)
                 cur.prev_int_valid[0] = cur.prev_int_valid[1] = 0;
@@ -6720,6 +6964,9 @@ double tc_enc_picture(uint8_t* ctx, int32_t* ids, const int32_t* qp3,
                 have_snap = true;
             }
         }
+        if (en.ovl.self_rows)
+            ovl_publish(en.ovl.self_rows, ry + 1);
+    }
     return total;
 }
 
@@ -6771,7 +7018,7 @@ void tc_enc_install_subpel(int32_t l, int32_t r, const int16_t* data,
     for (int pos = 1; pos < 16; pos++) {
         s.plane[pos].assign(data + (size_t)(pos - 1) * ph * pw,
                             data + (size_t)pos * ph * pw);
-        s.built[pos].store(1, std::memory_order_release);
+        s.rows_built[pos].store(ph, std::memory_order_release);
     }
 }
 
@@ -6779,7 +7026,8 @@ void tc_enc_install_subpel(int32_t l, int32_t r, const int16_t* data,
 // verification hook; out: (ph, pw) int16
 void tc_enc_subpel_plane(int32_t l, int32_t r, int32_t xf, int32_t yf,
                          int16_t* out) {
-    const int16_t* pl = sp_plane(l, r, xf, yf);
+    const int16_t* pl = sp_plane(l, r, xf, yf,
+                                 g_sp.pic_h + 2 * SP_P);
     if (!pl)
         return;
     const size_t n = (size_t)(g_sp.pic_w + 2 * SP_P)

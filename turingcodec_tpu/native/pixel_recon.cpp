@@ -352,7 +352,9 @@ struct DB {
     int n_sl;
 };
 
-DB db;
+// thread_local: the encoder's frame-parallel workers and the overlap
+// filter follower deblock different pictures concurrently
+thread_local DB db;
 
 // bS from motion difference (spec 8.7.2.4 cond 3; deblock._motion_bs)
 int motion_bs(int64_t bp, int64_t bq) {
@@ -496,16 +498,34 @@ void filter_chroma_seg(int16_t* r, int w, int h, int x, int y, bool vertical,
     }
 }
 
-void deblock_dir(bool vertical) {
+// Deblock one direction over a luma-row band: for vertical edges the
+// band [y_lo, y_hi) restricts the 4-sample segment positions s; for
+// horizontal edges it restricts the edge positions e. A sequence of
+// band calls (vertical rows first, horizontal edges lagging 8 rows — the
+// edge filter reads 4 vertically-filtered rows each side) reproduces the
+// whole-picture vertical-then-horizontal pass sample-exactly, which is
+// what lets the encoder publish loop-filtered rows while the CTU search
+// below them is still running (inter-picture wavefront; the reference
+// overlaps dependent pictures the same way, TaskEncodeSubstream.cpp:71-93).
+void deblock_dir(bool vertical, int y_lo, int y_hi) {
     const int w = db.pic_w, h = db.pic_h;
     const int max_y = (1 << db.bd_y) - 1;
     const int max_c = (1 << db.bd_c) - 1;
     const int cl2 = db.ctb_log2;
     const int cw = w >> 1, chh = h >> 1;
-    const int e_end = vertical ? w : h;
-    const int s_end = vertical ? h : w;
-    for (int e = 8; e < e_end; e += 8) {
-        for (int s = 0; s < s_end; s += 4) {
+    if (y_hi > (vertical ? h : h))
+        y_hi = h;
+    if (y_lo < 0)
+        y_lo = 0;
+    // horizontal edges are consumed exactly once across band calls:
+    // round the continuation bound UP to the 8-row edge grid
+    const int e_beg0 = vertical ? 8 : ((y_lo + 7) & ~7);
+    const int e_beg = e_beg0 < 8 ? 8 : e_beg0;
+    const int e_end = vertical ? w : y_hi;
+    const int s_beg = vertical ? ((y_lo + 3) & ~3) : 0;
+    const int s_end = vertical ? y_hi : w;
+    for (int e = e_beg; e < e_end; e += 8) {
+        for (int s = s_beg; s < s_end; s += 4) {
             int x = vertical ? e : s, y = vertical ? s : e;
             int64_t bp, bq;
             if (vertical) {
@@ -579,7 +599,11 @@ void deblock_dir(bool vertical) {
 
 extern "C" {
 
-// Deblock all three planes in place (vertical then horizontal edges).
+// Deblock the three planes in place (vertical then horizontal edges),
+// restricted to a luma-row band: vertical-edge segments with y in
+// [vy0, vy1), horizontal edges at y in [ey0, ey1). Whole-picture deblock
+// is the single band (0, pic_h, 0, pic_h); a lagged band sequence is
+// sample-exact with it (the overlap follower's publisher).
 // ptrs: [ry, rcb, rcr, tu_id, pu_id, cu_id, cu_pred_mode, cbf_y, ref_idx,
 //        ref_poc, mv, qp_y, slice_idx, tile_id]
 // ip: same layout as tc_inter_recon. Per-slice arrays indexed by slice_idx.
@@ -589,7 +613,8 @@ int tc_deblock(const int64_t* ptrs, const int32_t* ip,
                const int32_t* sl_disabled, const int32_t* sl_beta,
                const int32_t* sl_tc, const int32_t* sl_across,
                const int32_t* cb_off, const int32_t* cr_off,
-               int32_t across_tiles, int32_t n_sl) {
+               int32_t across_tiles, int32_t n_sl,
+               int32_t vy0, int32_t vy1, int32_t ey0, int32_t ey1) {
     db.n_sl = n_sl;
     int k = 0;
     db.ry = (int16_t*)ptrs[k++];
@@ -629,8 +654,8 @@ int tc_deblock(const int64_t* ptrs, const int32_t* ip,
     db.cb_off = cb_off;
     db.cr_off = cr_off;
     db.across_tiles = across_tiles;
-    deblock_dir(true);
-    deblock_dir(false);
+    deblock_dir(true, vy0, vy1);
+    deblock_dir(false, ey0, ey1);
     return 0;
 }
 

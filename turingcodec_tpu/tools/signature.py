@@ -41,6 +41,16 @@ CONFIGS = [
     # concurrent-frames invariant
     ("gop4-q32-frame-seq", dict(qp=32, rd_candidates=2, gop_m=4), 5,
      {"TURING_TPU_FRAME_THREADS": "1"}, "gop4-q32"),
+    # inter-picture overlap (frame_overlap): its own deterministic
+    # operating point (MV y-clamp + source-referenced analysis); pinned
+    # goldens + byte-identity at 1 and 4 in-flight pictures — the
+    # wavefront's waits and the follower's band timing never change a bit
+    ("overlap-q32", dict(qp=32, rd_candidates=2, frame_overlap=True), 5,
+     {}, ("04a51148", "2c755000")),
+    ("overlap-q32-seq", dict(qp=32, rd_candidates=2, frame_overlap=True),
+     5, {"TURING_TPU_FRAME_THREADS": "1"}, "overlap-q32"),
+    ("overlap-q32-ft4", dict(qp=32, rd_candidates=2, frame_overlap=True),
+     5, {"TURING_TPU_FRAME_THREADS": "4"}, "overlap-q32"),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
      {}, ("fe6834fc", "c0dd0a34")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
