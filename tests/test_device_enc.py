@@ -68,11 +68,20 @@ def test_dense_field_matches_host_oracle():
     from turingcodec_tpu import native
     res = native.dense_analysis(orig, ref, 8)
     if res is not None:
-        sm_n, dm_n, ds_n, wb_n, hb_n = res
+        sm_n, dm_n, ds_n, wb_n, hb_n = res[:5]
         assert (wb_n, hb_n) == (wb_h, hb_h)
         assert np.array_equal(sm_n, sm_h)
         assert np.array_equal(dm_n, dm_h)
         assert np.array_equal(ds_n, ds_h)
+        # full SAD surface: device twin == native (the exact integers
+        # the full-pel search serves aligned probes from)
+        surf_n = res[5]
+        if surf_n is not None:
+            from turingcodec_tpu.encode.device_analysis import (
+                analysis_device)
+            out = analysis_device(orig, ref, want_surf=True)
+            assert np.array_equal(out[5], surf_n)
+            assert np.array_equal(out[1], dm_h)  # argmin tie-break parity
 
 
 def _encode(frames, w, h, env):

@@ -129,7 +129,7 @@ def _seed_field_program(w: int, h: int):
     return seed_field, wb, hb
 
 
-def _dense_stage(orig, ref, seeds, w, h, wb, hb):
+def _dense_stage(orig, ref, seeds, w, h, wb, hb, want_surf=False):
     """jnp twin of enc_core dense_search_rows + dense_pad_plane: per 16x16
     block, the exhaustive +/-8 full-pel SAD winner around the lowres seed
     over edge-replicated padded planes; cost = (SAD << 2) + |ox| + |oy|,
@@ -152,7 +152,7 @@ def _dense_stage(orig, ref, seeds, w, h, wb, hb):
     xs = (bx * 16 + seeds[:, :, 0] - 8 + P)[:, :, None, None] \
         + a32[None, None, None, :]
     patch = r[ys, xs]  # (hb, wb, 32, 32)
-    if _dense_use_pallas():
+    if _dense_use_pallas() and not want_surf:
         # production Pallas path: the 17x17 sweep + argmin as one
         # VMEM-resident kernel (ops/pallas_kernels.dense_me_argmin)
         from turingcodec_tpu.ops.pallas_kernels import dense_me_argmin
@@ -165,6 +165,30 @@ def _dense_stage(orig, ref, seeds, w, h, wb, hb):
 
     offs = jnp.array([(oy, ox) for oy in range(17) for ox in range(17)],
                      jnp.int32)
+    if want_surf:
+        # keep the whole 17x17 SAD surface (the full-pel search serves
+        # aligned probes out of it — exact integers); the winner derives
+        # from the same tensor, argmin's first-minimum == the scan
+        # order's strict-improvement tie-break
+        def sad_of(off):
+            win = jax.lax.dynamic_slice(patch, (0, 0, off[0], off[1]),
+                                        (hb, wb, 16, 16))
+            return jnp.abs(cb - win).sum((2, 3))
+
+        sads = jax.lax.map(sad_of, offs)  # (289, hb, wb)
+        pen = (jnp.abs(offs[:, 1] - 8)
+               + jnp.abs(offs[:, 0] - 8))[:, None, None]
+        cost = (sads << 2) + pen
+        k = jnp.argmin(cost.reshape(17 * 17, hb * wb), axis=0)
+        box = (k % 17 - 8).reshape(hb, wb)
+        boy = (k // 17 - 8).reshape(hb, wb)
+        bsad = jnp.take_along_axis(
+            sads.reshape(17 * 17, hb * wb), k[None], axis=0
+        )[0].reshape(hb, wb)
+        surf = sads.transpose(1, 2, 0).reshape(hb * wb, 17 * 17)
+        return (jnp.stack([seeds[:, :, 0] + box,
+                           seeds[:, :, 1] + boy], -1), bsad, surf)
+
     big = jnp.full((hb, wb), np.iinfo(np.int32).max, jnp.int32)
     zeros = jnp.zeros((hb, wb), jnp.int32)
 
@@ -199,11 +223,40 @@ def _analysis_program(w: int, h: int):
     return analysis, wb, hb
 
 
-def analysis_device(orig_y: np.ndarray, ref_y: np.ndarray):
+def _analysis_surf_program(w: int, h: int):
+    """As _analysis_program, plus the dense sweep\'s full (hb*wb, 17*17)
+    SAD surface (exact host-twin integers)."""
+    seed_field, wb, hb = _seed_field_program(w, h)
+
+    def analysis(orig, ref):
+        seeds = seed_field(orig, ref)
+        dense, dsad, surf = _dense_stage(orig, ref, seeds, w, h, wb, hb,
+                                         want_surf=True)
+        return seeds, dense, dsad, surf
+
+    return analysis, wb, hb
+
+
+def analysis_device(orig_y: np.ndarray, ref_y: np.ndarray,
+                    want_surf: bool = False):
     """Compute one reference plane's (seed, dense, sad) fields on device —
-    integer-exact with the host lowres_prepass + dense_prepass."""
+    integer-exact with the host lowres_prepass + dense_prepass. With
+    want_surf, additionally the dense sweep's full (hb*wb, 17*17) SAD
+    surface (the tensor the full-pel search serves aligned probes from)."""
     import jax
     h, w = orig_y.shape
+    if want_surf:
+        key = ("analysissurf", w, h)
+        if key not in _JIT_CACHE:
+            raw, wb, hb = _analysis_surf_program(w, h)
+            _JIT_CACHE[key] = (jax.jit(raw), wb, hb)
+        fn, wb, hb = _JIT_CACHE[key]
+        sm, dm, ds, surf = fn(np.asarray(orig_y, np.int16),
+                              np.asarray(ref_y, np.int16))
+        return (np.asarray(sm).astype(np.int32),
+                np.asarray(dm).astype(np.int32),
+                np.asarray(ds).astype(np.int32), wb, hb,
+                np.asarray(surf).astype(np.int32))
     key = ("analysis", w, h, _dense_use_pallas())
     if key not in _JIT_CACHE:
         raw, wb, hb = _analysis_program(w, h)
@@ -787,18 +840,27 @@ def install_seed_fields(enc, orig) -> Optional[dict]:
             continue
         plane = refs[0].planes[0]
         k = id(plane)
+        # device SAD surfaces are opt-in (TC_DEV_SURF): pulling the
+        # (hb*wb, 289) tensor through a tunneled chip costs more than the
+        # probes it serves; co-located hosts can turn it on
+        want_surf = want_dense and bool(os.environ.get("TC_DEV_SURF"))
         if k not in done:
-            if want_dense:
+            surf = None
+            if want_surf:
+                sm, dm, ds, wb, hb, surf = analysis_device(
+                    np.asarray(orig[0]), np.asarray(plane),
+                    want_surf=True)
+            elif want_dense:
                 sm, dm, ds, wb, hb = analysis_device(np.asarray(orig[0]),
                                                      np.asarray(plane))
             else:
                 sm, wb, hb = seed_field_device(np.asarray(orig[0]),
                                                np.asarray(plane))
                 dm = ds = None
-            done[k] = (sm, dm, ds, wb, hb)
-        sm, dm, ds, wb, hb = done[k]
+            done[k] = (sm, dm, ds, wb, hb, surf)
+        sm, dm, ds, wb, hb, surf = done[k]
         enc._lr_seed_cache[k] = (sm, wb, hb)
         if dm is not None:
-            enc._dense_cache[k] = (dm, ds, wb, hb)
-        fields[lx] = (sm, dm, wb, hb)
+            enc._dense_cache[k] = (dm, ds, wb, hb, surf)
+        fields[lx] = (sm, dm, wb, hb, surf)
     return fields or None

@@ -162,12 +162,19 @@ class InterPictureEncoder(IntraPictureEncoder):
                 if res is None:
                     have_native = False
                     break
-                sm, dm, ds, wb, hb = res
+                sm, dm, ds, wb, hb = res[:5]
+                surf = res[5] if len(res) > 5 else None
                 self._lr_seed_cache[k] = (sm, wb, hb)
-                self._dense_cache[k] = (dm, ds, wb, hb)
+                self._dense_cache[k] = (dm, ds, wb, hb, surf)
             sm = self._lr_seed_cache[k][0]
-            dm, ds, wb, hb = self._dense_cache[k]
-            fields[lx] = (sm, dm, wb, hb)
+            ce = self._dense_cache[k]
+            dm, ds, wb, hb = ce[:4]
+            surf = ce[4] if len(ce) > 4 else None
+            # the SAD surface is only exact against the true recon ref
+            # (source-referenced analysis fields install seeds only)
+            if ss.get(lx) is not None:
+                surf = None
+            fields[lx] = (sm, dm, wb, hb, surf)
         if have_native:
             # feed the in-picture native prepass the same fields
             # (the install path the device stage already uses)
@@ -515,7 +522,7 @@ class InterPictureEncoder(IntraPictureEncoder):
         key = id(ref_plane)
         cached = self._dense_cache.get(key)
         if cached is not None:
-            return cached
+            return cached[:4]
         sm, wb, hb = self._lowres_seed_field(ref_plane)
         orig = np.asarray(self.orig[0])
         h, w = orig.shape

@@ -215,7 +215,10 @@ def _build_and_load():
     lib.tc_dense_analysis.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p]
+    lib.tc_enc_install_densesurf.restype = None
+    lib.tc_enc_install_densesurf.argtypes = [
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
     lib.tc_ctx_new.restype = ctypes.c_void_p
     lib.tc_ctx_new.argtypes = []
     lib.tc_ctx_bind.restype = None
@@ -574,10 +577,17 @@ def dense_analysis(orig_y, ref_y, bd, nthreads=1):
     sm = np.zeros((hb, wb, 2), np.int16)
     dm = np.zeros((hb, wb, 2), np.int16)
     ds = np.zeros((hb, wb), np.int32)
+    surf = None
+    surf_ptr = None
+    if not os.environ.get("TC_NO_ME_SURF"):
+        # full 17x17 SAD surface per block: the full-pel search serves
+        # aligned probes from it (exact integers)
+        surf = np.zeros((hb * wb, 17 * 17), np.int32)
+        surf_ptr = ctypes.c_void_p(surf.ctypes.data)
     lib.tc_dense_analysis(o.ctypes.data, r.ctypes.data, w, h, bd,
                           nthreads, sm.ctypes.data, dm.ctypes.data,
-                          ds.ctypes.data)
-    return (sm.astype(np.int32), dm.astype(np.int32), ds, wb, hb)
+                          ds.ctypes.data, surf_ptr)
+    return (sm.astype(np.int32), dm.astype(np.int32), ds, wb, hb, surf)
 
 
 def intra_recon(pr) -> bool:
@@ -1213,7 +1223,9 @@ class EncNative:
         (encode/device_analysis.py):
         {list: (seed_mv (hb, wb, 2), dense_mv|None, wb, hb)}."""
         self._keep_seeds = getattr(self, "_keep_seeds", [])
-        for lx, (sm, dm, wb, hb) in fields.items():
+        for lx, f in fields.items():
+            sm, dm, wb, hb = f[:4]
+            surf = f[4] if len(f) > 4 else None
             arr = np.ascontiguousarray(sm, np.int16).reshape(-1)
             self._keep_seeds.append(arr)
             self.lib.tc_enc_install_seeds(
@@ -1223,6 +1235,11 @@ class EncNative:
                 self._keep_seeds.append(darr)
                 self.lib.tc_enc_install_dense(
                     lx, ctypes.c_void_p(darr.ctypes.data), wb, hb)
+                if surf is not None:
+                    sarr = np.ascontiguousarray(surf, np.int32)
+                    self._keep_seeds.append(sarr)
+                    self.lib.tc_enc_install_densesurf(
+                        lx, ctypes.c_void_p(sarr.ctypes.data), wb, hb)
 
     def install_subpel(self, fields):
         """Install device-computed subpel planes

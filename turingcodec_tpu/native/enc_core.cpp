@@ -118,6 +118,14 @@ struct EN {
     std::vector<int16_t> dense_mv[2];  // (hb*wb, 2) full-pel winners
     int have_dense[2] = {0, 0};
     int dense_external = 0;
+    // full SAD surfaces of the dense sweep: (hb*wb, 17*17) int32, the
+    // exact SAD at every window offset. The full-pel search serves
+    // aligned 16x16-multiple probes from these instead of recomputing
+    // (identical integers: the padded-plane reads equal the clamped
+    // per-probe reads), which is what makes the ME candidate search a
+    // device-served stage when the fields come from the TPU.
+    std::vector<int32_t> dense_surf[2];
+    int have_surf[2] = {0, 0};
     // ---- subpel plane cache (whole-plane 14-bit interpolation) ----
     // The subpel search's interpolation (sub_pel_refine probes, merge
     // SATD, bi refinement — Search.hpp:2340-2358's interpolate-and-SATD
@@ -437,10 +445,13 @@ static void lowres_search_rows(const int16_t* cur, const int16_t* ref,
 static const int DENSE_R = 8;       // +/- full-pel window around the seed
 static const int DENSE_P = 48;      // ref pad border (max |seed|=36 +8+ext)
 
+static const int DENSE_W = 2 * DENSE_R + 1;  // 17: window side / surface
+
 template <typename S>
 static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
                               const int16_t* seeds, int by0, int by1,
-                              int16_t* out, int32_t* out_sad) {
+                              int16_t* out, int32_t* out_sad,
+                              int32_t* out_surf) {
     const int cw = wb * 16;
     const int rw = wb * 16 + 2 * DENSE_P;
     for (int by = by0; by < by1; by++)
@@ -451,14 +462,17 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
             const S* r00 = ref
                 + (int64_t)(by * 16 + sy - DENSE_R + DENSE_P) * rw
                 + (bx * 16 + sx - DENSE_R + DENSE_P);
+            int32_t* surf = out_surf
+                ? out_surf + ((int64_t)by * wb + bx) * DENSE_W * DENSE_W
+                : nullptr;
             uint32_t best = UINT32_MAX, bsad = 0;
             int box = 0, boy = 0;
 #if defined(__SSE2__) || defined(_M_X64) || defined(__x86_64__)
             if (sizeof(S) == 1) {
-                for (int oy = 0; oy < 2 * DENSE_R + 1; oy++) {
+                for (int oy = 0; oy < DENSE_W; oy++) {
                     const uint8_t* r0 = (const uint8_t*)(r00
                         + (int64_t)oy * rw);
-                    for (int ox = 0; ox < 2 * DENSE_R + 1; ox++) {
+                    for (int ox = 0; ox < DENSE_W; ox++) {
                         __m128i acc = _mm_setzero_si128();
                         for (int y = 0; y < 16; y++) {
                             const __m128i cv = _mm_loadu_si128(
@@ -473,6 +487,8 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
                         const uint32_t sad =
                             (uint32_t)(_mm_cvtsi128_si64(acc)
                                        + _mm_extract_epi16(acc, 4));
+                        if (surf)
+                            surf[oy * DENSE_W + ox] = (int32_t)sad;
                         const uint32_t cost = (sad << 2)
                             + (ox < DENSE_R ? DENSE_R - ox : ox - DENSE_R)
                             + (oy < DENSE_R ? DENSE_R - oy : oy - DENSE_R);
@@ -487,8 +503,8 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
             } else
 #endif
             {
-                for (int oy = 0; oy < 2 * DENSE_R + 1; oy++)
-                    for (int ox = 0; ox < 2 * DENSE_R + 1; ox++) {
+                for (int oy = 0; oy < DENSE_W; oy++)
+                    for (int ox = 0; ox < DENSE_W; ox++) {
                         const S* r0 = r00 + (int64_t)oy * rw + ox;
                         uint32_t sad = 0;
                         for (int y = 0; y < 16; y++) {
@@ -499,6 +515,8 @@ static void dense_search_rows(const S* cur, const S* ref, int wb, int hb,
                                 sad += d < 0 ? -d : d;
                             }
                         }
+                        if (surf)
+                            surf[oy * DENSE_W + ox] = (int32_t)sad;
                         const uint32_t cost = (sad << 2)
                             + (ox < DENSE_R ? DENSE_R - ox : ox - DENSE_R)
                             + (oy < DENSE_R ? DENSE_R - oy : oy - DENSE_R);
@@ -555,6 +573,11 @@ static void dense_prepass(int nthreads) {
     }
     en.have_dense[0] = ext[0];
     en.have_dense[1] = ext[1];
+    // installed surfaces survive only with their installed dense field
+    if (!ext[0])
+        en.have_surf[0] = 0;
+    if (!ext[1])
+        en.have_surf[1] = 0;
     static const bool off = getenv("TC_NO_DENSEME") != nullptr;
     if (off || g_sp.is_i || en.search_range < 16)
         return;
@@ -577,6 +600,10 @@ static void dense_prepass(int nthreads) {
             // GPB: same plane + same seeds -> same dense field
             en.dense_mv[1] = en.dense_mv[0];
             en.have_dense[1] = 1;
+            if (en.have_surf[0]) {
+                en.dense_surf[1] = en.dense_surf[0];
+                en.have_surf[1] = 1;
+            }
             continue;
         }
         if (!have_cur) {
@@ -603,6 +630,12 @@ static void dense_prepass(int nthreads) {
                                      DENSE_P, ref16_pad.data());
         }
         en.dense_mv[l].resize((size_t)hb * wb * 2);
+        static const bool surf_off = getenv("TC_NO_ME_SURF") != nullptr;
+        int32_t* surf = nullptr;
+        if (!surf_off) {
+            en.dense_surf[l].resize((size_t)hb * wb * DENSE_W * DENSE_W);
+            surf = en.dense_surf[l].data();
+        }
         const int16_t* seeds = en.seed_mv[l].data();
         int16_t* out = en.dense_mv[l].data();
         const int T = std::max(1, std::min(nthreads, hb));
@@ -615,10 +648,10 @@ static void dense_prepass(int nthreads) {
         auto rows = [=](int by0, int by1) {
             if (u8)
                 dense_search_rows<uint8_t>(c8p, r8p, wb, hb, seeds,
-                                           by0, by1, out, nullptr);
+                                           by0, by1, out, nullptr, surf);
             else
                 dense_search_rows<int16_t>(c16p, r16p, wb, hb, seeds,
-                                           by0, by1, out, nullptr);
+                                           by0, by1, out, nullptr, surf);
         };
         if (T > 1) {
             // helper threads inherit the spawner's picture context
@@ -638,6 +671,7 @@ static void dense_prepass(int nthreads) {
             rows(0, hb);
         }
         en.have_dense[l] = 1;
+        en.have_surf[l] = surf != nullptr;
     }
 }
 
@@ -4117,6 +4151,47 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
         if ((yctb >> g_sp.ctb_log2) + 4 < ovl_hc())
             iy_max = yctb + 2 * ctb - 15 - y0 - h;
     }
+    // dense-surface service: aligned multiple-of-16 PUs on ref 0 read
+    // exact SADs out of the prepass surface when the probe lands within
+    // every 16x16 child's +/-8 window around its seed. Identical
+    // integers (the sweep's padded-plane reads equal the per-probe
+    // clamped reads, and SAD is child-separable), so bitstreams are
+    // unchanged — the ME candidate search is served by the batched
+    // whole-picture stage (the device stage under TURING_TPU_DEVICE_ENC)
+    // instead of per-probe host arithmetic.
+    bool surf_ok = false;
+    int sbx0 = 0, sby0 = 0, snbx = 0, snby = 0;
+    if (ref == 0 && en.have_surf[lx] && !(w & 15) && !(h & 15)
+        && !(x0 & 15) && !(y0 & 15)) {
+        sbx0 = x0 >> 4;
+        sby0 = y0 >> 4;
+        snbx = w >> 4;
+        snby = h >> 4;
+        surf_ok = x0 + w <= (g_sp.pic_w & ~15)
+               && y0 + h <= (g_sp.pic_h & ~15);
+    }
+    auto surf_sad = [&](int ix, int iy, int64_t* out_sad) -> bool {
+        if (!surf_ok)
+            return false;
+        const int swb = en.seed_wb;
+        const int32_t* sf = en.dense_surf[lx].data();
+        const int16_t* sd = en.seed_mv[lx].data();
+        int64_t acc = 0;
+        for (int cy = 0; cy < snby; cy++)
+            for (int cx = 0; cx < snbx; cx++) {
+                const int64_t b = (int64_t)(sby0 + cy) * swb + sbx0 + cx;
+                const int dx = ix - sd[b * 2] + DENSE_R;
+                const int dy = iy - sd[b * 2 + 1] + DENSE_R;
+                if ((unsigned)dx >= DENSE_W || (unsigned)dy >= DENSE_W) {
+                    PROF_COUNT(23, 1);
+                    return false;
+                }
+                acc += sf[b * DENSE_W * DENSE_W + dy * DENSE_W + dx];
+            }
+        PROF_COUNT(22, 1);
+        *out_sad = acc;
+        return true;
+    };
     auto cost_at = [&](int ix, int iy) -> double {
         double c;
         if (!fp_cache.get(ix, iy, &c)) {
@@ -4127,8 +4202,10 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             }
             PROF_COUNT(17, 1);
             int64_t sad;
-            if (x0 + ix >= 0 && y0 + iy >= 0 && x0 + ix + w <= g_sp.pic_w
-                && y0 + iy + h <= g_sp.pic_h)
+            if (surf_sad(ix, iy, &sad)) {
+            } else if (x0 + ix >= 0 && y0 + iy >= 0
+                       && x0 + ix + w <= g_sp.pic_w
+                       && y0 + iy + h <= g_sp.pic_h)
                 sad = plane8
                     ? sad8_interior(orig8, w, h, plane8, g_sp.pic_w,
                                     x0 + ix, y0 + iy)
@@ -4174,6 +4251,13 @@ void full_pel_search(const int32_t* orig, int x0, int y0, int w, int h,
             const int ix = pts[i][0], iy = pts[i][1];
             if (fp_cache.get(ix, iy, &c))
                 continue;
+            int64_t sad;
+            if (iy <= iy_max && surf_sad(ix, iy, &sad)) {
+                c = (double)sad + cur.lam_me * mv_bits(4 * ix - mvp[0],
+                                                       4 * iy - mvp[1]);
+                fp_cache.put(ix, iy, c);
+                continue;
+            }
             if (iy <= iy_max
                 && x0 + ix >= 0 && y0 + iy >= 0
                 && x0 + ix + w <= g_sp.pic_w
@@ -6777,6 +6861,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
         }
     en.have_seed[0] = en.have_seed[1] = 0;  // per-picture (set in prepass)
     en.have_dense[0] = en.have_dense[1] = 0;
+    en.have_surf[0] = en.have_surf[1] = 0;
     en.have_ranksatd = 0;  // per-picture (device install after setup)
     // subpel plane cache: one set per distinct hot reference plane,
     // nearest refs first (they take nearly all subpel probes); planes
@@ -7066,7 +7151,7 @@ void tc_enc_install_seeds(int32_t l, const int16_t* mv, int32_t wb,
 void tc_dense_analysis(const int16_t* orig, const int16_t* ref, int32_t w,
                        int32_t h, int32_t bd, int32_t nthreads,
                        int16_t* out_seeds, int16_t* out_dense,
-                       int32_t* out_sad) {
+                       int32_t* out_sad, int32_t* out_surf) {
     PhaseTimer pt(25);  // facade-driven prepass (device-offloadable)
     const int lw = (w + 3) >> 2, lh = (h + 3) >> 2;
     const int wb = (lw + 3) >> 2, hb = (lh + 3) >> 2;
@@ -7127,10 +7212,10 @@ void tc_dense_analysis(const int16_t* orig, const int16_t* ref, int32_t w,
         halfres_refine_rows(chp, rhp, wb, hb, B2, by0, by1, out_seeds);
         if (u8)
             dense_search_rows<uint8_t>(c8p, r8p, wb, hb, out_seeds, by0,
-                                       by1, out_dense, out_sad);
+                                       by1, out_dense, out_sad, out_surf);
         else
             dense_search_rows<int16_t>(c16p, r16p, wb, hb, out_seeds, by0,
-                                       by1, out_dense, out_sad);
+                                       by1, out_dense, out_sad, out_surf);
     };
     if (T > 1) {
         // two barriers: dense reads seeds of its own rows only, so the
@@ -7153,7 +7238,22 @@ void tc_enc_install_dense(int32_t l, const int16_t* mv, int32_t wb,
     en.seed_hb = hb;
     en.dense_mv[l].assign(mv, mv + (size_t)hb * wb * 2);
     en.have_dense[l] = 1;
+    en.have_surf[l] = 0;  // a surface must be re-installed alongside
     en.dense_external = 1;
+}
+
+// install the dense sweep's full SAD surface for list l ((hb*wb, 17*17)
+// int32, tc_dense_analysis out_surf) — ONLY valid when the analysis ran
+// against the true list-l ref-0 reconstruction (source-referenced
+// analysis fields must not install a surface: their SADs differ from
+// the probe SADs the search computes against the reconstruction)
+void tc_enc_install_densesurf(int32_t l, const int32_t* surf, int32_t wb,
+                              int32_t hb) {
+    if (wb != en.seed_wb || hb != en.seed_hb || !en.have_dense[l])
+        return;
+    en.dense_surf[l].assign(surf,
+                            surf + (size_t)hb * wb * DENSE_W * DENSE_W);
+    en.have_surf[l] = 1;
 }
 
 // ------------------------------------------------- picture contexts

@@ -107,6 +107,25 @@ def main():
         print("(CPU backend: skipping the Pallas variant — interpret "
               "mode is ~1000x slower; TPU runs bench it for real)")
 
+    # 1b') full dense SAD surface (the exact integers the full-pel search
+    # serves aligned probes from; TC_DEV_SURF install path)
+    from turingcodec_tpu import native as _nat
+    from turingcodec_tpu.encode.device_analysis import analysis_device
+    t0 = time.time()
+    out = analysis_device(frames[1][0], frames[0][0], want_surf=True)
+    sf_cold = time.time() - t0
+    t0 = time.time()
+    analysis_device(frames[1][0], frames[0][0], want_surf=True)
+    sf_warm = time.time() - t0
+    res_n = _nat.dense_analysis(frames[1][0], frames[0][0], 8)
+    sf_exact = res_n is not None and res_n[5] is not None \
+        and bool(np.array_equal(out[5], res_n[5]))
+    print(f"dense SAD surface ({out[5].shape[0]}x289 int32): "
+          f"cold {sf_cold:.1f}s, warm {sf_warm * 1e3:.0f}ms/ref "
+          f"(incl. the {out[5].nbytes / 1e6:.1f} MB pull), "
+          f"exact vs native: {sf_exact}")
+    assert res_n is None or sf_exact
+
     # 1c) subpel-plane stage parity + timing (the interpolated-reference
     # planes the subpel search reads; enc_core sp_build_plane twins)
     from turingcodec_tpu.encode.device_analysis import (subpel_planes_device,
