@@ -3,17 +3,23 @@
 
 Headline metric (BASELINE.json): 1080p low-delay encode frames/s at the
 fast preset (RDOQ+SDH on — our fast defaults). Quality at this operating
-point (QUALITY.md, 4-QP BD-rate vs the reference encoder, round 3):
-on this exact 1080p workload we BEAT the reference's fast preset by
--4.4% (LDP) / -9.1% (RA gop8) BD-rate, and its slow preset by -5.7%
-(RA, after the round-4 SAO merge RDO); on the natural 640x360 clip
--0.8% (fast LDP) / -3.8% (fast RA), with slow-RA the one remaining
-natural-content gap (+1.1%). Round-4 quiet-host band: 1.546-1.601 fps
-over 5 runs (vs_baseline 1.15-1.19). Reproduce with
-`python -m turingcodec_tpu.tools.bdrate`. The round-3 quality jumps
-came from exact mode-bin CABAC rate estimation in the search (checkRate
-invariant asserted per CTU) and reference-parity MPM-mode RD
-refinement.
+point (QUALITY.md, 4-QP BD-rate vs the reference encoder, re-measured
+round 5): on this exact 1080p workload we BEAT the reference's fast
+preset by -3.4% (LDP) / -8.9% (RA gop8) BD-rate, and its slow preset by
+-7.4% (RA); on the natural 640x360 clip -0.9% (fast LDP) / -3.3%
+(fast RA), with slow-RA the one remaining natural-content gap (+0.9%,
+entirely the qp26 first-generation-bias point — see ROADMAP "Round-5
+state" #3); synthetic rows -1.9 / -2.1 / +2.8%. Reproduce with
+`python -m turingcodec_tpu.tools.bdrate`.
+
+Speed, stated honestly (both numbers are this bench's metric):
+  - driver artifacts of record: BENCH_r04.json 1.492 fps
+    (vs_baseline 1.11); round-4 quiet-host band 1.546-1.601 fps over 5
+    runs (vs_baseline 1.15-1.19) — the driver number sits below the
+    quiet band because the driver host runs warm-up work alongside.
+  - QUALITY.md's fps columns show per-chip speed parity holds at 1080p
+    but NOT at 640x360 (the reference is 1.2-1.3x faster there) — the
+    bench's margin is specific to the 1080p operating point.
 
 The 1080p input is a deterministic 3x nearest-neighbour upscale of the
 bundled caminandes stream decoded by our own decoder; the decode is

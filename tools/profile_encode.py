@@ -32,8 +32,8 @@ PHASES = [
 COUNTS = ["fp_searches", "sad_single", "sad_batched", "met_stops",
           "batch_puts", "c21ns", "c22", "c23"]
 # extra phase slots 24..31 (g_enc_ns[24..31])
-XPHASES = ["dense_me", "analysis", "subpel_planes", "x27", "x28", "x29",
-           "x30", "x31"]
+XPHASES = ["dense_me", "analysis", "subpel_planes", "deblock", "x28",
+           "x29", "x30", "x31"]
 
 
 def main():
@@ -95,7 +95,10 @@ def main():
     #   [12] rank_modes — the source-referenced 35-mode SATD ranking of
     #        the MET presets (device_analysis.rank_satd_tables_device);
     #        this workload runs rd_candidates=1, so src-rank is active
-    dev = (cnt[12] + cnt[15] + cnt[24] + cnt[25] + cnt[26]) / 1e9
+    #   [27] loop-filter deblock (native tc_deblock; bit-exact device
+    #        twin TURING_TPU_DEVICE_DEBLOCK, tests/test_device_deblock)
+    dev = (cnt[12] + cnt[15] + cnt[24] + cnt[25] + cnt[26]
+           + cnt[27]) / 1e9
     print(f"  device-twin-covered stages: {dev / len(ups):.4f} s/frame "
           f"({dev / dt * 100:.1f}% of wall)")
 

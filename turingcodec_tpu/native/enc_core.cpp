@@ -79,6 +79,13 @@ extern "C" void tc_enc_counters(int64_t* out) {  // out: int64[32]
     for (int i = 0; i < 32; i++)
         out[i] = g_enc_ns[i].exchange(0, std::memory_order_relaxed);
 }
+// cross-TU phase accumulator (pixel_recon.cpp's deblock times itself
+// into slot 27: the encoder's loop filter, device-twin-covered via
+// TURING_TPU_DEVICE_DEBLOCK)
+extern "C" void tc_enc_add_ns(int32_t slot, int64_t ns) {
+    if (slot >= 0 && slot < 32)
+        g_enc_ns[slot].fetch_add(ns, std::memory_order_relaxed);
+}
 
 namespace {
 

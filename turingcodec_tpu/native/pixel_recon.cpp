@@ -12,6 +12,7 @@
 // 8.6.3 (scaling), 8.6.4 (transformation).
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 
 #include "core.h"
 
@@ -654,8 +655,14 @@ int tc_deblock(const int64_t* ptrs, const int32_t* ip,
     db.cb_off = cb_off;
     db.cr_off = cr_off;
     db.across_tiles = across_tiles;
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
     deblock_dir(true, vy0, vy1);
     deblock_dir(false, ey0, ey1);
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    extern void tc_enc_add_ns(int32_t, int64_t);
+    tc_enc_add_ns(27, (t1.tv_sec - t0.tv_sec) * 1000000000LL
+                      + (t1.tv_nsec - t0.tv_nsec));
     return 0;
 }
 
