@@ -14,22 +14,33 @@ state" #3); synthetic rows -1.9 / -2.1 / +2.8%. Reproduce with
 
 Speed, stated honestly (both numbers are this bench's metric):
   - driver artifacts of record: BENCH_r04.json 1.492 fps
-    (vs_baseline 1.11); round-4 quiet-host band 1.546-1.601 fps over 5
-    runs (vs_baseline 1.15-1.19) — the driver number sits below the
-    quiet band because the driver host runs warm-up work alongside.
-  - QUALITY.md's fps columns show per-chip speed parity holds at 1080p
-    but NOT at 640x360 (the reference is 1.2-1.3x faster there) — the
-    bench's margin is specific to the 1080p operating point.
+    (vs_baseline 1.11 against the RECORDED round-1 anchor); round-4
+    quiet-host band 1.546-1.601 fps over 5 runs.
+  - Round-5 finding: on the round-5 machine a FRESH -O1 build of the
+    reference runs this workload at 2.27 fps (the round-1 machine's
+    build: 1.34) — against that live anchor our 1080p encode is ~0.7x,
+    i.e. per-chip encode speed loses to the reference binary when its
+    build is healthy; our wins are compression (8 of 9 QUALITY.md
+    rows) and decode speed (~12x). vs_baseline below uses the live
+    same-host anchor whenever the binary exists.
 
 The 1080p input is a deterministic 3x nearest-neighbour upscale of the
 bundled caminandes stream decoded by our own decoder; the decode is
 md5-asserted against the reference decoder's output first, so this bench
 also re-verifies decoder correctness on every run.
 
-vs_baseline = our fps / reference `turing encode` fps measured on the
-development host under identical conditions (1080p, QP30, --speed fast,
---max-gop-m 1, 2 threads: 1.34 fps; the reference Release/xbyak build
-segfaults under this glibc, so its g++ -O1 build is the anchor).
+vs_baseline = our fps / reference `turing encode` fps under identical
+conditions (1080p, QP30, --speed fast, --max-gop-m 1, 2 threads). The
+anchor is MEASURED LIVE on the same input when the reference binary is
+present at /tmp/turing-dbg/turing/turing (build recipe:
+.claude/skills/verify/SKILL.md; the Release/xbyak build segfaults under
+this glibc, so its g++ -O1 build is the anchor), else the recorded
+round-1 constant 1.34 fps is used. Caveat discovered round 5: the -O1
+anchor is strongly build/host dependent — the round-1 machine measured
+1.34 fps, the round-5 machine's fresh build of the SAME source measures
+2.27 fps on the SAME workload — so cross-round vs_baseline values are
+only comparable when the anchor source (live vs recorded) matches; the
+JSON uses the live anchor whenever it can.
 Our encoder uses all host cores (deterministic WPP row threading).
 """
 import hashlib
@@ -45,9 +56,41 @@ for _v in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
 
 CAMINANDES = "/root/reference/test/excerpt_(CC)_caminandes.com_640x360.hevc"
 GOLDEN_MD5 = "05c8e88dd7a694829f34ad9486a0dd8e"
-REFERENCE_ENC_FPS = 1.34   # turing encode 1080p fast LDP QP30, 2 threads
+REFERENCE_ENC_FPS = 1.34   # recorded round-1 anchor (fallback when the
+                           # reference binary is absent on this host)
+REF_BIN = "/tmp/turing-dbg/turing/turing"
 N_FRAMES = 16
 QP = 30
+
+
+def measure_reference_anchor(ups) -> float:
+    """Live same-host anchor: the reference binary on the bench's exact
+    16-frame input (median of 2 runs). 0.0 when unavailable."""
+    import subprocess
+    import numpy as np
+    if not os.path.exists(REF_BIN):
+        return 0.0
+    yuv = "/tmp/bench_anchor.yuv"
+    try:
+        with open(yuv, "wb") as fh:
+            for pl in ups:
+                for p in pl:
+                    fh.write(p.astype(np.uint8).tobytes())
+        fpss = []
+        for _ in range(2):
+            t0 = time.time()
+            r = subprocess.run(
+                [REF_BIN, "encode", "--input-res", "1920x1080",
+                 "--frames", str(len(ups)), "--frame-rate", "24",
+                 "--qp", str(QP), "--speed", "fast", "--max-gop-m", "1",
+                 "--threads", "2", "-o", "/tmp/bench_anchor.hevc", yuv],
+                capture_output=True, timeout=600)
+            if r.returncode != 0:
+                return 0.0
+            fpss.append(len(ups) / (time.time() - t0))
+        return max(fpss)
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -106,12 +149,20 @@ def main():
     encode_ok = n_dec == len(ups) and dec2.hash_failures == 0
 
     ok = decode_ok and encode_ok
+    anchor = measure_reference_anchor(ups)
+    if anchor > 0:
+        print(f"live same-host reference anchor: {anchor:.3f} fps",
+              file=sys.stderr)
+    else:
+        anchor = REFERENCE_ENC_FPS
+        print(f"reference binary absent: recorded round-1 anchor "
+              f"{anchor} fps", file=sys.stderr)
     print(json.dumps({
         "metric": "encode_fps_1080p_fast"
                   + ("" if ok else "_NOT_VERIFIED"),
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_ENC_FPS, 4),
+        "vs_baseline": round(fps / anchor, 4),
     }))
     return 0 if ok else 1
 

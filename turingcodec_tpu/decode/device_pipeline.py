@@ -268,9 +268,9 @@ def decode_picture_device(pr):
         # the one serial-by-spec stage: pull, reconstruct intra CUs on the
         # host (native core), push back
         from turingcodec_tpu import native
-        pr.ry[:] = np.asarray(planes[0])
-        pr.rcb[:] = np.asarray(planes[1])
-        pr.rcr[:] = np.asarray(planes[2])
+        import jax
+        got = jax.device_get(planes)  # ONE batched transfer, not three
+        pr.ry[:], pr.rcb[:], pr.rcr[:] = got
         if not native.intra_recon(pr):
             for cu in plan.cu_list:
                 if cu.pred_mode == 1:
@@ -287,9 +287,12 @@ def decode_picture_device(pr):
         planes = sao_picture_device(plan, geom, planes, pull=False)
 
     tp("sao")
-    # the single device->host pull of the pipeline
+    # the single device->host pull of the pipeline: one batched
+    # device_get for all three planes (three sequential np.array pulls
+    # pay the tunnel round-trip three times)
+    import jax
     planes = [p.astype(jnp.int16) for p in planes]
-    out = [np.array(p) for p in planes]  # writable host copies
+    out = [np.array(p, copy=True) for p in jax.device_get(planes)]
     tp("pull")
     pr.ry, pr.rcb, pr.rcr = out
     _register_dev(out, tuple(planes))
