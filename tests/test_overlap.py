@@ -107,6 +107,35 @@ def test_overlap_reference_decoder(ldp_stream, tmp_path):
     assert md5_ours.hexdigest() == md5_ref
 
 
+def test_overlap_rate_control_rendezvous(frames):
+    """Picture-level rate control under overlap: the fixed finalize
+    schedule makes prepare(i) see exactly the pictures <= i-4 finalized
+    (the reference's RC feedback lag under --concurrent-frames,
+    RateControl.cpp:849). Deterministic run-to-run, decodes clean, and
+    lands near the CBR target."""
+    def enc():
+        cfg = EncoderConfig(width=640, height=360, qp=32, rd_candidates=1,
+                            search_range=32, gop_m=1, sao=False,
+                            bitrate=400_000, ctu_rc=False,
+                            frame_overlap=True)
+        e = Encoder(cfg)
+        out = [e.headers()]
+        for f in frames:
+            for (_i, nal, _r) in e.push_frame([p.copy() for p in f]):
+                out.append(nal)
+        for (_i, nal, _r) in e.flush():
+            out.append(nal)
+        return b"".join(out)
+
+    a = enc()
+    assert a == enc()
+    dec = Decoder()
+    n = sum(1 for _ in dec.decode_stream(a))
+    assert n == len(frames) and dec.hash_failures == 0
+    target = 400_000 / 24.0 * len(frames) / 8.0
+    assert 0.5 * target < len(a) < 2.0 * target
+
+
 def test_deblock_band_sequence_equals_whole(frames):
     """DeblockNative banded pass == whole-picture pass, sample-exact, on
     a real encoded picture's plan (the overlap follower's publisher

@@ -628,10 +628,13 @@ class Encoder:
         if not on:
             return False
         cfg = self.cfg
-        if (self._rc is not None or cfg.slices > 1 or cfg.sao
-                or cfg.aq_strength > 0 or cfg.tile_cols > 1
-                or cfg.tile_rows > 1 or cfg.wp_luma is not None
-                or cfg.tskip):
+        # picture-level rate control works under overlap via the fixed-lag
+        # rendezvous (see _encode_dockets_overlap); CTU-level RC shares
+        # per-CTB model state across in-flight pictures and stays
+        # sequential (the reference's RC token scheme has the same
+        # picture-level structure, RateControl.cpp:849 hierarchyLevel -
+        # concurrentFrames)
+        if (self._rc is not None and cfg.ctu_rc) or cfg.slices > 1                 or cfg.sao or cfg.aq_strength > 0 or cfg.tile_cols > 1                 or cfg.tile_rows > 1 or cfg.wp_luma is not None                 or cfg.tskip:
             return False
         if os.environ.get("TURING_TPU_NO_NATIVE") \
                 or os.environ.get("TURING_TPU_NO_NATIVE_ENC") \
@@ -641,13 +644,17 @@ class Encoder:
         return native.get_lib() is not None
 
     def _ovl_frames(self) -> int:
-        """In-flight picture budget for overlap mode (the reference
-        defaults to 4 concurrent frames, encode.cpp:151)."""
+        """In-flight picture budget for overlap mode: fixed 4 like the
+        reference (encode.cpp:151) so bitstreams never depend on the
+        host's core count — under rate control the in-flight depth IS
+        the RC feedback lag (like the reference's --concurrent-frames),
+        so the env override changes RC bitstreams, exactly as theirs
+        does."""
         import os
         v = os.environ.get("TURING_TPU_FRAME_THREADS")
         if v:
             return max(1, int(v))
-        return min(4, max(2, os.cpu_count() or 1))
+        return 4
 
     def _encode_dockets_overlap(self, dockets) -> List[tuple]:
         """Pipelined dependent-picture encoding: prepare sequentially,
@@ -680,10 +687,16 @@ class Encoder:
             job = self._docket_prepare(d)
             st["fol"].add(job)
             st["q"].append((job, st["pool"].submit(run, job)))
-        while st["q"] and st["q"][0][1].done():
-            j0, f0 = st["q"].pop(0)
-            f0.result()
-            out.append(self._docket_finalize(j0))
+        # opportunistic early finalize of completed pictures — but NOT
+        # under rate control: there the finalize schedule must be a pure
+        # function of the docket sequence (prepare(i) sees exactly the
+        # pictures <= i-ft finalized — the fixed RC feedback lag), never
+        # of completion timing
+        if self._rc is None:
+            while st["q"] and st["q"][0][1].done():
+                j0, f0 = st["q"].pop(0)
+                f0.result()
+                out.append(self._docket_finalize(j0))
         return out
 
     def _drain_overlap(self) -> List[tuple]:
