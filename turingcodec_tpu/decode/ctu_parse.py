@@ -212,7 +212,14 @@ def parse_coding_quadtree(ps: SliceParseContext, x0: int, y0: int,
             parse_coding_quadtree(ps, x1, y1, log2_size - 1, depth + 1)
     else:
         parse_coding_unit(ps, x0, y0, log2_size, depth)
-        ps.last_cu_qp = int(ps.plan.qp_y[y0 >> 2, x0 >> 2])
+        # per-CU QpY (reference QpState semantics): derived at THIS CU's
+        # parse with the CuQpDeltaVal state as of now — CUs of a group
+        # parsed before the delta keep pred + 0, NOT the later delta
+        qp = _derive_qp(ps, x0, y0)
+        size = 1 << log2_size
+        ps.plan.qp_y[y0 >> 2:(y0 + size) >> 2,
+                     x0 >> 2:(x0 + size) >> 2] = qp
+        ps.last_cu_qp = qp
 
 
 def _set_block(arr: np.ndarray, x0: int, y0: int, size: int, w: int = None,
@@ -672,7 +679,12 @@ def parse_transform_unit(ps: SliceParseContext, x0, y0, x_base, y_base,
     sps, pps, dec, plan, cu, sh = ps.sps, ps.pps, ps.dec, ps.plan, ps.cu, ps.sh
     chroma_last = log2_size == 2 and blk_idx == 3
     any_chroma = (cbf_cb or cbf_cr) and (log2_size > 2 or chroma_last)
-    if cbf_luma or any_chroma:
+    # spec 7.3.8.10: the transform_unit body (and with it cu_qp_delta)
+    # is entered when ANY of cbf_luma/cbf_cb/cbf_cr is set — at 4x4 TUs
+    # the chroma cbfs are the PARENT's, so the delta can appear at
+    # blkIdx 0 of a chroma-only group; the chroma residual itself still
+    # rides blkIdx 3
+    if cbf_luma or cbf_cb or cbf_cr:
         if pps.cu_qp_delta_enabled_flag and not ps.is_cu_qp_delta_coded:
             # cu_qp_delta_abs: TR prefix (cMax 5, ctx [0, 1...]), EG0 suffix
             prefix = ps.tr_ctx_bypass("cu_qp_delta_abs", 5, 5, [0, 1, 1, 1, 1])
@@ -683,26 +695,23 @@ def parse_transform_unit(ps: SliceParseContext, x0, y0, x_base, y_base,
                 val = -val
             ps.is_cu_qp_delta_coded = True
             ps.cu_qp_delta_val = val
-        qp = _derive_qp(ps, cu.x0, cu.y0)
-        # QpY applies to the WHOLE quantization group, retroactively covering
-        # CUs parsed before the delta (deblock uses it; reference behaviour)
-        log2_qg = sps.ctb_log2_size_y - pps.diff_cu_qp_delta_depth
-        qg = 1 << log2_qg
-        x_qg, y_qg = cu.x0 & ~(qg - 1), cu.y0 & ~(qg - 1)
-        plan.qp_y[y_qg >> 2:(y_qg + qg) >> 2,
-                  x_qg >> 2:(x_qg + qg) >> 2] = qp
         if cbf_luma:
             parse_residual_coding(ps, x0, y0, log2_size, 0)
-        if log2_size > 2:
-            if cbf_cb:
-                parse_residual_coding(ps, x0 >> 1, y0 >> 1, log2_size - 1, 1)
-            if cbf_cr:
-                parse_residual_coding(ps, x0 >> 1, y0 >> 1, log2_size - 1, 2)
-        elif chroma_last:
-            if cbf_cb:
-                parse_residual_coding(ps, x_base >> 1, y_base >> 1, log2_size, 1)
-            if cbf_cr:
-                parse_residual_coding(ps, x_base >> 1, y_base >> 1, log2_size, 2)
+        if any_chroma:
+            if log2_size > 2:
+                if cbf_cb:
+                    parse_residual_coding(ps, x0 >> 1, y0 >> 1,
+                                          log2_size - 1, 1)
+                if cbf_cr:
+                    parse_residual_coding(ps, x0 >> 1, y0 >> 1,
+                                          log2_size - 1, 2)
+            else:
+                if cbf_cb:
+                    parse_residual_coding(ps, x_base >> 1, y_base >> 1,
+                                          log2_size, 1)
+                if cbf_cr:
+                    parse_residual_coding(ps, x_base >> 1, y_base >> 1,
+                                          log2_size, 2)
     # (qPY_PREV updates happen per CU via last_cu_qp)
 
 

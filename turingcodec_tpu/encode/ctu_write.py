@@ -557,7 +557,12 @@ def write_transform_tree(ws: SliceWriteContext, x0, y0, x_base, y_base,
     # transform_unit
     chroma_last = log2_size == 2 and blk_idx == 3
     any_chroma = (my_cb or my_cr) and (log2_size > 2 or chroma_last)
-    if cbf_luma or any_chroma:
+    # spec 7.3.8.10: the transform_unit body (cu_qp_delta included) runs
+    # when ANY of cbf_luma/cbf_cb/cbf_cr is set — at 4x4 TUs the chroma
+    # cbfs are the PARENT's, so the delta lands on blkIdx 0 of a
+    # chroma-only group (reference-decoder cross-verified); the chroma
+    # residual itself still rides blkIdx 3
+    if cbf_luma or my_cb or my_cr:
         if pps.cu_qp_delta_enabled_flag and not ws.is_cu_qp_delta_coded:
             # derive the predictor the same way the parser does, then write
             # the delta that reproduces plan.qp_y
@@ -581,17 +586,18 @@ def write_transform_tree(ws: SliceWriteContext, x0, y0, x_base, y_base,
                 enc.encode_bypass(1 if val < 0 else 0)
         if cbf_luma:
             write_residual(ws, x0, y0, log2_size, 0)
-        if log2_size > 2:
-            if my_cb:
-                write_residual(ws, x0 >> 1, y0 >> 1, log2_size - 1, 1)
-            if my_cr:
-                write_residual(ws, x0 >> 1, y0 >> 1, log2_size - 1, 2)
-        elif chroma_last:
-            cbx, cby = x_base >> 1, y_base >> 1
-            if my_cb:
-                write_residual(ws, cbx, cby, 2, 1)
-            if my_cr:
-                write_residual(ws, cbx, cby, 2, 2)
+        if any_chroma:
+            if log2_size > 2:
+                if my_cb:
+                    write_residual(ws, x0 >> 1, y0 >> 1, log2_size - 1, 1)
+                if my_cr:
+                    write_residual(ws, x0 >> 1, y0 >> 1, log2_size - 1, 2)
+            else:
+                cbx, cby = x_base >> 1, y_base >> 1
+                if my_cb:
+                    write_residual(ws, cbx, cby, 2, 1)
+                if my_cr:
+                    write_residual(ws, cbx, cby, 2, 2)
 
 
 def write_residual(ws: SliceWriteContext, x0, y0, log2_size, c_idx):

@@ -78,6 +78,13 @@ class EncoderConfig:
     frame_rate: float = 24.0
     shot_change: bool = False  # shot-change-triggered IDR placement
     aq_strength: float = 0.0   # adaptive quantization (0 = off)
+    aq_depth: int = 0   # AQ pyramid depth / QG granularity (reference
+                        # --aq-depth): 0 = per-CTB dQP; d > 0 signals
+                        # diff_cu_qp_delta_depth = d and the search
+                        # queries per-CU offsets at layer min(cu_depth,
+                        # d) (AdaptiveQuantisation.h:101,
+                        # Search.hpp:1145); needs single slice/tile and
+                        # no rate control
     sao: bool = True           # SAO estimation + signalling
     verify_recon: bool = True  # assert search recon == plan-replay recon
     wp_luma: Optional[tuple] = None  # explicit weighted prediction for P
@@ -373,7 +380,8 @@ class Encoder:
         p.entropy_coding_sync_enabled_flag = int(c.wpp)
         p.cu_qp_delta_enabled_flag = int(c.aq_strength > 0
                                          or bool(c.bitrate and c.ctu_rc))
-        p.diff_cu_qp_delta_depth = 0
+        p.diff_cu_qp_delta_depth = (
+            c.aq_depth if c.aq_strength > 0 and not c.bitrate else 0)
         p.transform_skip_enabled_flag = int(c.tskip)
         p.loop_filter_across_tiles_enabled_flag = 1
         if c.tile_cols > 1 or c.tile_rows > 1:
@@ -759,33 +767,104 @@ class Encoder:
         return nal, recon
 
     # ------------------------------------------------------------------
-    def _reconcile_qp(self, plan, sh):
-        """Rewrite plan.qp_y to the decoder-derivable values: a QG (== CTB,
-        diff_cu_qp_delta_depth 0) with no coded coefficients signals no
-        delta, so its QpY is qPY_PREV (spec 8.6.1). With QG == CTB the
-        left/above QG predictors are never in the same CTB, so the
-        prediction chain is purely sequential."""
+    def _apply_aq_qp(self, plan, qp_layers):
+        """Per-CU AQ: decoder-visible QpY per 4x4 block from the committed
+        quadtree — each CU carries layer min(ct_depth, D)'s QP at its
+        position, a pure function of position+depth, which is exactly
+        what both search twins quantized with."""
+        D = len(qp_layers) - 1
+        ct = np.minimum(plan.ct_depth.astype(np.int32), D)
+        h4, w4 = ct.shape
+        ctb_l2 = self.sps.ctb_log2_size_y
+        out = plan.qp_y
+        for d, qm in enumerate(qp_layers):
+            rep = 1 << (ctb_l2 - d - 2)
+            up = np.repeat(np.repeat(qm, rep, 0), rep, 1)[:h4, :w4]
+            np.copyto(out, up.astype(out.dtype), where=(ct == d))
+
+    def _reconcile_qp_qg(self, plan, sh):
+        """Decoder-derivable QpY rewrite for cu_qp_delta streams (any
+        diff_cu_qp_delta_depth, incl. 0): mirrors the decoders' per-CU
+        derivation — each CU's QpY = qPY_PRED + the CuQpDeltaVal state
+        as of ITS parse, so CUs of a quantization group parsed BEFORE
+        the group's first coded coefficient keep qPY_PRED + 0 (the
+        reference QpState semantics, cross-verified bit-exact against
+        the reference decoder on its own --aq streams). qPY_PRED =
+        (qPY_A + qPY_B + 1) >> 1 from the left/above QGs inside the same
+        CTB, else qPY_PREV; qPY_PREV resets per slice and (WPP) per CTB
+        row. Groups have max(QG, CU) extent and walk in z-order."""
         sps = self.sps
-        ctb = sps.ctb_size_y
+        ctb_l2 = sps.ctb_log2_size_y
+        ctb = 1 << ctb_l2
+        qg_l2 = ctb_l2 - self.pps.diff_cu_qp_delta_depth
+        W = sps.pic_width_in_luma_samples
+        H = sps.pic_height_in_luma_samples
         wc, hc = sps.pic_width_in_ctbs_y, sps.pic_height_in_ctbs_y
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
+        qp = plan.qp_y
+        mincb_l2 = sps.min_cb_log2_size_y
+
+        def zorder(n):
+            out = []
+            for zi in range(n * n):
+                zx = zy = 0
+                for b in range(8):
+                    zx |= ((zi >> (2 * b)) & 1) << b
+                    zy |= ((zi >> (2 * b + 1)) & 1) << b
+                out.append((zy, zx))
+            return out
+
+        z_qg = zorder(ctb >> qg_l2)
+
+        def cu_nz(x0, y0, g):
+            y1, x1 = min(y0 + g, H), min(x0 + g, W)
+            return bool(
+                plan.coeff_y[y0:y1, x0:x1].any()
+                or plan.coeff_cb[y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].any()
+                or plan.coeff_cr[y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].any())
+
         last = sh.slice_qp_y
         for ry in range(hc):
+            if wpp:
+                last = sh.slice_qp_y
             for rx in range(wc):
-                if wpp and rx == 0:
-                    last = sh.slice_qp_y
-                y0, x0 = ry * ctb, rx * ctb
-                y1 = min(y0 + ctb, sps.pic_height_in_luma_samples)
-                x1 = min(x0 + ctb, sps.pic_width_in_luma_samples)
-                has_cbf = bool(
-                    plan.coeff_y[y0:y1, x0:x1].any()
-                    or plan.coeff_cb[y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].any()
-                    or plan.coeff_cr[y0 >> 1:y1 >> 1, x0 >> 1:x1 >> 1].any())
-                bl = (slice(y0 >> 2, y1 >> 2), slice(x0 >> 2, x1 >> 2))
-                if has_cbf:
-                    last = int(plan.qp_y[y0 >> 2, x0 >> 2])
-                else:
-                    plan.qp_y[bl] = last
+                for (zy, zx) in z_qg:
+                    x0 = rx * ctb + (zx << qg_l2)
+                    y0 = ry * ctb + (zy << qg_l2)
+                    if x0 >= W or y0 >= H:
+                        continue
+                    g_l2 = max(int(plan.cu_size_log2[y0 >> 2, x0 >> 2]),
+                               qg_l2)
+                    g = 1 << g_l2
+                    if (x0 & (g - 1)) or (y0 & (g - 1)):
+                        continue  # not this group's origin cell
+                    a = b_ = last
+                    if x0 > 0 and ((x0 - 1) >> ctb_l2) == (x0 >> ctb_l2):
+                        a = int(qp[y0 >> 2, (x0 - 1) >> 2])
+                    if y0 > 0 and ((y0 - 1) >> ctb_l2) == (y0 >> ctb_l2):
+                        b_ = int(qp[(y0 - 1) >> 2, x0 >> 2])
+                    pred = (a + b_ + 1) >> 1
+                    # walk the group's CUs in z-order: before the first
+                    # CU with a coded coefficient, QpY = pred
+                    coded = False
+                    cu_qp = pred
+                    for (cy, cx) in zorder(g >> mincb_l2):
+                        cx0 = x0 + (cx << mincb_l2)
+                        cy0 = y0 + (cy << mincb_l2)
+                        if cx0 >= W or cy0 >= H:
+                            continue
+                        cl2 = int(plan.cu_size_log2[cy0 >> 2, cx0 >> 2])
+                        cs = 1 << cl2
+                        if (cx0 & (cs - 1)) or (cy0 & (cs - 1)):
+                            continue  # interior cell of a CU
+                        if not coded and cu_nz(cx0, cy0, cs):
+                            coded = True
+                            cu_qp = int(qp[cy0 >> 2, cx0 >> 2])
+                        cv = cu_qp if coded else pred
+                        y1, x1 = min(cy0 + cs, H), min(cx0 + cs, W)
+                        qp[cy0 >> 2:(y1 + 3) >> 2,
+                           cx0 >> 2:(x1 + 3) >> 2] = cv
+                        last = cv
 
     # ------------------------------------------------------------------
     def _encode_docket(self, docket) -> tuple:
@@ -919,11 +998,35 @@ class Encoder:
                 sh.slice_qp_y, lam, sh.is_i, self._ctb_models,
                 "I" if sh.is_i else docket.temporal_id, intra_costs=icm)
         elif self.cfg.aq_strength > 0:
-            from turingcodec_tpu.encode.aq import compute_aq_map
-            dqp = compute_aq_map(np.asarray(yuv[0]), self.sps.ctb_log2_size_y,
-                                 self.cfg.aq_strength)
-            qp_map = np.clip(sh.slice_qp_y + dqp, 1, 51)
-            enc.set_qp_map(qp_map)
+            from turingcodec_tpu.encode.aq import compute_aq_layers
+            D = self.cfg.aq_depth
+            if D > 0:
+                assert (self.cfg.slices == 1 and self.cfg.tile_cols == 1
+                        and self.cfg.tile_rows == 1),                     "per-CU AQ needs a single slice/tile"
+            layers = compute_aq_layers(np.asarray(yuv[0]),
+                                       self.sps.ctb_log2_size_y,
+                                       self.cfg.aq_strength, D)
+            qp_layers = [np.clip(sh.slice_qp_y + d_, 1, 51)
+                         for d_ in layers]
+            enc.set_qp_map(qp_layers[0])
+            if D > 0:
+                # full-QP maps per layer (luma + derived chroma, bd
+                # offsets in) for the per-CU query in both search twins
+                from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
+                sps, pps = self.sps, self.pps
+                lo = -sps.qp_bd_offset_c
+
+                def cfull(qm, off):
+                    f = np.vectorize(lambda q: chroma_qp_from_luma(
+                        int(max(lo, min(57, q + off)))))
+                    return (f(qm) + sps.qp_bd_offset_c).astype(np.int32)
+
+                enc._aq_layers_full = [
+                    ((qm + sps.qp_bd_offset_y).astype(np.int32),
+                     cfull(qm, pps.pps_cb_qp_offset),
+                     cfull(qm, pps.pps_cr_qp_offset))
+                    for qm in qp_layers]
+                enc._aq_qp_layers = qp_layers
         n_slices = max(1, self.cfg.slices)
         if n_slices > 1:
             assert not self.cfg.wpp and self.cfg.aq_strength == 0, \
@@ -1050,8 +1153,11 @@ class Encoder:
         docket, yuv, sh, enc = job.docket, job.yuv, job.sh, job.enc
         n_slices, bounds = job.n_slices, job.bounds
         plan, search_recon = enc.encode_picture(yuv)
-        if self.cfg.aq_strength > 0 or getattr(enc, "ctu_rc", None):
-            self._reconcile_qp(plan, sh)
+        if getattr(enc, "_aq_qp_layers", None):
+            self._apply_aq_qp(plan, enc._aq_qp_layers)
+            self._reconcile_qp_qg(plan, sh)
+        elif self.cfg.aq_strength > 0 or getattr(enc, "ctu_rc", None):
+            self._reconcile_qp_qg(plan, sh)
 
         if job.ovl:
             # overlap: the follower deblocked band-by-band behind the

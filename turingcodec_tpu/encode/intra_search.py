@@ -164,6 +164,24 @@ class IntraPictureEncoder:
     def set_qp_map(self, qp_map):
         self.qp_map = qp_map
 
+    def _set_cu_qp_layer(self, x0, y0, depth):
+        """Per-CU AQ query (reference getAqOffset at min(cu_depth,
+        aq_depth), Search.hpp:1145): QP only — the lambda stays at the
+        CTB's layer-0 value, like the reference's picture lambda."""
+        from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
+        qls = self._aq_qp_layers
+        d = min(depth, len(qls) - 1)
+        sh_ = self.sps.ctb_log2_size_y - d
+        q = int(qls[d][y0 >> sh_, x0 >> sh_])
+        if q == self.qp:
+            return
+        sps, pps = self.sps, self.pps
+        self.qp = q
+        self.qp_cb = chroma_qp_from_luma(
+            max(-sps.qp_bd_offset_c, min(57, q + pps.pps_cb_qp_offset)))
+        self.qp_cr = chroma_qp_from_luma(
+            max(-sps.qp_bd_offset_c, min(57, q + pps.pps_cr_qp_offset)))
+
     def _set_ctb_qp(self, qp: int):
         from turingcodec_tpu.hevc.tables import chroma_qp_from_luma
         sps, pps = self.sps, self.pps
@@ -213,6 +231,8 @@ class IntraPictureEncoder:
             assert nat is not None, \
                 "inter-picture overlap requires the native search core"
             nat.setup_overlap(self)
+        if nat is not None and getattr(self, "_aq_layers_full", None):
+            nat.install_aq(self._aq_layers_full)
         ctb = sps.ctb_size_y
         wpp = bool(self.pps.entropy_coding_sync_enabled_flag)
         wc = sps.pic_width_in_ctbs_y
@@ -359,6 +379,8 @@ class IntraPictureEncoder:
                     cost += self._decide_cqt(x0 + dx, y0 + dy, log2 - 1,
                                              depth + 1)
             return cost
+        if getattr(self, "_aq_qp_layers", None) is not None:
+            self._set_cu_qp_layer(x0, y0, depth)
         # intra pictures cap CUs at max_cu_log2; inter pictures search the
         # full CTB (64x64 skip/merge CUs are where B frames save bits —
         # the reference does the same)

@@ -208,6 +208,10 @@ def _build_and_load():
     lib.tc_enc_install_ranksatd.restype = None
     lib.tc_enc_install_ranksatd.argtypes = [
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+    lib.tc_enc_install_aqlayer.restype = None
+    lib.tc_enc_install_aqlayer.argtypes = [
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32]
     lib.tc_enc_overlap_setup.restype = None
     lib.tc_enc_overlap_setup.argtypes = [
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
@@ -1240,6 +1244,21 @@ class EncNative:
                     self._keep_seeds.append(sarr)
                     self.lib.tc_enc_install_densesurf(
                         lx, ctypes.c_void_p(sarr.ctypes.data), wb, hb)
+
+    def install_aq(self, layers):
+        """Install the per-CU AQ pyramid: [(qp_y_full, qp_cb_full,
+        qp_cr_full)] per layer d=0..D, each (hc<<d, wc<<d) int32 —
+        decide_cqt queries layer min(depth, D) per CU trial."""
+        self._keep_aq = []
+        for d, (qy, qcb, qcr) in enumerate(layers):
+            arrs = [np.ascontiguousarray(a, np.int32) for a in
+                    (qy, qcb, qcr)]
+            self._keep_aq += arrs
+            hn, wn = arrs[0].shape
+            self.lib.tc_enc_install_aqlayer(
+                d, ctypes.c_void_p(arrs[0].ctypes.data),
+                ctypes.c_void_p(arrs[1].ctypes.data),
+                ctypes.c_void_p(arrs[2].ctypes.data), wn, hn)
 
     def install_subpel(self, fields):
         """Install device-computed subpel planes

@@ -193,6 +193,15 @@ struct EN {
     // deblock behind the search, and the MV clamp is y-only. All bounds
     // are static functions of the CTU position, so bitstreams are
     // byte-identical at any thread count / realized concurrency.
+    // per-CU adaptive quantization (diff_cu_qp_delta_depth > 0): each
+    // CU trial quantizes at layer min(depth, aq_depth)'s QP for its
+    // position — the reference's pyramid query (Search.hpp:1145,
+    // AdaptiveQuantisation.h:101). Plan qp_y is filled by the facade
+    // after the search from the committed ct_depth (the qp of a CU is a
+    // pure function of position+depth), so trials need no qp snapshots.
+    int aq_depth = -1;                 // -1 = off
+    std::vector<int32_t> aq_qp[4][3];  // [layer][y/cb/cr] (hn*wn) FULL qp
+    int aq_wn[4] = {0, 0, 0, 0};
     struct Overlap {
         int active = 0;  // waits on refs + external-only analysis
         int clamp = 0;   // deterministic MV y-clamp (overlap mode on)
@@ -808,6 +817,17 @@ struct EnCur {
 };
 
 thread_local EnCur cur;
+
+// per-CU AQ query (reference getAqOffset at min(depth, aqDepth),
+// Search.hpp:1145): every CU trial quantizes at its layer's FULL QPs
+static inline void aq_set_cu_qp(int x0, int y0, int depth) {
+    const int l = depth < en.aq_depth ? depth : en.aq_depth;
+    const int sh = g_sp.ctb_log2 - l;
+    const size_t i = (size_t)(y0 >> sh) * en.aq_wn[l] + (x0 >> sh);
+    cur.qp_full = en.aq_qp[l][0][i];
+    cur.qp_cb_full = en.aq_qp[l][1][i];
+    cur.qp_cr_full = en.aq_qp[l][2][i];
+}
 
 inline int cw_() { return g_sp.pic_w >> 1; }
 inline int chh_() { return g_sp.pic_h >> 1; }
@@ -6243,6 +6263,8 @@ double decide_cqt(int x0, int y0, int log2, int depth) {
         }
         return cost;
     }
+    if (en.aq_depth >= 0)
+        aq_set_cu_qp(x0, y0, depth);
     int cu_limit = g_sp.is_i ? en.max_cu_log2 : en.max_cu_inter;
     if (log2 > cu_limit) {
         // 64x64 intra CU trial at slow (forced TU split,
@@ -6869,6 +6891,7 @@ void tc_enc_setup(const int64_t* ptrs, const int32_t* ip,
     en.have_seed[0] = en.have_seed[1] = 0;  // per-picture (set in prepass)
     en.have_dense[0] = en.have_dense[1] = 0;
     en.have_surf[0] = en.have_surf[1] = 0;
+    en.aq_depth = -1;  // per-picture (tc_enc_install_aqlayer)
     en.have_ranksatd = 0;  // per-picture (device install after setup)
     // subpel plane cache: one set per distinct hot reference plane,
     // nearest refs first (they take nearly all subpel probes); planes
@@ -7261,6 +7284,23 @@ void tc_enc_install_densesurf(int32_t l, const int32_t* surf, int32_t wb,
     en.dense_surf[l].assign(surf,
                             surf + (size_t)hb * wb * DENSE_W * DENSE_W);
     en.have_surf[l] = 1;
+}
+
+// install one per-CU AQ layer: three (hn*wn) int32 maps of FULL QPs
+// (luma + derived chroma, bd offsets included) at unit size ctb>>d;
+// installing any layer turns the per-CU query on with depth max(d...)
+void tc_enc_install_aqlayer(int32_t d, const int32_t* qy,
+                            const int32_t* qcb, const int32_t* qcr,
+                            int32_t wn, int32_t hn) {
+    if (d < 0 || d > 3)
+        return;
+    const size_t n = (size_t)hn * wn;
+    en.aq_qp[d][0].assign(qy, qy + n);
+    en.aq_qp[d][1].assign(qcb, qcb + n);
+    en.aq_qp[d][2].assign(qcr, qcr + n);
+    en.aq_wn[d] = wn;
+    if (d > en.aq_depth)
+        en.aq_depth = d;
 }
 
 // ------------------------------------------------- picture contexts

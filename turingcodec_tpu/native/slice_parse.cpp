@@ -912,12 +912,16 @@ void parse_residual(PS& ps, int x0, int y0, int log2_size, int c_idx) {
 
 // ---- transform tree / unit (spec 7.3.8.8/10) -------------------------------
 void parse_transform_unit(PS& ps, int x0, int y0, int x_base, int y_base,
-                          int log2_size, int cbf_luma, int cbf_cb,
-                          int cbf_cr) {
+                          int log2_size, int blk_idx, int cbf_luma,
+                          int cbf_cb, int cbf_cr) {
     CU& cu = ps.cu;
-    bool chroma_last = log2_size == 2;  // at blk_idx 3 (caller ensures)
-    bool any_chroma = (cbf_cb || cbf_cr);
-    if (cbf_luma || any_chroma) {
+    // 4x4 TUs receive the PARENT's chroma cbfs: the spec's transform_unit
+    // condition (7.3.8.10) includes them at every blkIdx — cu_qp_delta
+    // can appear at blkIdx 0 of a chroma-only group — while the chroma
+    // residual itself only rides blkIdx 3
+    bool chroma_last = log2_size > 2 || blk_idx == 3;
+    bool any_chroma = (cbf_cb || cbf_cr) && chroma_last;
+    if (cbf_luma || cbf_cb || cbf_cr) {
         if (g_sp.cu_qp_delta_enabled && !ps.qp_coded) {
             // cu_qp_delta_abs: TR prefix (cMax 5, ctx [0,1,1,1,1]), EG0 suffix
             int prefix = 0;
@@ -941,32 +945,24 @@ void parse_transform_unit(PS& ps, int x0, int y0, int x_base, int y_base,
             ps.qp_coded = 1;
             ps.qp_delta = val;
         }
-        int qp = derive_qp(ps, cu.x0, cu.y0);
-        // QpY applies to the whole quantization group retroactively
-        int log2_qg = g_sp.ctb_log2 - g_sp.diff_cu_qp_delta_depth;
-        int qg = 1 << log2_qg;
-        int x_qg = cu.x0 & ~(qg - 1), y_qg = cu.y0 & ~(qg - 1);
-        int bx0 = x_qg >> 2, by0 = y_qg >> 2;
-        int bx1 = (x_qg + qg) >> 2, by1 = (y_qg + qg) >> 2;
-        if (bx1 > g_sp.w4) bx1 = g_sp.w4;
-        if (by1 > g_sp.h4) by1 = g_sp.h4;
-        for (int y = by0; y < by1; y++)
-            for (int x = bx0; x < bx1; x++)
-                g_sp.qp_y[(int64_t)y * g_sp.w4 + x] = (int8_t)qp;
         if (cbf_luma)
             parse_residual(ps, x0, y0, log2_size, 0);
         if (ps.err)
             return;
-        if (log2_size > 2) {
-            if (cbf_cb)
-                parse_residual(ps, x0 >> 1, y0 >> 1, log2_size - 1, 1);
-            if (!ps.err && cbf_cr)
-                parse_residual(ps, x0 >> 1, y0 >> 1, log2_size - 1, 2);
-        } else if (chroma_last) {
-            if (cbf_cb)
-                parse_residual(ps, x_base >> 1, y_base >> 1, log2_size, 1);
-            if (!ps.err && cbf_cr)
-                parse_residual(ps, x_base >> 1, y_base >> 1, log2_size, 2);
+        if (any_chroma) {
+            if (log2_size > 2) {
+                if (cbf_cb)
+                    parse_residual(ps, x0 >> 1, y0 >> 1, log2_size - 1, 1);
+                if (!ps.err && cbf_cr)
+                    parse_residual(ps, x0 >> 1, y0 >> 1, log2_size - 1, 2);
+            } else {
+                if (cbf_cb)
+                    parse_residual(ps, x_base >> 1, y_base >> 1,
+                                   log2_size, 1);
+                if (!ps.err && cbf_cr)
+                    parse_residual(ps, x_base >> 1, y_base >> 1,
+                                   log2_size, 2);
+            }
         }
     }
 }
@@ -1049,9 +1045,8 @@ void parse_transform_tree(PS& ps, int x0, int y0, int x_base, int y_base,
     ps.counts[1]++;
     ps.cu_rec[(int64_t)cu.rec_idx * 8 + 7]++;  // n_tus
 
-    parse_transform_unit(ps, x0, y0, x_base, y_base, log2_size, cbf_luma,
-                         chroma_here ? my_cb : (blk_idx == 3 ? parent_cb : 0),
-                         chroma_here ? my_cr : (blk_idx == 3 ? parent_cr : 0));
+    parse_transform_unit(ps, x0, y0, x_base, y_base, log2_size, blk_idx,
+                         cbf_luma, my_cb, my_cr);
 }
 
 // ---- coding unit (spec 7.3.8.5; ctu_parse.parse_coding_unit) ---------------
@@ -1268,7 +1263,14 @@ void parse_coding_quadtree(PS& ps, int x0, int y0, int log2_size, int depth) {
         }
     } else {
         parse_coding_unit(ps, x0, y0, log2_size, depth);
-        ps.last_cu_qp = g_sp.qp_y[idx4(x0, y0)];
+        // per-CU QpY (reference QpState::setQpValue semantics): derived
+        // at THIS CU's parse with the CuQpDeltaVal state as of now — a
+        // CU of the group parsed before the delta appeared keeps
+        // pred + 0, NOT the later delta (cross-verified against the
+        // reference decoder on its own --aq streams)
+        int qp = derive_qp(ps, x0, y0);
+        fill4(g_sp.qp_y, x0, y0, 1 << log2_size, (int8_t)qp);
+        ps.last_cu_qp = qp;
     }
 }
 

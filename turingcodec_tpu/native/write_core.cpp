@@ -575,7 +575,11 @@ int write_transform_tree(WS& ws, int x0, int y0, int x_base, int y_base,
 
     int chroma_last = log2_size == 2 && blk_idx == 3;
     int any_chroma = (my_cb || my_cr) && (log2_size > 2 || chroma_last);
-    if (cbf_luma || any_chroma) {
+    // spec 7.3.8.10: cu_qp_delta belongs to the FIRST TU where any of
+    // cbf_luma/cbf_cb/cbf_cr is set — at 4x4 TUs the chroma cbfs are
+    // the parent's, so the delta can land on blkIdx 0 of a chroma-only
+    // group (the reference writes it there; cross-verified)
+    if (cbf_luma || my_cb || my_cr) {
         if (g_sp.cu_qp_delta_enabled && !ws.qp_coded) {
             ws.qp_delta = 0;
             int pred = w_derive_qp(ws, ws.cu_x0, ws.cu_y0);
@@ -598,16 +602,20 @@ int write_transform_tree(WS& ws, int x0, int y0, int x_base, int y_base,
             rc = write_residual(ws, x0, y0, log2_size, 0);
         if (rc)
             return rc;
-        if (log2_size > 2) {
-            if (my_cb)
-                rc = write_residual(ws, x0 >> 1, y0 >> 1, log2_size - 1, 1);
-            if (!rc && my_cr)
-                rc = write_residual(ws, x0 >> 1, y0 >> 1, log2_size - 1, 2);
-        } else if (chroma_last) {
-            if (my_cb)
-                rc = write_residual(ws, x_base >> 1, y_base >> 1, 2, 1);
-            if (!rc && my_cr)
-                rc = write_residual(ws, x_base >> 1, y_base >> 1, 2, 2);
+        if (any_chroma) {
+            if (log2_size > 2) {
+                if (my_cb)
+                    rc = write_residual(ws, x0 >> 1, y0 >> 1,
+                                        log2_size - 1, 1);
+                if (!rc && my_cr)
+                    rc = write_residual(ws, x0 >> 1, y0 >> 1,
+                                        log2_size - 1, 2);
+            } else {
+                if (my_cb)
+                    rc = write_residual(ws, x_base >> 1, y_base >> 1, 2, 1);
+                if (!rc && my_cr)
+                    rc = write_residual(ws, x_base >> 1, y_base >> 1, 2, 2);
+            }
         }
         return rc;
     }
