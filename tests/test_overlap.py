@@ -38,9 +38,11 @@ def frames(caminandes_bytes):
 def _encode(frames, ft, gop_m=1, **kw):
     os.environ["TURING_TPU_FRAME_THREADS"] = str(ft)
     try:
-        cfg = EncoderConfig(width=640, height=360, qp=32, rd_candidates=1,
-                            search_range=32, gop_m=gop_m, sao=False,
-                            rdoq=True, sdh=True, frame_overlap=True, **kw)
+        base = dict(width=640, height=360, qp=32, rd_candidates=1,
+                    search_range=32, gop_m=gop_m, sao=False,
+                    rdoq=True, sdh=True, frame_overlap=True)
+        base.update(kw)
+        cfg = EncoderConfig(**base)
         enc = Encoder(cfg)
         out = [enc.headers()]
         for f in frames:
@@ -105,6 +107,31 @@ def test_overlap_reference_decoder(ldp_stream, tmp_path):
         for pl in f.planes:
             md5_ours.update(np.asarray(pl).astype(np.uint8).tobytes())
     assert md5_ours.hexdigest() == md5_ref
+
+
+def test_overlap_sao(frames, tmp_path):
+    """SAO under overlap: the follower estimates + applies SAO one CTB
+    row behind the deblock band (the reference wavefront's saoed()
+    rule). In-flight invariance, hash-clean decode, and the reference
+    decoder reproduces the identical YUV."""
+    a = _encode(frames, 1, sao=True)
+    assert _encode(frames, 3, sao=True) == a
+    dec = Decoder()
+    n = sum(1 for _ in dec.decode_stream(a))
+    assert n == len(frames) and dec.hash_failures == 0
+    if os.path.exists(REF_BIN):
+        p = tmp_path / "os.hevc"
+        p.write_bytes(a)
+        yuv = tmp_path / "os.yuv"
+        r = subprocess.run([REF_BIN, "decode", str(p), "-o", str(yuv)],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr[-300:]
+        md5_ref = hashlib.md5(yuv.read_bytes()).hexdigest()
+        md5_ours = hashlib.md5()
+        for f in Decoder().decode_stream(a):
+            for pl in f.planes:
+                md5_ours.update(np.asarray(pl).astype(np.uint8).tobytes())
+        assert md5_ours.hexdigest() == md5_ref
 
 
 def test_overlap_rate_control_rendezvous(frames):

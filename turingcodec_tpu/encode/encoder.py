@@ -155,7 +155,8 @@ class _OverlapFollower:
     def add(self, job):
         import threading
         job.ovl_done = threading.Event()
-        job.ovl_st = {"r": 0, "e": 0, "pub": 0, "dbn": None}
+        job.ovl_st = {"r": 0, "e": 0, "pub": 0, "dbn": None,
+                      "sao": getattr(job, "ovl_work", None) is not None}
         with self._lock:
             self._jobs.append(job)
 
@@ -199,15 +200,17 @@ class _OverlapFollower:
         H = sps.pic_height_in_luma_samples
         S = sps.ctb_size_y
         hc = sps.pic_height_in_ctbs_y
+        from turingcodec_tpu import native
+        sao = st["sao"]
+        dbl = job.ovl_work if sao else pic.planes
         if st["dbn"] is None:
-            from turingcodec_tpu import native
             st["dbn"] = native.DeblockNative.try_create(
-                enc.plan, enc.geom, *pic.planes)
+                enc.plan, enc.geom, *dbl)
             assert st["dbn"] is not None, "overlap requires native deblock"
         while st["r"] < s:
             r = st["r"]
             y0, y1 = r * S, min((r + 1) * S, H)
-            for c, (dst, src) in enumerate(zip(pic.planes, enc.recon)):
+            for c, (dst, src) in enumerate(zip(dbl, enc.recon)):
                 a, b = (y0, y1) if c == 0 else (y0 // 2, y1 // 2)
                 dst[a:b] = src[a:b]
             # horizontal edges lag 4 luma rows (they read 4
@@ -215,8 +218,30 @@ class _OverlapFollower:
             ey1 = H if r == hc - 1 else y1 - 4
             st["dbn"].run_band(y0, y1, st["e"], ey1)
             st["e"] = ey1
-            # rows 0..r-1 are fully final after band r (row r's last 4
-            # luma lines wait for the next band's boundary edge)
+            if sao:
+                # SAO rides one CTB row behind the deblock band (the
+                # estimate and the EO neighbour reads need that row's
+                # last lines deblocked, which band r just finalized);
+                # the banded estimate equals the whole-picture raster
+                # walk exactly, and the apply writes into the published
+                # DPB planes from the deblocked working set
+                from turingcodec_tpu.encode.sao_search import estimate_sao
+                rows = ([r - 1] if r >= 1 else []) \
+                    + ([r] if r == hc - 1 else [])
+                for cy in rows:
+                    estimate_sao(enc.plan, enc.geom, job.yuv, dbl,
+                                 enc.lam, cy, cy + 1)
+                    sy0, sy1 = cy * S, min((cy + 1) * S, H)
+                    for c, (dst, srcp) in enumerate(zip(pic.planes, dbl)):
+                        a, b = (sy0, sy1) if c == 0 \
+                            else (sy0 // 2, sy1 // 2)
+                        dst[a:b] = srcp[a:b]
+                    ok = native.sao_apply(enc.plan, enc.geom, dbl,
+                                          cy, cy + 1, out=pic.planes)
+                    assert ok is not None, "overlap+sao requires native"
+            # rows 0..r-1 are fully final after band r (deblock: row r's
+            # last 4 luma lines wait for the next band's boundary edge;
+            # with SAO the same lag covers the trailing SAO row)
             pub = hc if r == hc - 1 else r
             if pub > st["pub"]:
                 u8 = getattr(pic, "ovl_u8", None)
@@ -642,7 +667,10 @@ class Encoder:
         # sequential (the reference's RC token scheme has the same
         # picture-level structure, RateControl.cpp:849 hierarchyLevel -
         # concurrentFrames)
-        if (self._rc is not None and cfg.ctu_rc) or cfg.slices > 1                 or cfg.sao or cfg.aq_strength > 0 or cfg.tile_cols > 1                 or cfg.tile_rows > 1 or cfg.wp_luma is not None                 or cfg.tskip:
+        if ((self._rc is not None and cfg.ctu_rc) or cfg.slices > 1
+                or cfg.aq_strength > 0 or cfg.tile_cols > 1
+                or cfg.tile_rows > 1 or cfg.wp_luma is not None
+                or cfg.tskip):
             return False
         if os.environ.get("TURING_TPU_NO_NATIVE") \
                 or os.environ.get("TURING_TPU_NO_NATIVE_ENC") \
@@ -1109,6 +1137,13 @@ class Encoder:
             pic.ovl_rows = np.zeros(1, np.int64)
             if self.cfg.bit_depth == 8:
                 pic.ovl_u8 = np.zeros((h, w), np.uint8)
+            if self.cfg.sao:
+                # SAO reads the DEBLOCKED picture: the follower keeps it
+                # in this working set and publishes the SAO output into
+                # pic.planes
+                job.ovl_work = [np.zeros((h, w), np.int16),
+                                np.zeros((h // 2, w // 2), np.int16),
+                                np.zeros((h // 2, w // 2), np.int16)]
             job.search_rows = np.zeros(1, np.int64)
             enc._ovl_self_rows = job.search_rows
         return job
@@ -1178,9 +1213,11 @@ class Encoder:
             deblock_picture_vec(plan, self.geom, recon[0], recon[1],
                                 recon[2])
 
-        if self.cfg.sao:
-            # SAO estimation needs the deblocked picture; its parameters go
-            # into the per-CTU syntax, so estimate before writing slice data
+        if self.cfg.sao and not job.ovl:
+            # SAO estimation needs the deblocked picture; its parameters
+            # go into the per-CTU syntax, so estimate before writing
+            # slice data (under overlap the follower estimated + applied
+            # per band already — identical raster decisions)
             from turingcodec_tpu.encode.sao_search import estimate_sao
             estimate_sao(plan, self.geom, yuv, recon, enc.lam)
 
@@ -1229,7 +1266,7 @@ class Encoder:
             nal += wrap_nal(shi.nal_unit_type, rbsp,
                             temporal_id=docket.temporal_id)
 
-        if self.cfg.sao:
+        if self.cfg.sao and not job.ovl:
             from turingcodec_tpu.decode.sao import sao_picture
             recon = sao_picture(plan, self.geom, recon)
         if self.cfg.hash_type is not None:

@@ -140,20 +140,25 @@ def _merge_delta_ssd(cands, t, cls, offs):
 _KEYS = ["off", "band", ("eo", 0), ("eo", 1), ("eo", 2), ("eo", 3)]
 
 
-def estimate_sao(plan: PicturePlan, geom, orig, deblocked, lam: float):
-    """Fill plan.sao_* for all CTBs: luma independent, chroma joint-type,
-    and per-CTB merge-left/up decisions against explicit re-signalling
-    (the reference's rdSao merge RDO, EncSao.h:963+). Raster scan so a
-    merge target's parameters are final when consulted."""
+def estimate_sao(plan: PicturePlan, geom, orig, deblocked, lam: float,
+                 cy0: int = 0, cy1: int = None):
+    """Fill plan.sao_* for CTB rows [cy0, cy1): luma independent, chroma
+    joint-type, and per-CTB merge-left/up decisions against explicit
+    re-signalling (the reference's rdSao merge RDO, EncSao.h:963+).
+    Raster scan so a merge target's parameters are final when consulted —
+    which also makes a row-banded call sequence (the overlap follower)
+    equal the whole-picture walk exactly."""
     sps = plan.sps
-    if _estimate_sao_native(plan, geom, orig, deblocked, lam):
+    if cy1 is None:
+        cy1 = sps.pic_height_in_ctbs_y
+    if _estimate_sao_native(plan, geom, orig, deblocked, lam, cy0, cy1):
         return
     ctb = sps.ctb_size_y
-    hc, wc = sps.pic_height_in_ctbs_y, sps.pic_width_in_ctbs_y
+    hc, wc = cy1, sps.pic_width_in_ctbs_y
     o32 = [p.astype(np.int32) for p in orig]
     r32 = [p.astype(np.int32) for p in deblocked]
     cs = ctb // 2
-    for cy in range(hc):
+    for cy in range(cy0, hc):
         for cx in range(wc):
             h, w = r32[0].shape
             y0, x0 = cy * ctb, cx * ctb
@@ -231,7 +236,8 @@ def estimate_sao(plan: PicturePlan, geom, orig, deblocked, lam: float):
                 _apply(plan, cy, cx, 2, cbest, cands_c[1][cbest])
 
 
-def _estimate_sao_native(plan, geom, orig, deblocked, lam) -> bool:
+def _estimate_sao_native(plan, geom, orig, deblocked, lam,
+                         cy0=0, cy1=None) -> bool:
     """C twin of the loop above (enc_core.cpp tc_sao_estimate)."""
     import os
     if os.environ.get("TURING_TPU_NO_NATIVE_ENC"):
@@ -249,6 +255,8 @@ def _estimate_sao_native(plan, geom, orig, deblocked, lam) -> bool:
     optrs = np.array([p.ctypes.data for p in o], np.int64)
     rptrs = np.array([p.ctypes.data for p in r], np.int64)
     tile_id = np.ascontiguousarray(geom.tile_id, np.int32)
+    if cy1 is None:
+        cy1 = sps.pic_height_in_ctbs_y
     lib.tc_sao_estimate(
         optrs.ctypes.data, rptrs.ctypes.data,
         plan.sao_type.ctypes.data, plan.sao_class.ctypes.data,
@@ -256,7 +264,7 @@ def _estimate_sao_native(plan, geom, orig, deblocked, lam) -> bool:
         plan.slice_idx.ctypes.data, tile_id.ctypes.data,
         sps.pic_width_in_ctbs_y, sps.pic_height_in_ctbs_y, sps.ctb_size_y,
         sps.pic_width_in_luma_samples, sps.pic_height_in_luma_samples,
-        sps.bit_depth_y, sps.bit_depth_c, float(lam))
+        sps.bit_depth_y, sps.bit_depth_c, float(lam), cy0, cy1)
     return True
 
 

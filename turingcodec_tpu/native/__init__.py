@@ -186,7 +186,7 @@ def _build_and_load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_double]
+        ctypes.c_double, ctypes.c_int32, ctypes.c_int32]
 
     lib.tc_enc_setup.argtypes = [ctypes.c_void_p] * 5
     lib.tc_enc_set_frac_out.restype = None
@@ -246,7 +246,8 @@ def _build_and_load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32]
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32]
 
     lib.tc_write_ctu.restype = ctypes.c_int
     lib.tc_write_ctu.argtypes = [
@@ -517,8 +518,11 @@ def inter_recon(plan, geom, ref_lists, recon) -> bool:
     return True
 
 
-def sao_apply(plan, geom, deblocked):
-    """Native SAO application; returns new planes or None (fallback)."""
+def sao_apply(plan, geom, deblocked, cy0=0, cy1=None, out=None):
+    """Native SAO application; returns new planes or None (fallback).
+    cy0/cy1 restrict to CTB rows [cy0, cy1) (the overlap follower's
+    banded publisher); `out` supplies persistent destination planes
+    whose band must already hold the deblocked samples."""
     if os.environ.get("TURING_TPU_NO_NATIVE_RECON"):
         return None
     lib = get_lib()
@@ -528,7 +532,10 @@ def sao_apply(plan, geom, deblocked):
     for p in deblocked:
         if p.dtype != np.int16 or not p.flags.c_contiguous:
             return None
-    out = [p.copy() for p in deblocked]
+    if cy1 is None:
+        cy1 = sps.pic_height_in_ctbs_y
+    if out is None:
+        out = [p.copy() for p in deblocked]
     skip = None
     if sps.pcm_enabled_flag and sps.pcm_loop_filter_disabled_flag:
         skip = plan.pcm_flag
@@ -558,7 +565,7 @@ def sao_apply(plan, geom, deblocked):
         sps.bit_depth_y, sps.bit_depth_c,
         sl_l.ctypes.data, sl_c.ctypes.data, sl_a.ctypes.data, n_sl,
         int(pps.loop_filter_across_tiles_enabled_flag),
-        skip.ctypes.data if skip is not None else 0, geom.w4)
+        skip.ctypes.data if skip is not None else 0, geom.w4, cy0, cy1)
     return out
 
 

@@ -6711,13 +6711,18 @@ static double sao_merge_delta(const SaoStats& st, int t, int cls,
     return d;
 }
 
+// cy0/cy1 restrict to CTB rows [cy0, cy1): the per-CTB decision only
+// consults ALREADY-DECIDED left/up plan params, so a row-banded call
+// sequence equals the whole-picture raster walk exactly (the overlap
+// follower estimates behind the deblock band)
 void tc_sao_estimate(const int64_t* orig_ptrs, const int64_t* rec_ptrs,
                      int64_t sao_type_p, int64_t sao_class_p,
                      int64_t sao_offsets_p, int64_t sao_merge_p,
                      int64_t slice_idx_p, int64_t tile_id_p,
                      int32_t wc, int32_t hc,
                      int32_t ctb, int32_t pic_w, int32_t pic_h,
-                     int32_t bd_y, int32_t bd_c, double lam) {
+                     int32_t bd_y, int32_t bd_c, double lam,
+                     int32_t cy0, int32_t cy1) {
     const int16_t* o[3];
     const int16_t* r[3];
     for (int i = 0; i < 3; i++) {
@@ -6732,7 +6737,9 @@ void tc_sao_estimate(const int64_t* orig_ptrs, const int64_t* rec_ptrs,
     const int32_t* tile_id = (const int32_t*)tile_id_p;
     const int cwd = pic_w >> 1, chd = pic_h >> 1;
     const int cs = ctb >> 1;
-    for (int cy = 0; cy < hc; cy++)
+    if (cy1 > hc)
+        cy1 = hc;
+    for (int cy = cy0; cy < cy1; cy++)
         for (int cx = 0; cx < wc; cx++) {
             const int64_t cur = (int64_t)cy * wc + cx;
             SaoCand cl[6];

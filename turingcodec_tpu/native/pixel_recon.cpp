@@ -846,7 +846,8 @@ int tc_sao_apply(const int64_t* src_ptrs, const int64_t* dst_ptrs,
                  int32_t pic_w, int32_t pic_h, int32_t bd_y, int32_t bd_c,
                  const int32_t* sl_sao_luma, const int32_t* sl_sao_chroma,
                  const int32_t* sl_across, int32_t n_sl,
-                 int32_t across_tiles, int64_t skip_p, int32_t w4) {
+                 int32_t across_tiles, int64_t skip_p, int32_t w4,
+                 int32_t cy0, int32_t cy1) {
     const uint8_t* sao_type = (const uint8_t*)sao_type_p;
     const uint8_t* sao_class = (const uint8_t*)sao_class_p;
     const int8_t* sao_offsets = (const int8_t*)sao_offsets_p;
@@ -862,7 +863,9 @@ int tc_sao_apply(const int64_t* src_ptrs, const int64_t* dst_ptrs,
     while ((1 << cl2) < ctb_y)
         cl2++;
 
-    for (int cy = 0; cy < hc; cy++)
+    if (cy1 > hc)
+        cy1 = hc;
+    for (int cy = cy0; cy < cy1; cy++)
         for (int cx = 0; cx < wc; cx++) {
             int64_t cur = (int64_t)cy * wc + cx;
             int sidx = slice_idx[cur];

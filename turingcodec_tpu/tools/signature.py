@@ -45,12 +45,24 @@ CONFIGS = [
     # operating point (MV y-clamp + source-referenced analysis); pinned
     # goldens + byte-identity at 1 and 4 in-flight pictures — the
     # wavefront's waits and the follower's band timing never change a bit
-    ("overlap-q32", dict(qp=32, rd_candidates=2, frame_overlap=True), 5,
-     {}, ("04a51148", "2c755000")),
-    ("overlap-q32-seq", dict(qp=32, rd_candidates=2, frame_overlap=True),
+    ("overlap-q32", dict(qp=32, rd_candidates=2, sao=False,
+                         frame_overlap=True), 5,
+     {}, ("428353ec", "80ed9a50")),
+    ("overlap-q32-seq", dict(qp=32, rd_candidates=2, sao=False,
+                             frame_overlap=True),
      5, {"TURING_TPU_FRAME_THREADS": "1"}, "overlap-q32"),
-    ("overlap-q32-ft4", dict(qp=32, rd_candidates=2, frame_overlap=True),
+    ("overlap-q32-ft4", dict(qp=32, rd_candidates=2, sao=False,
+                             frame_overlap=True),
      5, {"TURING_TPU_FRAME_THREADS": "4"}, "overlap-q32"),
+    # SAO under overlap: the follower's banded estimate+apply (one CTB
+    # row behind the deblock band) must equal the raster walk at any
+    # in-flight count
+    ("overlap-sao-q32", dict(qp=32, rd_candidates=2, sao=True,
+                             frame_overlap=True), 5,
+     {}, ("6bd32278", "f0fe46cd")),
+    ("overlap-sao-q32-seq", dict(qp=32, rd_candidates=2, sao=True,
+                                 frame_overlap=True), 5,
+     {"TURING_TPU_FRAME_THREADS": "1"}, "overlap-sao-q32"),
     ("no-wpp-q32", dict(qp=32, rd_candidates=2, wpp=False), 2,
      {}, ("fe6834fc", "c0dd0a34")),
     ("sao-rdoq-q30", dict(qp=30, rd_candidates=2, sao=True, rdoq=True,
